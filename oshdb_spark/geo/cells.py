@@ -1,0 +1,366 @@
+"""Hierarchical spatial cell index: reference-parity XY grid + Hilbert tokens.
+
+Two layers:
+
+1. ``XYGrid`` — the reference's equal-degree row-major grid, re-implemented
+   from its observable semantics so tile assignments match the reference
+   exactly (parity targets: oshdb/.../index/XYGrid.java:120-160 ``getId``,
+   :294-373 ``bbox2CellIdRanges`` incl. date-line wrap and the
+   enlarge-one-tile-SW rule, oshdb/.../index/XYGridTree.java:89-97
+   ``getInsertId`` multi-zoom insert rule). Zoom z has 2^z columns
+   (cellWidth = 360/2^z degrees) and 2^z/2 rows; id = y * 2^z + x.
+
+2. Hilbert tokens — the scale/partitioning layer that REPLACES the
+   reference ETL's z-order ``ZGrid`` (oshdb-tool/.../util/ZGrid.java). A
+   cell at level L is the base-4 Hilbert digit string of length L over a
+   2^L x 2^L index space covering lon [-180,180), lat [-90,90). Properties:
+   - an ancestor's token is a string PREFIX of every descendant token →
+     cover predicates become ``cell LIKE 'prefix%'`` / token-range scans,
+     which Parquet/Iceberg prune on;
+   - lexicographic token order IS Hilbert order → sorting by token gives
+     spatially local file layout ("Hilbert-ordered cell prefixes" in the
+     north rule).
+
+All hot paths are numpy-vectorized (arrays in, arrays out) so they can run
+inside pandas UDFs without per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GEOM_PRECISION_TO_LONG = 10_000_000  # OSHDB.java:8-9 fixed-point scale
+MAXZOOM = 15  # OSHDB.java:5
+
+_LON_MAX = 180 * GEOM_PRECISION_TO_LONG
+_LAT_MAX = 90 * GEOM_PRECISION_TO_LONG
+
+
+# ---------------------------------------------------------------------------
+# Layer 1: reference-parity XY grid (fixed-point long arithmetic throughout)
+# ---------------------------------------------------------------------------
+
+def xy_cell_width(zoom: int) -> int:
+    """Cell width in fixed-point units at a zoom level (360° / 2^zoom)."""
+    return (360 * GEOM_PRECISION_TO_LONG) >> zoom
+
+
+def xy_id(lon7: np.ndarray, lat7: np.ndarray, zoom: int) -> np.ndarray:
+    """Row-major cell id per point; -1 for out-of-range coordinates.
+
+    Border semantics match the reference (XYGrid.java:124-160): points on
+    lon=180 wrap to the westernmost column, points on lat=90 go to the
+    northernmost row.
+    """
+    lon7 = np.asarray(lon7, dtype=np.int64)
+    lat7 = np.asarray(lat7, dtype=np.int64)
+    bad = (lon7 > _LON_MAX) | (lon7 < -_LON_MAX) | (lat7 > _LAT_MAX) | (lat7 < -_LAT_MAX)
+    lon = lon7 + _LON_MAX
+    lat = lat7 + _LAT_MAX
+    lon = np.where(lon == 2 * _LON_MAX, 0, lon)
+    lat = np.where(lat == 2 * _LAT_MAX, lat - 1, lat)
+    w = xy_cell_width(zoom)
+    x = lon // w
+    y = lat // w
+    out = y * (1 << zoom) + x
+    return np.where(bad, -1, out)
+
+
+def xy_estimated_id_count(bbox7: tuple[int, int, int, int], zoom: int) -> int:
+    """Max cells along either axis covering bbox (XYGrid.java:210-216).
+
+    Reference uses double division + ceil/floor; reproduced exactly.
+    """
+    minlon, minlat, maxlon, maxlat = bbox7
+    w = float(xy_cell_width(zoom))
+    import math
+
+    return max(
+        int(math.ceil(maxlon / w)) - int(math.floor(minlon / w)),
+        int(math.ceil(maxlat / w)) - int(math.floor(minlat / w)),
+    )
+
+
+def xy_insert_id(bbox7: tuple[int, int, int, int], maxzoom: int = MAXZOOM):
+    """(zoom, id) a bbox-ed feature is stored at (XYGridTree.java:89-97).
+
+    Deepest zoom whose covering-cell estimate is <=2 per axis; id is the
+    cell of the bbox SW corner.
+    """
+    for z in range(maxzoom, -1, -1):
+        if xy_estimated_id_count(bbox7, z) > 2:
+            continue
+        cid = int(xy_id(np.array([bbox7[0]]), np.array([bbox7[1]]), z)[0])
+        return z, cid
+    return None
+
+
+def xy_bbox2_cell_id_ranges(
+    bbox7: tuple[int, int, int, int], zoom: int, enlarge: bool = False
+) -> set[tuple[int, int]]:
+    """All (start,end) row-major id ranges intersecting bbox at one zoom.
+
+    Parity: XYGrid.java:294-373 — clamping of out-of-range boxes to an
+    INVALID (-1,-1) marker, 180°/90° border nudges, date-line split, and
+    the enlarge-one-SW-tile mode used so features stored in the adjacent
+    cell (insert rule anchors at SW corner) are still found.
+    """
+    result: set[tuple[int, int]] = set()
+    minlon, minlat, maxlon, maxlat = bbox7
+    if minlat > maxlat:
+        return result
+    if minlon < -_LON_MAX or minlon > _LON_MAX:
+        result.add((-1, -1))
+        minlon = -_LON_MAX
+    if minlat < -_LAT_MAX or minlat > _LAT_MAX:
+        result.add((-1, -1))
+        minlat = -_LAT_MAX
+    if maxlon > _LON_MAX or maxlon < -_LON_MAX:
+        result.add((-1, -1))
+        maxlon = _LON_MAX
+    if maxlat > _LAT_MAX or maxlat < -_LAT_MAX:
+        result.add((-1, -1))
+        maxlat = _LAT_MAX
+    if minlon == _LON_MAX:
+        minlon = _LON_MAX - 1
+    if maxlon == _LON_MAX:
+        maxlon = _LON_MAX - 1
+    if minlat == _LAT_MAX:
+        minlat = _LAT_MAX - 1
+    if maxlat == _LAT_MAX:
+        maxlat = _LAT_MAX - 1
+    if minlon > maxlon:  # date-line wrap: split into two boxes
+        result |= xy_bbox2_cell_id_ranges(
+            (minlon, minlat, _LON_MAX - 1, maxlat), zoom, enlarge
+        )
+        minlon = -_LON_MAX
+    w = xy_cell_width(zoom)
+    colmin = (minlon + _LON_MAX) // w
+    colmax = (maxlon + _LON_MAX) // w
+    rowmin = (minlat + _LAT_MAX) // w
+    rowmax = (maxlat + _LAT_MAX) // w
+    if enlarge:
+        if colmin > 0:
+            colmin -= 1
+        if rowmin > 0:
+            rowmin -= 1
+    zp = 1 << zoom
+    for row in range(rowmin, rowmax + 1):
+        result.add((row * zp + colmin, row * zp + colmax))
+    return result
+
+
+def xy_cell_bbox7(zoom: int, cell_id: int) -> tuple[int, int, int, int]:
+    """Fixed-point bbox of a cell (XYGrid.java getCellDimensions)."""
+    zp = 1 << zoom
+    w = xy_cell_width(zoom)
+    x = cell_id % zp
+    y = cell_id // zp
+    minlon = x * w - _LON_MAX
+    minlat = y * w - _LAT_MAX
+    return (minlon, minlat, minlon + w - 1, minlat + w - 1)
+
+
+def xy_neighbours(zoom: int, cell_id: int) -> set[tuple[int, int]]:
+    """Id ranges of the 3x3 neighbourhood (XYGrid.java:383-397)."""
+    minlon, minlat, maxlon, maxlat = xy_cell_bbox7(zoom, cell_id)
+    return xy_bbox2_cell_id_ranges(
+        (minlon - 1, minlat - 1, maxlon + 1, maxlat + 1), zoom, False
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: Hilbert curve + prefix tokens (vectorized)
+# ---------------------------------------------------------------------------
+
+def hilbert_xy2d(level: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert distance of (x,y) on a 2^level x 2^level grid (vectorized).
+
+    Standard iterative rotation algorithm. Hierarchical: the distance at
+    level L-1 of a point's parent cell equals (d at level L) >> 2, which is
+    what makes token prefixes meaningful.
+    """
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (level - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_d2xy(level: int, d: int) -> tuple[int, int]:
+    """Inverse of hilbert_xy2d for a single distance (scalar; test helper)."""
+    t = int(d)
+    x = y = 0
+    s = 1
+    while s < (1 << level):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+_BASE4 = np.array([ord("0"), ord("1"), ord("2"), ord("3")], dtype=np.uint8)
+
+
+def _d_to_token(d: np.ndarray, level: int) -> np.ndarray:
+    """Base-4 digit strings of length `level` (vectorized)."""
+    n = len(d)
+    if level == 0:
+        return np.full(n, "", dtype=object)
+    digits = np.empty((n, level), dtype=np.uint8)
+    v = np.asarray(d, dtype=np.int64)
+    for i in range(level - 1, -1, -1):
+        digits[:, i] = _BASE4[(v & 3).astype(np.int64)]
+        v = v >> 2
+    return np.array([bytes(row).decode("ascii") for row in digits], dtype=object)
+
+
+def token_of_points(lon7: np.ndarray, lat7: np.ndarray, level: int) -> np.ndarray:
+    """Hilbert cell token per point at a fixed level (vectorized).
+
+    Index space: x = (lon+180)/360 * 2^L, y = (lat+90)/180 * 2^L, with the
+    same wrap/clamp border semantics as xy_id.
+    """
+    lon7 = np.asarray(lon7, dtype=np.int64)
+    lat7 = np.asarray(lat7, dtype=np.int64)
+    n = np.int64(1) << level
+    lon = np.clip(lon7 + _LON_MAX, 0, 2 * _LON_MAX)
+    lat = np.clip(lat7 + _LAT_MAX, 0, 2 * _LAT_MAX)
+    x = np.minimum(lon * n // (2 * _LON_MAX), n - 1)
+    y = np.minimum(lat * n // (2 * _LAT_MAX), n - 1)
+    d = hilbert_xy2d(level, x, y)
+    return _d_to_token(d, level)
+
+
+def token_insert_level(
+    bbox7_min_lon: np.ndarray,
+    bbox7_min_lat: np.ndarray,
+    bbox7_max_lon: np.ndarray,
+    bbox7_max_lat: np.ndarray,
+    maxlevel: int = MAXZOOM,
+) -> np.ndarray:
+    """Vectorized insert level: deepest level with <=2 covering cells per
+    axis (semantics of XYGridTree.getInsertId re-expressed on this grid)."""
+    mlon = np.asarray(bbox7_min_lon, dtype=np.int64)
+    mlat = np.asarray(bbox7_min_lat, dtype=np.int64)
+    xlon = np.asarray(bbox7_max_lon, dtype=np.int64)
+    xlat = np.asarray(bbox7_max_lat, dtype=np.int64)
+    out = np.zeros(len(mlon), dtype=np.int64)
+    for lvl in range(maxlevel, 0, -1):
+        n = np.int64(1) << lvl
+        cx0 = (mlon + _LON_MAX) * n // (2 * _LON_MAX)
+        cx1 = (xlon + _LON_MAX) * n // (2 * _LON_MAX)
+        cy0 = (mlat + _LAT_MAX) * n // (2 * _LAT_MAX)
+        cy1 = (xlat + _LAT_MAX) * n // (2 * _LAT_MAX)
+        fits = (np.maximum(cx1 - cx0, cy1 - cy0) < 2) & (out == 0)
+        out = np.where(fits, lvl, out)
+        if bool(np.all(out > 0)):
+            break
+    return out
+
+
+def token_of_bboxes(
+    min_lon7, min_lat7, max_lon7, max_lat7, maxlevel: int = MAXZOOM
+) -> np.ndarray:
+    """Insert token per bbox: token of the SW corner at the insert level
+    (anchoring at SW matches the reference insert rule; covers expand one
+    cell SW symmetric to the reference's `enlarge`)."""
+    levels = token_insert_level(min_lon7, min_lat7, max_lon7, max_lat7, maxlevel)
+    out = np.empty(len(levels), dtype=object)
+    for lvl in np.unique(levels):
+        m = levels == lvl
+        out[m] = token_of_points(
+            np.asarray(min_lon7)[m], np.asarray(min_lat7)[m], int(lvl)
+        )
+    return out
+
+
+def cover_tokens(
+    bbox7: tuple[int, int, int, int],
+    level: int,
+    enlarge: bool = True,
+    maxlevel: int = MAXZOOM,
+) -> list[str]:
+    """Cell tokens at `level` covering a bbox; with enlarge=True the cover
+    is expanded one cell SW so features anchored in the SW-adjacent cell
+    are found (reference O2, XYGrid.java:359-367).
+
+    Used to build partition-pruning predicates: a feature stored at token T
+    (any level) intersects the bbox only if T is a prefix of one of these
+    tokens or one of these tokens is a prefix of T.
+    """
+    minlon, minlat, maxlon, maxlat = bbox7
+    n = 1 << level
+    x0 = max(0, min(int((minlon + _LON_MAX) * n // (2 * _LON_MAX)), n - 1))
+    x1 = max(0, min(int((maxlon + _LON_MAX) * n // (2 * _LON_MAX)), n - 1))
+    y0 = max(0, min(int((minlat + _LAT_MAX) * n // (2 * _LAT_MAX)), n - 1))
+    y1 = max(0, min(int((maxlat + _LAT_MAX) * n // (2 * _LAT_MAX)), n - 1))
+    if enlarge:
+        x0 = max(0, x0 - 1)
+        y0 = max(0, y0 - 1)
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    d = hilbert_xy2d(level, xs.ravel(), ys.ravel())
+    return sorted(_d_to_token(d, level).tolist())
+
+
+def cover_prefixes(bbox7, level: int = 6, enlarge: bool = True) -> list[str]:
+    """Compressed cover: merges sibling runs into shorter (ancestor)
+    prefixes so the pruning predicate stays small for large AOIs."""
+    toks = cover_tokens(bbox7, level, enlarge)
+    toks = sorted(set(toks))
+    changed = True
+    while changed:
+        changed = False
+        out, i = [], 0
+        while i < len(toks):
+            t = toks[i]
+            if len(t) > 0 and i + 3 < len(toks):
+                parent = t[:-1]
+                sibs = [parent + c for c in "0123"]
+                if toks[i : i + 4] == sibs:
+                    out.append(parent)
+                    i += 4
+                    changed = True
+                    continue
+            out.append(t)
+            i += 1
+        toks = out
+    return toks
+
+
+def ring_tokens(token: str, k: int = 1) -> list[str]:
+    """Tokens of the (2k+1)^2 neighbourhood of a cell at the same level —
+    the kNN cell-ring expansion primitive (ring ≙ XYGrid.getNeighbours,
+    XYGrid.java:383-397, generalized to radius k)."""
+    level = len(token)
+    d = int(token, 4) if token else 0
+    x, y = hilbert_d2xy(level, d)
+    n = 1 << level
+    pts = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            nx, ny = x + dx, y + dy
+            if 0 <= ny < n:
+                pts.append(((nx % n), ny))  # lon wraps, lat clamps
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    ds = hilbert_xy2d(level, xs, ys)
+    return sorted(set(_d_to_token(ds, level).tolist()))

@@ -1,0 +1,262 @@
+"""Unit tests: geodesy formulas, cell grid parity, clipping, WKB."""
+
+import math
+
+import numpy as np
+import pytest
+
+from oshdb_spark.geo import cells, clip, geodesy
+from oshdb_spark.geo import geom as G
+
+P = cells.GEOM_PRECISION_TO_LONG
+
+
+class TestGeodesy:
+    def test_equirect_matches_reference_formula(self):
+        # hand-computed per Geo.java:37-45
+        lat1, lng1, lat2, lng2 = 49.0, 8.0, 49.001, 8.002
+        d_lat = math.radians(lat2 - lat1)
+        d_lng = math.radians(lng2 - lng1) * math.cos(math.radians((lat1 + lat2) / 2))
+        want = 6371000.0 * math.sqrt(d_lng**2 + d_lat**2)
+        got = float(geodesy.distance_equirect(lat1, lng1, lat2, lng2))
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_equirect_differs_from_haversine(self):
+        a = float(geodesy.distance_equirect(0.0, 0.0, 10.0, 10.0))
+        b = float(geodesy.distance_haversine(0.0, 0.0, 10.0, 10.0))
+        assert a != b  # engine must use equirect, not haversine
+
+    def test_ring_area_one_degree_square_at_equator(self):
+        ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+        got = abs(geodesy.ring_area_signed(ring))
+        # CD formula for this square: R^2/2 * deg2rad(1) * (sin(1°) - sin(0°)) * 2
+        r = 6371000.0
+        want = abs(
+            r * r / 2 * (
+                (math.radians(1) - math.radians(0)) * math.sin(math.radians(0))
+                + (math.radians(1) - math.radians(0)) * math.sin(math.radians(0))
+                + (math.radians(1) - math.radians(1)) * math.sin(math.radians(0.0))
+            )
+        )
+        # simpler: compare against direct re-evaluation of the published formula
+        coords = np.radians(ring)
+        acc = 0.0
+        n = len(coords)
+        for i in range(n):
+            p1 = coords[i % n]
+            p2 = coords[(i + 1) % n]
+            p3 = coords[(i + 2) % n]
+            acc += (p3[0] - p1[0]) * math.sin(p2[1])
+        want = abs(acc * r * r / 2)
+        assert got == pytest.approx(want, rel=1e-12)
+        # sanity: ~12,308 km^2 for 1°x1° at equator
+        assert 1.2e10 < got < 1.25e10
+
+    def test_polygon_area_subtracts_holes(self):
+        outer = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+        hole = np.array([[0.5, 0.5], [1, 0.5], [1, 1], [0.5, 1], [0.5, 0.5]], dtype=float)
+        a_out = geodesy.polygon_area([outer])
+        a_with = geodesy.polygon_area([outer, hole])
+        assert a_with < a_out
+        assert a_with == pytest.approx(
+            a_out - abs(geodesy.ring_area_signed(hole)), rel=1e-12
+        )
+
+
+class TestXYGridParity:
+    """Parity vs reference XYGrid semantics (index/XYGrid.java)."""
+
+    def test_getid_borders(self):
+        # lon=180 wraps to column 0; lat=90 clamps to top row (XYGrid.java:137-148)
+        z = 2
+        assert cells.xy_id([180 * P], [0], z)[0] == cells.xy_id([-180 * P], [0], z)[0]
+        top = cells.xy_id([0], [90 * P], z)[0]
+        just_below = cells.xy_id([0], [90 * P - 1], z)[0]
+        assert top == just_below
+
+    def test_getid_out_of_range(self):
+        assert cells.xy_id([181 * P], [0], 5)[0] == -1
+        assert cells.xy_id([0], [91 * P], 5)[0] == -1
+
+    def test_row_major_layout(self):
+        # zoom 1: 2 columns, cellWidth=180°; (lon,lat)=(-180,-90) → id 0,
+        # (0,-90) → 1, (-180,0)... row = (lat+90)/180 = 0 for lat<90
+        assert cells.xy_id([-180 * P], [-90 * P], 1)[0] == 0
+        assert cells.xy_id([0], [-90 * P], 1)[0] == 1
+
+    def test_insert_id_small_feature_deep_zoom(self):
+        # tiny bbox fits at maxzoom
+        bb = (int(8.0 * P), int(49.0 * P), int(8.0001 * P), int(49.0001 * P))
+        z, cid = cells.xy_insert_id(bb)
+        assert z == cells.MAXZOOM
+        assert cid == cells.xy_id([bb[0]], [bb[1]], z)[0]
+
+    def test_insert_id_world_feature_shallow_zoom(self):
+        # covering estimate at zoom 1 is exactly 2 per axis → stored at zoom 1
+        # (first level from maxzoom downward with count <= 2, XYGridTree.java:89-97)
+        bb = (-170 * P, -80 * P, 170 * P, 80 * P)
+        z, cid = cells.xy_insert_id(bb)
+        assert z == 1 and cid == 0
+
+    def test_bbox2ranges_enlarge(self):
+        bb = (int(8.0 * P), int(49.0 * P), int(9.0 * P), int(50.0 * P))
+        plain = cells.xy_bbox2_cell_id_ranges(bb, 12, False)
+        enlarged = cells.xy_bbox2_cell_id_ranges(bb, 12, True)
+        # enlarge extends one cell SW: every plain range is inside an enlarged one
+        pmin = min(r[0] for r in plain)
+        emin = min(r[0] for r in enlarged)
+        assert emin < pmin
+        assert len(enlarged) == len(plain) + 1  # one extra row
+
+    def test_dateline_split(self):
+        bb = (int(179.5 * P), 0, int(-179.5 * P + 360 * P) - 360 * P, int(1 * P))
+        # construct min>max across dateline
+        bb = (int(179.5 * P), 0, int(-179.5 * P), int(1 * P))
+        ranges = cells.xy_bbox2_cell_id_ranges(bb, 8, False)
+        assert len(ranges) >= 2  # both sides of the dateline
+
+    def test_neighbours_3x3(self):
+        z = 6
+        cid = int(cells.xy_id([int(8.6 * P)], [int(49.4 * P)], z)[0])
+        ranges = cells.xy_neighbours(z, cid)
+        ids = set()
+        for s, e in ranges:
+            ids.update(range(s, e + 1))
+        assert cid in ids and len(ids) == 9
+
+
+class TestHilbert:
+    def test_roundtrip(self):
+        level = 8
+        rng = np.random.default_rng(7)
+        xs = rng.integers(0, 1 << level, 100)
+        ys = rng.integers(0, 1 << level, 100)
+        ds = cells.hilbert_xy2d(level, xs, ys)
+        for x, y, d in zip(xs, ys, ds):
+            assert cells.hilbert_d2xy(level, int(d)) == (int(x), int(y))
+
+    def test_hierarchical_prefix(self):
+        # parent Hilbert index == child index >> 2 → token prefixes nest
+        level = 6
+        rng = np.random.default_rng(11)
+        xs = rng.integers(0, 1 << level, 200)
+        ys = rng.integers(0, 1 << level, 200)
+        d_child = cells.hilbert_xy2d(level, xs, ys)
+        d_parent = cells.hilbert_xy2d(level - 1, xs >> 1, ys >> 1)
+        assert np.all(d_parent == d_child >> 2)
+
+    def test_token_prefix_nesting(self):
+        lon = np.array([int(8.68 * P)])
+        lat = np.array([int(49.41 * P)])
+        t6 = cells.token_of_points(lon, lat, 6)[0]
+        t10 = cells.token_of_points(lon, lat, 10)[0]
+        assert t10.startswith(t6)
+        assert len(t6) == 6 and len(t10) == 10
+
+    def test_locality_adjacent_cells_near_tokens(self):
+        # consecutive Hilbert distances are spatially adjacent cells
+        level = 5
+        for d in range(0, (1 << (2 * level)) - 1, 37):
+            x0, y0 = cells.hilbert_d2xy(level, d)
+            x1, y1 = cells.hilbert_d2xy(level, d + 1)
+            assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    def test_cover_contains_point_cell(self):
+        bb = (int(8.0 * P), int(49.0 * P), int(9.0 * P), int(50.0 * P))
+        toks = cells.cover_tokens(bb, 6)
+        pt = cells.token_of_points([int(8.5 * P)], [int(49.5 * P)], 6)[0]
+        assert pt in toks
+
+    def test_cover_prefix_compression(self):
+        world = (-180 * P, -90 * P, 180 * P, 90 * P)
+        pref = cells.cover_prefixes(world, level=4, enlarge=False)
+        assert pref == [""]  # whole world compresses to the root prefix
+
+    def test_ring_tokens(self):
+        t = cells.token_of_points([int(8.5 * P)], [int(49.5 * P)], 8)[0]
+        ring = cells.ring_tokens(t, 1)
+        assert t in ring and len(ring) == 9
+
+
+class TestClip:
+    def test_point_in_ring(self):
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+        got = clip.points_in_ring([2, 5, -1], [2, 2, 2], sq)
+        assert got.tolist() == [True, False, False]
+
+    def test_polygon_with_hole(self):
+        outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+        hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+        got = clip.points_in_polygon([2, 0.5], [2, 0.5], [outer, hole])
+        assert got.tolist() == [False, True]
+
+    def test_line_clip_pieces(self):
+        line = np.array([[-1, 1], [5, 1]], dtype=float)
+        out = clip.clip_to_bbox(("LineString", line), (0, 0, 4, 4))
+        assert out[0] == "LineString"
+        np.testing.assert_allclose(out[1], [[0, 1], [4, 1]])
+
+    def test_line_clip_two_pieces(self):
+        line = np.array([[-1, 1], [2, 1], [2, 5], [3, 5], [3, 1], [6, 1]], dtype=float)
+        out = clip.clip_to_bbox(("LineString", line), (0, 0, 4, 4))
+        assert out[0] == "MultiLineString"
+        # piece 1: enters at (0,1), runs to (2,1)-(2,4); piece 2: (3,4)-(3,1)-(4,1)
+        assert len(out[1]) == 2
+
+    def test_polygon_clip(self):
+        rings = [np.array([[-1, -1], [5, -1], [5, 5], [-1, 5], [-1, -1]], dtype=float)]
+        out = clip.clip_to_bbox(("Polygon", rings), (0, 0, 4, 4))
+        assert out[0] == "Polygon"
+        bb = G.bbox_of(out)
+        assert bb == (0, 0, 4, 4)
+
+    def test_fully_inside_identity(self):
+        g = G.point(1, 1)
+        assert clip.clip_to_bbox(g, (0, 0, 4, 4)) is g
+
+    def test_disjoint_none(self):
+        assert clip.clip_to_bbox(G.point(10, 10), (0, 0, 4, 4)) is None
+
+    def test_3state(self):
+        assert clip.bbox_relation((1, 1, 2, 2), (0, 0, 4, 4)) == 1
+        assert clip.bbox_relation((5, 5, 6, 6), (0, 0, 4, 4)) == 0
+        assert clip.bbox_relation((3, 3, 6, 6), (0, 0, 4, 4)) == 2
+
+    def test_clip_line_to_polygon(self):
+        tri = [np.array([[0, 0], [4, 0], [0, 4], [0, 0]], dtype=float)]
+        out = clip.clip_line_to_polygon(
+            np.array([[-1, 1], [5, 1]], dtype=float), tri
+        )
+        assert out[0] == "LineString"
+        np.testing.assert_allclose(out[1], [[0, 1], [3, 1]])
+
+
+class TestWkb:
+    def test_roundtrip_all_types(self):
+        geoms = [
+            G.point(8.5, 49.5),
+            ("Point", None),
+            G.linestring([[0, 0], [1, 1], [2, 0]]),
+            G.polygon([[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]),
+            (
+                "MultiPolygon",
+                [
+                    [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)],
+                    [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], dtype=float)],
+                ],
+            ),
+            ("MultiLineString", [np.array([[0, 0], [1, 1]], dtype=float)]),
+            ("GeometryCollection", [G.point(1, 2), G.linestring([[0, 0], [1, 1]])]),
+        ]
+        for g in geoms:
+            rt = G.from_wkb(G.to_wkb(g))
+            assert G.geoms_equal(g, rt), G.to_wkt(g)
+
+    def test_measurements_dispatch(self):
+        assert G.length(G.point(0, 0)) == 0.0
+        assert G.area(G.linestring([[0, 0], [1, 1]])) == 0.0
+        sq = G.polygon([[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]])
+        assert G.area(sq) > 0
+        assert G.length(G.linestring([[0, 0], [0, 1]])) == pytest.approx(
+            6371000.0 * math.radians(1), rel=1e-9
+        )
