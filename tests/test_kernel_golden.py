@@ -256,6 +256,108 @@ class TestIterateByTimestampsWays:
         assert npoints(rows[0][8]) == 3
 
 
+class TestIterateByContributionWays:
+    """≙ IterateByContributionWaysTest.java (interval 2000-01-01→2018-01-01,
+    world bbox). Row tuple: (ts, type, id, contrib_types, changeset, uid,
+    v_before, v_after, tags_before, tags_after, geomB, geomA, clipB, clipA,
+    cell, doc_id)."""
+
+    def test_geometry_change_way100(self, way_docs):
+        rows = contrib(way_docs["way/100"])
+        assert len(rows) == 3
+        assert [r[3] for r in rows] == [
+            ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"],
+        ]
+        assert rows[0][4] == 31
+        assert npoints(rows[0][11]) == 4
+        assert npoints(rows[1][11]) == 8
+        assert npoints(rows[2][11]) == 9
+        assert rows[0][10] is None  # previousGeometry of creation
+
+    def test_node_geometry_change_way101(self, way_docs):
+        rows = contrib(way_docs["way/101"])
+        assert len(rows) == 4
+        assert [r[3] for r in rows] == [
+            ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"],
+            ["GEOMETRY_CHANGE"],
+        ]
+        assert rows[0][4] == 34
+        assert npoints(rows[0][11]) == 2
+        assert npoints(rows[1][11]) == 2
+        assert npoints(rows[3][11]) == 3
+        assert rows[0][10] is None
+
+    def test_visible_change_way102(self, way_docs):
+        rows = contrib(
+            way_docs["way/102"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2020-01-01T00:00:00Z")),
+        )
+        assert len(rows) == 3
+        assert [r[3] for r in rows] == [["CREATION"], ["DELETION"], ["CREATION"]]
+        assert rows[0][4] == 36
+
+    def test_tag_change_way103(self, way_docs):
+        rows = contrib(
+            way_docs["way/103"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2020-01-01T00:00:01Z")),
+        )
+        assert len(rows) == 3
+        assert rows[0][3] == ["CREATION"]
+        assert set(rows[1][3]) == {"TAG_CHANGE", "GEOMETRY_CHANGE"}
+        assert rows[2][3] == ["TAG_CHANGE"]
+        assert rows[0][4] == 39
+        assert npoints(rows[0][11]) == 3
+        assert npoints(rows[1][11]) == 5
+        assert npoints(rows[2][11]) == 5
+        assert rows[0][10] is None
+        # tag-only change: geometry equals previous geometry
+        assert G.geoms_equal(G.from_wkb(rows[2][11]), G.from_wkb(rows[2][10]))
+
+    def test_multiple_node_changes_way104(self, way_docs):
+        rows = contrib(
+            way_docs["way/104"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2018-01-01T00:00:01Z")),
+        )
+        assert len(rows) == 6
+        assert [npoints(r[11]) for r in rows[:5]] == [2, 3, 2, 3, 3]
+        assert rows[0][3] == ["CREATION"]
+        assert rows[1][3] == ["GEOMETRY_CHANGE"]
+        assert rows[2][3] == ["GEOMETRY_CHANGE"]
+        assert rows[3][3] == ["GEOMETRY_CHANGE"]
+        assert rows[0][4] == 42
+
+    def test_multiple_changes_way105(self, way_docs):
+        rows = contrib(
+            way_docs["way/105"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2018-01-01T00:00:01Z")),
+        )
+        assert len(rows) == 6
+        assert rows[0][3] == ["CREATION"]
+        assert set(rows[1][3]) == {"TAG_CHANGE", "GEOMETRY_CHANGE"}
+        assert rows[2][3] == ["GEOMETRY_CHANGE"]
+        assert rows[3][3] == ["GEOMETRY_CHANGE"]
+        assert rows[4][3] == ["DELETION"]
+        assert rows[5][3] == ["CREATION"]
+
+    def test_node_change_outside_bbox_way110(self, way_docs):
+        rows = contrib(
+            way_docs["way/110"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2009-08-01T00:00:00Z")),
+            aoi=AOI(bbox=(1.8, 1.3, 2.7, 2.7)),
+        )
+        assert len(rows) == 2
+        assert npoints(rows[1][13]) == 3  # clipped after
+
+    def test_node_change_outside_bbox_affects_part_way110(self, way_docs):
+        rows = contrib(
+            way_docs["way/110"],
+            interval=(unix("2000-01-01T00:00:00Z"), unix("2012-08-01T00:00:00Z")),
+            aoi=AOI(bbox=(1.8, 1.3, 2.7, 2.7)),
+        )
+        assert len(rows) == 3
+        assert npoints(rows[1][13]) == 3
+
+
 class TestAreaDecider:
     def test_closed_way_polygon_when_always_area(self, way_docs):
         # ways whose refs form closed rings become polygons under the
