@@ -68,7 +68,14 @@ def with_doc_bbox(typed: DataFrame) -> DataFrame:
 def prepared_docs(
     docs: DataFrame, filter_spec=None, aoi: AOI | None = None
 ) -> DataFrame:
-    """Typed + summarized + JVM-pre-filtered docs (shared by both kernels)."""
+    """Summarized + JVM-pre-filtered docs (shared by both kernels).
+
+    The typed decode runs JVM-side for pre-filtering and bbox summaries,
+    but the kernel input carries only Arrow-safe columns (raw spans +
+    scalars): shipping array<struct<...map...>> through the Arrow channel
+    segfaults pyarrow's arrow_to_pandas, so version/member JSON is parsed
+    in the kernel instead.
+    """
     typed = docs_mod.typed_docs(docs)
     pre = compile_doc_prefilter(filter_spec)
     if pre is not None:
@@ -82,15 +89,35 @@ def prepared_docs(
             & (F.col("bbox_min_lat") <= int(b[3] * _FP))
             & (F.col("bbox_max_lat") >= int(b[1] * _FP))
         )
-    return typed
+    return typed.select(
+        "doc_id", "entity_type", "id", "spans",
+        "bbox_min_lon", "bbox_min_lat", "bbox_max_lon", "bbox_max_lat",
+    )
 
 
 def _doc_structs(row):
-    """Arrow row → (versions, members_by_key, fbbox_degrees, cell_token)."""
-    versions = sort_versions([dict(v) for v in row["versions"]])
-    members = [dict(m) for m in (row["members"] or [])]
-    for m in members:
-        m["versions"] = [dict(v) for v in m["versions"]]
+    """Arrow row → (versions, members_by_key, fbbox_degrees, cell_token).
+
+    Parses version/member spans from their JSON payloads (the spans array
+    itself is Arrow-safe; parsed nested structs with maps are not)."""
+    import json
+
+    versions = []
+    members = []
+    spans = row["spans"]
+    if len(spans) and not isinstance(spans[0], dict):
+        spans = [
+            {"kind": s["kind"], "text": s["text"]}
+            if isinstance(s, dict)
+            else {"kind": s.kind, "text": s.text}
+            for s in spans
+        ]
+    for s in spans:
+        if s["kind"] == "version":
+            versions.append(json.loads(s["text"]))
+        elif s["kind"] == "member":
+            members.append(json.loads(s["text"]))
+    versions = sort_versions(versions)
     members_by_key = {(m["entity_type"], m["id"]): m for m in members}
     if row["bbox_min_lon"] is None or pd.isna(row["bbox_min_lon"]):
         fbbox = None
