@@ -169,6 +169,29 @@ def xy_neighbours(zoom: int, cell_id: int) -> set[tuple[int, int]]:
     )
 
 
+def xy_id_col(lon7_col, lat7_col, zoom: int):
+    """Catalyst Column version of ``xy_id`` — identical semantics (border
+    wrap on lon=180, clamp of lat=90 into the northernmost row, -1 for
+    out-of-range), expressed with built-in functions only so cell
+    assignment runs inside whole-stage codegen (the 100 TB scale path; the
+    numpy version serves the pandas kernels)."""
+    from pyspark.sql import functions as F
+
+    lon7 = lon7_col if not isinstance(lon7_col, str) else F.col(lon7_col)
+    lat7 = lat7_col if not isinstance(lat7_col, str) else F.col(lat7_col)
+    bad = (
+        (lon7 > _LON_MAX) | (lon7 < -_LON_MAX)
+        | (lat7 > _LAT_MAX) | (lat7 < -_LAT_MAX)
+    )
+    lon = lon7 + F.lit(_LON_MAX)
+    lat = lat7 + F.lit(_LAT_MAX)
+    lon = F.when(lon == 2 * _LON_MAX, F.lit(0)).otherwise(lon)
+    lat = F.when(lat == 2 * _LAT_MAX, lat - 1).otherwise(lat)
+    w = xy_cell_width(zoom)
+    cell = F.floor(lat / w) * (1 << zoom) + F.floor(lon / w)
+    return F.when(bad, F.lit(-1)).otherwise(cell).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Layer 2: Hilbert curve + prefix tokens (vectorized)
 # ---------------------------------------------------------------------------

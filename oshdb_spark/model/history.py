@@ -1,0 +1,167 @@
+"""Deterministic OSM-history derivation from the driver's `events` table.
+
+The correctness gate (driver's DuckDB oracle) and the bench harness need an
+OSM-style full-history workload derived from the fixed testdata — no
+external data. This module maps `events(event_id, ts, user_id, event_type,
+value, props)` to node histories with EXACTLY these rules (the oracle SQL in
+__spark_entry__.py mirrors them term for term; keep both in sync):
+
+  sec       = floor(epoch seconds of ts)                       [bigint]
+  dedup     : keep the row with MIN event_id per (user_id, sec)
+              (guards against same-second collisions; sf0.1 has one)
+  entity    : node id = user_id, one doc per user
+  version   = row_number over (partition by user_id order by sec)
+  visible   = event_type <> 'error'      (errors model deleted versions)
+  g         = (version - 1) div 3        (geometry epoch: coords move
+                                          every 3rd version — gives the
+                                          contribution kernel real
+                                          GEOMETRY_CHANGE/no-change mix)
+  lon7      = (user_id*1103515245 + g*1000003) mod 3.6e9 - 1.8e9
+  lat7      = (user_id*1234567891 + g*999983)  mod 1.7e9 - 0.85e9
+              (large multipliers so small ids still spread over the globe)
+  changeset = event_id (unique → changeset squash is a no-op here; squash
+              semantics are covered by the golden fixture tests)
+  uid       = user_id
+  tags      = map('event_type', event_type)
+
+Both producers are pure Catalyst (zero Python), so at 100 TB the derivation
+is a narrow whole-stage-codegen pipeline; the only shuffles are the two
+per-user windows (same key → one exchange, reused by both) and the doc
+group-by, all on the same key `user_id`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LON_MOD = 3_600_000_000
+LAT_MOD = 1_700_000_000
+
+# snapshot grid used by the entry-point queries: weekly Mondays spanning the
+# events table's Jan-2024 range, plus one instant past the end (exercises
+# open validity windows). unix seconds, UTC.
+SNAPSHOT_TS = [
+    1704067200,  # 2024-01-01
+    1704672000,  # 2024-01-08
+    1705276800,  # 2024-01-15
+    1705881600,  # 2024-01-22
+    1706486400,  # 2024-01-29
+    1707091200,  # 2024-02-05 (after last event)
+]
+CONTRIB_INTERVAL = (1704672000, 1705881600)  # [2024-01-08, 2024-01-22)
+
+
+def versions_from_events(events: DataFrame) -> DataFrame:
+    """events → flat per-version node table with validity windows.
+
+    Columns: entity_type,id,version,visible,valid_from,valid_to,changeset,
+    uid,tags,lon,lat,refs,doc_id — same shape as model.docs.versions_table.
+    """
+    # The parquet timestamps are naive wall times; the DuckDB oracle (and
+    # the engine's ISO span payloads) interpret them as UTC. Pin the
+    # session timezone so `unix_timestamp`/`date_format` agree with that
+    # regardless of how the caller built its SparkSession.
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    sec = F.unix_timestamp("ts").cast("long")
+    ded = (
+        events.withColumn("sec", sec)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sec").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    v = (
+        ded.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("sec").over(w))
+        .withColumn("g", ((F.col("version") - 1) / 3).cast("long"))
+    )
+    lon7 = (
+        F.pmod(
+            F.col("user_id") * F.lit(1103515245) + F.col("g") * 1000003,
+            F.lit(LON_MOD),
+        )
+        - LON_MOD // 2
+    )
+    lat7 = (
+        F.pmod(
+            F.col("user_id") * F.lit(1234567891) + F.col("g") * 999983,
+            F.lit(LAT_MOD),
+        )
+        - LAT_MOD // 2
+    )
+    return v.select(
+        F.lit("node").alias("entity_type"),
+        F.col("user_id").cast("long").alias("id"),
+        F.col("version").cast("int").alias("version"),
+        (F.col("event_type") != "error").alias("visible"),
+        F.col("sec").alias("valid_from"),
+        F.col("valid_to"),
+        F.col("event_id").cast("long").alias("changeset"),
+        F.col("user_id").cast("int").alias("uid"),
+        F.create_map(F.lit("event_type"), F.col("event_type")).alias("tags"),
+        lon7.cast("long").alias("lon"),
+        lat7.cast("long").alias("lat"),
+        F.expr("array()").cast("array<struct<type:string,ref:bigint,role:string>>").alias("refs"),
+        F.concat(F.lit("node/"), F.col("user_id")).alias("doc_id"),
+    )
+
+
+def docs_from_events(events: DataFrame) -> DataFrame:
+    """events → interleaved docs table (input_hint shape): one doc per user,
+    version spans newest-first, one meta span, one trailing media span.
+    All span payloads via to_json — pure Catalyst."""
+    v = versions_from_events(events)
+    vspan = F.expr(
+        """
+        named_struct(
+          'kind', 'version',
+          'text', to_json(named_struct(
+             'version', version, 'visible', visible,
+             'ts', date_format(timestamp_seconds(valid_from),
+                               "yyyy-MM-dd'T'HH:mm:ssX"),
+             'changeset', changeset, 'uid', uid, 'tags', tags,
+             'lon', lon, 'lat', lat, 'refs', refs)),
+          'media_ref', '', 'offset', 0)
+        """
+    )
+    per = v.withColumn("_vs", vspan).groupBy("doc_id", "id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(version as v, _vs as s)),"
+            " (a,b) -> case when a.v > b.v then -1 when a.v < b.v then 1 else 0 end),"
+            " x -> x.s)"
+        ).alias("vspans")
+    )
+    meta = F.expr(
+        """
+        named_struct('kind','meta',
+          'text', to_json(named_struct('entity_type','node','id', id)),
+          'media_ref','', 'offset', 0)
+        """
+    )
+    media = F.expr(
+        """
+        named_struct('kind','media',
+          'text', to_json(named_struct('caption', concat('trace-', id))),
+          'media_ref', concat('blob://', doc_id, '/0'), 'offset', 0)
+        """
+    )
+    spans = F.expr(
+        """
+        transform(
+          concat(array(meta_span), vspans, array(media_span)),
+          (s, i) -> named_struct('kind', s.kind, 'text', s.text,
+                                 'media_ref', s.media_ref, 'offset', i))
+        """
+    )
+    return (
+        per.withColumn("meta_span", meta)
+        .withColumn("media_span", media)
+        .withColumn("spans", spans)
+        .select("doc_id", "spans")
+    )
