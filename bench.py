@@ -1,0 +1,91 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the engine's characteristic plans:
+  - snapshot_sql        pure-Catalyst node snapshot path (scale path)
+  - snapshot_kernel     pandas snapshot kernel w/ bbox clip + tag filter
+  - contribution_kernel contribution-type extraction
+  - snapshot_synth      flagship: snapshot spatial join over a synthetic
+                        interleaved docs table (BASELINE.json metric —
+                        docs/sec reported as `docs_per_sec`)
+  - cell_assign         XYGrid tile assignment + count (whole-stage codegen)
+  - traj_length         windowed geodesic length (equirect formula, JVM)
+  - nation_join         broadcast dim join + agg
+
+Scaling evidence (north rule, N vs 4N executors) is produced by
+tools/scaling_bench.py which shells out to this file at two parallelism
+levels — see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "100000"))
+
+
+def main():
+    import __spark_entry__ as E
+    from oshdb_spark.kernels.snapshot import snapshots
+    from oshdb_spark.model.history import SNAPSHOT_TS
+    from oshdb_spark.model.synth import synth_docs_sql
+    from oshdb_spark.session import build_session
+
+    spark = build_session("bench", master=f"local[{CPUS}]")
+    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    def synth_snapshot(spark, sf_dir):
+        docs = synth_docs_sql(spark, SYNTH_DOCS, versions_per_doc=4)
+        snaps = snapshots(
+            docs,
+            SNAPSHOT_TS,
+            bbox=(-120.0, -60.0, 120.0, 60.0),
+            filter_spec=[("tag_eq", "amenity", "cafe")],
+        )
+        from pyspark.sql import functions as F
+
+        return snaps.groupBy("ts").agg(F.count(F.lit(1)).alias("cnt"))
+
+    qs = {
+        "snapshot_sql": E.q_snapshot_count,
+        "snapshot_kernel": E.q_snapshot_bbox_tag,
+        "contribution_kernel": E.q_contribution_types,
+        "snapshot_synth": synth_snapshot,
+        "cell_assign": E.q_cell_count_z6,
+        "traj_length": E.q_geodesic_traj_length,
+        "nation_join": E.q_agg_by_index_nation,
+    }
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        out = fn(spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = len(out)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline query wall time (sum)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "synth_docs": SYNTH_DOCS,
+        "docs_per_sec": round(SYNTH_DOCS / times["snapshot_synth"], 1),
+        "rows": rows,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -244,7 +244,8 @@ _BASE4 = np.array([ord("0"), ord("1"), ord("2"), ord("3")], dtype=np.uint8)
 
 
 def _d_to_token(d: np.ndarray, level: int) -> np.ndarray:
-    """Base-4 digit strings of length `level` (vectorized)."""
+    """Base-4 digit strings of length `level` (fully vectorized: digit
+    matrix → fixed-width bytes view → unicode; no per-row Python)."""
     n = len(d)
     if level == 0:
         return np.full(n, "", dtype=object)
@@ -253,7 +254,8 @@ def _d_to_token(d: np.ndarray, level: int) -> np.ndarray:
     for i in range(level - 1, -1, -1):
         digits[:, i] = _BASE4[(v & 3).astype(np.int64)]
         v = v >> 2
-    return np.array([bytes(row).decode("ascii") for row in digits], dtype=object)
+    flat = np.ascontiguousarray(digits).view(f"S{level}").ravel()
+    return flat.astype(f"U{level}").astype(object)
 
 
 def token_of_points(lon7: np.ndarray, lat7: np.ndarray, level: int) -> np.ndarray:
