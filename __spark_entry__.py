@@ -271,6 +271,144 @@ def q_zonal_sum_latband(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# queries — training-data pipeline ops (dedup / similarity / text / media)
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ clone (doc_id+1000): gives every doc one exact duplicate
+    so dedup operators have real work on the fixed corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    clone = d.withColumn("doc_id", F.col("doc_id") + 1000)
+    return d.unionAll(clone)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from oshdb_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from oshdb_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir), k=3, n_bands=4, rows_per_band=4,
+        jaccard_threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (no SQL oracle — rows-only check; parity is
+    covered by tests/test_ops.py asserting each clone pair is found)."""
+    from oshdb_spark.ops.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_sim_topk(spark, sf_dir):
+    from oshdb_spark.ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return cosine_topk(emb, qvec, k=10).select("vec_id")
+
+
+def q_sim_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only; recall asserted in tests/test_ops.py)."""
+    from oshdb_spark.ops.similarity import lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return lsh_ann(emb, qvec, k=10, n_planes=8, multiprobe=2).select("vec_id")
+
+
+def q_text_tokens(spark, sf_dir):
+    from oshdb_spark.ops.textstats import with_token_count
+
+    d = with_token_count(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.sum("token_count").alias("tokens"),
+        F.sum("subword_count").alias("subwords"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from oshdb_spark.ops.textstats import with_quality
+
+    d = with_quality(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from oshdb_spark.ops.textstats import with_lang_guess
+
+    d = with_lang_guess(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from oshdb_spark.ops.textstats import with_fingerprint
+
+    d = with_fingerprint(_t(spark, sf_dir, "documents"), k=5)
+    return d.groupBy("source").agg(
+        F.countDistinct("fingerprint").alias("uniq_fp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def q_media_meta(spark, sf_dir):
+    from oshdb_spark.ops.media import attach_media, media_metadata
+
+    d = attach_media(_t(spark, sf_dir, "documents"))
+    meta = media_metadata(d)
+    return (
+        meta.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(10)))
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+        )
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    from oshdb_spark.ops.media import attach_media, sample_frames
+
+    d = attach_media(_t(spark, sf_dir, "documents"))
+    fr = sample_frames(d, every_n_bytes=64, frame_size=16, max_frames=8)
+    return fr.groupBy().agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_idx").alias("sum_idx"),
+        F.sum(F.length("frame_bytes")).alias("sum_len"),
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -287,6 +425,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count_z6": q_cell_count_z6,
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
+        "quantiles": q_quantiles,
+        "topk_orders": q_topk_orders,
     }
 
 
@@ -421,5 +572,138 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events)
             GROUP BY 1
+        """,
+        "dedup_exact": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000, text FROM documents)
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM dup GROUP BY 1
+        """,
+        "dedup_minhash": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000, text FROM documents),
+            words AS (SELECT doc_id, text, string_split(text, ' ') w FROM dup),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(w) < 3 THEN text
+                     ELSE concat_ws(' ', w[i], w[i+1], w[i+2]) END AS s
+              FROM words,
+                UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                       ELSE generate_series(1, len(w) - 2) END) AS t(i)),
+            mh AS (
+              SELECT doc_id, j, min(md5(s || ':' || j)) AS h
+              FROM sh, UNNEST(generate_series(0, 15)) AS u(j)
+              GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY j)) AS sig
+              FROM mh GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            jac AS (
+              SELECT ida, idb,
+                (SELECT count(*) FROM sh x JOIN sh y ON x.s = y.s
+                  WHERE x.doc_id = cand.ida AND y.doc_id = cand.idb) AS inter,
+                (SELECT count(DISTINCT s) FROM sh z
+                  WHERE z.doc_id IN (cand.ida, cand.idb)) AS uni
+              FROM cand)
+            SELECT ida AS id_a, idb AS id_b,
+                   round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+            FROM jac WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                list_inner_product(embedding::DOUBLE[], q.qv)
+                / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(q.qv, q.qv))) AS c
+              FROM embeddings, q)
+            ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "text_tokens": """
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                   CAST(sum(CAST(ceil(length(replace(text, ' ', '')) / 4.0)
+                                 AS BIGINT)
+                            + len(string_split(text, ' '))) AS BIGINT)
+                     AS subwords
+            FROM documents GROUP BY 1
+        """,
+        "text_quality": """
+            SELECT lang,
+              round(avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE)), 6)
+                AS avg_distinct_ratio,
+              round(avg(list_aggregate(list_transform(w, x -> length(x)),
+                                       'sum') / CAST(len(w) AS DOUBLE)), 6)
+                AS avg_word_len,
+              count(*) AS cnt
+            FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+            GROUP BY 1
+        """,
+        "lang_id": """
+            WITH sc AS (
+              SELECT lang,
+                len(list_intersect(dw, ['der','und','wert','zeile'])) AS s_de,
+                len(list_intersect(dw, ['the','and','value','row'])) AS s_en,
+                len(list_intersect(dw, ['el','y','valor','fila'])) AS s_es,
+                len(list_intersect(dw, ['le','et','valeur','ligne'])) AS s_fr,
+                len(list_intersect(dw, ['shu','biao','zhi','hang'])) AS s_zh
+              FROM (SELECT lang, list_distinct(string_split(text, ' ')) AS dw
+                    FROM documents))
+            SELECT lang,
+              CASE
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                     AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+              count(*) AS cnt
+            FROM sc GROUP BY 1, 2
+        """,
+        "doc_fingerprint": """
+            SELECT source, count(DISTINCT fp) AS uniq_fp, count(*) AS cnt
+            FROM (
+              SELECT source,
+                CASE WHEN len(w) < 5 THEN md5(text)
+                ELSE (SELECT min(md5(concat_ws(' ', w[i], w[i+1], w[i+2],
+                                               w[i+3], w[i+4])))
+                      FROM UNNEST(generate_series(1, len(w) - 4)) AS t(i))
+                END AS fp
+              FROM (SELECT source, text, string_split(text, ' ') AS w
+                    FROM documents))
+            GROUP BY 1
+        """,
+        "media_meta": """
+            SELECT doc_id % 10 AS bucket,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+                   CAST(sum(length(text) % 640 + 1) AS BIGINT) AS sum_width,
+                   CAST(sum((length(text) * 7) % 480 + 1) AS BIGINT)
+                     AS sum_height
+            FROM documents GROUP BY 1
+        """,
+        "media_frames": """
+            SELECT CAST(sum(k) AS BIGINT) AS n_frames,
+                   CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sum_idx,
+                   CAST(sum(k * 16) AS BIGINT) AS sum_len
+            FROM (SELECT least(8, length(text) // 64) AS k FROM documents)
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+            FROM lineitem GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
     }

@@ -40,6 +40,7 @@ from .snapshot import (
     _FP,
     _doc_rel_vec,
     _doc_structs,
+    _empty_frame,
     _flat_node_arrays,
     _normalize_ts,
     _point_wkb_vec,
@@ -94,7 +95,7 @@ def _nodes_contrib_vec(
     doc_idx, combined = fa["doc_idx"], fa["combined"]
     n = len(ts)
     if n == 0:
-        return pd.DataFrame({c: [] for c in _CONTRIB_COLS}, columns=_CONTRIB_COLS)
+        return _empty_frame(_CONTRIB_COLS)
 
     first_in_doc = np.zeros(n, dtype=bool)
     first_in_doc[starts] = True
@@ -108,7 +109,7 @@ def _nodes_contrib_vec(
     keep = m | pm
     kept = np.nonzero(keep)[0]
     if len(kept) == 0:
-        return pd.DataFrame({c: [] for c in _CONTRIB_COLS}, columns=_CONTRIB_COLS)
+        return _empty_frame(_CONTRIB_COLS)
 
     # 2. changeset squash among kept states (keep LAST of each run)
     kd = doc_idx[kept]
@@ -190,7 +191,7 @@ def _nodes_contrib_vec(
     emit = emitted_any & (t_arr >= t_first) & (t_arr < t_last)
     sel = np.nonzero(emit)[0]
     if len(sel) == 0:
-        return pd.DataFrame({c: [] for c in _CONTRIB_COLS}, columns=_CONTRIB_COLS)
+        return _empty_frame(_CONTRIB_COLS)
 
     key = (
         creation[sel].astype(np.int8)
@@ -301,9 +302,7 @@ def contributions(
                         row, t_first, t_last, aoi, flt, decider, with_geometry, out
                     )
                 frames.append(pd.DataFrame(out, columns=_CONTRIB_COLS))
-            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-                {c: [] for c in _CONTRIB_COLS}, columns=_CONTRIB_COLS
-            )
+            yield pd.concat(frames, ignore_index=True) if frames else _empty_frame(_CONTRIB_COLS)
 
     return typed.mapInPandas(kernel, schema=schemas.CONTRIBUTIONS)
 

@@ -218,6 +218,14 @@ def _point_wkb_vec(lon_deg: np.ndarray, lat_deg: np.ndarray) -> list[bytes]:
 _SNAP_COLS = [f.name for f in schemas.SNAPSHOTS.fields]
 
 
+def _empty_frame(cols: list[str]) -> pd.DataFrame:
+    """Zero-row frame with all-object dtype columns — a plain
+    pd.DataFrame({c: []}) defaults to float64, which pyarrow refuses to
+    cast to map/binary types on the Arrow return path."""
+    return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols},
+                        columns=cols)
+
+
 def _flat_i64(col, fill: int = 0) -> np.ndarray:
     """Concatenate a pandas column of per-doc arrays into one int64 array,
     mapping nulls (e.g. missing coords on deleted versions) to `fill`."""
@@ -390,7 +398,7 @@ def _nodes_snapshot_vec(
             )
         )
     if not frames:
-        return pd.DataFrame({c: [] for c in _SNAP_COLS}, columns=_SNAP_COLS)
+        return _empty_frame(_SNAP_COLS)
     return pd.concat(frames, ignore_index=True)
 
 
@@ -435,9 +443,7 @@ def snapshots(
                         row, requested, aoi, flt, decider, with_geometry, out
                     )
                 frames.append(pd.DataFrame(out, columns=_SNAP_COLS))
-            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-                {c: [] for c in _SNAP_COLS}, columns=_SNAP_COLS
-            )
+            yield pd.concat(frames, ignore_index=True) if frames else _empty_frame(_SNAP_COLS)
 
     return typed.mapInPandas(kernel, schema=schemas.SNAPSHOTS)
 

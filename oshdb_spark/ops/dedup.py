@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Catalyst (built-in functions only — no Python), so
+they run inside whole-stage codegen and scale to the 10^12-doc tier:
+
+- exact_dedup            hash-groupBy on a content fingerprint
+- shingles               k-word shingle sets (the shared primitive)
+- minhash_lsh_pairs      MinHash signatures → LSH band buckets → candidate
+                         pairs → exact-Jaccard verification
+- simhash                64-bit SimHash (token-hash bit voting)
+- embedding_neardup_pairs  cosine near-duplicate pairs over embeddings
+
+Hashing is md5-hex-string based end to end: md5 is available and
+bit-identical in Spark, DuckDB, and Python, which makes every stage
+oracle-checkable; hex strings of equal length compare lexicographically
+exactly like the underlying integers, so `min(md5(...))` IS a MinHash.
+
+Scale notes (100 TB posture):
+- the only shuffles are the LSH bucket groupBy/self-join (keyed by
+  (band, signature) — uniformly distributed by construction, no skew) and
+  the final pair dedup;
+- signatures are fixed-width arrays computed map-side; band explosion is
+  bounded (n_bands rows per doc);
+- the pairwise verify join only touches LSH candidates, never the full
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content: keeper id (min id), duplicate count.
+
+    Columns: fingerprint, keep_id, dup_count.
+    """
+    return (
+        df.withColumn("fingerprint", F.md5(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct k-word shingles of a whitespace-tokenized text column.
+
+    Docs with fewer than k words get their whole text as the one shingle
+    (so every doc has a non-empty shingle set).
+    """
+    words = f"split({text_col}, ' ')"
+    expr = f"""
+      CASE WHEN size({words}) < {k} THEN array({text_col})
+      ELSE array_distinct(transform(
+        sequence(1, size({words}) - {k} + 1),
+        i -> concat_ws(' ', slice({words}, i, {k}))))
+      END
+    """
+    return df.withColumn(out, F.expr(expr))
+
+
+def with_minhash(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    n_hashes: int = 16,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: for hash j, min over shingles of
+    md5(shingle || ':' || j) — an independent permutation per j, identical
+    across Spark/DuckDB/Python."""
+    sig = ", ".join(
+        f"array_min(transform({shingle_col}, s -> md5(concat(s, ':', '{j}'))))"
+        for j in range(n_hashes)
+    )
+    return df.withColumn(out, F.expr(f"array({sig})"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, optionally
+    verified with exact shingle Jaccard.
+
+    Returns (id_a, id_b[, jaccard]) with id_a < id_b, one row per pair.
+    The band signature is md5 of the band's minhash slice; the bucket join
+    shuffles on (band, signature) — uniform keys, no skew handling needed.
+    """
+    n_hashes = n_bands * rows_per_band
+    base = with_minhash(
+        with_shingles(df.select(id_col, text_col), text_col, k), n_hashes=n_hashes
+    )
+    bands = base.select(
+        F.col(id_col).alias("_id"),
+        F.col("shingles"),
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {n_bands - 1}), b -> named_struct(
+                  'band', b,
+                  'sig', md5(concat_ws('|',
+                            slice(minhash, b * {rows_per_band} + 1,
+                                  {rows_per_band})))))
+                """
+            )
+        ).alias("bs"),
+    ).select("_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.expr(
+        "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
+    )
+    pairs = pairs.withColumn("jaccard", jac).drop("sh_a", "sh_b")
+    if jaccard_threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= jaccard_threshold)
+    return pairs
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, tokens vote +1/-1 by their
+    md5-derived bit; the sign vector packs into a BIGINT. Pure Catalyst
+    (aggregate + zip_with array folding)."""
+    words = f"split({text_col}, ' ')"
+    # token hash: first 8 hex chars → 32-bit int via conv()
+    tok_bits = (
+        f"transform(sequence(0, {bits - 1}), j -> "
+        f"CASE WHEN (cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+        f" >> j) % 2 = 1 THEN 1 ELSE -1 END)"
+    )
+    votes = (
+        f"aggregate({words}, "
+        f"transform(sequence(0, {bits - 1}), j -> 0L), "
+        f"(acc, t) -> zip_with(acc, {tok_bits}, (a, b) -> a + cast(b as bigint)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, cast(j as int)) ELSE 0L END), "
+        f"0L, (a, b) -> a + b)"
+    )
+    return df.withColumn(out, F.expr(pack))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on half-hash
+    bands (a pair within distance d shares at least one of d+1 bands)."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    h = with_simhash(df.select(id_col, text_col), text_col, bits=bits)
+    blocks = h.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), b -> named_struct("
+                f"'blk', b, 'key', (simhash >> (b * {width})) % {1 << width}))"
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    ham = F.expr("bit_count(l.simhash ^ r.simhash)")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "hamming"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b) over an embedding column.
+
+    Brute-force O(n²) — correct baseline for verification; the scale path
+    is LSH bucketing first (similarity.lsh_ann) so the pair join only
+    touches bucket-mates."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.expr(
+            f"sqrt(aggregate({vec_col}, cast(0 as double),"
+            f" (a, x) -> a + cast(x as double) * cast(x as double)))"
+        ).alias("_n"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    dot = F.expr(
+        "aggregate(zip_with(l._v, r._v, (x, y) -> x * y),"
+        " cast(0 as double), (a, x) -> a + x)"
+    )
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("cosine", dot / (F.col("l._n") * F.col("r._n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+    )

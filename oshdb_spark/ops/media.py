@@ -1,0 +1,117 @@
+"""Multimodal (binary) column plumbing.
+
+Media payloads are opaque `binary` columns with typed metadata, processed
+via Arrow-batched mapInPandas — the schema, batch shape, partitioning and
+UDF signatures are real and tested; the actual decoders (image/audio libs
+are not in this container) are STUBBED behind `decoder=` with a
+deterministic fake, and raise NotImplementedError when a real decode is
+requested.
+
+At 100 TB the binary column dominates I/O: the mapInPandas stage is narrow
+(no shuffle), metadata-only queries never touch the bytes thanks to
+Parquet column pruning, and frame sampling emits bounded output per row.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the opaque binary payload column from text (the driver
+    testdata has no real media; the plumbing is what's under test)."""
+    return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
+
+
+def stub_decoder(buf: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: dimensions derived from byte length.
+    Replace with a real (PIL/ffmpeg) decoder outside this sandbox."""
+    n = len(buf)
+    return (n % 640 + 1, (n * 7) % 480 + 1, 3, "fake")
+
+
+def media_metadata(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, int, int, str]] | None = None,
+) -> DataFrame:
+    """Decode/inspect each media blob → typed metadata rows (MEDIA_META).
+
+    decoder=None uses the deterministic stub; pass decoder='real' to make
+    the missing-dependency contract explicit."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image/audio decoding requires PIL/ffmpeg — not available "
+            "in this container; use the default stub decoder"
+        )
+    dec = decoder or stub_decoder
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [dec(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "n_bytes": [len(b) for b in pdf[media_col]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "format": [m[3] for m in metas],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema=MEDIA_META)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    frame_size: int = 16,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling: emit up to max_frames fixed-size byte windows per
+    blob (the video-keyframe plumbing shape: 1→N explode with bounded
+    fan-out, Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[media_col]):
+                for i in range(min(max_frames, max(len(buf) // every_n_bytes, 0))):
+                    off = i * every_n_bytes
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(bytes(buf[off : off + frame_size]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames},
+                columns=[f.name for f in FRAME_SCHEMA.fields],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema=FRAME_SCHEMA)

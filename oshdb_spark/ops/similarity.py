@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk   brute-force exact top-k against a query vector — the
+  correctness baseline; one narrow map + one small top-k reduce.
+- lsh_ann       random-hyperplane LSH bucketing — the 10^12-row scale
+  path: probe only the query's bucket (multi-probe over Hamming-1
+  neighbours), exact re-rank inside.
+- ivf_ann       IVF-style: k-means-ish coarse centroids picked
+  deterministically from the data (seeded sample), route each vector to
+  its nearest centroid partition, probe the closest n_probe centroids.
+
+All distance math is pure Catalyst (aggregate/zip_with on array<double>);
+no Python in any per-row path. Hyperplanes/centroids are tiny broadcast
+literals baked into the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def _vec_lit(vec) -> str:
+    return "array(" + ", ".join(f"cast({float(x)} as double)" for x in vec) + ")"
+
+
+def with_cosine(
+    df: DataFrame, query_vec, vec_col: str = "embedding", out: str = "cosine"
+) -> DataFrame:
+    """Cosine similarity to a fixed query vector, computed JVM-side."""
+    q = _vec_lit(query_vec)
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    v = f"cast({vec_col} as array<double>)"
+    return df.withColumn(
+        out, F.expr(f"{_dot(v, q)} / ({_norm(v)} * cast({qn} as double))")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (ties broken by id for
+    determinism). Plan: narrow projection → TakeOrderedAndProject (no full
+    sort, no shuffle of payloads)."""
+    return (
+        with_cosine(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "oshdb") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bits (no RNG state,
+    reproducible everywhere)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack("<I", h[off : off + 4])
+                vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    seed: str = "oshdb",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) per vector."""
+    v = f"cast({vec_col} as array<double>)"
+    bits = " + ".join(
+        f"(CASE WHEN {_dot(v, _vec_lit(pl))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(_hyperplanes(dim, n_planes, seed))
+    )
+    return df.withColumn(out, F.expr(f"cast({bits} as int)"))
+
+
+def lsh_ann(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "oshdb",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within Hamming distance `multiprobe`, exact cosine re-rank inside.
+
+    At scale the bucket column is a partition/cluster key, so the probe is
+    a partition-pruned scan; recall tunes via n_planes/multiprobe.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, pl in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, pl)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qb ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qb ^ (1 << i) ^ (1 << j))
+    bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed=seed)
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_ann(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF: coarse quantize to deterministic sampled centroids, probe the
+    n_probe centroids nearest to the query, exact re-rank inside."""
+    dim = len(query_vec)
+    # deterministic "training": first n_centroids vectors by id
+    cents = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    ]
+    if not cents:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+
+    def nearest_expr(vec_sql: str) -> str:
+        # argmin over centroids of negative cosine (= argmax cosine)
+        terms = []
+        for ci, c in enumerate(cents):
+            cn = sum(x * x for x in c) ** 0.5 or 1.0
+            terms.append(
+                f"named_struct('c', {ci}, 's', {_dot(vec_sql, _vec_lit(c))}"
+                f" / ({_norm(vec_sql)} * cast({cn} as double)))"
+            )
+        arr = "array(" + ", ".join(terms) + ")"
+        return (
+            f"aggregate({arr}, named_struct('c', -1, 's', cast(-2 as double)),"
+            f" (acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).c"
+        )
+
+    v = f"cast({vec_col} as array<double>)"
+    routed = df.withColumn("_cent", F.expr(nearest_expr(v)))
+    qsims = []
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5 or 1.0
+    for ci, c in enumerate(cents):
+        cn = sum(x * x for x in c) ** 0.5 or 1.0
+        s = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+        qsims.append((s, ci))
+    probe = [ci for _, ci in sorted(qsims, reverse=True)[:n_probe]]
+    cand = routed.filter(F.col("_cent").isin(probe))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

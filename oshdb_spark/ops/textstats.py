@@ -1,0 +1,100 @@
+"""Text analysis operators over the documents table — pure Catalyst.
+
+- with_token_count      whitespace tokenization + a BPE-ish subword count
+- with_quality          quality signals: distinct-word ratio, mean word
+                        length, alpha ratio, stopword ratio
+- with_lang_guess       marker-word n-gram-style language voting
+- with_fingerprint      content fingerprint (min-shingle-hash, md5-based)
+
+Every expression uses only built-in functions so DuckDB oracles can
+reproduce results bit-for-bit; float outputs are meant to be rounded by
+the caller before cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker lists per language — deterministic voting, shared with the
+# oracle SQL (keep in sync with __spark_entry__)
+LANG_MARKERS = {
+    "en": ["the", "and", "value", "row"],
+    "de": ["der", "und", "wert", "zeile"],
+    "es": ["el", "y", "valor", "fila"],
+    "fr": ["le", "et", "valeur", "ligne"],
+    "zh": ["shu", "biao", "zhi", "hang"],
+}
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count: whitespace tokens; subword_count: a BPE-ish proxy =
+    ceil(chars-without-spaces / 4) + tokens (every ~4 chars becomes a
+    continuation piece)."""
+    words = f"split({text_col}, ' ')"
+    nospace = f"length(replace({text_col}, ' ', ''))"
+    return df.withColumn("token_count", F.expr(f"size({words})")).withColumn(
+        "subword_count",
+        F.expr(f"cast(ceil({nospace} / 4.0) as bigint) + size({words})"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals used for corpus filtering."""
+    words = f"split({text_col}, ' ')"
+    return (
+        df.withColumn(
+            "distinct_ratio",
+            F.expr(f"size(array_distinct({words})) / size({words})"),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                f"aggregate({words}, cast(0 as double), (a, w) -> a + length(w))"
+                f" / size({words})"
+            ),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.expr(
+                f"length(regexp_replace({text_col}, '[^a-zA-Z]', ''))"
+                f" / length({text_col})"
+            ),
+        )
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax of marker-word hit counts; deterministic tie-break by
+    language code order. A real system plugs in a proper LID model — this
+    exercises the same plan shape (map-side scoring, no shuffle)."""
+    words = f"split({text_col}, ' ')"
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        scores.append(
+            f"named_struct('lang', '{lang}', "
+            f"'score', size(array_intersect(array_distinct({words}), {arr})))"
+        )
+    arr = "array(" + ", ".join(scores) + ")"
+    best = (
+        f"aggregate({arr}, named_struct('lang', '??', 'score', -1), "
+        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END).lang"
+    )
+    return df.withColumn("lang_guess", F.expr(best))
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Rolling-window content fingerprint: min md5 over k-word shingles
+    (robust to local edits; equal texts ⇒ equal fingerprints)."""
+    words = f"split({text_col}, ' ')"
+    sh = (
+        f"CASE WHEN size({words}) < {k} THEN array({text_col}) "
+        f"ELSE transform(sequence(1, size({words}) - {k} + 1), "
+        f"i -> concat_ws(' ', slice({words}, i, {k}))) END"
+    )
+    return df.withColumn(
+        "fingerprint", F.expr(f"array_min(transform({sh}, s -> md5(s)))")
+    )

@@ -1,0 +1,106 @@
+"""Semantic property tests for the training-data ops layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def _dup(spark):
+    d = _docs(spark)
+    return d.unionAll(d.withColumn("doc_id", F.col("doc_id") + 1000))
+
+
+def test_exact_dedup_finds_all_clones(spark):
+    from oshdb_spark.ops.dedup import exact_dedup
+
+    n = _docs(spark).count()
+    out = exact_dedup(_dup(spark)).collect()
+    assert len(out) == n
+    assert all(r.dup_count == 2 for r in out)
+    assert all(r.keep_id < 1000 for r in out)
+
+
+def test_minhash_lsh_finds_all_clone_pairs(spark):
+    from oshdb_spark.ops.dedup import minhash_lsh_pairs
+
+    n = _docs(spark).count()
+    pairs = minhash_lsh_pairs(_dup(spark), jaccard_threshold=0.5).collect()
+    clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 1000}
+    # identical texts always collide in every band → recall 1.0 on clones
+    assert len(clone_pairs) == n
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_simhash_finds_all_clone_pairs(spark):
+    from oshdb_spark.ops.dedup import simhash_neardup_pairs
+
+    n = _docs(spark).count()
+    pairs = simhash_neardup_pairs(_dup(spark), max_hamming=3).collect()
+    clone = [r for r in pairs if r.id_b == r.id_a + 1000]
+    assert len(clone) == n
+    assert all(r.hamming == 0 for r in clone)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    from oshdb_spark.ops.similarity import cosine_topk, lsh_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    r0 = {r.vec_id for r in lsh_ann(emb, q, k=10, multiprobe=0).collect()}
+    r2 = {r.vec_id for r in lsh_ann(emb, q, k=10, multiprobe=2).collect()}
+    # the query's own bucket always contains the query vector
+    assert 0 in r0 and 0 in r2
+    # wider probing can only improve recall; some overlap with exact top-k
+    # (these embeddings are near-orthogonal random vectors, so LSH recall
+    # ≈ bucket coverage — the property under test is the mechanism)
+    assert len(exact & r2) >= len(exact & r0)
+    assert len(exact & r2) >= 2
+
+
+def test_ivf_ann_returns_k(spark):
+    from oshdb_spark.ops.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    rows = ivf_ann(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0  # query vector is its own nearest
+
+
+def test_embedding_neardup_self_join(spark):
+    from oshdb_spark.ops.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    pairs = embedding_neardup_pairs(dup, threshold=0.999999).collect()
+    clones = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 10000}
+    assert len(clones) == emb.count()
+
+
+def test_media_stub_contract(spark):
+    from oshdb_spark.ops.media import attach_media, media_metadata
+
+    d = attach_media(_docs(spark))
+    with pytest.raises(NotImplementedError):
+        media_metadata(d, decoder="real")
+    meta = media_metadata(d).collect()
+    assert len(meta) == _docs(spark).count()
+    assert all(r.n_bytes > 0 and 1 <= r.width <= 640 for r in meta)
+
+
+def test_token_count_matches_python(spark):
+    from oshdb_spark.ops.textstats import with_token_count
+
+    rows = with_token_count(_docs(spark)).select("text", "token_count").head(20)
+    for r in rows:
+        assert r.token_count == len(r.text.split(" "))

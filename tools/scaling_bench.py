@@ -1,0 +1,99 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so the two cluster sizes are
+proxied by two parallelism levels of the SAME job on the SAME input:
+local[N] and local[4N] (driver instructions). The job is the flagship
+snapshot spatial join over a synthetic interleaved docs table (the
+BASELINE.json metric). Each level runs in its own subprocess/JVM; the
+kernel is warmed once per process (codegen JIT + python worker pool) and
+the best of `reps` timed runs is reported — scaling is about data
+parallelism, not first-call JIT.
+
+Usage: python tools/scaling_bench.py [n_docs] [N] — defaults 400000, 8.
+Prints one JSON line; paste results into BASELINE.md §BENCH.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from oshdb_spark.session import build_session
+from oshdb_spark.model.synth import synth_docs_sql
+from oshdb_spark.kernels.snapshot import snapshots
+from oshdb_spark.model.history import SNAPSHOT_TS
+from pyspark.sql import functions as F
+
+cpus = int(os.environ["SG_CPUS"])
+n_docs = int(os.environ["SG_DOCS"])
+reps = int(os.environ.get("SG_REPS", "3"))
+spark = build_session("scaling", master="local[" + str(cpus) + "]",
+                      shuffle_partitions=max(cpus, 8))
+
+# materialize the docs table once (untimed) — the engine queries STORED
+# Iceberg/parquet docs; generating + encoding in the same pipeline would
+# double-count string bandwidth that no real deployment pays per query.
+docs_path = os.environ.get("SG_DOCS_PATH")
+if not docs_path:
+    import tempfile
+    docs_path = os.path.join(tempfile.mkdtemp(prefix="sgdocs"), "docs.parquet")
+    synth_docs_sql(spark, n_docs, versions_per_doc=4,
+                   partitions=cpus * 2).write.parquet(docs_path)
+
+# fresh DataFrame per run (reusing one would silently reuse its shuffle
+# outputs across collects and time nothing)
+def run():
+    docs = spark.read.parquet(docs_path)
+    snap = snapshots(docs, SNAPSHOT_TS, bbox=(-120.0, -60.0, 120.0, 60.0),
+                     filter_spec=[("tag_eq", "amenity", "cafe")])
+    return snap.groupBy("ts").agg(F.count(F.lit(1)).alias("cnt")).collect()
+
+run()  # warm: codegen JIT + python worker pool + page cache
+def timed(i):
+    t0 = time.time()
+    run()
+    return time.time() - t0
+best = min(timed(i) for i in range(reps))
+print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "sec": round(best, 3),
+                   "docs_per_sec": round(n_docs / best, 1)}}))
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    env = dict(os.environ, SG_CPUS=str(cpus), SG_DOCS=str(n_docs))
+    code = JOB.format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lo = run_level(n, n_docs)
+    hi = run_level(4 * n, n_docs)
+    speedup = lo["sec"] / hi["sec"]
+    eff = speedup / 4.0
+    print(json.dumps({
+        "job": "snapshot spatial join over synthetic interleaved docs",
+        "n_docs": n_docs,
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
