@@ -1,0 +1,323 @@
+"""Spatial-join + tiling layer: region splitting, kNN, zonal aggregation.
+
+The three capabilities the north rule names beyond the reference's own
+operator set, built on the Hilbert cell grid (geo.cells):
+
+- split_by_regions   ≙ aggregateByGeometry's GeometrySplitter
+  (oshdb-api/.../GeometrySplitter.java:80-203): match each row to ALL
+  intersecting subregions, one output row per (row, region) pair.
+  Rectangular regions compile to pure-Catalyst predicates (the scale
+  path); polygon regions use a vectorized point-in-polygon pandas UDF
+  over a broadcast region list.
+- knn                 kNN via cell-ring expansion (ring ≙
+  XYGrid.getNeighbours, oshdb/.../index/XYGrid.java:383-397 generalized
+  to radius r): probe an expanding Hilbert-cell disk around the query
+  until ≥k candidates are guaranteed correct, exact re-rank with the
+  reference's equirectangular distance (Geo.java:37-45).
+- zonal_aggregate     raster↔vector zonal statistics: vector zones are
+  rasterized to cells once (driver-side, broadcast); interior cells
+  aggregate by cell lookup alone, boundary cells fall back to the exact
+  point-in-polygon test (the Raptor/GeoBlocks pattern — PAPERS.md).
+
+Scale posture: region/zone indexes are tiny broadcasts; the only shuffle
+in every operator is the final keyed aggregation. Candidate filters are
+cell-prefix predicates that Iceberg/Parquet can prune on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells
+from .clip import points_in_polygon
+from .geodesy import EARTH_RADIUS
+
+_FP = 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# region splitting (aggregateByGeometry)
+# ---------------------------------------------------------------------------
+
+def _is_bbox(region) -> bool:
+    return (
+        isinstance(region, (tuple, list))
+        and len(region) == 4
+        and all(isinstance(x, (int, float)) for x in region)
+    )
+
+
+def split_by_regions(
+    df: DataFrame,
+    regions: dict[str, object],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    fixed_point: bool = True,
+) -> DataFrame:
+    """One output row per (input row, matching region) — region key in a
+    new `region` column. Regions: {key: bbox4 | [rings]} (degrees).
+
+    All-bbox region sets compile to a Catalyst explode+filter (whole-stage
+    codegen); any polygon region switches the matcher to a vectorized
+    pandas UDF over the broadcast region list.
+    """
+    scale = 1e-7 if fixed_point else 1.0
+    if all(_is_bbox(r) for r in regions.values()):
+        structs = ", ".join(
+            f"named_struct('k', '{k}', 'w', cast({r[0]} as double),"
+            f" 's', cast({r[1]} as double), 'e', cast({r[2]} as double),"
+            f" 'n', cast({r[3]} as double))"
+            for k, r in regions.items()
+        )
+        lon = f"({lon_col} * {scale})"
+        lat = f"({lat_col} * {scale})"
+        matched = (
+            f"transform(filter(array({structs}),"
+            f" r -> {lon} >= r.w AND {lon} <= r.e"
+            f" AND {lat} >= r.s AND {lat} <= r.n), r -> r.k)"
+        )
+        return df.withColumn("region", F.explode(F.expr(matched)))
+
+    keys = list(regions.keys())
+    rings_list = [
+        [np.asarray(ring, dtype=np.float64) for ring in regions[k]]
+        if not _is_bbox(regions[k])
+        else [
+            np.array(
+                [
+                    (regions[k][0], regions[k][1]),
+                    (regions[k][2], regions[k][1]),
+                    (regions[k][2], regions[k][3]),
+                    (regions[k][0], regions[k][3]),
+                    (regions[k][0], regions[k][1]),
+                ]
+            )
+        ]
+        for k in keys
+    ]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def match_regions(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        px = lon.to_numpy(dtype=np.float64) * scale
+        py = lat.to_numpy(dtype=np.float64) * scale
+        hits = [[] for _ in range(len(px))]
+        for key, rings in zip(keys, rings_list):
+            inside = points_in_polygon(px, py, rings)
+            for i in np.nonzero(inside)[0]:
+                hits[i].append(key)
+        return pd.Series(hits)
+
+    return df.withColumn(
+        "region", F.explode(match_regions(F.col(lon_col), F.col(lat_col)))
+    )
+
+
+def aggregate_by_geometry(
+    df: DataFrame,
+    regions: dict[str, object],
+    group_cols: list[str],
+    agg_exprs: list[Column],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    fixed_point: bool = True,
+) -> DataFrame:
+    """aggregateByGeometry: split + groupBy(region, *group_cols).agg(...)."""
+    return (
+        split_by_regions(df, regions, lon_col, lat_col, fixed_point)
+        .groupBy("region", *group_cols)
+        .agg(*agg_exprs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion
+# ---------------------------------------------------------------------------
+
+def equirect_distance_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """The reference's equirectangular distance (Geo.java:37-45) as a
+    Catalyst column (meters)."""
+    dlat = F.radians(lat2 - lat1)
+    dlng = F.radians(lon2 - lon1) * F.cos(F.radians((lat1 + lat2) / 2.0))
+    return F.lit(EARTH_RADIUS) * F.sqrt(dlng * dlng + dlat * dlat)
+
+
+def knn(
+    df: DataFrame,
+    query_lon: float,
+    query_lat: float,
+    k: int = 10,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_cols: list[str] | None = None,
+    level: int = 6,
+    fixed_point: bool = True,
+) -> DataFrame:
+    """k nearest rows to (query_lon, query_lat) by equirectangular
+    distance, with Hilbert cell-ring candidate pruning.
+
+    Ring discipline: expand the probe radius r (in cells at `level`) until
+    the ring disk holds ≥k candidates AND the disk's guaranteed inner
+    radius (r cells, in meters at the query latitude) exceeds the k-th
+    candidate distance — then the top-k inside the disk is exact. Falls
+    back to a full scan if the data is sparser than the whole grid.
+
+    At 10^12 rows the `cell IN (...)` predicate is a partition prune; the
+    count probe per ring is a metadata-cheap aggregation.
+    """
+    scale = 1e-7 if fixed_point else 1.0
+    qlon7 = int(query_lon / scale) if fixed_point else query_lon
+    qlat7 = int(query_lat / scale)
+    qtok = cells.token_of_points(
+        np.array([qlon7 if fixed_point else query_lon * _FP], dtype=np.int64),
+        np.array([qlat7 if fixed_point else query_lat * _FP], dtype=np.int64),
+        level,
+    )[0]
+
+    @F.pandas_udf(T.StringType())
+    def tok_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        l7 = (lon.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        t7 = (lat.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        return pd.Series(cells.token_of_points(l7, t7, level))
+
+    pts = df.withColumn("_tok", tok_of(F.col(lon_col), F.col(lat_col)))
+    lon_deg = F.col(lon_col) * scale
+    lat_deg = F.col(lat_col) * scale
+    dist = equirect_distance_col(
+        F.lit(float(query_lat)), F.lit(float(query_lon)), lat_deg, lon_deg
+    )
+    pts = pts.withColumn("_dist", dist)
+
+    sel = (id_cols or []) + ["_dist"]
+    n_cells_axis = 1 << level
+    cell_h_m = 180.0 / n_cells_axis * 111_194.9  # ~meters per cell row
+    r = 1
+    while True:
+        disk = cells.ring_tokens(qtok, r)
+        cand = pts.filter(F.col("_tok").isin(disk))
+        cnt = cand.count()
+        if cnt >= k or len(disk) >= n_cells_axis * n_cells_axis // 2:
+            topk = cand.orderBy("_dist", *(id_cols or [])).limit(k).select(*sel)
+            if cnt >= k:
+                rows = topk.collect()
+                guaranteed_m = r * cell_h_m  # inner radius of the disk
+                if rows[-1]["_dist"] <= guaranteed_m or len(disk) >= (
+                    n_cells_axis * n_cells_axis // 2
+                ):
+                    break
+            else:
+                break
+        r *= 2
+    out = cand.orderBy("_dist", *(id_cols or [])).limit(k)
+    return out.select(
+        *(id_cols or []), F.col("_dist").alias("dist_m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector zonal aggregation
+# ---------------------------------------------------------------------------
+
+def rasterize_zones(
+    zones: dict[str, object], level: int = 8
+) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Zone polygons → (interior_cells, boundary_cells) token lists at
+    `level`. Interior cell ⇒ every point in it belongs to the zone;
+    boundary cell ⇒ exact test needed. Runs once on the driver; result is
+    broadcast-sized (cells at level 8 ⇒ ≤65k tokens/zone)."""
+    from ..kernels.aoi import bbox_vs_polygon
+
+    interior: dict[str, list[str]] = {}
+    boundary: dict[str, list[str]] = {}
+    for key, region in zones.items():
+        if _is_bbox(region):
+            w, s, e, n = region
+            rings = [
+                np.array([(w, s), (e, s), (e, n), (w, n), (w, s)], dtype=np.float64)
+            ]
+        else:
+            rings = [np.asarray(r, dtype=np.float64) for r in region]
+        xs = np.concatenate([r[:, 0] for r in rings])
+        ys = np.concatenate([r[:, 1] for r in rings])
+        bbox7 = (
+            int(xs.min() * _FP), int(ys.min() * _FP),
+            int(xs.max() * _FP), int(ys.max() * _FP),
+        )
+        toks = cells.cover_tokens(bbox7, level, enlarge=False)
+        ins, bnd = [], []
+        n_axis = 1 << level
+        for t in toks:
+            x, y = cells.hilbert_d2xy(level, int(t, 4) if t else 0)
+            cw = 360.0 / n_axis
+            ch = 180.0 / n_axis
+            cell_bbox = (
+                -180.0 + x * cw, -90.0 + y * ch,
+                -180.0 + (x + 1) * cw, -90.0 + (y + 1) * ch,
+            )
+            rel = bbox_vs_polygon(cell_bbox, rings)
+            if rel == 1:
+                ins.append(t)
+            elif rel == 2:
+                bnd.append(t)
+        interior[key] = ins
+        boundary[key] = bnd
+    return interior, boundary
+
+
+def zonal_aggregate(
+    df: DataFrame,
+    zones: dict[str, object],
+    agg_exprs: list[Column],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 8,
+    fixed_point: bool = True,
+) -> DataFrame:
+    """Zonal statistics: assign each point to all zones containing it,
+    via cell lookup for interior cells + exact PiP only for boundary
+    cells, then groupBy(zone).agg(...). Points in no zone are dropped."""
+    scale = 1e-7 if fixed_point else 1.0
+    interior, boundary = rasterize_zones(zones, level)
+    keys = list(zones.keys())
+    int_sets = {k: frozenset(interior[k]) for k in keys}
+    bnd_sets = {k: frozenset(boundary[k]) for k in keys}
+    rings_by_key = {}
+    for k in keys:
+        region = zones[k]
+        if _is_bbox(region):
+            w, s, e, n = region
+            rings_by_key[k] = [
+                np.array([(w, s), (e, s), (e, n), (w, n), (w, s)], dtype=np.float64)
+            ]
+        else:
+            rings_by_key[k] = [np.asarray(r, dtype=np.float64) for r in region]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def zones_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        l7 = (lon.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        t7 = (lat.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        toks = cells.token_of_points(l7, t7, level)
+        px = lon.to_numpy(dtype=np.float64) * scale
+        py = lat.to_numpy(dtype=np.float64) * scale
+        hits = [[] for _ in range(len(toks))]
+        for k in keys:
+            iset, bset = int_sets[k], bnd_sets[k]
+            for i, t in enumerate(toks):
+                if t in iset:
+                    hits[i].append(k)
+            bmask = np.fromiter((t in bset for t in toks), dtype=bool, count=len(toks))
+            if bmask.any():
+                idx = np.nonzero(bmask)[0]
+                inside = points_in_polygon(px[idx], py[idx], rings_by_key[k])
+                for i in idx[inside]:
+                    hits[i].append(k)
+        return pd.Series(hits)
+
+    return (
+        df.withColumn("zone", F.explode(zones_of(F.col(lon_col), F.col(lat_col))))
+        .groupBy("zone")
+        .agg(*agg_exprs)
+    )

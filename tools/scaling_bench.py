@@ -77,8 +77,8 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     lo = run_level(n, n_docs)
     hi = run_level(4 * n, n_docs)
     speedup = lo["sec"] / hi["sec"]
