@@ -270,6 +270,58 @@ def q_zonal_sum_latband(spark, sf_dir):
     )
 
 
+def _event_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1_234_567_891), F.lit(1_700_000_000)) - 850_000_000
+    return ev.withColumn("lon", lon7).withColumn("lat", lat7)
+
+
+_REGIONS = {
+    "west": (-180.0, -85.0, 0.0, 85.0),
+    "east": (0.0, -85.0, 180.0, 85.0),
+    "tropics": (-180.0, -23.5, 180.0, 23.5),  # overlaps both
+}
+
+
+def q_agg_by_geometry(spark, sf_dir):
+    """aggregateByGeometry (GeometrySplitter analog): overlapping regions
+    each receive every intersecting point."""
+    from oshdb_spark.geo.spatial_join import aggregate_by_geometry
+
+    return aggregate_by_geometry(
+        _event_points(spark, sf_dir), _REGIONS, [],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv")],
+    )
+
+
+def q_knn_events(spark, sf_dir):
+    """kNN via Hilbert cell-ring expansion, exact equirect re-rank."""
+    from oshdb_spark.geo.spatial_join import knn
+
+    return knn(
+        _event_points(spark, sf_dir), 10.0, 20.0, k=25, id_cols=["event_id"]
+    ).select("event_id")
+
+
+_ZONES_RECT = {
+    "nw": (-180.0, 0.15, -0.15, 85.0),
+    "se": (0.15, -85.0, 180.0, -0.15),
+    "band": (-90.0, -30.0, 90.0, 30.0),
+}
+
+
+def q_zonal_rect(spark, sf_dir):
+    """Raster↔vector zonal aggregation: zones rasterized to Hilbert cells,
+    interior cells by lookup, boundary cells by exact point-in-polygon."""
+    from oshdb_spark.geo.spatial_join import zonal_aggregate
+
+    return zonal_aggregate(
+        _event_points(spark, sf_dir), _ZONES_RECT,
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data pipeline ops (dedup / similarity / text / media)
 # ---------------------------------------------------------------------------
@@ -425,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count_z6": q_cell_count_z6,
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
+        "agg_by_geometry": q_agg_by_geometry,
+        "knn_events": q_knn_events,
+        "zonal_rect": q_zonal_rect,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -572,6 +627,67 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events)
             GROUP BY 1
+        """,
+        "agg_by_geometry": """
+            WITH deg AS (
+              SELECT (((event_id*1103515245) % 3600000000) - 1800000000)
+                       * 1e-7 AS lon,
+                     (((event_id*1234567891) % 1700000000) - 850000000)
+                       * 1e-7 AS lat,
+                     value
+              FROM events),
+            m AS (
+              SELECT 'west' AS region, value FROM deg
+                WHERE lon >= -180 AND lon <= 0 AND lat >= -85 AND lat <= 85
+              UNION ALL
+              SELECT 'east', value FROM deg
+                WHERE lon >= 0 AND lon <= 180 AND lat >= -85 AND lat <= 85
+              UNION ALL
+              SELECT 'tropics', value FROM deg
+                WHERE lon >= -180 AND lon <= 180
+                  AND lat >= -23.5 AND lat <= 23.5)
+            SELECT region, count(*) AS cnt, round(sum(value), 2) AS sv
+            FROM m GROUP BY 1
+        """,
+        "knn_events": """
+            SELECT event_id FROM (
+              SELECT event_id, 6371000.0 * sqrt(dx*dx + dy*dy) AS dist
+              FROM (
+                SELECT event_id,
+                  radians(lon - 10.0)
+                    * cos(radians((20.0 + lat) / 2.0)) AS dx,
+                  radians(lat - 20.0) AS dy
+                FROM (
+                  SELECT event_id,
+                    (((event_id*1103515245) % 3600000000) - 1800000000)
+                      * 1e-7 AS lon,
+                    (((event_id*1234567891) % 1700000000) - 850000000)
+                      * 1e-7 AS lat
+                  FROM events)))
+            ORDER BY dist, event_id LIMIT 25
+        """,
+        "zonal_rect": """
+            WITH deg AS (
+              SELECT (((event_id*1103515245) % 3600000000) - 1800000000)
+                       * 1e-7 AS lon,
+                     (((event_id*1234567891) % 1700000000) - 850000000)
+                       * 1e-7 AS lat,
+                     value
+              FROM events),
+            m AS (
+              SELECT 'nw' AS zone, value FROM deg
+                WHERE lon >= -180 AND lon <= -0.15
+                  AND lat >= 0.15 AND lat <= 85
+              UNION ALL
+              SELECT 'se', value FROM deg
+                WHERE lon >= 0.15 AND lon <= 180
+                  AND lat >= -85 AND lat <= -0.15
+              UNION ALL
+              SELECT 'band', value FROM deg
+                WHERE lon >= -90 AND lon <= 90
+                  AND lat >= -30 AND lat <= 30)
+            SELECT zone, count(*) AS cnt, round(sum(value), 2) AS sv
+            FROM m GROUP BY 1
         """,
         "dedup_exact": """
             WITH dup AS (

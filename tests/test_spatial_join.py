@@ -1,0 +1,107 @@
+"""Spatial-join layer tests: region splitter, kNN, zonal aggregation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from oshdb_spark.geo import spatial_join as SJ
+from oshdb_spark.geo.clip import points_in_polygon
+
+SF = "/root/testdata/sf0.001"
+
+
+def _points(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1_234_567_891), F.lit(1_700_000_000)) - 850_000_000
+    return ev.withColumn("lon", lon7).withColumn("lat", lat7)
+
+
+RECTS = {
+    "west": (-180.0, -85.0, 0.0, 85.0),
+    "east": (0.0, -85.0, 180.0, 85.0),
+    "tropics": (-180.0, -23.5, 180.0, 23.5),  # overlaps both
+}
+# same rectangles expressed as polygon rings
+RECT_POLYS = {
+    k: [[(w, s), (e, s), (e, n), (w, n), (w, s)]]
+    for k, (w, s, e, n) in RECTS.items()
+}
+
+
+def test_split_bbox_vs_polygon_paths_agree(spark):
+    pts = _points(spark)
+    a = (
+        SJ.split_by_regions(pts, RECTS)
+        .groupBy("region").count().orderBy("region").collect()
+    )
+    b = (
+        SJ.split_by_regions(pts, RECT_POLYS)
+        .groupBy("region").count().orderBy("region").collect()
+    )
+    assert [(r.region, r["count"]) for r in a] == [
+        (r.region, r["count"]) for r in b
+    ]
+    # overlapping regions double-emit (GeometrySplitter semantics)
+    total = sum(r["count"] for r in a)
+    assert total > pts.count()
+
+
+def test_aggregate_by_geometry(spark):
+    pts = _points(spark)
+    out = SJ.aggregate_by_geometry(
+        pts, RECTS, [], [F.count(F.lit(1)).alias("cnt"),
+                         F.round(F.sum("value"), 2).alias("sv")],
+    ).collect()
+    by = {r.region: r.cnt for r in out}
+    assert set(by) == set(RECTS)
+    assert by["west"] + by["east"] == pts.count()
+
+
+def test_knn_matches_bruteforce(spark):
+    pts = _points(spark)
+    q = (10.0, 20.0)
+    got = SJ.knn(pts, q[0], q[1], k=15, id_cols=["event_id"]).collect()
+    # brute force reference
+    rows = pts.collect()
+    lat1 = np.radians(q[1])
+
+    def d(r):
+        lon, lat = r.lon * 1e-7, r.lat * 1e-7
+        dlat = np.radians(lat - q[1])
+        dlng = np.radians(lon - q[0]) * np.cos(np.radians((lat + q[1]) / 2))
+        return 6371000.0 * np.sqrt(dlng * dlng + dlat * dlat)
+
+    ref = sorted(rows, key=lambda r: (d(r), r.event_id))[:15]
+    assert [r.event_id for r in got] == [r.event_id for r in ref]
+
+
+TRIANGLE_ZONES = {
+    "t1": [[(-120.0, -40.0), (40.0, -50.0), (0.0, 60.0), (-120.0, -40.0)]],
+    "t2": [[(20.0, -10.0), (160.0, 0.0), (90.0, 70.0), (20.0, -10.0)]],
+}
+
+
+def test_zonal_polygon_vs_python_reference(spark):
+    pts = _points(spark)
+    out = SJ.zonal_aggregate(
+        pts, TRIANGLE_ZONES, [F.count(F.lit(1)).alias("cnt")]
+    ).collect()
+    got = {r.zone: r.cnt for r in out}
+    rows = pts.collect()
+    px = np.array([r.lon * 1e-7 for r in rows])
+    py = np.array([r.lat * 1e-7 for r in rows])
+    for key, rings in TRIANGLE_ZONES.items():
+        expect = int(
+            points_in_polygon(px, py, [np.asarray(r) for r in rings]).sum()
+        )
+        assert got.get(key, 0) == expect
+
+
+def test_rasterize_zones_interior_subset(spark):
+    interior, boundary = SJ.rasterize_zones(TRIANGLE_ZONES, level=6)
+    for k in TRIANGLE_ZONES:
+        assert len(interior[k]) > 0
+        assert len(boundary[k]) > 0
+        assert not (set(interior[k]) & set(boundary[k]))
