@@ -1,0 +1,157 @@
+"""Physical layout: Hilbert-prefix partitioning + hot-cell salting.
+
+The storage analog of the reference's grid tables (grid_node/way/relation
+keyed by (level, id), TableNames.java:31-43), re-designed for Iceberg-style
+partition pruning:
+
+- every doc gets its Hilbert cell token (variable level, prefix-hierarchical)
+- the PARTITION key is the fixed-length token prefix `cell_prefix`
+  (ancestor cell at level = prefix_len); files are sorted by full token →
+  Hilbert-ordered locality within partitions
+- hot prefixes (dense urban tiles — the skew the reference never handles,
+  its insert rule size-bounds cells but not tiles, XYGridTree.java:89-97)
+  are salted: `cell_salt = pmod(hash(doc_id), k)` with k chosen per prefix
+  from the observed histogram, so no single write/read task exceeds
+  ~target_rows
+- queries prune with cover_prefixes(bbox) → `cell_prefix IN (...)` which
+  parquet/Iceberg turns into partition pruning, plus the doc-level bbox
+  predicate for row-group pruning.
+
+This sandbox has no Iceberg jars, so the writer targets partitioned
+parquet through the same API shape (`partitionBy(cell_prefix)`); on a real
+cluster swap `write_docs_store`'s final call for
+`df.writeTo(table).partitionedBy(col)`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import cells
+from ..kernels.snapshot import with_doc_bbox
+from ..model import docs as docs_mod
+
+
+def with_cell_token(docs: DataFrame, prefix_len: int = 2) -> DataFrame:
+    """docs + `cell` (insert-level Hilbert token) + `cell_prefix` columns.
+
+    Token via the vectorized insert rule over doc bboxes (pandas UDF —
+    numpy arrays in/out, no per-row python)."""
+    typed = with_doc_bbox(docs_mod.typed_docs(docs))
+
+    @F.pandas_udf(T.StringType())
+    def tok(minlon: pd.Series, minlat: pd.Series, maxlon: pd.Series, maxlat: pd.Series) -> pd.Series:
+        ml = minlon.to_numpy(dtype=np.float64)
+        out = np.empty(len(ml), dtype=object)
+        valid = ~np.isnan(ml)
+        if valid.any():
+            out[valid] = cells.token_of_bboxes(
+                minlon[valid].to_numpy(dtype=np.int64),
+                minlat[valid].to_numpy(dtype=np.int64),
+                maxlon[valid].to_numpy(dtype=np.int64),
+                maxlat[valid].to_numpy(dtype=np.int64),
+            )
+        out[~valid] = ""
+        return pd.Series(out)
+
+    return (
+        typed.withColumn(
+            "cell",
+            tok("bbox_min_lon", "bbox_min_lat", "bbox_max_lon", "bbox_max_lat"),
+        )
+        .withColumn("cell_prefix", F.expr(f"rpad(substring(cell, 1, {prefix_len}), {prefix_len}, '0')"))
+        .select("doc_id", "spans", "cell", "cell_prefix")
+    )
+
+
+def salt_plan(
+    df: DataFrame, key: str = "cell_prefix", target_rows: int = 100_000
+) -> dict[str, int]:
+    """Per-prefix salt counts from the observed histogram: k = ceil(rows /
+    target_rows). One tiny aggregation; result is broadcast-sized (≤ 4^L
+    prefixes)."""
+    hist = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
+    return {
+        r[key]: max(1, int(-(-r["n"] // target_rows))) for r in hist
+    }
+
+
+def with_salt(
+    df: DataFrame,
+    plan: dict[str, int],
+    key: str = "cell_prefix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`cell_salt` column: pmod(hash(id), k(prefix)); k=1 prefixes get 0.
+    The (prefix, salt) pair is the shuffle/write key — a hot tile fans out
+    over k tasks, matching the north rule's explicit skew handling."""
+    hot = {k: v for k, v in plan.items() if v > 1}
+    if not hot:
+        return df.withColumn("cell_salt", F.lit(0))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in hot.items() for x in kv]
+    )
+    k = F.coalesce(mapping[F.col(key)], F.lit(1))
+    return df.withColumn(
+        "cell_salt", F.pmod(F.hash(F.col(id_col)), k).cast("int")
+    )
+
+
+def write_docs_store(
+    docs: DataFrame,
+    path: str,
+    prefix_len: int = 2,
+    target_rows: int = 100_000,
+) -> dict:
+    """Write the canonical partitioned docs store:
+    partition dirs by cell_prefix, files shuffled by (prefix, salt),
+    rows sorted by full Hilbert token (spatial locality within files).
+    Returns the salt plan used (for the lineage manifest)."""
+    toked = with_cell_token(docs, prefix_len)
+    plan = salt_plan(toked, target_rows=target_rows)
+    out = (
+        with_salt(toked, plan)
+        .repartition(F.col("cell_prefix"), F.col("cell_salt"))
+        .sortWithinPartitions("cell")
+    )
+    out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
+    return plan
+
+
+def read_docs_store(
+    spark: SparkSession, path: str, bbox=None, prefix_len: int = 2
+) -> DataFrame:
+    """Read the store with cell-prefix partition pruning for a bbox AOI.
+
+    cover_prefixes(bbox) yields ancestor tokens of ≤ prefix_len chars; the
+    emitted predicate prunes partition directories before any file I/O
+    (check `.explain`: PartitionFilters). Feature tokens SHORTER than
+    prefix_len (features spanning several prefix cells) are stored under
+    their zero-padded prefix; the cover therefore also includes every
+    ancestor-run prefix range. The doc-level exactness re-check happens in
+    the kernels, so over-selection here is only a performance matter."""
+    df = spark.read.parquet(path)
+    if bbox is None:
+        return df
+    bbox7 = tuple(int(b * 10_000_000) for b in bbox)
+    cover = cells.cover_prefixes(bbox7, level=prefix_len, enlarge=True)
+    conds = []
+    exact = set()
+    for tok in cover:
+        if len(tok) >= prefix_len:
+            exact.add(tok[:prefix_len])
+        else:
+            conds.append(f"cell_prefix LIKE '{tok}%'")
+    # ancestors of the bbox cells (short-token features covering the area)
+    for tok in cover:
+        for cut in range(0, prefix_len):
+            anc = tok[:cut]
+            exact.add((anc + "0" * prefix_len)[:prefix_len])
+    if exact:
+        vals = ", ".join(f"'{t}'" for t in sorted(exact))
+        conds.append(f"cell_prefix IN ({vals})")
+    return df.filter(F.expr(" OR ".join(conds)))
