@@ -270,6 +270,145 @@ def q_zonal_sum_latband(spark, sf_dir):
     )
 
 
+# convex quadrilateral AOI with off-lattice vertices (no lattice point can
+# sit exactly on an edge, so crossing-number and half-plane tests agree)
+_POLY = [
+    (-100.0000017, -50.0000031),
+    (80.0000013, -60.0000029),
+    (120.0000019, 50.0000023),
+    (-80.0000011, 60.0000037),
+    (-100.0000017, -50.0000031),
+]
+
+
+def q_snapshot_polygon(spark, sf_dir):
+    """Snapshot kernel with POLYGON AOI (exact PiP boundary clipping)."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(polygon=[_POLY])
+        .osm_type("node")
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
+def q_snapshot_tag_regex(spark, sf_dir):
+    """tag-regex filter (osmTag(key, Pattern)) through the node SQL path."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("node")
+        .osm_tag("event_type", regex="^(click|view)$")
+        .without_geometry()
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
+def q_snapshot_by_ts_and_tag(spark, sf_dir):
+    """Chained combined-index aggregation (OSHDBCombinedIndex analog) with
+    cross-product zerofill: count by (ts, event_type)."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("node")
+        .without_geometry()
+        .aggregate_by_timestamp()
+        .aggregate_by("etype", "tags['event_type']", zerofill_values=etypes)
+        .count()
+    )
+
+
+def q_entity_history(spark, sf_dir):
+    """groupByEntity analog: full-history per-entity contribution summary."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps([1704067200, 1707091200])  # whole Jan 2024
+        .osm_type("node")
+        .without_geometry()
+        .dataframe()
+    )
+    return df.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_contribs"),
+        F.sum(F.size("contrib_types")).alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_contrib_uniq_contributors(spark, sf_dir):
+    """Exact countUniq reducer over the contribution view."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps(list(CONTRIB_INTERVAL))
+        .osm_type("node")
+        .without_geometry()
+        .dataframe()
+    )
+    return (
+        df.select(F.explode("contrib_types").alias("contrib_type"), "contributor_uid")
+        .groupBy("contrib_type")
+        .agg(F.countDistinct("contributor_uid").alias("uniq_contributors"))
+    )
+
+
+def q_ring_area(spark, sf_dir):
+    """Chamberlain–Duquette spherical ring area (Geo.java:147-179 parity):
+    per entity, the triangle of its first three geometry epochs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    from oshdb_spark.geo.geodesy import polygon_area
+    from oshdb_spark.model.history import LAT_MOD, LON_MOD
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    for g in range(3):
+        users = users.withColumn(
+            f"lon{g}",
+            (F.pmod(F.col("user_id") * F.lit(1103515245) + g * 1000003, F.lit(LON_MOD))
+             - LON_MOD // 2) * 1e-7,
+        ).withColumn(
+            f"lat{g}",
+            (F.pmod(F.col("user_id") * F.lit(1234567891) + g * 999983, F.lit(LAT_MOD))
+             - LAT_MOD // 2) * 1e-7,
+        )
+
+    @F.pandas_udf(DoubleType())
+    def tri_area(lon0, lat0, lon1, lat1, lon2, lat2):
+        out = np.empty(len(lon0))
+        for i in range(len(lon0)):
+            ring = np.array(
+                [
+                    (lon0.iat[i], lat0.iat[i]),
+                    (lon1.iat[i], lat1.iat[i]),
+                    (lon2.iat[i], lat2.iat[i]),
+                    (lon0.iat[i], lat0.iat[i]),
+                ]
+            )
+            out[i] = polygon_area([ring])
+        return pd.Series(out)
+
+    return users.select(
+        F.col("user_id").alias("id"),
+        F.round(
+            tri_area("lon0", "lat0", "lon1", "lat1", "lon2", "lat2") / 1e6, 3
+        ).alias("area_km2"),
+    )
+
+
 def _event_points(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
@@ -477,6 +616,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count_z6": q_cell_count_z6,
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
+        "snapshot_polygon": q_snapshot_polygon,
+        "snapshot_tag_regex": q_snapshot_tag_regex,
+        "snapshot_by_ts_and_tag": q_snapshot_by_ts_and_tag,
+        "entity_history": q_entity_history,
+        "contrib_uniq_contributors": q_contrib_uniq_contributors,
+        "ring_area": q_ring_area,
         "agg_by_geometry": q_agg_by_geometry,
         "knn_events": q_knn_events,
         "zonal_rect": q_zonal_rect,
@@ -627,6 +772,122 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events)
             GROUP BY 1
+        """,
+        "snapshot_polygon": _HIST + f""",
+            m AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM (SELECT *, lon7*1e-7 AS px, lat7*1e-7 AS py FROM geo) v
+              JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND (80.0000013 - -100.0000017) * (py - -50.0000031)
+                    - (-60.0000029 - -50.0000031) * (px - -100.0000017) > 0
+                AND (120.0000019 - 80.0000013) * (py - -60.0000029)
+                    - (50.0000023 - -60.0000029) * (px - 80.0000013) > 0
+                AND (-80.0000011 - 120.0000019) * (py - 50.0000023)
+                    - (60.0000037 - 50.0000023) * (px - 120.0000019) > 0
+                AND (-100.0000017 - -80.0000011) * (py - 60.0000037)
+                    - (-50.0000031 - 60.0000037) * (px - -80.0000011) > 0
+              GROUP BY 1)
+            SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
+            FROM grid LEFT JOIN m USING (ts)
+        """,
+        "snapshot_tag_regex": _HIST + """,
+            m AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM hist v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND regexp_matches(v.event_type, '^(click|view)$')
+              GROUP BY 1)
+            SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
+            FROM grid LEFT JOIN m USING (ts)
+        """,
+        "snapshot_by_ts_and_tag": _HIST + """,
+            tg AS (SELECT unnest(['click','error','purchase','signup','view'])
+                     AS etype),
+            m AS (
+              SELECT grid.ts AS ts, v.event_type AS etype, count(*) AS c
+              FROM hist v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible GROUP BY 1, 2)
+            SELECT grid.ts AS ts, tg.etype AS etype, coalesce(m.c, 0) AS cnt
+            FROM grid CROSS JOIN tg
+            LEFT JOIN m ON m.ts = grid.ts AND m.etype = tg.etype
+        """,
+        "entity_history": _HIST + f""",
+            s AS ({contrib_states}),
+            e AS (
+              SELECT id, valid_from AS t,
+                CASE
+                  WHEN visible AND coalesce(lv, false) = false THEN 1
+                  WHEN NOT visible AND lv THEN 1
+                  WHEN visible AND lv THEN
+                    (CASE WHEN event_type <> let THEN 1 ELSE 0 END)
+                    + (CASE WHEN (version-1)//3 <> lg THEN 1 ELSE 0 END)
+                  ELSE NULL END AS ntypes
+              FROM s
+              WHERE valid_from >= 1704067200 AND valid_from < 1707091200)
+            SELECT id, count(ntypes) AS n_contribs,
+                   CAST(sum(ntypes) AS BIGINT) AS n_types,
+                   min(CASE WHEN ntypes IS NOT NULL THEN t END) AS first_ts,
+                   max(CASE WHEN ntypes IS NOT NULL THEN t END) AS last_ts
+            FROM e GROUP BY 1
+            HAVING count(ntypes) > 0
+        """,
+        "contrib_uniq_contributors": _HIST + f""",
+            s AS ({contrib_states})
+            SELECT contrib_type, count(DISTINCT id) AS uniq_contributors
+            FROM (
+              SELECT 'CREATION' AS contrib_type, id FROM s
+               WHERE visible AND coalesce(lv, false) = false
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'DELETION', id FROM s
+               WHERE NOT visible AND lv
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'TAG_CHANGE', id FROM s
+               WHERE visible AND lv AND event_type <> let
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'GEOMETRY_CHANGE', id FROM s
+               WHERE visible AND lv AND (version-1)//3 <> lg
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+            ) GROUP BY 1
+        """,
+        "ring_area": """
+            SELECT id, round(abs(t0 + t1 + t2 + t3)
+                             * 6371000.0 * 6371000.0 / 2.0 / 1e6, 3)
+                     AS area_km2
+            FROM (
+              SELECT id,
+                (radians(lon2) - radians(lon0)) * sin(radians(lat1)) AS t0,
+                (radians(lon0) - radians(lon1)) * sin(radians(lat2)) AS t1,
+                (radians(lon0) - radians(lon2)) * sin(radians(lat0)) AS t2,
+                (radians(lon1) - radians(lon0)) * sin(radians(lat0)) AS t3
+              FROM (
+                SELECT user_id AS id,
+                  (((user_id*1103515245 + 0*1000003) % 3600000000)
+                    - 1800000000) * 1e-7 AS lon0,
+                  (((user_id*1234567891 + 0*999983) % 1700000000)
+                    - 850000000) * 1e-7 AS lat0,
+                  (((user_id*1103515245 + 1*1000003) % 3600000000)
+                    - 1800000000) * 1e-7 AS lon1,
+                  (((user_id*1234567891 + 1*999983) % 1700000000)
+                    - 850000000) * 1e-7 AS lat1,
+                  (((user_id*1103515245 + 2*1000003) % 3600000000)
+                    - 1800000000) * 1e-7 AS lon2,
+                  (((user_id*1234567891 + 2*999983) % 1700000000)
+                    - 850000000) * 1e-7 AS lat2
+                FROM (SELECT DISTINCT user_id FROM events)))
         """,
         "agg_by_geometry": """
             WITH deg AS (

@@ -102,6 +102,7 @@ class Pipeline:
                 key=lambda x: x["pid"],
             ),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "written_at_epoch": time.time(),
         }
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         tmp = mpath + ".tmp"
@@ -119,4 +120,4 @@ class Pipeline:
             m = self.manifest(stage)
             if m:
                 out.append(m)
-        return sorted(out, key=lambda m: m.get("written_at", ""))
+        return sorted(out, key=lambda m: m.get("written_at_epoch", 0.0))
