@@ -191,7 +191,11 @@ class Aggregator:
                 frame = frame.crossJoin(f)
             if len(self.zerofill) == len(self.keys):
                 val_cols = [c for c in agg.columns if c not in self.keys]
-                out = F.broadcast(frame).join(agg, list(self.keys), "left")
+                # broadcast the AGGREGATED side (small: one row per key) —
+                # the outer side of a left join cannot be broadcast, so
+                # hinting the frame would silently fall back to a
+                # sort-merge join (caught by tools/explain_audit.py)
+                out = frame.join(F.broadcast(agg), list(self.keys), "left")
                 for c in val_cols:
                     out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
         for k, n in zip(self.keys, self.out_names):
