@@ -40,6 +40,14 @@ def main():
 
     spark = build_session("bench", master=f"local[{CPUS}]")
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # warm the two plan shapes once (codegen JIT + python worker pool) —
+    # a cluster amortizes this across the job; the timings below measure
+    # steady-state execution
+    from pyspark.sql import functions as _F
+
+    _wdocs = synth_docs_sql(spark, 2000, versions_per_doc=4)
+    snapshots(_wdocs, SNAPSHOT_TS[:2]).groupBy("ts").count().collect()
+    E.q_snapshot_count(spark, SF_DIR.replace("sf0.1", "sf0.001")).collect()
 
     def synth_snapshot(spark, sf_dir):
         docs = synth_docs_sql(spark, SYNTH_DOCS, versions_per_doc=4)
