@@ -71,7 +71,14 @@ class View:
     def area_of_interest(self, bbox=None, polygon=None) -> "View":
         return self._with(bbox=bbox, polygon=polygon)
 
-    def timestamps(self, ts: list[int]) -> "View":
+    def timestamps(self, ts, end: str | None = None, period: str | None = None) -> "View":
+        """Either an explicit unix-seconds list, or ISO strings —
+        `.timestamps("2008-01-01", "2020-01-01", "P1Y")` — mirroring the
+        reference's OSHDBTimestamps generator (time/OSHDBTimestamps.java)."""
+        if isinstance(ts, str):
+            from .timestamps import timestamp_list
+
+            ts = timestamp_list(ts, end, period)
         return self._with(timestamps=tuple(sorted(int(t) for t in ts)))
 
     def osm_type(self, *types: str) -> "View":

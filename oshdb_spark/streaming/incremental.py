@@ -1,0 +1,144 @@
+"""Incremental (Structured Streaming) processing of entity histories.
+
+The reference is batch-only (`stream()` is just a lazy cursor,
+MapReducer.java:1422-1431). This module adds the incremental layer a live
+deployment needs, mapping the engine's semantics onto Structured
+Streaming:
+
+- windowed_event_counts: event-time windowed aggregation with a watermark
+  (late-data policy) — the streaming analog of aggregateByTimestamp.
+- contribution_tracker: a CUSTOM STATEFUL OPERATOR via
+  applyInPandasWithState: per entity, carries (last_visible,
+  last_tag_state, last_geom_epoch) across micro-batches and emits
+  cumulative CREATION / DELETION / TAG_CHANGE / GEOMETRY_CHANGE counts —
+  the contribution kernel's lag rules, incrementalized. Feed it
+  time-ordered micro-batches (source files partitioned by time, as any
+  log ingestion produces).
+
+Scale posture: state is O(1) per entity (4 scalars); shuffle key is the
+entity id; watermark bounds state for the windowed aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRACKER_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("creations", T.LongType()),
+        T.StructField("deletions", T.LongType()),
+        T.StructField("tag_changes", T.LongType()),
+        T.StructField("geom_changes", T.LongType()),
+        T.StructField("n_versions", T.LongType()),
+    ]
+)
+
+TRACKER_STATE = T.StructType(
+    [
+        T.StructField("last_visible", T.BooleanType()),
+        T.StructField("last_etype", T.StringType()),
+        T.StructField("last_g", T.LongType()),
+        T.StructField("n_versions", T.LongType()),
+        T.StructField("creations", T.LongType()),
+        T.StructField("deletions", T.LongType()),
+        T.StructField("tag_changes", T.LongType()),
+        T.StructField("geom_changes", T.LongType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream (one micro-batch per arriving file)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Event-time windowed counts per event_type with late-data watermark
+    (streaming aggregateByTimestamp)."""
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def _track(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-entity incremental contribution counting (the vectorized
+    kernel's lag rules, one entity at a time, state carried across
+    micro-batches). Rows within a batch are sorted by event time."""
+    if state.exists:
+        (lv, le, lg, nv, cr, de, tc, gc) = state.get
+    else:
+        lv, le, lg, nv, cr, de, tc, gc = (False, "", -1, 0, 0, 0, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("sec")
+        for etype in pdf["event_type"]:
+            g = nv // 3  # geometry epoch of THIS version (version = nv+1)
+            vis = etype != "error"
+            # lag rules over ALL versions ≙ the batch kernel's state
+            # classification (kernels/contribution._nodes_contrib_vec)
+            if vis and not lv:
+                cr += 1
+            elif not vis and lv:
+                de += 1
+            elif vis and lv:
+                if etype != le:
+                    tc += 1
+                if g != lg:
+                    gc += 1
+            lv, le, lg = vis, etype, g
+            nv += 1
+    state.update((lv, le, lg, nv, cr, de, tc, gc))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "creations": cr,
+                "deletions": de,
+                "tag_changes": tc,
+                "geom_changes": gc,
+                "n_versions": nv,
+            }
+        ]
+    )
+
+
+def contribution_tracker(stream: DataFrame) -> DataFrame:
+    """Cumulative per-entity contribution-type counts, updated every
+    micro-batch (outputMode=update)."""
+    ev = stream.withColumn("sec", F.unix_timestamp("ts").cast("long"))
+    return (
+        ev.select("user_id", "event_type", "sec")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track,
+            outputStructType=TRACKER_OUTPUT,
+            stateStructType=TRACKER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
