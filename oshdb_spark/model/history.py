@@ -112,6 +112,130 @@ def versions_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def way_docs_from_events(events: DataFrame) -> DataFrame:
+    """events → WAY docs with embedded member-node histories (the
+    member-recursion kernel path, oracle-reproducible).
+
+    Derivation (mirrored by the `way_snapshot_length` oracle SQL):
+      - each user owns 3 member nodes, node_id = user_id*10 + j (j=0,1,2);
+        node j's versions are the user's deduped events with
+        row_number%3==j (renumbered 1..k in time order)
+      - node version k sits at
+          lon7 = (node_id*1103515245 + k*1000003) mod 3.6e9 - 1.8e9
+          lat7 = (node_id*1234567891 + k*999983)  mod 1.7e9 - 0.85e9
+        (a fresh position every version → every node edit is a way
+        geometry change)
+      - the way (id = user_id) has ONE visible version timestamped at the
+        LATEST first-version ts of its 3 nodes (so all nodes exist at
+        every snapshot ≥ the way's creation), refs = [n0, n1, n2],
+        tags = {'kind': 'trace'}
+    """
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    sec = F.unix_timestamp("ts").cast("long")
+    ded = (
+        events.withColumn("sec", sec)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sec").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    ev = ded.withColumn("urn", F.row_number().over(w)).withColumn(
+        "j", F.pmod(F.col("urn"), F.lit(3)).cast("int")
+    )
+    wj = Window.partitionBy("user_id", "j").orderBy("sec")
+    nv = ev.withColumn("k", F.row_number().over(wj)).withColumn(
+        "node_id", F.col("user_id") * 10 + F.col("j")
+    )
+    lon7 = (
+        F.pmod(F.col("node_id") * F.lit(1103515245) + F.col("k") * 1000003,
+               F.lit(LON_MOD)) - LON_MOD // 2
+    )
+    lat7 = (
+        F.pmod(F.col("node_id") * F.lit(1234567891) + F.col("k") * 999983,
+               F.lit(LAT_MOD)) - LAT_MOD // 2
+    )
+    nv = nv.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    vjson = F.expr(
+        """
+        to_json(named_struct(
+          'version', k, 'visible', true,
+          'ts', date_format(timestamp_seconds(sec), "yyyy-MM-dd'T'HH:mm:ssX"),
+          'changeset', event_id, 'uid', cast(user_id as int),
+          'tags', map(), 'lon', lon7, 'lat', lat7,
+          'refs', array()))
+        """
+    )
+    node_hist = (
+        nv.withColumn("_v", vjson)
+        .groupBy("user_id", "j", "node_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(k as k, _v as v)),"
+                " (a,b) -> case when a.k < b.k then -1 when a.k > b.k then 1"
+                " else 0 end), x -> x.v)"
+            ).alias("vjsons"),
+            F.min("sec").alias("first_sec"),
+        )
+        .withColumn(
+            "member_json",
+            F.expr(
+                "concat('{\"entity_type\":\"node\",\"id\":', node_id,"
+                " ', \"versions\":[', concat_ws(',', vjsons), ']}')"
+            ),
+        )
+    )
+    per_way = node_hist.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j as j,"
+            " member_json as m, node_id as nid)),"
+            " (a,b) -> case when a.j < b.j then -1 when a.j > b.j then 1"
+            " else 0 end), x -> named_struct('m', x.m, 'nid', x.nid))"
+        ).alias("members"),
+        F.max("first_sec").alias("way_sec"),
+    )
+    way_version = F.expr(
+        """
+        to_json(named_struct(
+          'version', 1, 'visible', true,
+          'ts', date_format(timestamp_seconds(way_sec),
+                            "yyyy-MM-dd'T'HH:mm:ssX"),
+          'changeset', user_id, 'uid', cast(user_id as int),
+          'tags', map('kind', 'trace'),
+          'lon', cast(null as bigint), 'lat', cast(null as bigint),
+          'refs', transform(members, x -> named_struct(
+              'type', 'node', 'ref', x.nid, 'role', ''))))
+        """
+    )
+    spans = F.expr(
+        """
+        transform(
+          concat(
+            array(named_struct('kind', 'meta',
+              'text', to_json(named_struct('entity_type', 'way',
+                                           'id', user_id)),
+              'media_ref', '', 'offset', 0)),
+            array(named_struct('kind', 'version', 'text', way_version_json,
+                               'media_ref', '', 'offset', 0)),
+            transform(members, x -> named_struct('kind', 'member',
+              'text', x.m, 'media_ref', '', 'offset', 0))),
+          (s, i) -> named_struct('kind', s.kind, 'text', s.text,
+                                 'media_ref', s.media_ref, 'offset', i))
+        """
+    )
+    return (
+        per_way.withColumn("way_version_json", way_version)
+        .withColumn("spans", spans)
+        .select(
+            F.concat(F.lit("way/"), F.col("user_id")).alias("doc_id"), "spans"
+        )
+    )
+
+
 def docs_from_events(events: DataFrame) -> DataFrame:
     """events → interleaved docs table (input_hint shape): one doc per user,
     version spans newest-first, one meta span, one trailing media span.
