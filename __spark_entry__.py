@@ -434,6 +434,31 @@ def q_way_snapshot_length(spark, sf_dir):
     )
 
 
+def q_relation_snapshot_length(spark, sf_dir):
+    """RELATION snapshot path (recursive member windows, way-member as-of
+    resolution, geometry-collection fallback): total member length per ts.
+    Point members contribute 0 length, so the way oracle applies."""
+    from oshdb_spark.geo.measures import wkb_length_m
+    from oshdb_spark.model.history import relation_docs_from_events
+
+    docs = relation_docs_from_events(_t(spark, sf_dir, "events"))
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("relation")
+        .dataframe()
+    )
+    return (
+        snaps.withColumn("len_m", wkb_length_m("geom_wkb"))
+        .groupBy("ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("len_m"), 0).alias("total_len_m"),
+        )
+    )
+
+
 def _event_points(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
@@ -642,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
+        "relation_snapshot_length": q_relation_snapshot_length,
         "snapshot_polygon": q_snapshot_polygon,
         "snapshot_tag_regex": q_snapshot_tag_regex,
         "snapshot_by_ts_and_tag": q_snapshot_by_ts_and_tag,
@@ -800,6 +826,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "way_snapshot_length": """
+            WITH ded AS (
+              SELECT event_id, user_id, sec FROM (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       row_number() OVER (
+                         PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                         ORDER BY event_id) AS rn
+                FROM events) WHERE rn = 1),
+            ev AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec)
+                       AS urn
+              FROM ded),
+            nodes AS (
+              SELECT user_id, urn % 3 AS j, user_id*10 + (urn % 3) AS node_id,
+                     sec,
+                     row_number() OVER (PARTITION BY user_id, urn % 3
+                                        ORDER BY sec) AS k
+              FROM ev),
+            wsec AS (
+              SELECT user_id, max(fs) AS way_sec FROM (
+                SELECT user_id, j, min(sec) AS fs FROM nodes GROUP BY 1, 2)
+              GROUP BY 1),
+            grid AS (SELECT unnest(""" + _TS_LIST + """) AS ts),
+            nasof AS (
+              SELECT g.ts, n.user_id, n.j, n.node_id, max(n.k) AS k
+              FROM nodes n JOIN grid g ON n.sec <= g.ts
+              GROUP BY 1, 2, 3, 4),
+            pos AS (
+              SELECT ts, user_id, j,
+                (((node_id*1103515245 + k*1000003) % 3600000000)
+                  - 1800000000) * 1e-7 AS lon,
+                (((node_id*1234567891 + k*999983) % 1700000000)
+                  - 850000000) * 1e-7 AS lat
+              FROM nasof),
+            pv AS (
+              SELECT ts, user_id,
+                max(CASE WHEN j = 0 THEN lon END) AS lon0,
+                max(CASE WHEN j = 0 THEN lat END) AS lat0,
+                max(CASE WHEN j = 1 THEN lon END) AS lon1,
+                max(CASE WHEN j = 1 THEN lat END) AS lat1,
+                max(CASE WHEN j = 2 THEN lon END) AS lon2,
+                max(CASE WHEN j = 2 THEN lat END) AS lat2
+              FROM pos GROUP BY 1, 2),
+            lens AS (
+              SELECT pv.ts, pv.user_id,
+                6371000.0 * sqrt(dx1*dx1 + dy1*dy1)
+                + 6371000.0 * sqrt(dx2*dx2 + dy2*dy2) AS len_m
+              FROM (
+                SELECT ts, user_id,
+                  radians(lon1 - lon0)
+                    * cos(radians((lat0 + lat1) / 2.0)) AS dx1,
+                  radians(lat1 - lat0) AS dy1,
+                  radians(lon2 - lon1)
+                    * cos(radians((lat1 + lat2) / 2.0)) AS dx2,
+                  radians(lat2 - lat1) AS dy2
+                FROM pv) d
+              JOIN pv ON pv.ts = d.ts AND pv.user_id = d.user_id
+              JOIN wsec ON wsec.user_id = pv.user_id
+              WHERE wsec.way_sec <= pv.ts)
+            SELECT ts, count(*) AS cnt, round(sum(len_m), 0) AS total_len_m
+            FROM lens GROUP BY 1
+        """,
+        "relation_snapshot_length": """
             WITH ded AS (
               SELECT event_id, user_id, sec FROM (
                 SELECT event_id, user_id,

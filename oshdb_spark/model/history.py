@@ -236,6 +236,71 @@ def way_docs_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def relation_docs_from_events(events: DataFrame) -> DataFrame:
+    """events → RELATION docs: one relation per user with members
+    [its way, its node 0] and 2-level embedded histories (way + all its
+    nodes) — exercises the relation kernel's recursive member-window
+    modification timestamps and as-of member resolution. Non-area tags →
+    GeometryCollection([way LineString, node Point]); total length equals
+    the way's, so the `way_snapshot_length` oracle applies verbatim."""
+    way_docs = way_docs_from_events(events)
+    # rewrap the way doc's spans: its version span becomes a way-member
+    # payload, its member spans (node histories) carry over, and a new
+    # relation meta/version pair heads the doc.
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    wid = F.expr("cast(substring(doc_id, 5) as bigint)")  # 'way/<id>'
+    d = way_docs.withColumn("_id", wid)
+    way_v = F.expr("filter(spans, s -> s.kind = 'version')[0].text")
+    node_members = F.expr("filter(spans, s -> s.kind = 'member')")
+    rel_version = F.expr(
+        """
+        to_json(named_struct(
+          'version', 1, 'visible', true,
+          'ts', get_json_object(way_v, '$.ts'),
+          'changeset', _id, 'uid', cast(_id as int),
+          'tags', map('kind', 'route'),
+          'lon', cast(null as bigint), 'lat', cast(null as bigint),
+          'refs', array(
+            named_struct('type', 'way', 'ref', _id, 'role', 'main'),
+            named_struct('type', 'node', 'ref', _id * 10, 'role', 'stop'))))
+        """
+    )
+    way_member = F.expr(
+        """
+        concat('{"entity_type":"way","id":', _id,
+               ', "versions":[', way_v, ']}')
+        """
+    )
+    spans = F.expr(
+        """
+        transform(
+          concat(
+            array(named_struct('kind', 'meta',
+              'text', to_json(named_struct('entity_type', 'relation',
+                                           'id', _id)),
+              'media_ref', '', 'offset', 0)),
+            array(named_struct('kind', 'version', 'text', rel_v,
+                               'media_ref', '', 'offset', 0)),
+            array(named_struct('kind', 'member', 'text', way_m,
+                               'media_ref', '', 'offset', 0)),
+            node_ms),
+          (s, i) -> named_struct('kind', s.kind, 'text', s.text,
+                                 'media_ref', s.media_ref, 'offset', i))
+        """
+    )
+    return (
+        d.withColumn("way_v", way_v)
+        .withColumn("node_ms", node_members)
+        .withColumn("rel_v", rel_version)
+        .withColumn("way_m", way_member)
+        .withColumn("spans", spans)
+        .select(
+            F.concat(F.lit("relation/"), F.col("_id")).alias("doc_id"), "spans"
+        )
+    )
+
+
 def docs_from_events(events: DataFrame) -> DataFrame:
     """events → interleaved docs table (input_hint shape): one doc per user,
     version spans newest-first, one meta span, one trailing media span.

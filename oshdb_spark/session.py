@@ -45,3 +45,41 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+class QueryTimeout(Exception):
+    pass
+
+
+def run_with_timeout(spark: SparkSession, action, seconds: float):
+    """Run `action()` (a DataFrame action) with a hard timeout, cancelling
+    the underlying Spark jobs on expiry — the analog of the reference's
+    query timeout + cancellable per-cell loops (OSHDBDatabase.java:57-96,
+    Kernels.CancelableProcessStatus). Uses a job group so ONLY this
+    query's jobs are cancelled."""
+    import threading
+    import uuid
+
+    group = f"timeout-{uuid.uuid4().hex[:8]}"
+    sc = spark.sparkContext
+    result: dict = {}
+
+    def target():
+        sc.setJobGroup(group, "run_with_timeout", interruptOnCancel=True)
+        try:
+            result["value"] = action()
+        except Exception as e:  # cancellation surfaces as an exception
+            result["error"] = e
+        finally:
+            sc.setJobGroup("", "")
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        t.join(10)
+        raise QueryTimeout(f"query exceeded {seconds}s and was cancelled")
+    if "error" in result:
+        raise result["error"]
+    return result.get("value")
