@@ -632,6 +632,28 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_sessionization(spark, sf_dir):
+    """Window-function coverage: per-user session counts (gap > 30 min
+    starts a new session) — the lag/valid_to window pattern (§2.9)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = (
+        ev.withColumn("sec", F.unix_timestamp("ts").cast("long"))
+        .withColumn("prev", F.lag("sec").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull() | (F.col("sec") - F.col("prev") > 1800))
+            .cast("long"),
+        )
+    )
+    return d.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -688,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
+        "sessionization": q_sessionization,
         "quantiles": q_quantiles,
         "topk_orders": q_topk_orders,
     }
@@ -1250,6 +1273,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sum_idx,
                    CAST(sum(k * 16) AS BIGINT) AS sum_len
             FROM (SELECT least(8, length(text) // 64) AS k FROM documents)
+        """,
+        "sessionization": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id, sec,
+                     lag(sec) OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS prev
+              FROM (SELECT user_id, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events))
+            GROUP BY 1
         """,
         "quantiles": """
             SELECT l_returnflag,
