@@ -164,6 +164,14 @@ class View:
             zf = (spark.createDataFrame([(v,) for v in zerofill_values], f"_key_{name} string"),)
         return Aggregator(df, (f"_key_{name}",), zf, out_names=(name,))
 
+    def group_by_entity(self, fn, schema) -> DataFrame:
+        """groupByEntity (MapReducer.java:707-721): feed ALL view rows of
+        one entity to `fn(pdf) -> pdf` (full-history analysis). Docs are
+        already one-entity units, so this is a single applyInPandas over
+        the natural key — the shuffle is by (entity_type, id)."""
+        df = self.dataframe()
+        return df.groupBy("entity_type", "id").applyInPandas(fn, schema=schema)
+
     # -- terminal reducers on the un-aggregated view ------------------------
     def count(self) -> int:
         return self.dataframe().count()

@@ -1,0 +1,65 @@
+"""Fluent API façade tests: builder immutability, ISO timestamps,
+group_by_entity full-history analysis."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from oshdb_spark.api.engine import OSHDB
+from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _view(spark):
+    docs = docs_from_events(spark.read.parquet(f"{SF}/events.parquet"))
+    return OSHDB(docs).snapshot_view().timestamps(SNAPSHOT_TS).osm_type("node")
+
+
+def test_builder_is_immutable(spark):
+    base = _view(spark)
+    a = base.osm_tag("event_type", "click")
+    b = base.osm_tag("event_type", "error")  # error versions are invisible
+    ca = a.without_geometry().aggregate_by_timestamp().count().collect()
+    cb = b.without_geometry().aggregate_by_timestamp().count().collect()
+    assert sum(r.cnt for r in ca) > 0
+    assert sum(r.cnt for r in cb) == 0
+    # base view unaffected by the two derived builders
+    c0 = base.without_geometry().aggregate_by_timestamp().count().collect()
+    assert sum(r.cnt for r in c0) > sum(r.cnt for r in ca)
+
+
+def test_iso_timestamps_spec(spark):
+    docs = docs_from_events(spark.read.parquet(f"{SF}/events.parquet"))
+    v = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps("2024-01-01", "2024-02-05", "P1W")
+        .osm_type("node")
+        .without_geometry()
+    )
+    out = v.aggregate_by_timestamp().count().collect()
+    assert len(out) == 6  # weekly Mondays Jan-1 .. Feb-5
+
+
+def test_group_by_entity(spark):
+    v = _view(spark).without_geometry()
+
+    def lifespan(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "id": int(pdf["id"].iloc[0]),
+                    "n_snaps": len(pdf),
+                    "span_s": int(pdf["ts"].max() - pdf["ts"].min()),
+                }
+            ]
+        )
+
+    rows = v.group_by_entity(
+        lifespan, "id long, n_snaps long, span_s long"
+    ).collect()
+    assert len(rows) == 15  # one row per entity
+    assert all(r.n_snaps >= 1 for r in rows)
+    # full snapshot row count preserved across groups
+    assert sum(r.n_snaps for r in rows) == v.dataframe().count()
