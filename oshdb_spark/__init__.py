@@ -24,3 +24,24 @@ OSHDB (Comundela/oshdb, read-only at /root/reference) in idiomatic Spark:
 """
 
 __version__ = "0.1.0"
+
+# public API surface (lazy imports keep `import oshdb_spark` cheap for
+# spark-submit --py-files workers that only need one submodule)
+
+def __getattr__(name):
+    if name == "OSHDB":
+        from .api.engine import OSHDB
+
+        return OSHDB
+    if name == "build_session":
+        from .session import build_session
+
+        return build_session
+    if name == "run_with_timeout":
+        from .session import run_with_timeout
+
+        return run_with_timeout
+    raise AttributeError(name)
+
+
+__all__ = ["OSHDB", "build_session", "run_with_timeout", "__version__"]
