@@ -36,16 +36,15 @@ def iso(ts) -> str:
 
 
 def unix(ts_iso: str) -> int:
+    # fromisoformat is C-implemented in 3.11+ (~15x faster than strptime)
+    # and accepts 'Z' and numeric offsets; naive ⇒ UTC
     try:
-        return int(
-            datetime.strptime(ts_iso, ISO).replace(tzinfo=timezone.utc).timestamp()
-        )
-    except ValueError:
-        # general ISO-8601 (offset forms like +01:00 / -05); naive ⇒ UTC
         dt = datetime.fromisoformat(ts_iso)
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        return int(dt.timestamp())
+    except ValueError:
+        dt = datetime.strptime(ts_iso, ISO)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
 
 
 def make_version(
