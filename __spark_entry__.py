@@ -523,6 +523,37 @@ def _dup_corpus(spark, sf_dir):
     return d.unionAll(clone)
 
 
+def q_contrib_by_region(spark, sf_dir):
+    """Contribution-view region splitter (GeometrySplitter before/after
+    union semantics): count contributions touching each region."""
+    from oshdb_spark.geo.measures import wkb_point_coords
+    from oshdb_spark.geo.spatial_join import split_contributions_by_regions
+
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps(list(CONTRIB_INTERVAL))
+        .osm_type("node")
+        .dataframe()
+    )
+    df = (
+        df.withColumn("pb", wkb_point_coords("geom_before_wkb"))
+        .withColumn("pa", wkb_point_coords("geom_after_wkb"))
+        .select(
+            F.col("pb.lon").alias("blon"), F.col("pb.lat").alias("blat"),
+            F.col("pa.lon").alias("alon"), F.col("pa.lat").alias("alat"),
+        )
+    )
+    return (
+        split_contributions_by_regions(
+            df, _REGIONS, "blon", "blat", "alon", "alat", fixed_point=False
+        )
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from oshdb_spark.ops.dedup import exact_dedup
 
@@ -680,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_count": q_snapshot_count,
         "snapshot_bbox_tag": q_snapshot_bbox_tag,
         "contribution_types": q_contribution_types,
+        "contrib_by_region": q_contrib_by_region,
         "contrib_monthly_zerofill": q_contrib_monthly_zerofill,
         "reducer_group_sum_avg": q_reducer_group_sum_avg,
         "reducer_count_uniq": q_reducer_count_uniq,
@@ -773,6 +805,40 @@ def oracle_sql() -> dict[str, str]:
                  AND valid_from >= {CONTRIB_INTERVAL[0]}
                  AND valid_from <  {CONTRIB_INTERVAL[1]}
             ) GROUP BY 1
+        """,
+        "contrib_by_region": _HIST + f""",
+            s AS ({contrib_states}),
+            e AS (
+              SELECT id,
+                CASE WHEN visible THEN lon7 * 1e-7 END AS alon,
+                CASE WHEN visible THEN lat7 * 1e-7 END AS alat,
+                CASE WHEN lv THEN
+                  (((id*1103515245 + lg*1000003) % 3600000000)
+                    - 1800000000) * 1e-7 END AS blon,
+                CASE WHEN lv THEN
+                  (((id*1234567891 + lg*999983) % 1700000000)
+                    - 850000000) * 1e-7 END AS blat
+              FROM s
+              WHERE (visible OR (NOT visible AND coalesce(lv, false)))
+                AND valid_from >= {CONTRIB_INTERVAL[0]}
+                AND valid_from <  {CONTRIB_INTERVAL[1]}),
+            m AS (
+              SELECT 'west' AS region FROM e WHERE
+                (blon IS NOT NULL AND blon >= -180 AND blon <= 0
+                 AND blat >= -85 AND blat <= 85)
+                OR (alon IS NOT NULL AND alon >= -180 AND alon <= 0
+                 AND alat >= -85 AND alat <= 85)
+              UNION ALL
+              SELECT 'east' FROM e WHERE
+                (blon IS NOT NULL AND blon >= 0 AND blon <= 180
+                 AND blat >= -85 AND blat <= 85)
+                OR (alon IS NOT NULL AND alon >= 0 AND alon <= 180
+                 AND alat >= -85 AND alat <= 85)
+              UNION ALL
+              SELECT 'tropics' FROM e WHERE
+                (blon IS NOT NULL AND blat >= -23.5 AND blat <= 23.5)
+                OR (alon IS NOT NULL AND alat >= -23.5 AND alat <= 23.5))
+            SELECT region, count(*) AS cnt FROM m GROUP BY 1
         """,
         "contrib_monthly_zerofill": _HIST + f""",
             s AS ({contrib_states}),

@@ -38,6 +38,26 @@ def wkb_length_m(wkb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf("lon double, lat double")
+def wkb_point_coords(wkb: pd.Series) -> pd.DataFrame:
+    """Decode WKB Points to (lon, lat); nulls/non-points → nulls.
+    Vectorized: the fixed 21-byte point layout decodes via a bytes-matrix
+    view, no per-row struct unpacking."""
+    n = len(wkb)
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    ok = np.zeros(n, dtype=bool)
+    rows = np.zeros((n, 21), dtype=np.uint8)
+    for i, buf in enumerate(wkb):
+        if buf is not None and len(buf) == 21 and buf[0] == 1 and buf[1] == 1:
+            rows[i] = np.frombuffer(bytes(buf), dtype=np.uint8)
+            ok[i] = True
+    if ok.any():
+        lon[ok] = rows[ok, 5:13].copy().view("<f8").ravel()
+        lat[ok] = rows[ok, 13:21].copy().view("<f8").ravel()
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
 @F.pandas_udf(T.DoubleType())
 def wkb_area_m2(wkb: pd.Series) -> pd.Series:
     """Chamberlain–Duquette spherical area (Geo.java:94-179 semantics)."""

@@ -133,6 +133,48 @@ def aggregate_by_geometry(
     )
 
 
+def split_contributions_by_regions(
+    df: DataFrame,
+    regions: dict[str, object],
+    lon_before: str,
+    lat_before: str,
+    lon_after: str,
+    lat_after: str,
+    fixed_point: bool = True,
+) -> DataFrame:
+    """Contribution-view splitter: a contribution matches a region when its
+    BEFORE or AFTER position does (the reference matches on the union of
+    before/after bboxes, GeometrySplitter.java:159-175). Null positions
+    (pure creations/deletions) contribute only their non-null side."""
+    scale = 1e-7 if fixed_point else 1.0
+    if not all(_is_bbox(r) for r in regions.values()):
+        raise NotImplementedError(
+            "polygon regions for contributions: route through "
+            "split_by_regions on each side and union"
+        )
+    structs = ", ".join(
+        f"named_struct('k', '{k}', 'w', cast({r[0]} as double),"
+        f" 's', cast({r[1]} as double), 'e', cast({r[2]} as double),"
+        f" 'n', cast({r[3]} as double))"
+        for k, r in regions.items()
+    )
+
+    def inside(lon_col: str, lat_col: str) -> str:
+        lon = f"({lon_col} * {scale})"
+        lat = f"({lat_col} * {scale})"
+        return (
+            f"{lon_col} is not null AND {lon} >= r.w AND {lon} <= r.e"
+            f" AND {lat} >= r.s AND {lat} <= r.n"
+        )
+
+    matched = (
+        f"transform(filter(array({structs}),"
+        f" r -> ({inside(lon_before, lat_before)})"
+        f" OR ({inside(lon_after, lat_after)})), r -> r.k)"
+    )
+    return df.withColumn("region", F.explode(F.expr(matched)))
+
+
 # ---------------------------------------------------------------------------
 # kNN via cell-ring expansion
 # ---------------------------------------------------------------------------
