@@ -554,6 +554,29 @@ def q_contrib_by_region(spark, sf_dir):
     )
 
 
+def q_multipolygon_area(spark, sf_dir):
+    """Multipolygon assembly through the driver gate: per-user square
+    outer rings assembled into Polygons; Chamberlain–Duquette area."""
+    from oshdb_spark.geo.measures import wkb_area_m2
+    from oshdb_spark.model.history import multipolygon_docs_from_events
+
+    docs = multipolygon_docs_from_events(_t(spark, sf_dir, "events"))
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps([SNAPSHOT_TS[-1]])  # static squares: one snapshot
+        .osm_type("relation")
+        .dataframe()
+    )
+    return (
+        snaps.withColumn("a", wkb_area_m2("geom_wkb"))
+        .select(
+            F.col("id"),
+            F.round(F.col("a") / 1e6, 3).alias("area_km2"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from oshdb_spark.ops.dedup import exact_dedup
 
@@ -731,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_by_geometry": q_agg_by_geometry,
         "knn_events": q_knn_events,
         "zonal_rect": q_zonal_rect,
+        "multipolygon_area": q_multipolygon_area,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1216,6 +1240,32 @@ def oracle_sql() -> dict[str, str]:
                   AND lat >= -30 AND lat <= 30)
             SELECT zone, count(*) AS cnt, round(sum(value), 2) AS sv
             FROM m GROUP BY 1
+        """,
+        "multipolygon_area": """
+            SELECT id, round(abs(t0 + t1 + t2 + t3 + t4)
+                             * 6371000.0 * 6371000.0 / 2.0 / 1e6, 3)
+                     AS area_km2
+            FROM (
+              SELECT id,
+                (lon2 - lon0) * sin(lat1) AS t0,
+                (lon3 - lon1) * sin(lat2) AS t1,
+                (lon0 - lon2) * sin(lat3) AS t2,
+                (lon0 - lon3) * sin(lat0) AS t3,
+                (lon1 - lon0) * sin(lat0) AS t4
+              FROM (
+                SELECT user_id AS id,
+                  radians(blon * 1e-7) AS lon0, radians(blat * 1e-7) AS lat0,
+                  radians((blon + 1000000) * 1e-7) AS lon1,
+                  radians(blat * 1e-7) AS lat1,
+                  radians((blon + 1000000) * 1e-7) AS lon2,
+                  radians((blat + 1000000) * 1e-7) AS lat2,
+                  radians(blon * 1e-7) AS lon3,
+                  radians((blat + 1000000) * 1e-7) AS lat3
+                FROM (
+                  SELECT DISTINCT user_id,
+                    ((user_id*1103515245) % 3400000000) - 1700000000 AS blon,
+                    ((user_id*1234567891) % 1500000000) - 750000000 AS blat
+                  FROM events)))
         """,
         "dedup_exact": """
             WITH dup AS (

@@ -301,6 +301,88 @@ def relation_docs_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def multipolygon_docs_from_events(events: DataFrame) -> DataFrame:
+    """events → MULTIPOLYGON relation docs (assembly-path coverage): per
+    user a square outer ring — 4 corner nodes (single version each at the
+    user's first event), a closed way [n0,n1,n2,n3,n0], and a
+    type=multipolygon relation with the way as outer member.
+
+    Corner j of user's square (side 0.1° = 1_000_000 fixed-point units):
+      base_lon = (user_id*1103515245) mod 3.4e9 - 1.7e9   (margin for +s)
+      base_lat = (user_id*1234567891) mod 1.5e9 - 0.75e9
+      corners: (0,0), (s,0), (s,s), (0,s)
+    """
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    sec = F.unix_timestamp("ts").cast("long")
+    first = (
+        events.withColumn("sec", sec)
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t0"))
+    )
+    S = 1_000_000
+    base_lon = F.pmod(F.col("user_id") * F.lit(1103515245), F.lit(3_400_000_000)) - 1_700_000_000
+    base_lat = F.pmod(F.col("user_id") * F.lit(1234567891), F.lit(1_500_000_000)) - 750_000_000
+    d = first.withColumn("blon", base_lon).withColumn("blat", base_lat)
+    corner_offsets = [(0, 0), (S, 0), (S, S), (0, S)]
+    node_members = []
+    for j, (dx, dy) in enumerate(corner_offsets):
+        node_members.append(
+            f"""concat('{{"entity_type":"node","id":', user_id*10+{j},
+              ', "versions":[', to_json(named_struct(
+                'version', 1, 'visible', true,
+                'ts', date_format(timestamp_seconds(t0),
+                                  "yyyy-MM-dd'T'HH:mm:ssX"),
+                'changeset', user_id, 'uid', cast(user_id as int),
+                'tags', map(), 'lon', blon + {dx}, 'lat', blat + {dy},
+                'refs', array())), ']}}')"""
+        )
+    way_version = """
+        to_json(named_struct(
+          'version', 1, 'visible', true,
+          'ts', date_format(timestamp_seconds(t0), "yyyy-MM-dd'T'HH:mm:ssX"),
+          'changeset', user_id, 'uid', cast(user_id as int), 'tags', map(),
+          'lon', cast(null as bigint), 'lat', cast(null as bigint),
+          'refs', transform(array(0, 1, 2, 3, 0), j -> named_struct(
+              'type', 'node', 'ref', user_id*10+j, 'role', ''))))
+    """
+    way_member = f"""
+        concat('{{"entity_type":"way","id":', user_id,
+               ', "versions":[', {way_version}, ']}}')
+    """
+    rel_version = """
+        to_json(named_struct(
+          'version', 1, 'visible', true,
+          'ts', date_format(timestamp_seconds(t0), "yyyy-MM-dd'T'HH:mm:ssX"),
+          'changeset', user_id, 'uid', cast(user_id as int),
+          'tags', map('type', 'multipolygon', 'landuse', 'meadow'),
+          'lon', cast(null as bigint), 'lat', cast(null as bigint),
+          'refs', array(named_struct('type', 'way', 'ref', user_id,
+                                     'role', 'outer'))))
+    """
+    all_members = ", ".join(
+        f"named_struct('kind', 'member', 'text', {m}, 'media_ref', '', 'offset', 0)"
+        for m in [way_member] + node_members
+    )
+    spans = F.expr(
+        f"""
+        transform(
+          concat(
+            array(named_struct('kind', 'meta',
+              'text', to_json(named_struct('entity_type', 'relation',
+                                           'id', user_id)),
+              'media_ref', '', 'offset', 0)),
+            array(named_struct('kind', 'version', 'text', {rel_version},
+                               'media_ref', '', 'offset', 0)),
+            array({all_members})),
+          (s, i) -> named_struct('kind', s.kind, 'text', s.text,
+                                 'media_ref', s.media_ref, 'offset', i))
+        """
+    )
+    return d.withColumn("spans", spans).select(
+        F.concat(F.lit("relation/"), F.col("user_id")).alias("doc_id"), "spans"
+    )
+
+
 def docs_from_events(events: DataFrame) -> DataFrame:
     """events → interleaved docs table (input_hint shape): one doc per user,
     version spans newest-first, one meta span, one trailing media span.
