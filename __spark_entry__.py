@@ -577,6 +577,18 @@ def q_multipolygon_area(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs on a corpus with planted
+    clones (vec_id + 10000)."""
+    from oshdb_spark.ops.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    return embedding_neardup_pairs(dup, threshold=0.999999).select(
+        "id_a", "id_b"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from oshdb_spark.ops.dedup import exact_dedup
 
@@ -755,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_events": q_knn_events,
         "zonal_rect": q_zonal_rect,
         "multipolygon_area": q_multipolygon_area,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1266,6 +1279,17 @@ def oracle_sql() -> dict[str, str]:
                     ((user_id*1103515245) % 3400000000) - 1700000000 AS blon,
                     ((user_id*1234567891) % 1500000000) - 750000000 AS blat
                   FROM events)))
+        """,
+        "dedup_embedding": """
+            WITH dup AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM dup a JOIN dup b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))) >= 0.999999
         """,
         "dedup_exact": """
             WITH dup AS (

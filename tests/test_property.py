@@ -41,10 +41,17 @@ def test_hilbert_roundtrip(level, data):
 
 
 @settings(max_examples=100, deadline=None)
-@given(LON, LAT, st.integers(min_value=0, max_value=15))
+@given(
+    st.integers(min_value=-1_800_000_000, max_value=1_799_999_999),
+    st.integers(min_value=-900_000_000, max_value=899_999_999),
+    st.integers(min_value=0, max_value=15),
+)
 def test_xy_id_within_bbox_cover(lon7, lat7, zoom):
     """A point's cell id is always inside some range of the cover of any
-    bbox containing the point."""
+    bbox containing the point. Points exactly ON +180/+90 are excluded:
+    the reference wraps them into the westernmost column / northernmost
+    row (XYGrid.java:124-160) while bbox covers clamp eastward — the same
+    anti-meridian asymmetry the reference has (we reproduce it)."""
     cid = int(cells.xy_id(np.array([lon7]), np.array([lat7]), zoom)[0])
     pad = 10_000_000
     bbox = (
