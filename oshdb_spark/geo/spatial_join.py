@@ -235,7 +235,8 @@ def knn(
 
     sel = (id_cols or []) + ["_dist"]
     n_cells_axis = 1 << level
-    cell_h_m = 180.0 / n_cells_axis * 111_194.9  # ~meters per cell row
+    cell_h_deg = 180.0 / n_cells_axis
+    cell_h_m = cell_h_deg * 111_194.9  # ~meters per cell row (meridional)
     r = 1
     while True:
         disk = cells.ring_tokens(qtok, r)
@@ -245,7 +246,15 @@ def knn(
             topk = cand.orderBy("_dist", *(id_cols or [])).limit(k).select(*sel)
             if cnt >= k:
                 rows = topk.collect()
-                guaranteed_m = r * cell_h_m  # inner radius of the disk
+                # inner radius of the disk: the east-west extent shrinks by
+                # cos(lat) (cells are 2x wider in degrees than tall, so the
+                # EW guarantee only binds above |lat|=60°); use the worst
+                # latitude reached inside the disk
+                import math
+
+                worst_lat = min(abs(query_lat) + r * cell_h_deg, 89.0)
+                ew_factor = min(1.0, 2.0 * math.cos(math.radians(worst_lat)))
+                guaranteed_m = r * cell_h_m * ew_factor
                 if rows[-1]["_dist"] <= guaranteed_m or len(disk) >= (
                     n_cells_axis * n_cells_axis // 2
                 ):

@@ -105,3 +105,21 @@ def test_rasterize_zones_interior_subset(spark):
         assert len(interior[k]) > 0
         assert len(boundary[k]) > 0
         assert not (set(interior[k]) & set(boundary[k]))
+
+
+def test_knn_high_latitude_exact(spark):
+    """kNN near the pole: the EW cell shrink (cos lat) must not break the
+    ring-disk exactness guarantee."""
+    pts = _points(spark)
+    q = (30.0, 80.0)
+    got = SJ.knn(pts, q[0], q[1], k=10, id_cols=["event_id"]).collect()
+    rows = pts.collect()
+
+    def d(r):
+        lon, lat = r.lon * 1e-7, r.lat * 1e-7
+        dlat = np.radians(lat - q[1])
+        dlng = np.radians(lon - q[0]) * np.cos(np.radians((lat + q[1]) / 2))
+        return 6371000.0 * np.sqrt(dlng * dlng + dlat * dlat)
+
+    ref = sorted(rows, key=lambda r: (d(r), r.event_id))[:10]
+    assert [r.event_id for r in got] == [r.event_id for r in ref]
