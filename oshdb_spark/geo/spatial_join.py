@@ -346,6 +346,9 @@ def zonal_aggregate(
         else:
             rings_by_key[k] = [np.asarray(r, dtype=np.float64) for r in region]
 
+    int_arrs = {k: np.array(interior[k], dtype=object) for k in keys}
+    bnd_arrs = {k: np.array(boundary[k], dtype=object) for k in keys}
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def zones_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
         l7 = (lon.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
@@ -355,11 +358,12 @@ def zonal_aggregate(
         py = lat.to_numpy(dtype=np.float64) * scale
         hits = [[] for _ in range(len(toks))]
         for k in keys:
-            iset, bset = int_sets[k], bnd_sets[k]
-            for i, t in enumerate(toks):
-                if t in iset:
-                    hits[i].append(k)
-            bmask = np.fromiter((t in bset for t in toks), dtype=bool, count=len(toks))
+            # vectorized cell membership (np.isin on token arrays); exact
+            # PiP only where the point sits in a boundary cell
+            imask = np.isin(toks, int_arrs[k])
+            for i in np.nonzero(imask)[0]:
+                hits[i].append(k)
+            bmask = np.isin(toks, bnd_arrs[k])
             if bmask.any():
                 idx = np.nonzero(bmask)[0]
                 inside = points_in_polygon(px[idx], py[idx], rings_by_key[k])
