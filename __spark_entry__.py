@@ -1401,10 +1401,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "media_meta": """
+            -- strlen = UTF-8 BYTE length (the Spark side measures the
+            -- encoded blob, media.py stub_decoder), not character count
             SELECT doc_id % 10 AS bucket,
-                   CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
-                   CAST(sum(length(text) % 640 + 1) AS BIGINT) AS sum_width,
-                   CAST(sum((length(text) * 7) % 480 + 1) AS BIGINT)
+                   CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+                   CAST(sum(strlen(text) % 640 + 1) AS BIGINT) AS sum_width,
+                   CAST(sum((strlen(text) * 7) % 480 + 1) AS BIGINT)
                      AS sum_height
             FROM documents GROUP BY 1
         """,
@@ -1412,7 +1414,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(k) AS BIGINT) AS n_frames,
                    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sum_idx,
                    CAST(sum(k * 16) AS BIGINT) AS sum_len
-            FROM (SELECT least(8, length(text) // 64) AS k FROM documents)
+            FROM (SELECT least(8, strlen(text) // 64) AS k FROM documents)
         """,
         "sessionization": """
             SELECT user_id,

@@ -254,11 +254,15 @@ class Aggregator:
         reference's t-digest (TDigestReducer.java:21-41) is a mergeable
         sketch — percentile_approx is the Spark-native mergeable analog,
         opt-in via exact=False for the 100 TB path."""
-        cname = col if isinstance(col, str) else None
+        if not isinstance(col, str):
+            raise TypeError(
+                "quantile() requires a column NAME (str); building the SQL "
+                "string from a Column object would interpolate its repr"
+            )
         if exact:
-            e = F.expr(f"percentile({cname}, {q})")
+            e = F.expr(f"percentile({col}, {q})")
         else:
-            e = F.expr(f"percentile_approx({cname}, {q}, 10000)")
+            e = F.expr(f"percentile_approx({col}, {q}, 10000)")
         return self._finish(self.df.groupBy(*self.keys).agg(e.alias(alias)), None)
 
     def agg(self, *exprs) -> DataFrame:

@@ -240,26 +240,27 @@ def knn(
     r = 1
     while True:
         disk = cells.ring_tokens(qtok, r)
+        if len(disk) >= n_cells_axis * n_cells_axis // 2:
+            # the disk no longer provably covers the whole grid ring-by-ring
+            # (high-latitude rows may be missing) — true full-scan fallback:
+            # drop the cell filter entirely so the exactness claim holds
+            cand = pts
+            break
         cand = pts.filter(F.col("_tok").isin(disk))
         cnt = cand.count()
-        if cnt >= k or len(disk) >= n_cells_axis * n_cells_axis // 2:
+        if cnt >= k:
             topk = cand.orderBy("_dist", *(id_cols or [])).limit(k).select(*sel)
-            if cnt >= k:
-                rows = topk.collect()
-                # inner radius of the disk: the east-west extent shrinks by
-                # cos(lat) (cells are 2x wider in degrees than tall, so the
-                # EW guarantee only binds above |lat|=60°); use the worst
-                # latitude reached inside the disk
-                import math
+            rows = topk.collect()
+            # inner radius of the disk: the east-west extent shrinks by
+            # cos(lat) (cells are 2x wider in degrees than tall, so the
+            # EW guarantee only binds above |lat|=60°); use the worst
+            # latitude reached inside the disk
+            import math
 
-                worst_lat = min(abs(query_lat) + r * cell_h_deg, 89.0)
-                ew_factor = min(1.0, 2.0 * math.cos(math.radians(worst_lat)))
-                guaranteed_m = r * cell_h_m * ew_factor
-                if rows[-1]["_dist"] <= guaranteed_m or len(disk) >= (
-                    n_cells_axis * n_cells_axis // 2
-                ):
-                    break
-            else:
+            worst_lat = min(abs(query_lat) + r * cell_h_deg, 89.0)
+            ew_factor = min(1.0, 2.0 * math.cos(math.radians(worst_lat)))
+            guaranteed_m = r * cell_h_m * ew_factor
+            if rows[-1]["_dist"] <= guaranteed_m:
                 break
         r *= 2
     out = cand.orderBy("_dist", *(id_cols or [])).limit(k)
@@ -291,11 +292,16 @@ def rasterize_zones(
             ]
         else:
             rings = [np.asarray(r, dtype=np.float64) for r in region]
+        import math
+
         xs = np.concatenate([r[:, 0] for r in rings])
         ys = np.concatenate([r[:, 1] for r in rings])
+        # floor mins / ceil maxes: int() truncates toward zero, which for
+        # negative coords shrinks the cover bbox by 1 fixed-point unit and
+        # can drop a boundary cell whose zone edge sits exactly on it
         bbox7 = (
-            int(xs.min() * _FP), int(ys.min() * _FP),
-            int(xs.max() * _FP), int(ys.max() * _FP),
+            math.floor(xs.min() * _FP), math.floor(ys.min() * _FP),
+            math.ceil(xs.max() * _FP), math.ceil(ys.max() * _FP),
         )
         toks = cells.cover_tokens(bbox7, level, enlarge=False)
         ins, bnd = [], []

@@ -144,9 +144,14 @@ def ivf_ann(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF: coarse quantize to deterministic sampled centroids, probe the
-    n_probe centroids nearest to the query, exact re-rank inside."""
+    n_probe centroids nearest to the query, exact re-rank inside.
+
+    NOTE the "training" is a STUB: centroids are the first n_centroids
+    vectors by id (deterministic, not k-means). A production build would
+    run a few Lloyd iterations on a sample; the routing/probing plan shape
+    (map-side argmin, partition-prunable `_cent`) is what's real here."""
     dim = len(query_vec)
-    # deterministic "training": first n_centroids vectors by id
+    # deterministic "training" stub: first n_centroids vectors by id
     cents = [
         [float(x) for x in r[0]]
         for r in df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()

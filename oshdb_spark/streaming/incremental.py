@@ -50,6 +50,7 @@ TRACKER_STATE = T.StructType(
         T.StructField("deletions", T.LongType()),
         T.StructField("tag_changes", T.LongType()),
         T.StructField("geom_changes", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
     ]
 )
 
@@ -89,13 +90,19 @@ def _track(
 ) -> Iterator[pd.DataFrame]:
     """Per-entity incremental contribution counting (the vectorized
     kernel's lag rules, one entity at a time, state carried across
-    micro-batches). Rows within a batch are sorted by event time."""
+    micro-batches). Batch-kernel parity requires the same (user_id, sec)
+    dedup as model/history.versions_from_events: rows sort by (sec,
+    event_id), same-second collisions keep the MIN event_id, and last_sec
+    carries across micro-batches so cross-batch collisions dedup too."""
     if state.exists:
-        (lv, le, lg, nv, cr, de, tc, gc) = state.get
+        (lv, le, lg, nv, cr, de, tc, gc, ls) = state.get
     else:
-        lv, le, lg, nv, cr, de, tc, gc = (False, "", -1, 0, 0, 0, 0, 0)
+        lv, le, lg, nv, cr, de, tc, gc, ls = (False, "", -1, 0, 0, 0, 0, 0, -1)
     for pdf in pdfs:
-        pdf = pdf.sort_values("sec")
+        pdf = pdf.sort_values(["sec", "event_id"])
+        pdf = pdf[~pdf["sec"].duplicated(keep="first") & (pdf["sec"] > ls)]
+        if len(pdf):
+            ls = int(pdf["sec"].iloc[-1])
         for etype in pdf["event_type"]:
             g = nv // 3  # geometry epoch of THIS version (version = nv+1)
             vis = etype != "error"
@@ -112,7 +119,7 @@ def _track(
                     gc += 1
             lv, le, lg = vis, etype, g
             nv += 1
-    state.update((lv, le, lg, nv, cr, de, tc, gc))
+    state.update((lv, le, lg, nv, cr, de, tc, gc, ls))
     yield pd.DataFrame(
         [
             {
@@ -132,7 +139,7 @@ def contribution_tracker(stream: DataFrame) -> DataFrame:
     micro-batch (outputMode=update)."""
     ev = stream.withColumn("sec", F.unix_timestamp("ts").cast("long"))
     return (
-        ev.select("user_id", "event_type", "sec")
+        ev.select("user_id", "event_type", "sec", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             _track,
