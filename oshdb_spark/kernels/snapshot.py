@@ -32,7 +32,13 @@ from ..model import docs as docs_mod
 from ..model import schemas
 from .aoi import AOI
 from .filters import compile_doc_prefilter, compile_python
-from .geometry_builder import DEFAULT_INTERPRETER, build_geometry
+from .geometry_builder import (
+    DEFAULT_INTERPRETER,
+    AlwaysArea,
+    DefaultTagInterpreter,
+    NeverArea,
+    build_geometry,
+)
 from .temporal import (
     get_by_timestamps,
     mod_timestamps,
@@ -65,11 +71,35 @@ def with_doc_bbox(typed: DataFrame) -> DataFrame:
     )
 
 
+# null-coordinate sentinel for the flat member arrays (v.lon is null on
+# deleted versions; 0 is a valid coordinate, so nulls map to -2^62)
+_LON_SENTINEL = -(1 << 62)
+
+# ISO span timestamps carry an explicit zone ('Z'), so the plain string →
+# timestamp CAST parses them TZ-independently — and takes Spark's fast
+# ISO-8601 parse path instead of the DateTimeFormatter one (measured ~2×
+# on the member-history decode). Sorting uses array_sort's NATURAL struct
+# ordering over (ts, version)-keyed structs: the fixed-width UTC ISO string
+# is chronological under lexicographic order, and natural ordering avoids
+# the interpreted per-comparison lambda of a custom comparator.
+_TS_PARSE = "unix_timestamp(cast({0}.ts as timestamp))"
+# reduced member-version struct: only the fields the way kernel needs and
+# every type orderable (no map/array), so array_sort's NATURAL ordering —
+# (ts, ver) leading, fixed-width ISO strings are chronological — applies;
+# extra tiebreak fields only reorder exact (ts, version) duplicates
+_MSORT = (
+    "transform(members, m -> array_sort(transform(m.versions,"
+    " v -> struct(v.ts as ts, v.version as ver, v.visible as vis,"
+    " v.lon as lon, v.lat as lat, v.changeset as cs, v.uid as uid))))"
+)
+
+
 def prepared_docs(
     docs: DataFrame,
     filter_spec=None,
     aoi: AOI | None = None,
     fast_arrays: bool = False,
+    fast_ways: bool = False,
 ) -> DataFrame:
     """Summarized + JVM-pre-filtered docs (shared by both kernels).
 
@@ -85,13 +115,53 @@ def prepared_docs(
     can run them through a fully vectorized numpy path with zero
     per-version Python. Tag filters are evaluated JVM-side into a
     ``vmatch`` boolean array (the analog of fusing the reference's exact
-    filters into the scan). Docs that need the general path (ways,
-    relations, python filters) keep their spans and get NULL arrays.
+    filters into the scan). Docs that need the general path (relations,
+    python filters) keep their spans and get NULL arrays.
+
+    With ``fast_ways=True`` additionally, WAY docs whose members are all
+    nodes AND that need no clipping (doc bbox fully inside the AOI bbox;
+    callers must not set this when the AOI has a polygon) get flat member
+    arrays too: per-version ref-id lists flattened to (vref, vrefcnt) and
+    per-member sorted version histories flattened to (mid, mvcnt, mts,
+    mvis, mlon, mlat, mcs, muid) — all single-level primitive arrays, so
+    one np.concatenate per column rebuilds the batch-global flat table.
+    The column `fast_kind` ('node' | 'way' | null) routes each doc.
     """
     typed = docs_mod.typed_docs(docs)
     pre = compile_doc_prefilter(filter_spec)
     if pre is not None:
         typed = typed.filter(pre)
+    has_py = any(s[0] == "py" for s in (filter_spec or []))
+    # member-less node docs ALWAYS take the vectorized path (they never
+    # demote), so their raw spans can be dropped right here instead of
+    # being copied through every projection below
+    spans_out = F.col("spans")
+    if fast_arrays and not has_py:
+        spans_out = F.when(
+            ~(
+                (F.col("entity_type") == "node")
+                & ~F.expr("exists(spans, s -> s.kind = 'member')")
+            ),
+            F.col("spans"),
+        )
+    # materialization barrier: a nondeterministic column blocks
+    # ProjectCollapse, so the from_json decode of versions/members is
+    # evaluated ONCE per row here instead of being re-inlined into every
+    # downstream array column (lambda-bearing expressions are excluded
+    # from codegen subexpression elimination — without the barrier the
+    # wide fast-array projection re-decodes the doc ~18×). Members decode
+    # with the LITE schema: neither the bbox summary nor the flat member
+    # tables need member tags/refs, and from_json skips absent fields.
+    typed = typed.select(
+        "doc_id", "entity_type", "id",
+        spans_out.alias("spans"),
+        "versions",
+        F.expr(
+            "transform(filter(spans, s -> s.kind = 'member'),"
+            f" s -> from_json(s.text, '{schemas.MEMBER_LITE.simpleString()}'))"
+        ).alias("members"),
+        F.monotonically_increasing_id().alias("_barrier"),
+    )
     typed = with_doc_bbox(typed)
     if aoi is not None and not aoi.is_world:
         b = aoi.bbox
@@ -110,27 +180,63 @@ def prepared_docs(
 
     from .filters import _version_pred_sql
 
-    has_py = any(s[0] == "py" for s in (filter_spec or []))
     preds = [p for s in (filter_spec or []) for p in [_version_pred_sql(s)] if p]
-    fast = F.col("entity_type") == "node"
+    fast_node = (F.col("entity_type") == "node") & (F.size("members") == 0)
+    fast_way = (F.col("entity_type") == "way") & ~F.expr(
+        "exists(members, m -> m.entity_type <> 'node')"
+    )
+    if aoi is not None and not aoi.is_world:
+        # way fast path handles only fully-inside docs (no clip step);
+        # boundary-crossing ways keep the general per-doc path
+        b = aoi.bbox
+        fast_way = fast_way & (
+            (F.col("bbox_min_lon") >= int(b[0] * _FP))
+            & (F.col("bbox_max_lon") <= int(b[2] * _FP))
+            & (F.col("bbox_min_lat") >= int(b[1] * _FP))
+            & (F.col("bbox_max_lat") <= int(b[3] * _FP))
+        )
+    if not fast_ways:
+        fast_way = F.lit(False)
     if has_py:
-        fast = F.lit(False)
-    typed = typed.withColumn("_fast", fast & (F.size("members") == 0))
+        fast_node = F.lit(False)
+        fast_way = F.lit(False)
+    typed = (
+        typed.withColumn("_fastn", fast_node)
+        .withColumn("_fastw", fast_way)
+        .withColumn("_fast", F.col("_fastn") | F.col("_fastw"))
+    )
+    # second barrier: materialize the sorted member histories once (they
+    # feed 7 flat member columns below)
+    typed = typed.select(
+        "*",
+        F.when(F.col("_fastw"), F.expr(_MSORT)).alias("_ms"),
+        F.monotonically_increasing_id().alias("_barrier2"),
+    )
 
     def arr(expr_sql: str):
         return F.when(F.col("_fast"), F.expr(expr_sql))
 
+    def warr(expr_sql: str):
+        return F.when(F.col("_fastw"), F.expr(expr_sql))
+
     ts_expr = (
-        "transform(versions, v -> unix_timestamp("
-        "to_timestamp(v.ts, \"yyyy-MM-dd'T'HH:mm:ssX\")))"
+        "transform(versions, v -> " + _TS_PARSE.format("v") + ")"
     )
     match_expr = None
     if preds:
         conj = " and ".join(f"({p})" for p in preds)
         match_expr = f"transform(versions, v -> coalesce({conj}, false))"
+    mem_ts = (
+        "flatten(transform(_ms, vs -> transform(vs, v -> "
+        + _TS_PARSE.format("v")
+        + ")))"
+    )
     return typed.select(
         *base,
         F.when(~F.col("_fast"), F.col("spans")).alias("spans"),
+        F.when(F.col("_fastn"), F.lit("node"))
+        .when(F.col("_fastw"), F.lit("way"))
+        .alias("fast_kind"),
         arr(ts_expr).alias("vts"),
         arr("versions.version").alias("vversion"),
         arr("versions.visible").alias("vvisible"),
@@ -142,6 +248,28 @@ def prepared_docs(
         (arr(match_expr) if match_expr else F.lit(None).cast("array<boolean>")).alias(
             "vmatch"
         ),
+        # way fast-path extras: per-version refs + flat member histories
+        warr(
+            "transform(versions, v -> size(coalesce(v.refs, array())))"
+        ).alias("vrefcnt"),
+        warr(
+            "flatten(transform(versions,"
+            " v -> transform(coalesce(v.refs, array()), r -> r.ref)))"
+        ).alias("vref"),
+        warr("transform(members, m -> m.id)").alias("mid"),
+        warr("transform(_ms, vs -> size(vs))").alias("mvcnt"),
+        warr(mem_ts).alias("mts"),
+        warr("flatten(transform(_ms, vs -> vs.vis))").alias("mvis"),
+        warr(
+            "flatten(transform(_ms, vs -> transform(vs,"
+            f" v -> coalesce(v.lon, cast({_LON_SENTINEL} as bigint)))))"
+        ).alias("mlon"),
+        warr(
+            "flatten(transform(_ms, vs -> transform(vs,"
+            f" v -> coalesce(v.lat, cast({_LON_SENTINEL} as bigint)))))"
+        ).alias("mlat"),
+        warr("flatten(transform(_ms, vs -> vs.cs))").alias("mcs"),
+        warr("flatten(transform(_ms, vs -> vs.uid))").alias("muid"),
     )
 
 
@@ -342,12 +470,7 @@ def _nodes_snapshot_vec(
     # polygon AOIs still need the exact doc-level test here)
     doc_rel = _doc_rel_vec(pdf, aoi)
 
-    tokens = cells.token_of_bboxes(
-        pdf["bbox_min_lon"].to_numpy(np.int64),
-        pdf["bbox_min_lat"].to_numpy(np.int64),
-        pdf["bbox_max_lon"].to_numpy(np.int64),
-        pdf["bbox_max_lat"].to_numpy(np.int64),
-    )
+    tokens = _doc_tokens(pdf)
     ids = pdf["id"].to_numpy(np.int64)
     doc_ids = pdf["doc_id"].to_numpy(object)
 
@@ -402,6 +525,301 @@ def _nodes_snapshot_vec(
     return pd.concat(frames, ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# vectorized WAY path: numpy as-of joins over the flat member tables
+# ---------------------------------------------------------------------------
+
+def _flat_way_arrays(pdf: pd.DataFrame) -> dict:
+    """Batch-global flat ref + member tables for way fast docs.
+
+    Member slots are numbered in (doc, span-order) order; each slot's
+    sorted version history is a segment of the flat m_* arrays, keyed by
+    slot * 2^34 + ts for one-searchsorted as-of resolution (same trick as
+    the node path's combined key). Ref ids resolve to slots through a
+    dense-rank composite key (doc * n_unique_ids + rank), avoiding any
+    assumption about node-id magnitude."""
+    n_docs = len(pdf)
+    refcnt = _flat_i64(pdf["vrefcnt"])
+    ref_flat = _flat_i64(pdf["vref"])
+    ref_starts = np.cumsum(refcnt) - refcnt
+
+    nm = np.fromiter((len(v) for v in pdf["mid"]), dtype=np.int64, count=n_docs)
+    mem_doc = np.repeat(np.arange(n_docs, dtype=np.int64), nm)
+    mem_id = _flat_i64(pdf["mid"])
+    m_lens = _flat_i64(pdf["mvcnt"])
+    m_starts = np.cumsum(m_lens) - m_lens
+    slot_of_ver = np.repeat(np.arange(len(mem_id), dtype=np.int64), m_lens)
+    m_ts = _flat_i64(pdf["mts"])
+
+    all_ids = np.unique(np.concatenate([mem_id, ref_flat]))
+    k_ids = max(len(all_ids), 1)
+    mem_key = mem_doc * k_ids + np.searchsorted(all_ids, mem_id)
+    order = np.argsort(mem_key)
+    return {
+        "refcnt": refcnt,
+        "ref_flat": ref_flat,
+        "ref_starts": ref_starts,
+        "m_starts": m_starts,
+        "m_combined": slot_of_ver * (1 << 34) + m_ts,
+        "m_vis": _flat_bool(pdf["mvis"]),
+        "m_lon": _flat_i64(pdf["mlon"], fill=_LON_SENTINEL),
+        "m_lat": _flat_i64(pdf["mlat"], fill=_LON_SENTINEL),
+        "m_cs": _flat_i64(pdf["mcs"]),
+        "m_uid": _flat_i64(pdf["muid"]),
+        "mem_doc": mem_doc,
+        "all_ids": all_ids,
+        "k_ids": k_ids,
+        "sorted_mem_keys": mem_key[order],
+        "mem_order": order,
+    }
+
+
+def _member_slots(wa: dict, doc: np.ndarray, ref_id: np.ndarray):
+    """(slot, found) for each (doc, node_id) pair — missing members (the
+    reference's redaction/incomplete-extract case) report found=False."""
+    sk = wa["sorted_mem_keys"]
+    if len(sk) == 0:
+        z = np.zeros(len(doc), dtype=np.int64)
+        return z, np.zeros(len(doc), dtype=bool)
+    keys = doc * wa["k_ids"] + np.searchsorted(wa["all_ids"], ref_id)
+    pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
+    found = sk[pos] == keys
+    return np.where(found, wa["mem_order"][pos], 0), found
+
+
+def _member_asof(wa: dict, slot: np.ndarray, found: np.ndarray, t: np.ndarray):
+    """As-of member version index per (slot, t); valid=False when the
+    member has no version yet, is invisible, or has null coords
+    (the filter chain of OSHDBGeometryBuilder._resolve refs, ref :87-93)."""
+    if len(wa["m_combined"]) == 0:
+        return np.zeros(len(slot), dtype=np.int64), np.zeros(len(slot), dtype=bool)
+    mpos = (
+        np.searchsorted(wa["m_combined"], slot * (1 << 34) + t, side="right") - 1
+    )
+    valid = found & (mpos >= wa["m_starts"][slot])
+    mp = np.where(valid, mpos, 0)
+    valid &= wa["m_vis"][mp] & (wa["m_lon"][mp] != _LON_SENTINEL)
+    return mp, valid
+
+
+def _area_flags(decider, parsed_tags: np.ndarray) -> tuple[np.ndarray, bool]:
+    """(tags_area per unique tag-dict, require_closed_refs). Callers route
+    custom deciders to the general path; the three built-in interpreters
+    vectorize (BaseTagInterpreter.java:18-158 semantics)."""
+    if isinstance(decider, AlwaysArea):
+        return np.ones(len(parsed_tags), dtype=bool), False
+    if isinstance(decider, NeverArea):
+        return np.zeros(len(parsed_tags), dtype=bool), False
+    assert isinstance(decider, DefaultTagInterpreter)
+    return (
+        np.fromiter(
+            (decider._tags_area(t) for t in parsed_tags),
+            dtype=bool,
+            count=len(parsed_tags),
+        ),
+        True,
+    )
+
+
+def _doc_tokens(pdf: pd.DataFrame) -> np.ndarray:
+    """Per-doc Hilbert cell token; '' for docs with no coordinates at all
+    (null bbox — matches _doc_structs's empty-token case)."""
+    nulls = pdf["bbox_min_lon"].isna().to_numpy()
+    toks = cells.token_of_bboxes(
+        pdf["bbox_min_lon"].fillna(0).to_numpy(np.int64),
+        pdf["bbox_min_lat"].fillna(0).to_numpy(np.int64),
+        pdf["bbox_max_lon"].fillna(0).to_numpy(np.int64),
+        pdf["bbox_max_lat"].fillna(0).to_numpy(np.int64),
+    )
+    toks = np.asarray(toks, dtype=object)
+    toks[nulls] = ""
+    return toks
+
+
+def _resolve_way_geometry(
+    wa: dict,
+    ps: np.ndarray,
+    sdoc: np.ndarray,
+    st: np.ndarray,
+    tags_area: np.ndarray,
+    need_closed_refs: bool,
+):
+    """Resolve geometry for (own-version index ps, doc sdoc, time st) rows:
+    each ref id → member as-of coordinate (skipping missing/invisible/
+    coordless members), then the way geometry ladder decision
+    (OSHDBGeometryBuilder.java:81-110). Returns
+    (kind, ncoords, cstart, c_row, c_lon7, c_lat7) where kind is
+    0 empty Point / 1 Point / 2 LineString / 3 Polygon."""
+    refcnt, ref_flat, ref_starts = wa["refcnt"], wa["ref_flat"], wa["ref_starts"]
+    n_out = len(ps)
+    rn = refcnt[ps]
+    total = int(rn.sum())
+    cand_row = np.repeat(np.arange(n_out, dtype=np.int64), rn)
+    local = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rn) - rn, rn)
+    cand_ref = ref_flat[np.repeat(ref_starts[ps], rn) + local]
+    slot, found = _member_slots(wa, sdoc[cand_row], cand_ref)
+    mp, valid = _member_asof(wa, slot, found, st[cand_row])
+
+    c_row = cand_row[valid]
+    c_lon7 = wa["m_lon"][mp[valid]]
+    c_lat7 = wa["m_lat"][mp[valid]]
+    ncoords = np.bincount(c_row, minlength=n_out).astype(np.int64)
+    cstart = np.cumsum(ncoords) - ncoords
+
+    # polygon decision: decider(tags, refs) ∧ resolved ring closed (≥4,
+    # first == last coord) — fixed-point equality, ref :94-98
+    nz = ncoords >= 4
+    coords_closed = np.zeros(n_out, dtype=bool)
+    if nz.any():
+        fi, li = cstart[nz], cstart[nz] + ncoords[nz] - 1
+        coords_closed[nz] = (c_lon7[fi] == c_lon7[li]) & (c_lat7[fi] == c_lat7[li])
+    is_area = tags_area.copy()
+    if need_closed_refs and len(ref_flat):
+        zero = rn == 0
+        fr = ref_flat[np.where(zero, 0, ref_starts[ps])]
+        lr = ref_flat[np.where(zero, 0, ref_starts[ps] + rn - 1)]
+        is_area &= (rn >= 4) & (fr == lr)
+    elif need_closed_refs:
+        is_area &= False
+    kind = np.select(
+        [is_area & coords_closed, ncoords >= 2, ncoords == 1], [3, 2, 1], 0
+    ).astype(np.int64)
+    return kind, ncoords, cstart, c_row, c_lon7, c_lat7
+
+
+_NAN_POINT = np.frombuffer(
+    np.array([np.nan, np.nan], dtype="<f8").tobytes(), dtype=np.uint8
+)
+
+
+def _way_wkb_vec(
+    kind: np.ndarray,
+    ncoords: np.ndarray,
+    cstart: np.ndarray,
+    c_row: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+) -> list[bytes]:
+    """Vectorized ISO little-endian WKB for the way geometry ladder —
+    byte-identical to geo.geom.to_wkb. kind: 0 empty Point, 1 Point,
+    2 LineString, 3 Polygon(single ring). Coords (x, y degrees) are
+    grouped by output row (c_row ascending), segment offsets in cstart."""
+    n = len(kind)
+    nbytes = np.select(
+        [kind <= 1, kind == 2], [21, 9 + 16 * ncoords], 13 + 16 * ncoords
+    ).astype(np.int64)
+    offs = np.cumsum(nbytes) - nbytes
+    buf = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    buf[offs] = 1  # little-endian marker
+    # geometry type code (u32 LE; codes < 256 so one byte suffices)
+    buf[offs + 1] = np.where(kind == 0, 1, kind)
+
+    def put_u32(pos: np.ndarray, val: np.ndarray):
+        for b in range(4):
+            buf[pos + b] = (val >> (8 * b)) & 0xFF
+
+    ls = kind == 2
+    pg = kind == 3
+    if ls.any():
+        put_u32(offs[ls] + 5, ncoords[ls])
+    if pg.any():
+        put_u32(offs[pg] + 5, np.ones(int(pg.sum()), dtype=np.int64))
+        put_u32(offs[pg] + 9, ncoords[pg])
+    empty = kind == 0
+    if empty.any():
+        buf[offs[empty][:, None] + (5 + np.arange(16))[None, :]] = _NAN_POINT[None, :]
+    if len(x):
+        pair_u8 = (
+            np.ascontiguousarray(np.stack([x, y], axis=1), dtype="<f8")
+            .view(np.uint8)
+            .reshape(-1, 16)
+        )
+        coord_base = offs + np.select([kind == 1, kind == 2], [5, 9], 13)
+        local = np.arange(len(x), dtype=np.int64) - cstart[c_row]
+        dest = coord_base[c_row] + 16 * local
+        buf[dest[:, None] + np.arange(16)[None, :]] = pair_u8
+    return [buf[o : o + nb].tobytes() for o, nb in zip(offs, nbytes)]
+
+
+def _ways_snapshot_vec(
+    pdf: pd.DataFrame, requested: list[int], with_geometry: bool, decider
+) -> pd.DataFrame:
+    """Fully vectorized snapshot kernel for fully-inside WAY docs.
+
+    Equivalent to the general path's mod-timestamp + queryTs walk
+    (CellIterator.java:181-347): a snapshot row exists at t iff the as-of
+    own version is visible, matches the filter, and has refs; its geometry
+    resolves each ref to the member node's as-of state. Direct per-t
+    computation matches the carry-forward optimization because any member
+    or own change between two requested timestamps is by construction a
+    modification timestamp (filter-aware member windows cover the visible
+    matching span)."""
+    import json
+
+    fa = _flat_node_arrays(pdf)
+    n_docs, starts = fa["n_docs"], fa["starts"]
+    combined = fa["combined"]
+    vis, match = fa["visible"], fa["match"]
+    wa = _flat_way_arrays(pdf)
+    refcnt = wa["refcnt"]
+
+    uniq, inv = np.unique(fa["tags"].astype(str), return_inverse=True)
+    parsed = np.array([json.loads(s) for s in uniq], dtype=object)
+    tags_area_u, need_closed_refs = _area_flags(decider, parsed)
+
+    n_ts = len(requested)
+    row_doc = np.tile(np.arange(n_docs, dtype=np.int64), n_ts)
+    row_t = np.repeat(np.asarray(requested, dtype=np.int64), n_docs)
+    pos = np.searchsorted(combined, row_doc * (1 << 34) + row_t, side="right") - 1
+    ok = pos >= starts[row_doc]
+    p = np.where(ok, pos, 0)
+    # zero-node ways skip (CellIterator.java:254-257)
+    ok &= vis[p] & match[p] & (refcnt[p] > 0)
+    sel = np.nonzero(ok)[0]
+    if len(sel) == 0:
+        return _empty_frame(_SNAP_COLS)
+    ps, sdoc, st = pos[sel], row_doc[sel], row_t[sel]
+
+    kind, ncoords, cstart, c_row, c_lon7, c_lat7 = _resolve_way_geometry(
+        wa, ps, sdoc, st, tags_area_u[inv[ps]], need_closed_refs
+    )
+    n_out = len(sel)
+
+    if with_geometry:
+        wkb = np.array(
+            _way_wkb_vec(
+                kind, ncoords, cstart, c_row, c_lon7 * 1e-7, c_lat7 * 1e-7
+            ),
+            dtype=object,
+        )
+    else:
+        wkb = np.full(n_out, None, dtype=object)
+
+    tokens = _doc_tokens(pdf)
+    ids = pdf["id"].to_numpy(np.int64)
+    doc_ids = pdf["doc_id"].to_numpy(object)
+    return pd.DataFrame(
+        {
+            "ts": st,
+            "entity_type": "way",
+            "id": ids[sdoc],
+            "version": fa["version"][ps].astype(np.int32),
+            "changeset": fa["changeset"][ps],
+            "uid": fa["uid"][ps].astype(np.int32),
+            "tags": parsed[inv[ps]],
+            "geom_wkb": wkb,
+            "geom_clipped_wkb": wkb,
+            "cell": tokens[sdoc],
+            "doc_id": doc_ids[sdoc],
+        },
+        columns=_SNAP_COLS,
+    )
+
+
+def _vectorizable_decider(decider) -> bool:
+    return type(decider) in (DefaultTagInterpreter, AlwaysArea, NeverArea)
+
+
 def snapshots(
     docs: DataFrame,
     timestamps: list[int],
@@ -422,23 +840,39 @@ def snapshots(
     decider = area_decider or DEFAULT_INTERPRETER
     requested = sorted(timestamps)
     flt = compile_python(filter_spec)
-    typed = prepared_docs(docs, filter_spec, aoi, fast_arrays=True)
+    # way fast path: only when no clipping decision is needed per doc
+    # (polygon AOIs need the exact bbox-vs-polygon cull, done per doc in
+    # the general path) and the area decider is one of the vectorizable
+    # built-ins
+    fast_ways = aoi.polygon is None and _vectorizable_decider(decider)
+    typed = prepared_docs(
+        docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            fast_mask = pdf["vts"].notna().to_numpy()
+            fk = pdf["fast_kind"]
+            node_mask = (fk == "node").to_numpy()
+            way_mask = (fk == "way").to_numpy()
+            gen_mask = ~(node_mask | way_mask)
             frames = []
-            if fast_mask.any():
+            if node_mask.any():
                 frames.append(
                     _nodes_snapshot_vec(
-                        pdf[fast_mask], requested, aoi, with_geometry
+                        pdf[node_mask], requested, aoi, with_geometry
                     )
                 )
-            if (~fast_mask).any():
+            if way_mask.any():
+                frames.append(
+                    _ways_snapshot_vec(
+                        pdf[way_mask], requested, with_geometry, decider
+                    )
+                )
+            if gen_mask.any():
                 out: list[tuple] = []
-                for row in pdf[~fast_mask].to_dict("records"):
+                for row in pdf[gen_mask].to_dict("records"):
                     _emit_doc_snapshots(
                         row, requested, aoi, flt, decider, with_geometry, out
                     )

@@ -64,6 +64,29 @@ MEMBER_JSON = T.StructType(
     ]
 )
 
+# reduced member decode for the vectorized kernels: from_json skips JSON
+# fields absent from the schema, so member tags/refs (never needed by the
+# flat member tables or the bbox summary) are not materialized
+VERSION_LITE = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("visible", T.BooleanType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("changeset", T.LongType()),
+        T.StructField("uid", T.IntegerType()),
+        T.StructField("lon", T.LongType()),
+        T.StructField("lat", T.LongType()),
+    ]
+)
+
+MEMBER_LITE = T.StructType(
+    [
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("versions", T.ArrayType(VERSION_LITE)),
+    ]
+)
+
 META_JSON = T.StructType(
     [
         T.StructField("entity_type", T.StringType()),

@@ -134,3 +134,201 @@ def test_contribution_fast_vs_slow_history(spark):
     fast = contributions(docs, CONTRIB_INTERVAL)
     slow = contributions(docs, CONTRIB_INTERVAL, filter_spec=[NOOP])
     pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+# ---------------------------------------------------------------------------
+# WAY fast path (vectorized member as-of joins) vs general path
+# ---------------------------------------------------------------------------
+
+def _mem(id_, versions):
+    return {"entity_type": "node", "id": id_, "versions": versions}
+
+
+def _tricky_way_docs(spark):
+    docs = [
+        # open way, nodes move independently; one node deleted mid-history
+        make_doc(
+            "way", 1,
+            [
+                make_version(1, _ts(0), 10, uid=1, tags={"highway": "path"},
+                             refs=[{"type": "node", "ref": 101, "role": ""},
+                                   {"type": "node", "ref": 102, "role": ""},
+                                   {"type": "node", "ref": 103, "role": ""}]),
+                make_version(2, _ts(2), 11, uid=2, tags={"highway": "track"},
+                             refs=[{"type": "node", "ref": 101, "role": ""},
+                                   {"type": "node", "ref": 103, "role": ""}]),
+            ],
+            members=[
+                _mem(101, [make_version(1, _ts(0), 10, lon=10_0000000, lat=10_0000000),
+                           make_version(2, _ts(1), 12, lon=11_0000000, lat=10_0000000)]),
+                _mem(102, [make_version(1, _ts(0), 10, lon=12_0000000, lat=10_0000000),
+                           make_version(2, _ts(1) + 50, 13, visible=False)]),
+                _mem(103, [make_version(1, _ts(0), 10, lon=13_0000000, lat=11_0000000)]),
+            ],
+        ),
+        # closed ring with area tag → Polygon; area tag disappears later
+        make_doc(
+            "way", 2,
+            [
+                make_version(1, _ts(0), 20, uid=1, tags={"building": "yes"},
+                             refs=[{"type": "node", "ref": 201, "role": ""},
+                                   {"type": "node", "ref": 202, "role": ""},
+                                   {"type": "node", "ref": 203, "role": ""},
+                                   {"type": "node", "ref": 201, "role": ""}]),
+                make_version(2, _ts(2), 21, uid=1, tags={"highway": "path"},
+                             refs=[{"type": "node", "ref": 201, "role": ""},
+                                   {"type": "node", "ref": 202, "role": ""},
+                                   {"type": "node", "ref": 203, "role": ""},
+                                   {"type": "node", "ref": 201, "role": ""}]),
+            ],
+            members=[
+                _mem(201, [make_version(1, _ts(0), 20, lon=0, lat=0)]),
+                _mem(202, [make_version(1, _ts(0), 20, lon=1_0000000, lat=0)]),
+                _mem(203, [make_version(1, _ts(0), 20, lon=1_0000000, lat=1_0000000),
+                           make_version(2, _ts(3), 22, lon=2_0000000, lat=2_0000000)]),
+            ],
+        ),
+        # way deleted then restored; missing member (204 has no history);
+        # node ids 201/202 REUSED from doc way/2 (slot mapping is doc-scoped)
+        make_doc(
+            "way", 3,
+            [
+                make_version(1, _ts(0), 30, uid=1, tags={"a": "1"},
+                             refs=[{"type": "node", "ref": 201, "role": ""},
+                                   {"type": "node", "ref": 204, "role": ""},
+                                   {"type": "node", "ref": 202, "role": ""}]),
+                make_version(2, _ts(1), 31, uid=1, visible=False),
+                make_version(3, _ts(2), 32, uid=2, tags={"a": "2"},
+                             refs=[{"type": "node", "ref": 202, "role": ""},
+                                   {"type": "node", "ref": 201, "role": ""}]),
+            ],
+            members=[
+                _mem(201, [make_version(1, _ts(0), 30, lon=-10_0000000, lat=-10_0000000)]),
+                _mem(202, [make_version(1, _ts(0), 30, lon=-12_0000000, lat=-10_0000000),
+                           make_version(2, _ts(1) + 100, 33, lon=-12_0000000, lat=-12_0000000)]),
+            ],
+        ),
+        # zero-ref version (skipped), single surviving node → Point geometry
+        make_doc(
+            "way", 4,
+            [
+                make_version(1, _ts(0), 40, uid=1, tags={"z": "1"}, refs=[]),
+                make_version(2, _ts(1), 41, uid=1, tags={"z": "1"},
+                             refs=[{"type": "node", "ref": 401, "role": ""},
+                                   {"type": "node", "ref": 402, "role": ""}]),
+            ],
+            members=[
+                _mem(401, [make_version(1, _ts(0), 40, lon=50_0000000, lat=50_0000000)]),
+                _mem(402, [make_version(1, _ts(2), 42, lon=51_0000000, lat=50_0000000)]),
+            ],
+        ),
+        # area=no override on a closed ring → stays a LineString
+        make_doc(
+            "way", 5,
+            [
+                make_version(1, _ts(0), 50, uid=1,
+                             tags={"landuse": "farm", "area": "no"},
+                             refs=[{"type": "node", "ref": 501, "role": ""},
+                                   {"type": "node", "ref": 502, "role": ""},
+                                   {"type": "node", "ref": 503, "role": ""},
+                                   {"type": "node", "ref": 501, "role": ""}]),
+            ],
+            members=[
+                _mem(501, [make_version(1, _ts(0), 50, lon=30_0000000, lat=30_0000000)]),
+                _mem(502, [make_version(1, _ts(0), 50, lon=31_0000000, lat=30_0000000)]),
+                _mem(503, [make_version(1, _ts(0), 50, lon=31_0000000, lat=31_0000000)]),
+            ],
+        ),
+    ]
+    return docs_df(spark, docs)
+
+
+@pytest.mark.parametrize(
+    "aoi_kw",
+    [
+        {},
+        {"bbox": (-60.0, -60.0, 60.0, 60.0)},  # all tricky ways fully inside
+        {"bbox": (-11.0, -11.0, 20.0, 20.0)},  # some ways cross the border
+    ],
+    ids=["world", "inside", "boundary"],
+)
+@pytest.mark.parametrize(
+    "flt",
+    [None, [("tag_key", "highway")], [("tag_eq", "a", "2")]],
+    ids=["nofilter", "tagkey", "tageq"],
+)
+def test_way_snapshot_fast_vs_slow(spark, aoi_kw, flt):
+    docs = _tricky_way_docs(spark)
+    fast = snapshots(docs, SNAP_TS, filter_spec=flt, **aoi_kw)
+    slow = snapshots(docs, SNAP_TS, filter_spec=(flt or []) + [NOOP], **aoi_kw)
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+@pytest.mark.parametrize(
+    "aoi_kw",
+    [{}, {"bbox": (-60.0, -60.0, 60.0, 60.0)}],
+    ids=["world", "inside"],
+)
+@pytest.mark.parametrize(
+    "flt",
+    [None, [("tag_key", "highway")], [("tag_eq", "a", "2")]],
+    ids=["nofilter", "tagkey", "tageq"],
+)
+def test_way_contribution_fast_vs_slow(spark, aoi_kw, flt):
+    docs = _tricky_way_docs(spark)
+    interval = (_ts(0), _ts(3) + 1)
+    fast = contributions(docs, interval, filter_spec=flt, **aoi_kw)
+    slow = contributions(docs, interval, filter_spec=(flt or []) + [NOOP], **aoi_kw)
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+@pytest.mark.parametrize(
+    "interval",
+    [(0, 2**40), (_ts(1), _ts(2)), (_ts(1) + 1, _ts(3))],
+    ids=["all", "mid", "offset"],
+)
+def test_way_contribution_fast_vs_slow_intervals(spark, interval):
+    """Interval boundaries: skipOutput prev-carry, abort-at-end."""
+    docs = _tricky_way_docs(spark)
+    fast = contributions(docs, interval)
+    slow = contributions(docs, interval, filter_spec=[NOOP])
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+def test_way_contribution_fast_vs_slow_reference_fixture(spark):
+    import os
+
+    from oshdb_spark.model.synth import parse_osm_xml
+
+    ref = "/root/reference/oshdb-util/src/test/resources/different-timestamps/way.osm"
+    if not os.path.isfile(ref):
+        pytest.skip("reference fixtures not available")
+    from oshdb_spark.model.synth import unix
+
+    docs = docs_df(spark, parse_osm_xml(ref))
+    interval = (unix("2000-01-01T00:00:00Z"), unix("2018-01-01T00:00:00Z"))
+    fast = contributions(docs, interval)
+    slow = contributions(docs, interval, filter_spec=[NOOP])
+    a = _canon(fast)
+    pd.testing.assert_frame_equal(a, _canon(slow))
+    assert len(a) > 10
+
+
+def test_way_snapshot_fast_vs_slow_reference_fixture(spark):
+    """The reference's own way.osm fixture docs through both Spark paths."""
+    import os
+
+    from oshdb_spark.model.synth import parse_osm_xml
+
+    ref = "/root/reference/oshdb-util/src/test/resources/different-timestamps/way.osm"
+    if not os.path.isfile(ref):
+        pytest.skip("reference fixtures not available")
+    from oshdb_spark.api.timestamps import timestamp_list
+
+    docs = docs_df(spark, parse_osm_xml(ref))
+    ts = timestamp_list("2000-01-01", "2018-01-01", "P1Y")
+    fast = snapshots(docs, ts)
+    slow = snapshots(docs, ts, filter_spec=[NOOP])
+    a = _canon(fast)
+    pd.testing.assert_frame_equal(a, _canon(slow))
+    assert len(a) > 50
