@@ -327,6 +327,55 @@ def q_snapshot_by_ts_and_tag(spark, sf_dir):
     )
 
 
+def q_snapshot_tag_any(spark, sf_dir):
+    """OR-of-tags filter (osmTag(Collection), MapReducer.java:595-632)
+    through the node SQL path — the tag_any grammar node compiles to an
+    OR predicate pushed into the scan."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("node")
+        .osm_tag_any(("event_type", "click"), ("event_type", "signup"))
+        .without_geometry()
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
+# general-position rect polygon AOI: half-fixed-point offsets (…5e-8°)
+# cannot coincide with any integer-lattice square coordinate, so no
+# collinear-edge / vertex-on-edge degeneracies can occur
+_CLIP_RECT = (-100.00000135, -50.00000195, 80.00000175, 40.00000235)
+
+
+def q_polygon_clip_area(spark, sf_dir):
+    """Exact polygon∩polygon clipping (≙ JTS intersection in Geo.clip,
+    Geo.java:185-191, applied by CellIterator.java:349-378): per-user
+    squares clipped to a polygon AOI, Chamberlain–Duquette area of the
+    CLIPPED geometry. Fully-inside squares keep their area, boundary
+    squares lose exactly the cut, outside squares don't appear."""
+    from oshdb_spark.geo.measures import wkb_area_m2
+    from oshdb_spark.model.history import multipolygon_docs_from_events
+
+    w, s, e, n = _CLIP_RECT
+    ring = [(w, s), (e, s), (e, n), (w, n), (w, s)]
+    docs = multipolygon_docs_from_events(_t(spark, sf_dir, "events"))
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps([SNAPSHOT_TS[-1]])
+        .area_of_interest(polygon=[ring])
+        .osm_type("relation")
+        .dataframe()
+    )
+    return snaps.select(
+        "id",
+        F.round(wkb_area_m2("geom_clipped_wkb") / 1e6, 3).alias("clip_km2"),
+    )
+
+
 def q_entity_history(spark, sf_dir):
     """groupByEntity analog: full-history per-entity contribution summary."""
     docs = docs_from_events(_t(spark, sf_dir, "events"))
@@ -493,6 +542,20 @@ def q_knn_events(spark, sf_dir):
     ).select("event_id")
 
 
+_KNN_QS = [("a", 10.0, 20.0), ("b", -120.0, -40.0), ("c", 30.0, 82.0)]
+
+
+def q_knn_batch_events(spark, sf_dir):
+    """Batch kNN: exactly two Spark actions (cell histogram + windowed
+    top-k over the union of proven disks) — no per-ring driver loop; the
+    high-latitude query exercises the metadata-radius guarantee."""
+    from oshdb_spark.geo.spatial_join import knn_batch
+
+    return knn_batch(
+        _event_points(spark, sf_dir), _KNN_QS, k=25, id_cols=["event_id"]
+    ).select("qid", "event_id")
+
+
 _ZONES_RECT = {
     "nw": (-180.0, 0.15, -0.15, 85.0),
     "se": (0.15, -85.0, 180.0, -0.15),
@@ -554,6 +617,38 @@ def q_contrib_by_region(spark, sf_dir):
     )
 
 
+def q_contrib_by_region_poly(spark, sf_dir):
+    """Contribution splitter with a POLYGON region (vectorized PiP over
+    the before/after union, GeometrySplitter.java:141-203)."""
+    from oshdb_spark.geo.measures import wkb_point_coords
+    from oshdb_spark.geo.spatial_join import split_contributions_by_regions
+
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps(list(CONTRIB_INTERVAL))
+        .osm_type("node")
+        .dataframe()
+    )
+    df = (
+        df.withColumn("pb", wkb_point_coords("geom_before_wkb"))
+        .withColumn("pa", wkb_point_coords("geom_after_wkb"))
+        .select(
+            F.col("pb.lon").alias("blon"), F.col("pb.lat").alias("blat"),
+            F.col("pa.lon").alias("alon"), F.col("pa.lat").alias("alat"),
+        )
+    )
+    regions = {"quad": [_POLY], "north": (-180.0, 20.0, 180.0, 85.0)}
+    return (
+        split_contributions_by_regions(
+            df, regions, "blon", "blat", "alon", "alat", fixed_point=False
+        )
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_multipolygon_area(spark, sf_dir):
     """Multipolygon assembly through the driver gate: per-user square
     outer rings assembled into Polygons; Chamberlain–Duquette area."""
@@ -579,12 +674,14 @@ def q_multipolygon_area(spark, sf_dir):
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs on a corpus with planted
-    clones (vec_id + 10000)."""
-    from oshdb_spark.ops.dedup import embedding_neardup_pairs
+    clones (vec_id + 10000) — through the LSH-bucketed pairwise operator
+    (no cartesian product; the DuckDB oracle IS the brute-force check, so
+    this row doubles as the recall-1.0 equivalence gate)."""
+    from oshdb_spark.ops.dedup import lsh_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 10000))
-    return embedding_neardup_pairs(dup, threshold=0.999999).select(
+    return lsh_neardup_pairs(dup, threshold=0.999999, dim=64).select(
         "id_a", "id_b"
     )
 
@@ -747,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_tag": q_snapshot_bbox_tag,
         "contribution_types": q_contribution_types,
         "contrib_by_region": q_contrib_by_region,
+        "contrib_by_region_poly": q_contrib_by_region_poly,
         "contrib_monthly_zerofill": q_contrib_monthly_zerofill,
         "reducer_group_sum_avg": q_reducer_group_sum_avg,
         "reducer_count_uniq": q_reducer_count_uniq,
@@ -759,12 +857,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_snapshot_length": q_relation_snapshot_length,
         "snapshot_polygon": q_snapshot_polygon,
         "snapshot_tag_regex": q_snapshot_tag_regex,
+        "snapshot_tag_any": q_snapshot_tag_any,
+        "polygon_clip_area": q_polygon_clip_area,
         "snapshot_by_ts_and_tag": q_snapshot_by_ts_and_tag,
         "entity_history": q_entity_history,
         "contrib_uniq_contributors": q_contrib_uniq_contributors,
         "ring_area": q_ring_area,
         "agg_by_geometry": q_agg_by_geometry,
         "knn_events": q_knn_events,
+        "knn_batch_events": q_knn_batch_events,
         "zonal_rect": q_zonal_rect,
         "multipolygon_area": q_multipolygon_area,
         "dedup_embedding": q_dedup_embedding,
@@ -783,6 +884,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "topk_orders": q_topk_orders,
     }
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB mirror of ops.similarity.lsh_ann(k=10, n_planes=8,
+    multiprobe=2): hyperplane literals come from the SAME _hyperplanes
+    code, so the two sides stay in sync by construction. Testdata
+    embeddings are dim=64 at every sf."""
+    from oshdb_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in pl) + "])"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+        WITH planes AS (SELECT * FROM (VALUES {rows}) p(i, pl)),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        qb AS (
+          SELECT CAST(sum(CASE WHEN list_inner_product(q.qv, p.pl) >= 0
+                          THEN (1 << p.i) ELSE 0 END) AS INT) AS b
+          FROM q, planes p),
+        bt AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], p.pl)
+                           >= 0 THEN (1 << p.i) ELSE 0 END) AS INT) AS b
+          FROM embeddings, planes p GROUP BY 1),
+        probes AS (
+          SELECT b FROM qb
+          UNION
+          SELECT xor(qb.b, 1 << t.i) FROM qb,
+            UNNEST(generate_series(0, 7)) t(i)
+          UNION
+          SELECT xor(xor(qb.b, 1 << t.i), 1 << s.j) FROM qb,
+            UNNEST(generate_series(0, 7)) t(i),
+            UNNEST(generate_series(0, 7)) s(j)
+          WHERE s.j > t.i)
+        SELECT vec_id FROM (
+          SELECT e.vec_id,
+            list_inner_product(e.embedding::DOUBLE[], q.qv)
+            / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]))
+               * sqrt(list_inner_product(q.qv, q.qv))) AS c
+          FROM embeddings e JOIN bt ON e.vec_id = bt.vec_id, q
+          WHERE bt.b IN (SELECT b FROM probes))
+        ORDER BY c DESC, vec_id LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -875,6 +1023,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'tropics' FROM e WHERE
                 (blon IS NOT NULL AND blat >= -23.5 AND blat <= 23.5)
                 OR (alon IS NOT NULL AND alat >= -23.5 AND alat <= 23.5))
+            SELECT region, count(*) AS cnt FROM m GROUP BY 1
+        """,
+        "contrib_by_region_poly": _HIST + f""",
+            s AS ({contrib_states}),
+            e AS (
+              SELECT id,
+                CASE WHEN visible THEN lon7 * 1e-7 END AS alon,
+                CASE WHEN visible THEN lat7 * 1e-7 END AS alat,
+                CASE WHEN lv THEN
+                  (((id*1103515245 + lg*1000003) % 3600000000)
+                    - 1800000000) * 1e-7 END AS blon,
+                CASE WHEN lv THEN
+                  (((id*1234567891 + lg*999983) % 1700000000)
+                    - 850000000) * 1e-7 END AS blat
+              FROM s
+              WHERE (visible OR (NOT visible AND coalesce(lv, false)))
+                AND valid_from >= {CONTRIB_INTERVAL[0]}
+                AND valid_from <  {CONTRIB_INTERVAL[1]}),
+            m AS (
+              SELECT 'quad' AS region FROM e WHERE
+                (blon IS NOT NULL
+                 AND (80.0000013 - -100.0000017) * (blat - -50.0000031)
+                     - (-60.0000029 - -50.0000031) * (blon - -100.0000017) > 0
+                 AND (120.0000019 - 80.0000013) * (blat - -60.0000029)
+                     - (50.0000023 - -60.0000029) * (blon - 80.0000013) > 0
+                 AND (-80.0000011 - 120.0000019) * (blat - 50.0000023)
+                     - (60.0000037 - 50.0000023) * (blon - 120.0000019) > 0
+                 AND (-100.0000017 - -80.0000011) * (blat - 60.0000037)
+                     - (-50.0000031 - 60.0000037) * (blon - -80.0000011) > 0)
+                OR (alon IS NOT NULL
+                 AND (80.0000013 - -100.0000017) * (alat - -50.0000031)
+                     - (-60.0000029 - -50.0000031) * (alon - -100.0000017) > 0
+                 AND (120.0000019 - 80.0000013) * (alat - -60.0000029)
+                     - (50.0000023 - -60.0000029) * (alon - 80.0000013) > 0
+                 AND (-80.0000011 - 120.0000019) * (alat - 50.0000023)
+                     - (60.0000037 - 50.0000023) * (alon - 120.0000019) > 0
+                 AND (-100.0000017 - -80.0000011) * (alat - 60.0000037)
+                     - (-50.0000031 - 60.0000037) * (alon - -80.0000011) > 0)
+              UNION ALL
+              SELECT 'north' FROM e WHERE
+                (blon IS NOT NULL AND blat >= 20 AND blat <= 85)
+                OR (alon IS NOT NULL AND alat >= 20 AND alat <= 85))
             SELECT region, count(*) AS cnt FROM m GROUP BY 1
         """,
         "contrib_monthly_zerofill": _HIST + f""",
@@ -1109,6 +1299,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
             FROM grid LEFT JOIN m USING (ts)
         """,
+        "snapshot_tag_any": _HIST + """,
+            m AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM hist v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND (v.event_type = 'click' OR v.event_type = 'signup')
+              GROUP BY 1)
+            SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
+            FROM grid LEFT JOIN m USING (ts)
+        """,
+        "polygon_clip_area": f"""
+            WITH sq AS (
+              SELECT user_id AS id,
+                (((user_id*1103515245) % 3400000000) - 1700000000) * 1e-7
+                  AS x0,
+                (((user_id*1234567891) % 1500000000) - 750000000) * 1e-7
+                  AS y0
+              FROM (SELECT DISTINCT user_id FROM events)),
+            cl AS (
+              SELECT id,
+                greatest(x0, {_CLIP_RECT[0]}) AS w,
+                greatest(y0, {_CLIP_RECT[1]}) AS s,
+                least(x0 + 0.1, {_CLIP_RECT[2]}) AS e,
+                least(y0 + 0.1, {_CLIP_RECT[3]}) AS n
+              FROM sq)
+            SELECT id, round(abs(t0 + t1 + t2 + t3 + t4)
+                             * 6371000.0 * 6371000.0 / 2.0 / 1e6, 3)
+                     AS clip_km2
+            FROM (
+              SELECT id,
+                (radians(e) - radians(w)) * sin(radians(s)) AS t0,
+                (radians(w) - radians(e)) * sin(radians(n)) AS t1,
+                (radians(w) - radians(e)) * sin(radians(n)) AS t2,
+                (radians(w) - radians(w)) * sin(radians(s)) AS t3,
+                (radians(e) - radians(w)) * sin(radians(s)) AS t4
+              FROM cl WHERE w < e AND s < n)
+        """,
         "snapshot_by_ts_and_tag": _HIST + """,
             tg AS (SELECT unnest(['click','error','purchase','signup','view'])
                      AS etype),
@@ -1231,6 +1460,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)))
             ORDER BY dist, event_id LIMIT 25
         """,
+        "knn_batch_events": """
+            WITH deg AS (
+              SELECT event_id,
+                (((event_id*1103515245) % 3600000000) - 1800000000)
+                  * 1e-7 AS lon,
+                (((event_id*1234567891) % 1700000000) - 850000000)
+                  * 1e-7 AS lat
+              FROM events),
+            qs AS (SELECT * FROM (VALUES
+              ('a', 10.0, 20.0), ('b', -120.0, -40.0), ('c', 30.0, 82.0))
+              q(qid, qlon, qlat)),
+            d AS (
+              SELECT qs.qid, deg.event_id,
+                6371000.0 * sqrt(
+                  pow(radians(deg.lon - qs.qlon)
+                      * cos(radians((qs.qlat + deg.lat) / 2.0)), 2)
+                  + pow(radians(deg.lat - qs.qlat), 2)) AS dist,
+                row_number() OVER (PARTITION BY qs.qid
+                                   ORDER BY 6371000.0 * sqrt(
+                  pow(radians(deg.lon - qs.qlon)
+                      * cos(radians((qs.qlat + deg.lat) / 2.0)), 2)
+                  + pow(radians(deg.lat - qs.qlat), 2)), deg.event_id)
+                  AS rn
+              FROM deg CROSS JOIN qs)
+            SELECT qid, event_id FROM d WHERE rn <= 25
+        """,
         "zonal_rect": """
             WITH deg AS (
               SELECT (((event_id*1103515245) % 3600000000) - 1800000000)
@@ -1334,6 +1589,38 @@ def oracle_sql() -> dict[str, str]:
                    round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
             FROM jac WHERE inter / CAST(uni AS DOUBLE) >= 0.5
         """,
+        "dedup_simhash": """
+            -- SimHash mirror of ops/dedup.with_simhash (32-bit token-hash
+            -- bit voting); blocking is EXACT (pigeonhole: hamming<=3 pairs
+            -- share one of 4 blocks), so brute-force hamming<=3 pairs
+            -- equal the engine's blocked result
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000, text FROM documents),
+            tok AS (
+              SELECT doc_id, md5(t) AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM dup)),
+            votes AS (
+              SELECT doc_id, j,
+                sum(CASE WHEN
+                  ((strpos('0123456789abcdef', substr(h, 8 - (j // 4), 1))
+                    - 1) >> (j % 4)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+              FROM tok, UNNEST(generate_series(0, 31)) u(j)
+              GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                     AS BIGINT) AS s
+              FROM votes GROUP BY 1)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "sim_lsh_ann": _lsh_ann_oracle(),
         "sim_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id = 0)

@@ -70,11 +70,40 @@ def main():
 
         return snaps.groupBy("ts").agg(F.count(F.lit(1)).alias("cnt"))
 
+    # way-kernel workload: member-recursion snapshots + geodesic length
+    # (the reference's expensive path). Events yield ~1.5k ways at sf0.1 —
+    # replicate ×20 (distinct doc ids, untimed, stored) so the kernel
+    # cost dominates Spark fixed overhead.
+    from oshdb_spark.model.history import way_docs_from_events
+
+    way_reps = int(os.environ.get("SPARK_GRAFT_WAY_REPS", "20"))
+    way_path = os.path.join(tempfile.mkdtemp(prefix="benchways"), "ways.parquet")
+    _ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _wd = way_docs_from_events(_ev)
+    _reps = spark.range(way_reps).select(_F.col("id").alias("rep"))
+    (_wd.crossJoin(_reps)
+        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"), "spans")
+        .repartition(CPUS).write.parquet(way_path))
+    way_docs_n = spark.read.parquet(way_path).count()
+
+    def way_snapshot_length(spark, sf_dir):
+        from oshdb_spark.geo.measures import wkb_length_m
+
+        docs = spark.read.parquet(way_path)
+        snaps = snapshots(docs, SNAPSHOT_TS, filter_spec=[("type_in", ["way"])])
+        return (
+            snaps.withColumn("len_m", wkb_length_m("geom_wkb"))
+            .groupBy("ts")
+            .agg(_F.count(_F.lit(1)).alias("cnt"),
+                 _F.round(_F.sum("len_m"), 0).alias("total_len_m"))
+        )
+
     qs = {
         "snapshot_sql": E.q_snapshot_count,
         "snapshot_kernel": E.q_snapshot_bbox_tag,
         "contribution_kernel": E.q_contribution_types,
         "snapshot_synth": synth_snapshot,
+        "way_kernel": way_snapshot_length,
         "cell_assign": E.q_cell_count_z6,
         "traj_length": E.q_geodesic_traj_length,
         "nation_join": E.q_agg_by_index_nation,
@@ -104,6 +133,8 @@ def main():
         "cpus": CPUS,
         "synth_docs": SYNTH_DOCS,
         "docs_per_sec": round(SYNTH_DOCS / times["snapshot_synth"], 1),
+        "way_docs": way_docs_n,
+        "way_docs_per_sec": round(way_docs_n / times["way_kernel"], 1),
         "rows": rows,
     }
     print(json.dumps(result))

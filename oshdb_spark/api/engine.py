@@ -69,7 +69,15 @@ class View:
 
     # -- filters (MapReducer.java:242-632) --------------------------------
     def area_of_interest(self, bbox=None, polygon=None) -> "View":
-        return self._with(bbox=bbox, polygon=polygon)
+        """Set the AOI; a second call INTERSECTS with the previous one
+        (MapReducer.java:242-270 intersects rather than replaces)."""
+        s = self._s
+        if s.bbox is None and s.polygon is None:
+            return self._with(bbox=bbox, polygon=polygon)
+        from ..geo.clip import intersect_aois
+
+        nb, np_ = intersect_aois(s.bbox, s.polygon, bbox, polygon)
+        return self._with(bbox=nb, polygon=np_)
 
     def timestamps(self, ts, end: str | None = None, period: str | None = None) -> "View":
         """Either an explicit unix-seconds list, or ISO strings —
@@ -94,6 +102,17 @@ class View:
         else:
             f = ("tag_key", key)
         return self._with(filter_spec=self._s.filter_spec + (f,))
+
+    def osm_tag_any(self, *tags) -> "View":
+        """OR-of-tags: match any of the given alternatives — each a key
+        string (presence) or a (key, value) pair
+        (osmTag(Collection<OSMTagInterface>), MapReducer.java:595-632)."""
+        alts = [
+            (t, None) if isinstance(t, str) else (t[0], t[1]) for t in tags
+        ]
+        return self._with(
+            filter_spec=self._s.filter_spec + (("tag_any", alts),)
+        )
 
     def osm_entity_filter(self, fn) -> "View":
         return self._with(filter_spec=self._s.filter_spec + (("py", fn),))
@@ -237,6 +256,17 @@ class Aggregator:
         return self._finish(
             self.df.groupBy(*self.keys).agg(
                 (F.sum(c * w) / F.sum(w)).alias(alias)
+            ),
+            None,
+        )
+
+    def uniq(self, col, alias: str = "uniq_set") -> DataFrame:
+        """Distinct-value SET per group (MapReducer.uniq, :1135-1150) —
+        native collect_set, returned sorted for determinism."""
+        c = F.expr(col) if isinstance(col, str) else col
+        return self._finish(
+            self.df.groupBy(*self.keys).agg(
+                F.array_sort(F.collect_set(c)).alias(alias)
             ),
             None,
         )

@@ -241,6 +241,204 @@ def clip_to_bbox(g, bbox):
 
 
 # ---------------------------------------------------------------------------
+# polygon ∩ polygon (exact for simple polygons in general position)
+# ---------------------------------------------------------------------------
+
+def _ring_ccw(ring: np.ndarray) -> np.ndarray:
+    """Normalize a closed ring to counter-clockwise orientation."""
+    r = np.asarray(ring, dtype=np.float64)
+    area2 = np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+    return r if area2 >= 0 else r[::-1].copy()
+
+
+def _edge_crossings(a: np.ndarray, b: np.ndarray):
+    """Proper crossings between edges of two closed rings.
+
+    Returns (ia, ta, ib, tb, pts): edge index + param in each ring and the
+    intersection point — computed ONCE so both rings' fragment endpoints
+    share bitwise-identical coordinates (stitching matches exactly).
+    Touch degeneracies (vertex on edge, collinear overlap) are outside the
+    supported input class (same posture as the reference before its
+    buffer(0) cleanup, OSHDBGeometryBuilder.java:269-285)."""
+    a0, a1 = a[:-1], a[1:]
+    b0, b1 = b[:-1], b[1:]
+    d1 = a1 - a0  # (n,2)
+    d2 = b1 - b0  # (m,2)
+    # solve a0 + t*d1 = b0 + u*d2 for every pair
+    denom = d1[:, None, 0] * (-d2[None, :, 1]) + d1[:, None, 1] * d2[None, :, 0]
+    dx = b0[None, :, 0] - a0[:, None, 0]
+    dy = b0[None, :, 1] - a0[:, None, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
+        u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
+    ok = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    ia, ib = np.nonzero(ok)
+    ta, tb = t[ia, ib], u[ia, ib]
+    pts = a0[ia] + ta[:, None] * d1[ia]
+    return ia, ta, ib, tb, pts
+
+
+def _ring_fragments(ring: np.ndarray, edge_idx, edge_t, pts, other_rings):
+    """Split a closed ring at the given (edge, param) points; return the
+    fragments whose interior lies inside `other_rings` (midpoint test —
+    fragments never cross the other boundary by construction)."""
+    n_edges = len(ring) - 1
+    # chain position of each split: edge_idx + t ∈ [0, n_edges)
+    order = np.argsort(edge_idx + edge_t, kind="stable")
+    sp_pos = (edge_idx + edge_t)[order]
+    sp_pts = pts[order]
+    if len(sp_pos) == 0:
+        return []
+    frags = []
+    k = len(sp_pos)
+    for s in range(k):
+        e = (s + 1) % k
+        p_start, p_end = sp_pts[s], sp_pts[e]
+        pos_s, pos_e = sp_pos[s], sp_pos[e]
+        coords = [tuple(p_start)]
+        # interior ring vertices strictly between the two chain positions
+        v = int(np.floor(pos_s)) + 1
+        end_pos = pos_e if e > s else pos_e + n_edges
+        while v <= int(np.ceil(end_pos)) - 1:
+            coords.append(tuple(ring[v % n_edges]))
+            v += 1
+        coords.append(tuple(p_end))
+        frags.append(coords)
+    kept = []
+    for coords in frags:
+        mid = (
+            (coords[0][0] + coords[1][0]) / 2.0,
+            (coords[0][1] + coords[1][1]) / 2.0,
+        )
+        if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), other_rings)[0]:
+            kept.append(coords)
+    return kept
+
+
+def _stitch(fragments: list[list[tuple]]) -> list[np.ndarray]:
+    """Join fragments end-to-start into closed rings (endpoints are
+    bitwise-shared intersection points, so dict lookup is exact)."""
+    by_start: dict[tuple, list] = {}
+    for f in fragments:
+        by_start.setdefault(f[0], []).append(f)
+    rings = []
+    used: set[int] = set()
+    for f in fragments:
+        if id(f) in used:
+            continue
+        used.add(id(f))
+        chain = list(f)
+        while chain[-1] != chain[0]:
+            cands = [c for c in by_start.get(chain[-1], []) if id(c) not in used]
+            if not cands:
+                break  # open chain — degeneracy; drop
+            nxt = cands[0]
+            used.add(id(nxt))
+            chain.extend(nxt[1:])
+        if chain[-1] == chain[0] and len(chain) >= 4:
+            rings.append(np.asarray(chain, dtype=np.float64))
+    return rings
+
+
+def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    """Intersection region boundary rings of two simple closed rings.
+
+    Exact for general-position inputs (no vertex-on-edge / collinear-edge
+    degeneracies). No crossings → containment decides: a⊂b → [a],
+    b⊂a → [b], else disjoint → []."""
+    a = _ring_ccw(np.asarray(a, dtype=np.float64))
+    b = _ring_ccw(np.asarray(b, dtype=np.float64))
+    ia, ta, ib, tb, pts = _edge_crossings(a, b)
+    if len(ia) == 0:
+        if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
+            return [a]
+        if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
+            return [b]
+        return []
+    frags_a = _ring_fragments(a, ia, ta, pts, [b])
+    frags_b = _ring_fragments(b, ib, tb, pts, [a])
+    return _stitch(frags_a + frags_b)
+
+
+def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]):
+    """Exact polygon∩polygon for simple polygons with holes (the engine's
+    replacement for JTS Geometry.intersection in Geo.clip,
+    Geo.java:185-191). Holes of either side are clipped against the other
+    side's outer ring and assigned to the containing output ring.
+
+    Limitation (documented divergence): overlapping subject/clip holes
+    are kept as separate holes, so their overlap is subtracted twice by
+    area measures; general-position boundaries only."""
+    outers = ring_intersection(subject_rings[0], clip_rings[0])
+    if not outers:
+        return None
+    hole_pieces: list[np.ndarray] = []
+    for hole in list(subject_rings[1:]):
+        hole_pieces.extend(ring_intersection(hole, clip_rings[0]))
+    for hole in list(clip_rings[1:]):
+        hole_pieces.extend(ring_intersection(hole, subject_rings[0]))
+    polys = []
+    for outer in outers:
+        rings = [outer]
+        for h in hole_pieces:
+            if points_in_ring(h[:1, 0], h[:1, 1], outer)[0]:
+                rings.append(h)
+        polys.append(rings)
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", polys)
+
+
+def intersect_aois(bbox1, poly1, bbox2, poly2):
+    """Intersection of two AOIs (bbox and/or polygon, degrees) →
+    (bbox, polygon) for the composed areaOfInterest semantics
+    (MapReducer.java:242-270). Empty intersections return a degenerate
+    bbox (min > max) that matches no documents."""
+    _EMPTY = ((1.0, 1.0, -1.0, -1.0), None)
+
+    def as_rings(bbox, poly):
+        if poly is not None:
+            return [np.asarray(r, dtype=np.float64) for r in poly]
+        w, s, e, n = bbox
+        return [np.array([(w, s), (e, s), (e, n), (w, n), (w, s)])]
+
+    if poly1 is None and poly2 is None:
+        w = max(bbox1[0], bbox2[0])
+        s = max(bbox1[1], bbox2[1])
+        e = min(bbox1[2], bbox2[2])
+        n = min(bbox1[3], bbox2[3])
+        if w > e or s > n:
+            return _EMPTY
+        return (w, s, e, n), None
+    if poly1 is not None and poly2 is None:
+        poly1, poly2 = poly2, poly1
+        bbox1, bbox2 = bbox2, bbox1
+    if poly1 is None:
+        # bbox ∧ polygon: Sutherland–Hodgman each ring against the bbox
+        outer = _clip_ring_bbox(np.asarray(poly2[0], dtype=np.float64), bbox1)
+        if outer is None:
+            return _EMPTY
+        rings = [outer]
+        for h in poly2[1:]:
+            hc = _clip_ring_bbox(np.asarray(h, dtype=np.float64), bbox1)
+            if hc is not None:
+                rings.append(hc)
+        return None, [r for r in rings]
+    g = clip_polygon_to_polygon(as_rings(bbox1, poly1), as_rings(bbox2, poly2))
+    if g is None:
+        return _EMPTY
+    if g[0] == "Polygon":
+        return None, g[1]
+    # MultiPolygon AOI: keep the largest piece's rings plus the rest as
+    # additional outers is not representable — conservative: bbox of all
+    # pieces with the FIRST piece exact is wrong; instead raise
+    raise NotImplementedError(
+        "composed AOI intersection produced a MultiPolygon; pass a single "
+        "combined polygon instead"
+    )
+
+
+# ---------------------------------------------------------------------------
 # polygon-AOI support (exact for points; segment-exact for lines)
 # ---------------------------------------------------------------------------
 

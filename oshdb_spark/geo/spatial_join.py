@@ -148,9 +148,54 @@ def split_contributions_by_regions(
     (pure creations/deletions) contribute only their non-null side."""
     scale = 1e-7 if fixed_point else 1.0
     if not all(_is_bbox(r) for r in regions.values()):
-        raise NotImplementedError(
-            "polygon regions for contributions: route through "
-            "split_by_regions on each side and union"
+        # polygon path: vectorized PiP over BOTH positions, region match =
+        # union of the before/after sides (GeometrySplitter.java:159-175)
+        keys = list(regions.keys())
+        rings_list = [
+            [np.asarray(ring, dtype=np.float64) for ring in regions[k]]
+            if not _is_bbox(regions[k])
+            else [
+                np.array(
+                    [
+                        (regions[k][0], regions[k][1]),
+                        (regions[k][2], regions[k][1]),
+                        (regions[k][2], regions[k][3]),
+                        (regions[k][0], regions[k][3]),
+                        (regions[k][0], regions[k][1]),
+                    ]
+                )
+            ]
+            for k in keys
+        ]
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def match_either(
+            blon: pd.Series, blat: pd.Series, alon: pd.Series, alat: pd.Series
+        ) -> pd.Series:
+            def side(lon, lat):
+                ok = lon.notna().to_numpy()
+                px = lon.fillna(0).to_numpy(dtype=np.float64) * scale
+                py = lat.fillna(0).to_numpy(dtype=np.float64) * scale
+                return ok, px, py
+
+            okb, bx, by = side(blon, blat)
+            oka, ax, ay = side(alon, alat)
+            hits = [[] for _ in range(len(blon))]
+            for key, rings in zip(keys, rings_list):
+                inb = points_in_polygon(bx, by, rings) & okb
+                ina = points_in_polygon(ax, ay, rings) & oka
+                for i in np.nonzero(inb | ina)[0]:
+                    hits[i].append(key)
+            return pd.Series(hits)
+
+        return df.withColumn(
+            "region",
+            F.explode(
+                match_either(
+                    F.col(lon_before), F.col(lat_before),
+                    F.col(lon_after), F.col(lat_after),
+                )
+            ),
         )
     structs = ", ".join(
         f"named_struct('k', '{k}', 'w', cast({r[0]} as double),"
@@ -267,6 +312,134 @@ def knn(
     return out.select(
         *(id_cols or []), F.col("_dist").alias("dist_m")
     )
+
+
+def knn_batch(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_cols: list[str] | None = None,
+    level: int = 6,
+    fixed_point: bool = True,
+) -> DataFrame:
+    """Exact kNN for a BATCH of query points in exactly TWO Spark jobs —
+    no per-ring driver loop (the scale-safe replacement for `knn`'s
+    radius-doubling probe).
+
+    queries: [(qid, lon_deg, lat_deg), ...].
+
+    Job 1 collects per-cell counts at `level` (at 10^12 rows this is the
+    store manifest / partition metadata, not a scan). The driver then
+    expands rings over the COUNT MAP until each query's disk holds ≥ k
+    points (pure python, no jobs), and converts that disk radius r* into a
+    PROVEN radius: every true neighbor lies within distance ≤ the disk's
+    outer radius, so a final disk whose guaranteed INNER radius covers the
+    r* disk's outer radius contains the exact top-k. Job 2 scans the union
+    of final disks once, explodes rows into the queries whose disk they
+    fall in (broadcast token→query map), and takes the per-query top-k
+    with one window."""
+    import math
+
+    scale = 1e-7 if fixed_point else 1.0
+
+    @F.pandas_udf(T.StringType())
+    def tok_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        l7 = (lon.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        t7 = (lat.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
+        return pd.Series(cells.token_of_points(l7, t7, level))
+
+    pts = df.withColumn("_tok", tok_of(F.col(lon_col), F.col(lat_col)))
+    # job 1: per-cell histogram (manifest-sized: ≤ 4^level entries)
+    counts = {r["_tok"]: r["cnt"] for r in
+              pts.groupBy("_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    n_axis = 1 << level
+    cell_h_deg = 180.0 / n_axis
+    cell_h_m = cell_h_deg * 111_194.9
+    full_cap = n_axis * n_axis // 2
+
+    def disk_for(qlon: float, qlat: float) -> list[str] | None:
+        qtok = cells.token_of_points(
+            np.array([int(qlon * _FP)], dtype=np.int64),
+            np.array([int(qlat * _FP)], dtype=np.int64),
+            level,
+        )[0]
+        r = 1
+        while True:
+            disk = cells.ring_tokens(qtok, r)
+            if len(disk) >= full_cap:
+                return None  # full scan for this query
+            if sum(counts.get(t, 0) for t in disk) >= k:
+                break
+            r *= 2
+        # outer radius of disk(r): ≤ (r+1) cells in each axis; EW cells
+        # are 2× taller in degrees but shrink by cos(lat) in meters
+        outer_m = (r + 1) * cell_h_m * math.sqrt(1.0 + 4.0)
+        worst = lambda rr: min(abs(qlat) + rr * cell_h_deg, 89.0)  # noqa: E731
+        rf = r
+        while True:
+            ew = min(1.0, 2.0 * math.cos(math.radians(worst(rf))))
+            if ew > 0 and rf * cell_h_m * ew >= outer_m:
+                break
+            rf += max(rf // 2, 1)
+            if rf >= n_axis:
+                return None
+        disk = cells.ring_tokens(qtok, rf)
+        if len(disk) >= full_cap:
+            return None
+        return disk
+
+    tok2q: dict[str, list[str]] = {}
+    full_qs = []
+    qmeta = []
+    for qid, qlon, qlat in queries:
+        disk = disk_for(float(qlon), float(qlat))
+        qmeta.append((str(qid), float(qlon), float(qlat)))
+        if disk is None:
+            full_qs.append(str(qid))
+        else:
+            for t in disk:
+                tok2q.setdefault(t, []).append(str(qid))
+
+    spark = df.sparkSession
+    entries = [(t, qs) for t, qs in tok2q.items()]
+    map_df = spark.createDataFrame(
+        entries or [("", [])], "tok string, qids array<string>"
+    )
+    cand = pts.join(
+        F.broadcast(map_df), pts["_tok"] == map_df["tok"], "inner"
+    ).withColumn("qid", F.explode("qids"))
+    if full_qs:
+        # full-scan queries (disk would cover the grid): every row is a
+        # candidate for them
+        all_q = F.array(*[F.lit(q) for q in full_qs])
+        cand = cand.unionByName(
+            pts.withColumn("tok", F.col("_tok"))
+            .withColumn("qids", all_q)
+            .withColumn("qid", F.explode("qids"))
+            .select(cand.columns)
+        )
+    qdf = F.broadcast(
+        spark.createDataFrame(qmeta, "qid string, qlon double, qlat double")
+    )
+    cand = cand.join(qdf, "qid")
+    lon_deg = F.col(lon_col) * scale
+    lat_deg = F.col(lat_col) * scale
+    cand = cand.withColumn(
+        "_dist",
+        equirect_distance_col(F.col("qlat"), F.col("qlon"), lat_deg, lon_deg),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("_dist", *(id_cols or []))
+    out = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", *(id_cols or []), F.col("_dist").alias("dist_m"))
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

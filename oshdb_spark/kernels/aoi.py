@@ -100,6 +100,30 @@ class AOI:
         """Exact clip of a geometry to this AOI (≙ Geo.clip)."""
         if self.is_world or g is None:
             return g
+        if self.polygon is not None and g[0] in (
+            "Polygon", "MultiPolygon", "GeometryCollection"
+        ):
+            # polygonal vs polygon AOI clips DIRECTLY against the polygon:
+            # a bbox pre-clip would snap edges onto the AOI envelope and
+            # manufacture collinear-boundary degeneracies
+            if C.bbox_relation(G.bbox_of(g), self.bbox) == 0:
+                return None
+            if g[0] == "Polygon":
+                return C.clip_polygon_to_polygon(g[1], self.polygon)
+            pieces = []
+            for comp in G._components(g):
+                r = self.clip(comp)
+                if r is None or G.is_empty(r):
+                    continue
+                pieces.extend([r] if r[0] != "MultiPolygon" else
+                              [("Polygon", rings) for rings in r[1]])
+            if not pieces:
+                return None
+            if len(pieces) == 1:
+                return pieces[0]
+            if all(p[0] == "Polygon" for p in pieces):
+                return ("MultiPolygon", [p[1] for p in pieces])
+            return ("GeometryCollection", pieces)
         g = C.clip_to_bbox(g, self.bbox)
         if g is None or self.polygon is None:
             return g
@@ -134,8 +158,7 @@ class AOI:
             if len(pieces) == 1:
                 return ("LineString", pieces[0])
             return ("MultiLineString", pieces)
-        # polygonal × polygon-AOI: v1 approximation — keep the bbox-clipped
-        # geometry when its bbox touches the AOI polygon (exact
-        # polygon∩polygon clipping is deferred; documented divergence)
+        # polygonal forms were dispatched to the direct polygon∩polygon
+        # branch above; anything else conservative-keeps (bbox clipped)
         rel = bbox_vs_polygon(G.bbox_of(g), self.polygon)
         return g if rel != 0 else None

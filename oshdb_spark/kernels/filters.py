@@ -16,9 +16,15 @@ Spec grammar (JSON-able tuples):
     ("tag_eq", key, value)                — osmTag(key,value) (:490-504)
     ("tag_in", key, [values])             — osmTag(key, collection) (:515-549)
     ("tag_regex", key, pattern)           — osmTag(key, Pattern) (:560-585)
+    ("tag_any", [(key, value|None), ...]) — osmTag(Collection<OSMTagInterface>)
+                                            OR-of-tags (:595-632); a None
+                                            value means key-presence
     ("id_in", [ids])
     ("py", callable)                      — osmEntityFilter escape hatch
                                             (kernel-only, no pushdown)
+
+Specs AND together; ("tag_any", ...) is the single OR-of-alternatives
+node, mirroring the reference's hasTagValue-OR loop.
 """
 
 from __future__ import annotations
@@ -58,6 +64,16 @@ def compile_python(spec: list | None):
                 )
                 is not None
             )
+        elif op == "tag_any":
+            alts = [(k, val) for k, val in s[1]]
+            steps.append(
+                lambda v, et, i, alts=alts: any(
+                    (k in (v.get("tags") or {}))
+                    if val is None
+                    else ((v.get("tags") or {}).get(k) == val)
+                    for k, val in alts
+                )
+            )
         elif op == "id_in":
             ids = set(s[1])
             steps.append(lambda v, et, i, ids=ids: i in ids)
@@ -84,6 +100,14 @@ def _version_pred_sql(s) -> str | None:
         return f"v.tags['{s[1]}'] in ({vals})"
     if op == "tag_regex":
         return f"v.tags['{s[1]}'] rlike '{s[2]}'"
+    if op == "tag_any":
+        alts = [
+            f"map_contains_key(v.tags, '{k}')"
+            if val is None
+            else f"v.tags['{k}'] = '{val}'"
+            for k, val in s[1]
+        ]
+        return "(" + " or ".join(alts) + ")" if alts else None
     return None
 
 

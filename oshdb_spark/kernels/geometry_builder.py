@@ -43,36 +43,38 @@ class TagInterpreter:
 
 
 class DefaultTagInterpreter(TagInterpreter):
-    """Simplified default area rules (the reference loads the full
-    polygon-features.json corpus, DefaultTagInterpreter.java:23-37; this
-    engine ships a compact all-values rule set + area=no override)."""
+    """Full polygon-features area rules (the corpus the reference loads
+    from polygon-features.json, DefaultTagInterpreter.java:80-120, with
+    BaseTagInterpreter.java evaluate{Way,Relation}ForArea semantics):
 
-    ALL_VALUE_KEYS = {
-        "building", "landuse", "leisure", "natural", "amenity", "shop",
-        "boundary", "place", "tourism", "historic", "craft", "office",
-        "building:part", "military", "aeroway", "area:highway",
-    }
-    KEY_VALUES = {
-        "type": {"multipolygon", "boundary"},
-        "highway": {"services", "rest_area", "escape", "pedestrian"},
-        "railway": {"station", "turntable", "roundhouse", "platform"},
-        "waterway": {"riverbank", "dock", "boatyard", "dam"},
-        "barrier": {"city_wall", "hedge", "wall", "toll_booth"},
-        "power": {"plant", "substation", "generator", "transformer"},
-        "public_transport": {"platform"},
-        "man_made": {"storage_tank", "silo", "wastewater_plant", "bridge", "pier"},
-        "area": {"yes"},
-    }
+    - way:      area=no override, else any tag matching its corpus rule
+                (all / whitelist∪{no} / blacklist)
+    - relation: type ∈ {multipolygon, boundary} ONLY (hardcoded relation
+                area tags, DefaultTagInterpreter.java:122-128 — other
+                corpus keys do NOT make a relation an area)
+    """
+
+    RELATION_AREA_TYPES = frozenset({"multipolygon", "boundary"})
 
     def _tags_area(self, tags: dict) -> bool:
+        from .polygon_features import POLYGON_FEATURES
+
         if tags.get("area") == "no":
             return False
         for k, v in tags.items():
-            if k in self.ALL_VALUE_KEYS:
-                return True
-            vs = self.KEY_VALUES.get(k)
-            if vs and v in vs:
-                return True
+            rule = POLYGON_FEATURES.get(k)
+            if rule is None:
+                continue
+            mode, values = rule
+            if mode == "all":
+                if v != "no":
+                    return True
+            elif mode == "whitelist":
+                if v in values:
+                    return True
+            else:  # blacklist
+                if v not in values:
+                    return True
         return False
 
     def is_area(self, entity_type: str, tags: dict, refs: list) -> bool:
@@ -83,7 +85,8 @@ class DefaultTagInterpreter(TagInterpreter):
             if len(refs) < 4 or refs[0]["ref"] != refs[-1]["ref"]:
                 return False
             return self._tags_area(tags)
-        return self._tags_area(tags)  # relation (no area=no check, ref :63-73)
+        # relation (no area=no check, BaseTagInterpreter.java:63-73)
+        return tags.get("type") in self.RELATION_AREA_TYPES
 
 
 class AlwaysArea(TagInterpreter):
@@ -238,32 +241,94 @@ def join_rings(lines: list[list[tuple]]) -> list[list[tuple]]:
     return joined
 
 
-def _multipolygon(version, t, members_by_key, area_decider):
-    """Multipolygon assembly (ref getMultiPolygonGeometry, :187-301)."""
+def split_self_touching_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a closed ring at repeated (exact-equality) vertices into
+    simple sub-rings — the engine's stand-in for the reference's JTS
+    ``buffer(0)`` cleanup of self-touching/figure-8 rings (ref :269-285).
+    Degenerate sub-rings (<3 distinct points) are dropped."""
+    pts = [tuple(c) for c in np.asarray(ring)[:-1]]
+    seen: dict[tuple, int] = {}
+    for i, p in enumerate(pts):
+        j = seen.get(p)
+        if j is not None:
+            lobe = pts[j:i]
+            rest = pts[:j] + pts[i:]
+            out = []
+            for sub in (lobe, rest):
+                if len(set(sub)) >= 3:
+                    out.extend(
+                        split_self_touching_ring(
+                            np.asarray(sub + [sub[0]], dtype=np.float64)
+                        )
+                    )
+            return out
+        seen[p] = i
+    if len(set(pts)) < 3:
+        return []
+    return [np.asarray(pts + [pts[0]], dtype=np.float64)]
+
+
+def _points_on_ring_boundary(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """True where a point lies exactly on a ring segment (collinear and
+    within the segment bbox)."""
+    r = np.asarray(ring)
+    x0, y0 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+    x1, y1 = r[1:, 0][None, :], r[1:, 1][None, :]
+    px_, py_ = px[:, None], py[:, None]
+    cross = (x1 - x0) * (py_ - y0) - (y1 - y0) * (px_ - x0)
+    inbb = (
+        (px_ >= np.minimum(x0, x1)) & (px_ <= np.maximum(x0, x1))
+        & (py_ >= np.minimum(y0, y1)) & (py_ <= np.maximum(y0, y1))
+    )
+    return np.any((cross == 0) & inbb, axis=1)
+
+
+def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """Exact JTS-contains analog (ref :289-301 prepared contains): no
+    inner vertex strictly outside the outer, and at least one strictly
+    inside (boundary-only contact is NOT containment)."""
     from ..geo import clip as C
 
+    px, py = inner[:, 0], inner[:, 1]
+    strictly_in = C.points_in_ring(px, py, outer)
+    on_bnd = _points_on_ring_boundary(px, py, outer)
+    if not bool(np.all(strictly_in | on_bnd)):
+        return False
+    return bool(np.any(strictly_in & ~on_bnd))
+
+
+def _multipolygon(version, t, members_by_key, area_decider):
+    """Multipolygon assembly (ref getMultiPolygonGeometry, :187-301):
+    ring joining by node-id endpoint matching, self-touching rings split
+    into simple sub-rings (≙ buffer(0) cleanup), inner rings assigned to
+    their containing outer by exact containment. Unmatched inners are
+    dropped (the reference's open todo does the same via its filter)."""
     outer_lines = _member_lines(version, t, members_by_key, area_decider.is_outer_role)
     inner_lines = _member_lines(version, t, members_by_key, area_decider.is_inner_role)
-    outer_rings = [
+    outer_raw = [
         np.array([(x, y) for _, x, y in ring]) for ring in join_rings(outer_lines)
     ]
-    inner_rings = [
+    inner_raw = [
         np.array([(x, y) for _, x, y in ring]) for ring in join_rings(inner_lines)
     ]
     # LinearRing construction fails for unclosed/short rings in JTS → the
     # IllegalArgumentException fallback to geometry collection
-    for ring in outer_rings + inner_rings:
+    for ring in outer_raw + inner_raw:
         if len(ring) < 4 or tuple(ring[0]) != tuple(ring[-1]):
             raise ValueError("unclosed ring")
-    if len(outer_rings) == 1:
-        return ("Polygon", [outer_rings[0]] + inner_rings)
+    if len(outer_raw) == 1 and len(split_self_touching_ring(outer_raw[0])) == 1:
+        # single simple outer: all inners become holes unchecked (ref :253)
+        return ("Polygon", [outer_raw[0]] + inner_raw)
+    outer_rings = [s for ring in outer_raw for s in split_self_touching_ring(ring)]
+    inner_rings = [s for ring in inner_raw for s in split_self_touching_ring(ring)]
+    if not outer_rings:
+        raise ValueError("no valid outer ring")
     polys = []
     for outer in outer_rings:
-        holes = []
-        for inner in inner_rings:
-            # inner assigned to the outer that contains it (ref :289-301,
-            # prepared contains approximated by all-vertices-inside)
-            if bool(np.all(C.points_in_ring(inner[:, 0], inner[:, 1], outer))):
-                holes.append(inner)
+        holes = [
+            inner for inner in inner_rings if ring_contains_ring(outer, inner)
+        ]
         polys.append([outer] + holes)
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
     return ("MultiPolygon", polys)

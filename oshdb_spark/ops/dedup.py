@@ -103,9 +103,12 @@ def minhash_lsh_pairs(
     base = with_minhash(
         with_shingles(df.select(id_col, text_col), text_col, k), n_hashes=n_hashes
     )
+    # IDS ONLY through the bucket self-join: shipping full shingle arrays
+    # on both sides of the (band, sig) shuffle multiplies the payload by
+    # 2·n_bands at scale; instead pair ids, dedup, then re-join shingles
+    # for the (much smaller) candidate set
     bands = base.select(
         F.col(id_col).alias("_id"),
-        F.col("shingles"),
         F.explode(
             F.expr(
                 f"""
@@ -117,7 +120,7 @@ def minhash_lsh_pairs(
                 """
             )
         ).alias("bs"),
-    ).select("_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -127,13 +130,15 @@ def minhash_lsh_pairs(
             & (F.col("l.sig") == F.col("r.sig"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select(F.col(id_col).alias("_sid"), "shingles")
+    pairs = (
+        pairs.join(sh.withColumnRenamed("shingles", "sh_a"),
+                   F.col("id_a") == F.col("_sid")).drop("_sid")
+        .join(sh.withColumnRenamed("shingles", "sh_b"),
+              F.col("id_b") == F.col("_sid")).drop("_sid")
     )
     jac = F.expr(
         "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
@@ -210,6 +215,84 @@ def simhash_neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via LSH bucketing — the 10^12-row scale
+    path: NO cartesian product anywhere.
+
+    Plan: hyperplane-bucket every vector, explode each into its bucket
+    plus Hamming-`multiprobe` neighbor buckets, self-join on bucket (ids
+    only — no vector payload through the shuffle), dedup candidate pairs,
+    then ONE keyed re-join per side fetches the vectors for the exact
+    cosine verify.
+
+    Recall: identical vectors always share their home bucket (recall 1.0
+    at threshold→1); near-dups separated by >2·multiprobe sign flips are
+    missed — tune n_planes/multiprobe (standard LSH trade-off).
+    """
+    from .similarity import with_lsh_bucket
+
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes)
+    alts = ["bucket"]
+    if multiprobe >= 1:
+        alts += [f"bucket ^ {1 << i}" for i in range(n_planes)]
+    probe_expr = "array(" + ", ".join(alts) + ")"
+    probes = b.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(probe_expr)).alias("pbucket"),
+    )
+    l, r = probes.alias("l"), probes.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.pbucket") == F.col("r.pbucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.expr(
+            f"sqrt(aggregate({vec_col}, cast(0 as double),"
+            f" (a, x) -> a + cast(x as double) * cast(x as double)))"
+        ).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            v.select(
+                F.col("_vid"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+            ),
+            F.col("id_a") == F.col("_vid"),
+        ).drop("_vid")
+        .join(
+            v.select(
+                F.col("_vid"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+            ),
+            F.col("id_b") == F.col("_vid"),
+        ).drop("_vid")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y),"
+        " cast(0 as double), (a, x) -> a + x)"
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -218,9 +301,8 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b) over an embedding column.
 
-    Brute-force O(n²) — correct baseline for verification; the scale path
-    is LSH bucketing first (similarity.lsh_ann) so the pair join only
-    touches bucket-mates."""
+    Brute-force O(n²) — the VERIFICATION baseline only; the scale path is
+    lsh_neardup_pairs (bucketed, no cartesian product)."""
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

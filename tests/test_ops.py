@@ -104,3 +104,25 @@ def test_token_count_matches_python(spark):
     rows = with_token_count(_docs(spark)).select("text", "token_count").head(20)
     for r in rows:
         assert r.token_count == len(r.text.split(" "))
+
+
+def test_lsh_neardup_pairs_equals_bruteforce(spark):
+    """Bucketed pairwise dedup == brute-force on the clone corpus (recall
+    1.0 at threshold→1: identical vectors always share their home bucket),
+    and the plan contains NO cartesian product."""
+    from oshdb_spark.ops.dedup import embedding_neardup_pairs, lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    fast = lsh_neardup_pairs(dup, threshold=0.999999, dim=64)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b) for r in fast.collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(dup, threshold=0.999999).collect()
+    }
+    assert got == want and len(got) == emb.count()

@@ -1,0 +1,167 @@
+"""Exact polygon∩polygon clipping (geo.clip.ring_intersection /
+clip_polygon_to_polygon) — the engine's replacement for JTS intersection
+in Geo.clip (Geo.java:185-191)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oshdb_spark.geo.clip import (
+    clip_polygon_to_polygon,
+    intersect_aois,
+    ring_intersection,
+)
+from oshdb_spark.kernels.aoi import AOI
+
+
+def rect(w, s, e, n):
+    return np.array([(w, s), (e, s), (e, n), (w, n), (w, s)], dtype=np.float64)
+
+
+def shoelace(ring):
+    r = np.asarray(ring)
+    return 0.5 * abs(
+        np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+    )
+
+
+def rings_area(rings):
+    return sum(shoelace(r) for r in rings)
+
+
+class TestRingIntersection:
+    def test_overlapping_rects(self):
+        out = ring_intersection(rect(0, 0, 10, 10), rect(5, 5, 20, 20))
+        assert len(out) == 1
+        assert shoelace(out[0]) == pytest.approx(25.0)
+
+    def test_contained(self):
+        out = ring_intersection(rect(0, 0, 10, 10), rect(2, 2, 4, 4))
+        assert len(out) == 1
+        assert shoelace(out[0]) == pytest.approx(4.0)
+        # symmetric
+        out = ring_intersection(rect(2, 2, 4, 4), rect(0, 0, 10, 10))
+        assert shoelace(out[0]) == pytest.approx(4.0)
+
+    def test_disjoint(self):
+        assert ring_intersection(rect(0, 0, 1, 1), rect(5, 5, 6, 6)) == []
+
+    def test_triangle_square(self):
+        tri = np.array([(0, 0), (10, 0), (0, 10), (0, 0)], dtype=np.float64)
+        out = ring_intersection(tri, rect(-5, -5, 5, 5))
+        # triangle ∩ square = the [0,5]x[0,5] corner minus the cut above
+        # x+y=10 — entirely below the hypotenuse, so area = 25
+        assert rings_area(out) == pytest.approx(25.0)
+
+    def test_rotated_square_octagon(self):
+        # diamond ∩ square → octagon
+        d = np.array(
+            [(5, -2), (12, 5), (5, 12), (-2, 5), (5, -2)], dtype=np.float64
+        )
+        out = ring_intersection(d, rect(0, 0, 10, 10))
+        assert len(out) == 1
+        assert len(out[0]) == 9  # 8 vertices + closing
+        # square area 100 minus 4 cut corner triangles (3·3/2 each)
+        assert shoelace(out[0]) == pytest.approx(100 - 4 * 4.5)
+
+    def test_two_piece_intersection(self):
+        # U-shaped subject crossing a bar → two disjoint pieces
+        u = np.array(
+            [(0, 0), (10, 0), (10, 10), (8, 10), (8, 2), (2, 2), (2, 10),
+             (0, 10), (0, 0)],
+            dtype=np.float64,
+        )
+        bar = rect(-1, 5, 11, 7)
+        out = ring_intersection(u, bar)
+        assert len(out) == 2
+        assert rings_area(out) == pytest.approx(2 * 2 * 2.0)
+
+
+class TestClipPolygonToPolygon:
+    def test_hole_subtraction(self):
+        subject = [rect(0, 0, 10, 10), rect(4, 4, 6, 6)]  # square with hole
+        out = clip_polygon_to_polygon(subject, [rect(-5, -5, 20, 20)])
+        assert out[0] == "Polygon"
+        assert shoelace(out[1][0]) - shoelace(out[1][1]) == pytest.approx(96.0)
+
+    def test_clip_hole_partial(self):
+        subject = [rect(0, 0, 10, 10), rect(4, 4, 6, 6)]
+        out = clip_polygon_to_polygon(subject, [rect(5, -5, 20, 20)])
+        # right half: 5x10 minus right half of hole (1x2)
+        assert out[0] == "Polygon"
+        assert shoelace(out[1][0]) - sum(
+            shoelace(r) for r in out[1][1:]
+        ) == pytest.approx(50 - 2.0)
+
+    def test_clip_polygon_with_holes(self):
+        subject = [rect(0, 0, 10, 10)]
+        clip = [rect(2, 2, 8, 8), rect(4, 4, 6, 6)]  # clip has a hole
+        out = clip_polygon_to_polygon(subject, clip)
+        assert out[0] == "Polygon"
+        assert shoelace(out[1][0]) - sum(
+            shoelace(r) for r in out[1][1:]
+        ) == pytest.approx(36 - 4.0)
+
+    def test_disjoint(self):
+        assert clip_polygon_to_polygon([rect(0, 0, 1, 1)], [rect(5, 5, 6, 6)]) is None
+
+
+class TestAoiPolygonClip:
+    def test_polygon_clipped_exactly(self):
+        aoi = AOI(polygon=[rect(0, 0, 10, 10).tolist()])
+        g = ("Polygon", [rect(5, 5, 15, 15)])
+        out = aoi.clip(g)
+        assert out is not None and out[0] == "Polygon"
+        assert shoelace(out[1][0]) == pytest.approx(25.0)
+
+    def test_multipolygon_components(self):
+        aoi = AOI(polygon=[rect(0, 0, 10, 10).tolist()])
+        g = ("MultiPolygon", [[rect(5, 5, 15, 15)], [rect(20, 20, 30, 30)]])
+        out = aoi.clip(g)
+        assert out[0] == "Polygon"  # one surviving component
+        assert shoelace(out[1][0]) == pytest.approx(25.0)
+
+
+class TestIntersectAois:
+    def test_bbox_bbox(self):
+        b, p = intersect_aois((0, 0, 10, 10), None, (5, 5, 20, 20), None)
+        assert b == (5, 5, 10, 10) and p is None
+
+    def test_bbox_bbox_empty(self):
+        b, p = intersect_aois((0, 0, 1, 1), None, (5, 5, 6, 6), None)
+        assert b[0] > b[2]
+
+    def test_bbox_polygon(self):
+        tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (0.0, 0.0)]
+        b, p = intersect_aois((0, 0, 5, 5), None, None, [tri])
+        assert b is None and p is not None
+        assert shoelace(np.asarray(p[0])) == pytest.approx(25.0)
+
+    def test_polygon_polygon(self):
+        b, p = intersect_aois(
+            None, [rect(0, 0, 10, 10).tolist()],
+            None, [rect(5, 5, 20, 20).tolist()],
+        )
+        assert b is None
+        assert shoelace(np.asarray(p[0])) == pytest.approx(25.0)
+
+
+def test_view_aoi_composition(spark):
+    """area_of_interest composes by intersection (MapReducer.java:242-270)."""
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs_from_events(ev)
+
+    def count(view):
+        return {tuple(r) for r in view.aggregate_by_timestamp().count().collect()}
+
+    base = OSHDB(docs).snapshot_view().timestamps(SNAPSHOT_TS).osm_type("node")
+    composed = count(
+        base.area_of_interest(bbox=(-90.0, -60.0, 90.0, 85.0))
+        .area_of_interest(bbox=(-30.0, 0.0, 120.0, 90.0))
+    )
+    direct = count(base.area_of_interest(bbox=(-30.0, 0.0, 90.0, 85.0)))
+    assert composed == direct

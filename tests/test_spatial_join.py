@@ -123,3 +123,50 @@ def test_knn_high_latitude_exact(spark):
 
     ref = sorted(rows, key=lambda r: (d(r), r.event_id))[:10]
     assert [r.event_id for r in got] == [r.event_id for r in ref]
+
+
+def test_knn_batch_matches_bruteforce_two_jobs(spark):
+    """knn_batch is exact for a batch (incl. a high-latitude query) and
+    issues exactly TWO Spark jobs (histogram + result) — no ring loop."""
+    pts = _points(spark).cache()
+    pts.count()  # materialize outside the measured group
+    queries = [("a", 10.0, 20.0), ("b", -120.0, -40.0), ("c", 30.0, 82.0)]
+    k = 15
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn-batch-test", "knn_batch job count")
+    out = SJ.knn_batch(pts, queries, k=k, id_cols=["event_id"]).collect()
+    jobs = sc.statusTracker().getJobIdsForGroup("knn-batch-test")
+    sc.setJobGroup(None, None)
+    # two ACTIONS (histogram + result); AQE may split the result query
+    # into a few sub-jobs, but the count must be a small constant that
+    # does NOT grow with k/radius (i.e. no per-ring driver loop)
+    sc.setJobGroup("knn-batch-test2", "knn_batch job count 2")
+    SJ.knn_batch(pts, queries, k=3 * k, id_cols=["event_id"]).collect()
+    jobs2 = sc.statusTracker().getJobIdsForGroup("knn-batch-test2")
+    sc.setJobGroup(None, None)
+    assert len(jobs) <= 8, f"knn_batch used {len(jobs)} jobs"
+    assert len(jobs2) <= len(jobs) + 1, "job count grows with k (ring loop?)"
+
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append((round(r.dist_m, 6), r.event_id))
+    rows = pts.select("event_id", "lon", "lat").collect()
+    import math
+
+    for qid, qlon, qlat in queries:
+        dists = []
+        for r in rows:
+            lat1, lon1 = qlat, qlon
+            lat2, lon2 = r.lat * 1e-7, r.lon * 1e-7
+            dlat = math.radians(lat2 - lat1)
+            dlng = math.radians(lon2 - lon1) * math.cos(
+                math.radians((lat1 + lat2) / 2.0)
+            )
+            dists.append(
+                (6371000.0 * math.sqrt(dlng * dlng + dlat * dlat), r.event_id)
+            )
+        want = sorted(dists)[:k]
+        assert sorted(got[qid]) == sorted(
+            [(round(d, 6), e) for d, e in want]
+        ), f"query {qid} mismatch"
