@@ -817,6 +817,20 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable t-digest quantiles (estimatedQuantile parity,
+    TDigestReducer.java:21-41). No SQL oracle — the sketch is approximate
+    and its exact output depends on partial-digest boundaries; accuracy
+    (rank error < 2%) and merge associativity are asserted in
+    tests/test_ops.py; the driver records rows-only."""
+    from oshdb_spark.ops.sketches import tdigest_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return tdigest_quantiles(
+        li, "l_extendedprice", [0.5, 0.9], by="l_returnflag"
+    ).select("grp", "q")
+
+
 def q_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -882,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "sessionization": q_sessionization,
         "quantiles": q_quantiles,
+        "quantile_sketch": q_quantile_sketch,
         "topk_orders": q_topk_orders,
     }
 

@@ -1,0 +1,155 @@
+"""Mergeable quantile sketch: t-digest (Dunning & Ertl, public algorithm).
+
+The reference's estimatedMedian/estimatedQuantile reducers fold samples
+into a t-digest whose partials merge associatively across cells/threads
+(oshdb-api/.../TDigestReducer.java:21-41). This module implements the
+MERGING t-digest variant from scratch (numpy) and maps it onto Spark's
+two-phase aggregation:
+
+    mapInPandas   — one digest per (group, arrow-batch): the map-side
+                    partial (no shuffle of raw values!)
+    applyInPandas — merge the partial digests per group, read quantiles
+
+The shuffle therefore carries O(delta) centroids per group per batch
+instead of the raw value stream — the property that makes the reference's
+reducer scale, reproduced Spark-natively. Centroids ride as two parallel
+double arrays (Arrow-safe).
+
+Accuracy: with the k1 scale function bound 4·n·q·(1-q)/δ the relative
+quantile error is O(1/δ) in the tails; tests assert against exact
+percentiles on the driver testdata.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Merge sorted (mean, weight) centroid streams into ≤ ~δ clusters
+    using the k1-style size bound 4·n·q·(1-q)/δ."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    acc = 0.0  # weight before the current cluster
+    for m, w in zip(means[1:], weights[1:]):
+        q = (acc + cur_w / 2.0) / total
+        limit = max(4.0 * total * q * (1.0 - q) / delta, 1.0)
+        if cur_w + w <= limit:
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            acc += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def digest_of(values: np.ndarray, delta: int = 200):
+    """Build a digest from raw values."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    return _compress(v, np.ones(len(v)), delta)
+
+
+def merge_digests(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
+    """Associatively merge partial digests (the reducer's combine step)."""
+    if not parts:
+        return np.empty(0), np.empty(0)
+    means = np.concatenate([p[0] for p in parts])
+    weights = np.concatenate([p[1] for p in parts])
+    return _compress(means, weights, delta)
+
+
+def digest_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Quantile estimate: interpolate between adjacent centroid means at
+    the target cumulative weight (standard t-digest readout)."""
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = float(weights.sum())
+    target = q * total
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+_PARTIAL = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    by: str | None = None,
+    delta: int = 200,
+) -> DataFrame:
+    """Estimated quantiles per group via mergeable t-digests
+    (estimatedQuantile parity, TDigestReducer.java:21-41).
+
+    Output: (grp, q, value) — grp is the stringified group key ('' when
+    ungrouped)."""
+    cols = [F.col(by).cast("string").alias("grp")] if by else [
+        F.lit("").alias("grp")
+    ]
+    src = df.select(*cols, F.col(value_col).cast("double").alias("val"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for grp, sub in pdf.groupby("grp", sort=False):
+                m, w = digest_of(sub["val"].to_numpy(), delta)
+                rows.append((grp, m.tolist(), w.tolist()))
+            yield pd.DataFrame(rows, columns=["grp", "means", "weights"])
+
+    partials = src.mapInPandas(partial, schema=_PARTIAL)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            (np.asarray(m, dtype=np.float64), np.asarray(w, dtype=np.float64))
+            for m, w in zip(pdf["means"], pdf["weights"])
+        ]
+        means, weights = merge_digests(parts, delta)
+        return pd.DataFrame(
+            {
+                "grp": key[0],
+                "q": list(qs),
+                "value": [digest_quantile(means, weights, q) for q in qs],
+            }
+        )
+
+    return partials.groupBy("grp").applyInPandas(finish, schema=out_schema)

@@ -126,3 +126,47 @@ def test_lsh_neardup_pairs_equals_bruteforce(spark):
         for r in embedding_neardup_pairs(dup, threshold=0.999999).collect()
     }
     assert got == want and len(got) == emb.count()
+
+
+def test_tdigest_quantiles_accuracy(spark):
+    """Mergeable t-digest (estimatedQuantile parity): rank error of the
+    estimate vs the exact distribution is within the sketch bound."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from oshdb_spark.ops.sketches import tdigest_quantiles
+
+    out = tdigest_quantiles(
+        li, "l_extendedprice", [0.1, 0.5, 0.9], by="l_returnflag"
+    ).collect()
+    vals_by = {
+        r.l_returnflag: sorted(
+            x.l_extendedprice for x in li.select("l_returnflag", "l_extendedprice")
+            .filter(F.col("l_returnflag") == r.l_returnflag).collect()
+        )
+        for r in li.select("l_returnflag").distinct().collect()
+    }
+    assert {r.grp for r in out} == set(vals_by)
+    for r in out:
+        vals = vals_by[r.grp]
+        import bisect
+
+        rank = bisect.bisect_left(vals, r.value) / len(vals)
+        assert abs(rank - r.q) < 0.02, (r.grp, r.q, r.value, rank)
+
+
+def test_tdigest_merge_associativity():
+    import numpy as np
+
+    from oshdb_spark.ops.sketches import (
+        digest_of, digest_quantile, merge_digests,
+    )
+
+    rng = np.arange(10000, dtype=float) ** 1.5  # skewed, deterministic
+    whole = digest_of(rng)
+    parts = merge_digests([digest_of(rng[i::7]) for i in range(7)])
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        a = digest_quantile(*whole, q)
+        b = digest_quantile(*parts, q)
+        exact = float(np.quantile(rng, q))
+        spread = rng[-1] - rng[0]
+        assert abs(a - exact) / spread < 0.01
+        assert abs(b - exact) / spread < 0.01
