@@ -649,6 +649,29 @@ def q_contrib_by_region_poly(spark, sf_dir):
     )
 
 
+def q_relation_contrib_types(spark, sf_dir):
+    """RELATION contribution path (recursive member-window mod timestamps
+    through way members down to node histories): contribution-type counts
+    over the interval. Every node move changes the member geometry, so
+    states after the creation are exactly GEOMETRY_CHANGEs."""
+    from oshdb_spark.model.history import relation_docs_from_events
+
+    docs = relation_docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps([SNAPSHOT_TS[0], SNAPSHOT_TS[-1]])
+        .osm_type("relation")
+        .without_geometry()
+        .dataframe()
+    )
+    return (
+        df.select(F.explode("contrib_types").alias("contrib_type"))
+        .groupBy("contrib_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_multipolygon_area(spark, sf_dir):
     """Multipolygon assembly through the driver gate: per-user square
     outer rings assembled into Polygons; Chamberlain–Duquette area."""
@@ -727,6 +750,18 @@ def q_sim_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     return lsh_ann(emb, qvec, k=10, n_planes=8, multiprobe=2).select("vec_id")
+
+
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse centroids (first-16 stub) → map-side
+    routing → probe 4 nearest centroids → exact re-rank. The stub
+    training makes the whole operator SQL-expressible, so this runs with
+    a full DuckDB oracle."""
+    from oshdb_spark.ops.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return ivf_ann(emb, qvec, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 
 def q_text_tokens(spark, sf_dir):
@@ -869,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
         "relation_snapshot_length": q_relation_snapshot_length,
+        "relation_contrib_types": q_relation_contrib_types,
         "snapshot_polygon": q_snapshot_polygon,
         "snapshot_tag_regex": q_snapshot_tag_regex,
         "snapshot_tag_any": q_snapshot_tag_any,
@@ -888,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "sim_ivf": q_sim_ivf,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1081,6 +1118,42 @@ def oracle_sql() -> dict[str, str]:
                 (blon IS NOT NULL AND blat >= 20 AND blat <= 85)
                 OR (alon IS NOT NULL AND alat >= 20 AND alat <= 85))
             SELECT region, count(*) AS cnt FROM m GROUP BY 1
+        """,
+        "relation_contrib_types": f"""
+            -- relation = 1 version @way_sec; mod timestamps beyond it are
+            -- member-node version ts (window [way_sec, inf]); every node
+            -- move changes the member geometry => GEOMETRY_CHANGE.
+            -- (Changeset squash is a no-op here: verified for this
+            -- testdata that no first post-creation state's event_id
+            -- equals its user_id.)
+            WITH ded AS (
+              SELECT event_id, user_id, sec FROM (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       row_number() OVER (
+                         PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                         ORDER BY event_id) AS rn
+                FROM events) WHERE rn = 1),
+            ev AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec)
+                       AS urn
+              FROM ded),
+            nodes AS (SELECT user_id, urn % 3 AS j, sec FROM ev),
+            wsec AS (
+              SELECT user_id, max(fs) AS way_sec FROM (
+                SELECT user_id, j, min(sec) AS fs FROM nodes GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT contrib_type, count(*) AS cnt FROM (
+              SELECT 'CREATION' AS contrib_type FROM wsec
+               WHERE way_sec >= {SNAPSHOT_TS[0]}
+                 AND way_sec <  {SNAPSHOT_TS[-1]}
+              UNION ALL
+              SELECT 'GEOMETRY_CHANGE'
+              FROM nodes n JOIN wsec w ON n.user_id = w.user_id
+              WHERE n.sec > w.way_sec
+                AND n.sec >= {SNAPSHOT_TS[0]}
+                AND n.sec <  {SNAPSHOT_TS[-1]}
+            ) GROUP BY 1
         """,
         "contrib_monthly_zerofill": _HIST + f""",
             s AS ({contrib_states}),
@@ -1636,6 +1709,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.s, b.s)) <= 3
         """,
         "sim_lsh_ann": _lsh_ann_oracle(),
+        "sim_ivf": """
+            -- mirror of ops.similarity.ivf_ann with its deterministic
+            -- first-16 centroid stub: route each vector to argmax-cosine
+            -- centroid (ties -> lower index, matching the aggregate fold),
+            -- probe the 4 centroids nearest the query (ties -> higher
+            -- index, matching python sorted(reverse=True)), exact re-rank
+            WITH c AS (SELECT vec_id AS ci, embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id < 16),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            routed AS (
+              SELECT e.vec_id, e.embedding,
+                (SELECT ci FROM (
+                   SELECT c.ci,
+                     list_inner_product(e.embedding::DOUBLE[], c.cv)
+                     / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(c.cv, c.cv))) AS s
+                   FROM c) ORDER BY s DESC, ci LIMIT 1) AS cent
+              FROM embeddings e),
+            probes AS (
+              SELECT ci FROM (
+                SELECT c.ci,
+                  list_inner_product(q.qv, c.cv)
+                  / (sqrt(list_inner_product(q.qv, q.qv))
+                     * sqrt(list_inner_product(c.cv, c.cv))) AS s
+                FROM c, q) ORDER BY s DESC, ci DESC LIMIT 4)
+            SELECT vec_id FROM (
+              SELECT r.vec_id,
+                list_inner_product(r.embedding::DOUBLE[], q.qv)
+                / (sqrt(list_inner_product(r.embedding::DOUBLE[],
+                                           r.embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+              FROM routed r, q
+              WHERE r.cent IN (SELECT ci FROM probes))
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
         "sim_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id = 0)

@@ -446,17 +446,42 @@ def knn_batch(
 # raster ↔ vector zonal aggregation
 # ---------------------------------------------------------------------------
 
+def _points_in_rings_parity(px, py, rings) -> np.ndarray:
+    """Even-odd (crossing parity) membership over an arbitrary ring set —
+    equals points_in_polygon for [outer, holes...] and extends to
+    multi-piece clipped fragments."""
+    acc = np.zeros(len(np.atleast_1d(px)), dtype=bool)
+    for r in rings:
+        acc ^= points_in_polygon(px, py, [np.asarray(r, dtype=np.float64)])
+    return acc
+
+
 def rasterize_zones(
-    zones: dict[str, object], level: int = 8
-) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
-    """Zone polygons → (interior_cells, boundary_cells) token lists at
-    `level`. Interior cell ⇒ every point in it belongs to the zone;
-    boundary cell ⇒ exact test needed. Runs once on the driver; result is
-    broadcast-sized (cells at level 8 ⇒ ≤65k tokens/zone)."""
+    zones: dict[str, object], level: int = 8, with_fragments: bool = False
+):
+    """Zone polygons → (interior_cells, boundary_cells[, fragments])
+    token maps at `level`. Interior cell ⇒ every point in it belongs to
+    the zone; boundary cell ⇒ exact test needed. Runs once on the driver;
+    result is broadcast-sized (cells at level 8 ⇒ ≤65k tokens/zone).
+
+    With ``with_fragments=True`` additionally returns, per boundary cell,
+    the zone∩cell FRAGMENT rings (the reference's blocked-polygon
+    pattern, FastPolygonOperations.java:26-160): boundary membership then
+    tests against the few fragment edges instead of the full zone ring —
+    the 100 TB path for country-sized multi-thousand-vertex zones. Cells
+    are enlarged by one fixed-point unit before clipping so points lying
+    exactly on a cell edge stay strictly inside their own cell's
+    fragment (the parity test is then EXACTLY equivalent to the full
+    point-in-zone test)."""
+    import math
+
+    from ..geo.clip import _clip_ring_bbox
     from ..kernels.aoi import bbox_vs_polygon
 
     interior: dict[str, list[str]] = {}
     boundary: dict[str, list[str]] = {}
+    fragments: dict[str, dict[str, list[np.ndarray]]] = {}
+    eps = 1e-7  # one fixed-point unit
     for key, region in zones.items():
         if _is_bbox(region):
             w, s, e, n = region
@@ -465,8 +490,6 @@ def rasterize_zones(
             ]
         else:
             rings = [np.asarray(r, dtype=np.float64) for r in region]
-        import math
-
         xs = np.concatenate([r[:, 0] for r in rings])
         ys = np.concatenate([r[:, 1] for r in rings])
         # floor mins / ceil maxes: int() truncates toward zero, which for
@@ -478,6 +501,7 @@ def rasterize_zones(
         )
         toks = cells.cover_tokens(bbox7, level, enlarge=False)
         ins, bnd = [], []
+        frag: dict[str, list[np.ndarray]] = {}
         n_axis = 1 << level
         for t in toks:
             x, y = cells.hilbert_d2xy(level, int(t, 4) if t else 0)
@@ -492,8 +516,22 @@ def rasterize_zones(
                 ins.append(t)
             elif rel == 2:
                 bnd.append(t)
+                if with_fragments:
+                    grown = (
+                        cell_bbox[0] - eps, cell_bbox[1] - eps,
+                        cell_bbox[2] + eps, cell_bbox[3] + eps,
+                    )
+                    pieces = []
+                    for r in rings:
+                        c = _clip_ring_bbox(r, grown)
+                        if c is not None:
+                            pieces.append(c)
+                    frag[t] = pieces
         interior[key] = ins
         boundary[key] = bnd
+        fragments[key] = frag
+    if with_fragments:
+        return interior, boundary, fragments
     return interior, boundary
 
 
@@ -507,23 +545,18 @@ def zonal_aggregate(
     fixed_point: bool = True,
 ) -> DataFrame:
     """Zonal statistics: assign each point to all zones containing it,
-    via cell lookup for interior cells + exact PiP only for boundary
-    cells, then groupBy(zone).agg(...). Points in no zone are dropped."""
+    via cell lookup for interior cells + exact boundary tests against the
+    per-cell zone FRAGMENT (the blocked-polygon pattern,
+    FastPolygonOperations.java:26-160 — a boundary point tests against
+    the handful of fragment edges in ITS cell, not the full zone ring),
+    then groupBy(zone).agg(...). Points in no zone are dropped.
+    Fragment and full-ring tests are exactly equivalent (see
+    rasterize_zones)."""
     scale = 1e-7 if fixed_point else 1.0
-    interior, boundary = rasterize_zones(zones, level)
+    interior, boundary, fragments = rasterize_zones(
+        zones, level, with_fragments=True
+    )
     keys = list(zones.keys())
-    int_sets = {k: frozenset(interior[k]) for k in keys}
-    bnd_sets = {k: frozenset(boundary[k]) for k in keys}
-    rings_by_key = {}
-    for k in keys:
-        region = zones[k]
-        if _is_bbox(region):
-            w, s, e, n = region
-            rings_by_key[k] = [
-                np.array([(w, s), (e, s), (e, n), (w, n), (w, s)], dtype=np.float64)
-            ]
-        else:
-            rings_by_key[k] = [np.asarray(r, dtype=np.float64) for r in region]
 
     int_arrs = {k: np.array(interior[k], dtype=object) for k in keys}
     bnd_arrs = {k: np.array(boundary[k], dtype=object) for k in keys}
@@ -538,16 +571,22 @@ def zonal_aggregate(
         hits = [[] for _ in range(len(toks))]
         for k in keys:
             # vectorized cell membership (np.isin on token arrays); exact
-            # PiP only where the point sits in a boundary cell
+            # parity test against the cell's fragment where the point
+            # sits in a boundary cell
             imask = np.isin(toks, int_arrs[k])
             for i in np.nonzero(imask)[0]:
                 hits[i].append(k)
             bmask = np.isin(toks, bnd_arrs[k])
             if bmask.any():
                 idx = np.nonzero(bmask)[0]
-                inside = points_in_polygon(px[idx], py[idx], rings_by_key[k])
-                for i in idx[inside]:
-                    hits[i].append(k)
+                frag_k = fragments[k]
+                for t in np.unique(toks[idx]):
+                    sub = idx[toks[idx] == t]
+                    inside = _points_in_rings_parity(
+                        px[sub], py[sub], frag_k.get(t, [])
+                    )
+                    for i in sub[inside]:
+                        hits[i].append(k)
         return pd.Series(hits)
 
     return (

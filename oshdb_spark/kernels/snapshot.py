@@ -206,12 +206,21 @@ def prepared_docs(
         .withColumn("_fast", F.col("_fastn") | F.col("_fastw"))
     )
     # second barrier: materialize the sorted member histories once (they
-    # feed 7 flat member columns below)
-    typed = typed.select(
-        "*",
-        F.when(F.col("_fastw"), F.expr(_MSORT)).alias("_ms"),
-        F.monotonically_increasing_id().alias("_barrier2"),
-    )
+    # feed 7 flat member columns below). Skipped entirely when no way
+    # fast path is active — node-only plans keep one fewer projection.
+    if fast_ways:
+        typed = typed.select(
+            "*",
+            F.when(F.col("_fastw"), F.expr(_MSORT)).alias("_ms"),
+            F.monotonically_increasing_id().alias("_barrier2"),
+        )
+    else:
+        typed = typed.withColumn(
+            "_ms", F.lit(None).cast(
+                "array<array<struct<ts:string,ver:int,vis:boolean,"
+                "lon:bigint,lat:bigint,cs:bigint,uid:int>>>"
+            )
+        )
 
     def arr(expr_sql: str):
         return F.when(F.col("_fast"), F.expr(expr_sql))

@@ -170,3 +170,62 @@ def test_knn_batch_matches_bruteforce_two_jobs(spark):
         assert sorted(got[qid]) == sorted(
             [(round(d, 6), e) for d, e in want]
         ), f"query {qid} mismatch"
+
+
+def test_zonal_blocked_fragments_equal_full_rings(spark):
+    """Blocked per-cell fragment parity (FastPolygonOperations pattern)
+    must equal the full point-in-zone test — concave zone, plus points
+    sitting EXACTLY on cell boundaries (cell width at level 8 is
+    1.40625°, so lon = multiples of it are edge cases)."""
+    import pandas as pd
+
+    from oshdb_spark.geo.spatial_join import (
+        _points_in_rings_parity, rasterize_zones, zonal_aggregate,
+    )
+
+    concave = [[
+        (-10.0, -10.0), (20.0, -10.0), (20.0, 20.0), (5.0, 20.0),
+        (5.0, 2.0), (-2.0, 2.0), (-2.0, 20.0), (-10.0, 20.0),
+        (-10.0, -10.0),
+    ]]
+    zones = {"cc": concave, "box": (0.0, 0.0, 12.0, 12.0)}
+
+    # direct check: fragment parity vs full rings on a dense lattice that
+    # includes exact cell-edge coordinates
+    cw = 360.0 / 256
+    xs = np.concatenate([
+        np.linspace(-12, 22, 171),
+        np.arange(-12, 22, cw),      # exact cell-edge lons
+    ])
+    ys = np.linspace(-12, 22, 69)
+    px, py = np.meshgrid(xs, ys)
+    px, py = px.ravel(), py.ravel()
+    interior, boundary, frags = rasterize_zones(zones, 8, with_fragments=True)
+    from oshdb_spark.geo import cells as C
+
+    toks = C.token_of_points(
+        (px * 1e7).astype(np.int64), (py * 1e7).astype(np.int64), 8
+    )
+    for k, rings in [("cc", [np.asarray(r) for r in concave])]:
+        full = points_in_polygon(px, py, rings)
+        got = np.zeros(len(px), dtype=bool)
+        iset, bset = set(interior[k]), set(boundary[k])
+        for i, t in enumerate(toks):
+            if t in iset:
+                got[i] = True
+            elif t in bset:
+                got[i] = _points_in_rings_parity(
+                    px[i : i + 1], py[i : i + 1], frags[k].get(t, [])
+                )[0]
+        assert (got == full).all(), f"{(got != full).sum()} mismatches"
+
+    # end-to-end: zonal_aggregate over event points agrees with direct PiP
+    pts = _points(spark)
+    out = {r.zone: r.cnt for r in zonal_aggregate(
+        pts, zones, [F.count(F.lit(1)).alias("cnt")]
+    ).collect()}
+    rows = pts.select("lon", "lat").toPandas()
+    qx = rows["lon"].to_numpy() * 1e-7
+    qy = rows["lat"].to_numpy() * 1e-7
+    want_cc = int(points_in_polygon(qx, qy, [np.asarray(r) for r in concave]).sum())
+    assert out.get("cc", 0) == want_cc
