@@ -45,6 +45,7 @@ class _State:
     with_geometry: bool = True
     group_keys: tuple = ()  # ((name, colexpr_fn), ...)
     zerofill_frames: tuple = ()  # DataFrames of key values for zerofill
+    area_decider: object | None = None  # custom TagInterpreter
 
 
 class OSHDB:
@@ -120,6 +121,11 @@ class View:
     def without_geometry(self) -> "View":
         return self._with(with_geometry=False)
 
+    def tag_interpreter(self, decider) -> "View":
+        """Pluggable area-decision rules (MapReducer.tagInterpreter,
+        :224-228) — any kernels.geometry_builder.TagInterpreter."""
+        return self._with(area_decider=decider)
+
     # -- plan compilation ---------------------------------------------------
     def _nodes_only(self) -> bool:
         for s in self._s.filter_spec:
@@ -142,34 +148,55 @@ class View:
             return snap_mod.snapshots(
                 s.docs, list(s.timestamps), bbox=s.bbox, polygon=s.polygon,
                 filter_spec=list(s.filter_spec) or None,
+                area_decider=s.area_decider,
                 with_geometry=s.with_geometry,
             )
         interval = (s.timestamps[0], s.timestamps[-1])
         return contrib_mod.contributions(
             s.docs, interval, bbox=s.bbox, polygon=s.polygon,
             filter_spec=list(s.filter_spec) or None,
+            area_decider=s.area_decider,
             with_geometry=s.with_geometry,
         )
 
+    def stream(self):
+        """Lazy row cursor (MapReducer.stream, :1422-1431) — Spark's
+        toLocalIterator: partitions stream to the driver one at a time."""
+        return self.dataframe().toLocalIterator()
+
+    def collect(self):
+        return self.dataframe().collect()
+
     # -- aggregation (MapAggregator) ---------------------------------------
-    def aggregate_by_timestamp(self, zerofill: bool = True) -> "Aggregator":
+    def aggregate_by_timestamp(
+        self, zerofill: bool = True, indexer: Column | str | None = None
+    ) -> "Aggregator":
         """Snapshot: group by the snapshot ts. Contribution: FLOOR each
         contribution ts to the requested timestamp list
         (MapReducer.java:775-822; contribution view drops the last ts from
-        the zerofill key set, MapReducer.java:1858-1866)."""
+        the zerofill key set, MapReducer.java:1858-1866).
+
+        `indexer` (MapReducer.java:836-844): a custom timestamp column
+        expression evaluated per row, floored to the grid the same way."""
         s = self._s
         df = self.dataframe()
         spark = df.sparkSession
-        if s.view == "snapshot":
-            keyed = df.withColumn("_key_ts", F.col("ts"))
+        ts_col = (
+            F.col("ts") if indexer is None
+            else (F.expr(indexer) if isinstance(indexer, str) else indexer)
+        )
+        if s.view == "snapshot" and indexer is None:
+            keyed = df.withColumn("_key_ts", ts_col)
             keys = list(s.timestamps)
         else:
             grid = "array(" + ",".join(str(t) for t in s.timestamps) + ")"
-            keyed = df.withColumn(
+            keyed = df.withColumn("_ix_ts", ts_col).withColumn(
                 "_key_ts",
-                F.expr(f"array_max(filter({grid}, g -> g <= ts))"),
-            ).filter(F.col("_key_ts").isNotNull())
-            keys = list(s.timestamps)[:-1]  # drop last (zerofill key set)
+                F.expr(f"array_max(filter({grid}, g -> g <= _ix_ts))"),
+            ).filter(F.col("_key_ts").isNotNull()).drop("_ix_ts")
+            keys = list(s.timestamps)
+            if s.view != "snapshot":
+                keys = keys[:-1]  # drop last (zerofill key set)
         zf = ()
         if zerofill:
             zf = (spark.createDataFrame([(int(t),) for t in keys], "_key_ts long"),)

@@ -323,10 +323,14 @@ def knn_batch(
     id_cols: list[str] | None = None,
     level: int = 6,
     fixed_point: bool = True,
+    cell_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Exact kNN for a BATCH of query points in exactly TWO Spark jobs —
     no per-ring driver loop (the scale-safe replacement for `knn`'s
-    radius-doubling probe).
+    radius-doubling probe). Pass `cell_counts` (the docs store's
+    `_manifest/cell_counts.json` histogram at the same `level`,
+    plans.layout.read_cell_counts) to skip the histogram job entirely —
+    ONE action total.
 
     queries: [(qid, lon_deg, lat_deg), ...].
 
@@ -351,9 +355,12 @@ def knn_batch(
         return pd.Series(cells.token_of_points(l7, t7, level))
 
     pts = df.withColumn("_tok", tok_of(F.col(lon_col), F.col(lat_col)))
-    # job 1: per-cell histogram (manifest-sized: ≤ 4^level entries)
-    counts = {r["_tok"]: r["cnt"] for r in
-              pts.groupBy("_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    if cell_counts is not None:
+        counts = cell_counts
+    else:
+        # job 1: per-cell histogram (manifest-sized: ≤ 4^level entries)
+        counts = {r["_tok"]: r["cnt"] for r in
+                  pts.groupBy("_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()}
 
     n_axis = 1 << level
     cell_h_deg = 180.0 / n_axis

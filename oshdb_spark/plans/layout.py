@@ -106,11 +106,20 @@ def write_docs_store(
     path: str,
     prefix_len: int = 2,
     target_rows: int = 100_000,
+    manifest_level: int = 6,
 ) -> dict:
     """Write the canonical partitioned docs store:
     partition dirs by cell_prefix, files shuffled by (prefix, salt),
     rows sorted by full Hilbert token (spatial locality within files).
-    Returns the salt plan used (for the lineage manifest)."""
+
+    Alongside the data, a `_manifest/cell_counts.json` histogram of doc
+    counts per cell at `manifest_level` is written — the metadata that
+    lets kNN pick its proven radius (geo.spatial_join.knn_batch) WITHOUT
+    scanning the table (at 10^12 docs the histogram is the analog of
+    Iceberg partition stats). Returns the salt plan (lineage manifest)."""
+    import json
+    import os
+
     toked = with_cell_token(docs, prefix_len)
     plan = salt_plan(toked, target_rows=target_rows)
     out = (
@@ -119,7 +128,31 @@ def write_docs_store(
         .sortWithinPartitions("cell")
     )
     out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
+    counts = (
+        toked.withColumn(
+            "_c", F.expr(f"rpad(substring(cell, 1, {manifest_level}), {manifest_level}, '0')")
+        )
+        .groupBy("_c").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    os.makedirs(f"{path}/_manifest", exist_ok=True)
+    with open(f"{path}/_manifest/cell_counts.json", "w") as f:
+        json.dump(
+            {"level": manifest_level, "counts": {r["_c"]: r["n"] for r in counts}},
+            f,
+        )
     return plan
+
+
+def read_cell_counts(path: str) -> dict | None:
+    """Load the store's cell-count histogram (None if absent)."""
+    import json
+    import os
+
+    p = f"{path}/_manifest/cell_counts.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def read_docs_store(

@@ -63,3 +63,59 @@ def test_group_by_entity(spark):
     assert all(r.n_snaps >= 1 for r in rows)
     # full snapshot row count preserved across groups
     assert sum(r.n_snaps for r in rows) == v.dataframe().count()
+
+
+def test_stream_and_collect(spark):
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v = (
+        OSHDB(docs_from_events(ev))
+        .snapshot_view().timestamps(SNAPSHOT_TS)
+        .osm_type("node").without_geometry()
+    )
+    streamed = sum(1 for _ in v.stream())
+    assert streamed == len(v.collect()) > 0
+
+
+def test_aggregate_by_timestamp_custom_indexer(spark):
+    """aggregateByTimestamp(indexer) (MapReducer.java:836-844): custom ts
+    expression floored to the grid."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = (
+        OSHDB(docs_from_events(ev))
+        .snapshot_view().timestamps(SNAPSHOT_TS)
+        .osm_type("node").without_geometry()
+    )
+    # identity indexer must equal the default
+    a = {tuple(r) for r in base.aggregate_by_timestamp().count().collect()}
+    b = {tuple(r) for r in
+         base.aggregate_by_timestamp(indexer=F.col("ts")).count().collect()}
+    assert a == b
+    # shifted indexer: shift each row one grid step forward
+    c = base.aggregate_by_timestamp(indexer="ts + 604800").count().collect()
+    assert sum(r.cnt for r in c) > 0
+
+
+def test_custom_tag_interpreter_on_view(spark):
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.kernels.geometry_builder import NeverArea
+    from oshdb_spark.model.history import SNAPSHOT_TS, way_docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v = (
+        OSHDB(way_docs_from_events(ev))
+        .snapshot_view().timestamps([SNAPSHOT_TS[-1]])
+        .osm_type("way")
+        .tag_interpreter(NeverArea())
+    )
+    rows = v.dataframe().select("geom_wkb").collect()
+    assert len(rows) > 0
+    # NeverArea: every way stays a LineString (wkb type byte 2)
+    assert all(bytes(r.geom_wkb)[1] == 2 for r in rows if r.geom_wkb)

@@ -109,3 +109,19 @@ def test_pipeline_multi_stage_lineage(spark, docs, tmp_path):
     lin = p.lineage()
     assert [m["stage"] for m in lin] == ["docs", "counts"]
     assert lin[1]["inputs"] == ["docs"]
+
+
+def test_store_manifest_cell_counts(spark, tmp_path):
+    """write_docs_store emits the cell-count histogram manifest; counts
+    sum to the doc count."""
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import read_cell_counts, write_docs_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs_from_events(ev)
+    path = str(tmp_path / "store")
+    write_docs_store(docs, path, prefix_len=2)
+    m = read_cell_counts(path)
+    assert m is not None and m["level"] == 6
+    assert sum(m["counts"].values()) == docs.count()
+    assert all(len(t) == 6 for t in m["counts"])

@@ -229,3 +229,34 @@ def test_zonal_blocked_fragments_equal_full_rings(spark):
     qy = rows["lat"].to_numpy() * 1e-7
     want_cc = int(points_in_polygon(qx, qy, [np.asarray(r) for r in concave]).sum())
     assert out.get("cc", 0) == want_cc
+
+
+def test_knn_batch_with_manifest_counts_single_action(spark):
+    """With a precomputed cell-count histogram (the docs store manifest),
+    knn_batch skips the histogram job — same exact results."""
+    pts = _points(spark).cache()
+    pts.count()
+    queries = [("a", 10.0, 20.0), ("b", -120.0, -40.0)]
+    base = {(r.qid, r.event_id) for r in
+            SJ.knn_batch(pts, queries, k=10, id_cols=["event_id"]).collect()}
+
+    rows = pts.select("event_id", "lon", "lat").collect()
+    from oshdb_spark.geo import cells as C
+
+    toks = C.token_of_points(
+        np.array([r.lon for r in rows], dtype=np.int64),
+        np.array([r.lat for r in rows], dtype=np.int64), 6,
+    )
+    counts = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn-manifest", "manifest-count knn")
+    got = {(r.qid, r.event_id) for r in
+           SJ.knn_batch(pts, queries, k=10, id_cols=["event_id"],
+                        cell_counts=counts).collect()}
+    jobs = sc.statusTracker().getJobIdsForGroup("knn-manifest")
+    sc.setJobGroup(None, None)
+    assert got == base
+    assert len(jobs) <= 4  # single action (AQE may split), no histogram job
