@@ -589,10 +589,13 @@ def contributions(
                     )
                 )
             if gen_mask.any():
+                gpdf = pdf[gen_mask]
+                gtoks = _doc_tokens(gpdf)
                 out: list[tuple] = []
-                for row in pdf[gen_mask].to_dict("records"):
+                for row, tok in zip(gpdf.to_dict("records"), gtoks):
                     _emit_doc_contributions(
-                        row, t_first, t_last, aoi, flt, decider, with_geometry, out
+                        row, t_first, t_last, aoi, flt, decider,
+                        with_geometry, out, token=tok,
                     )
                 frames.append(pd.DataFrame(out, columns=_CONTRIB_COLS))
             yield pd.concat(frames, ignore_index=True) if frames else _empty_frame(_CONTRIB_COLS)
@@ -618,11 +621,11 @@ def _contributor_uid(entity_type, versions_asof, t, v, members_by_key):
 
 
 def _emit_doc_contributions(
-    row, t_first, t_last, aoi, flt, decider, with_geometry, out
+    row, t_first, t_last, aoi, flt, decider, with_geometry, out, token=None
 ):
     entity_type = row["entity_type"]
     eid = row["id"]
-    versions, members_by_key, fbbox, token = _doc_structs(row)
+    versions, members_by_key, fbbox, token = _doc_structs(row, token)
     versions = _normalize_ts(versions)
     for m in members_by_key.values():
         _normalize_ts(m["versions"])

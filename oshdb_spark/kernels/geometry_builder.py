@@ -124,8 +124,11 @@ def _asof(member, t):
     if versions is None:
         versions = sort_versions(member["versions"])
         member["_sorted"] = versions
-    got = get_by_timestamps(versions, [t])
-    return got.get(t)
+        # cache the ts array once: rebuilding it per (member, t) lookup
+        # dominated the general path's as-of cost
+        member["_vts"] = np.array([v["ts"] for v in versions], dtype=np.int64)
+    i = int(np.searchsorted(member["_vts"], t, side="right")) - 1
+    return versions[i] if i >= 0 else None
 
 
 def build_geometry(

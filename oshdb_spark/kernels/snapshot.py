@@ -127,7 +127,12 @@ def prepared_docs(
     one np.concatenate per column rebuilds the batch-global flat table.
     The column `fast_kind` ('node' | 'way' | null) routes each doc.
     """
-    typed = docs_mod.typed_docs(docs)
+    # versions sort happens AFTER the barrier over a bound column (index
+    # natural-sort) — the comparator-lambda sort in typed_docs runs
+    # interpreted per comparison; downstream consumers here either sort
+    # later (fast arrays) or are order-insensitive (bbox, general kernel
+    # re-sorts in python)
+    typed = docs_mod.typed_docs(docs, sort=False)
     pre = compile_doc_prefilter(filter_spec)
     if pre is not None:
         typed = typed.filter(pre)
@@ -205,22 +210,30 @@ def prepared_docs(
         .withColumn("_fastw", fast_way)
         .withColumn("_fast", F.col("_fastn") | F.col("_fastw"))
     )
-    # second barrier: materialize the sorted member histories once (they
-    # feed 7 flat member columns below). Skipped entirely when no way
-    # fast path is active — node-only plans keep one fewer projection.
-    if fast_ways:
-        typed = typed.select(
-            "*",
-            F.when(F.col("_fastw"), F.expr(_MSORT)).alias("_ms"),
-            F.monotonically_increasing_id().alias("_barrier2"),
-        )
-    else:
-        typed = typed.withColumn(
-            "_ms", F.lit(None).cast(
+    # second barrier: sort the OWN versions (index natural-sort over the
+    # bound array — struct(ts, ver, i) keys are fully orderable, then
+    # gather by i; no interpreted comparator, no re-decode) and
+    # materialize the sorted member histories (they feed 7 flat member
+    # columns below).
+    sorted_versions = F.expr(
+        "transform(array_sort(transform(versions,"
+        " (v, i) -> struct(v.ts as ts, v.version as ver, i as i))),"
+        " k -> versions[k.i])"
+    )
+    others = [c for c in typed.columns if c != "versions"]
+    typed = typed.select(
+        *others,
+        sorted_versions.alias("versions"),
+        (
+            F.when(F.col("_fastw"), F.expr(_MSORT))
+            if fast_ways
+            else F.lit(None).cast(
                 "array<array<struct<ts:string,ver:int,vis:boolean,"
                 "lon:bigint,lat:bigint,cs:bigint,uid:int>>>"
             )
-        )
+        ).alias("_ms"),
+        F.monotonically_increasing_id().alias("_barrier2"),
+    )
 
     def arr(expr_sql: str):
         return F.when(F.col("_fast"), F.expr(expr_sql))
@@ -282,11 +295,16 @@ def prepared_docs(
     )
 
 
-def _doc_structs(row):
+def _doc_structs(row, token=None):
     """Arrow row → (versions, members_by_key, fbbox_degrees, cell_token).
 
     Parses version/member spans from their JSON payloads (the spans array
-    itself is Arrow-safe; parsed nested structs with maps are not)."""
+    itself is Arrow-safe; parsed nested structs with maps are not).
+
+    Kernels pass the doc's cell token precomputed (one batched
+    _doc_tokens call per batch — the per-doc single-element vectorized
+    call was 1/3 of the whole general path); token=None computes it here
+    (direct test callers)."""
     import json
 
     versions = []
@@ -316,12 +334,13 @@ def _doc_structs(row):
             row["bbox_max_lon"] / _FP,
             row["bbox_max_lat"] / _FP,
         )
-        token = cells.token_of_bboxes(
-            np.array([row["bbox_min_lon"]], dtype=np.int64),
-            np.array([row["bbox_min_lat"]], dtype=np.int64),
-            np.array([row["bbox_max_lon"]], dtype=np.int64),
-            np.array([row["bbox_max_lat"]], dtype=np.int64),
-        )[0]
+        if token is None:
+            token = cells.token_of_bboxes(
+                np.array([row["bbox_min_lon"]], dtype=np.int64),
+                np.array([row["bbox_min_lat"]], dtype=np.int64),
+                np.array([row["bbox_max_lon"]], dtype=np.int64),
+                np.array([row["bbox_max_lat"]], dtype=np.int64),
+            )[0]
     return versions, members_by_key, fbbox, token
 
 
@@ -880,10 +899,13 @@ def snapshots(
                     )
                 )
             if gen_mask.any():
+                gpdf = pdf[gen_mask]
+                gtoks = _doc_tokens(gpdf)
                 out: list[tuple] = []
-                for row in pdf[gen_mask].to_dict("records"):
+                for row, tok in zip(gpdf.to_dict("records"), gtoks):
                     _emit_doc_snapshots(
-                        row, requested, aoi, flt, decider, with_geometry, out
+                        row, requested, aoi, flt, decider, with_geometry, out,
+                        token=tok,
                     )
                 frames.append(pd.DataFrame(out, columns=_SNAP_COLS))
             yield pd.concat(frames, ignore_index=True) if frames else _empty_frame(_SNAP_COLS)
@@ -891,10 +913,11 @@ def snapshots(
     return typed.mapInPandas(kernel, schema=schemas.SNAPSHOTS)
 
 
-def _emit_doc_snapshots(row, requested, aoi, flt, decider, with_geometry, out):
+def _emit_doc_snapshots(row, requested, aoi, flt, decider, with_geometry, out,
+                        token=None):
     entity_type = row["entity_type"]
     eid = row["id"]
-    versions, members_by_key, fbbox, token = _doc_structs(row)
+    versions, members_by_key, fbbox, token = _doc_structs(row, token)
     versions = _normalize_ts(versions)
     for m in members_by_key.values():
         _normalize_ts(m["versions"])

@@ -29,12 +29,17 @@ def _parse_ts(col):
     return F.unix_timestamp(F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ssX"))
 
 
-def typed_docs(docs: DataFrame) -> DataFrame:
+def typed_docs(docs: DataFrame, sort: bool = True) -> DataFrame:
     """docs(doc_id, spans) → (doc_id, entity_type, id, versions, members, spans).
 
     versions are sorted oldest-first by (ts, version) for kernel use; raw
     span storage order is newest-first (FIXTURES.md §1) and is preserved in
     the pass-through ``spans`` column.
+
+    ``sort=False`` skips the version sort (callers that sort later over a
+    materialized column — prepared_docs — or don't need order at all:
+    versions_table re-sorts via its window, bbox summaries are
+    order-insensitive).
     """
     v = F.expr(
         f"""
@@ -68,12 +73,13 @@ def typed_docs(docs: DataFrame) -> DataFrame:
         .withColumn("members", m)
         .drop("_meta")
     )
-    # oldest-first version order; reference stores newest-first but
-    # iterates oldest-first after reversing (OSHEntities.java:41-60)
-    out = out.withColumn(
-        "versions",
-        F.expr("array_sort(versions, (a, b) -> case when a.ts < b.ts then -1 when a.ts > b.ts then 1 when a.version < b.version then -1 when a.version > b.version then 1 else 0 end)"),
-    )
+    if sort:
+        # oldest-first version order; reference stores newest-first but
+        # iterates oldest-first after reversing (OSHEntities.java:41-60)
+        out = out.withColumn(
+            "versions",
+            F.expr("array_sort(versions, (a, b) -> case when a.ts < b.ts then -1 when a.ts > b.ts then 1 when a.version < b.version then -1 when a.version > b.version then 1 else 0 end)"),
+        )
     return out
 
 
