@@ -88,23 +88,29 @@ def compile_python(spec: list | None):
     return flt
 
 
+def _q(x) -> str:
+    """SQL single-quoted literal with escaping (tag keys/values may carry
+    quotes/backslashes in real OSM data)."""
+    return "'" + str(x).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _version_pred_sql(s) -> str | None:
     """SQL predicate over one element `v` of the typed versions array."""
     op = s[0]
     if op == "tag_key":
-        return f"map_contains_key(v.tags, '{s[1]}')"
+        return f"map_contains_key(v.tags, {_q(s[1])})"
     if op == "tag_eq":
-        return f"v.tags['{s[1]}'] = '{s[2]}'"
+        return f"v.tags[{_q(s[1])}] = {_q(s[2])}"
     if op == "tag_in":
-        vals = ", ".join(f"'{x}'" for x in s[2])
-        return f"v.tags['{s[1]}'] in ({vals})"
+        vals = ", ".join(_q(x) for x in s[2])
+        return f"v.tags[{_q(s[1])}] in ({vals})"
     if op == "tag_regex":
-        return f"v.tags['{s[1]}'] rlike '{s[2]}'"
+        return f"v.tags[{_q(s[1])}] rlike {_q(s[2])}"
     if op == "tag_any":
         alts = [
-            f"map_contains_key(v.tags, '{k}')"
+            f"map_contains_key(v.tags, {_q(k)})"
             if val is None
-            else f"v.tags['{k}'] = '{val}'"
+            else f"v.tags[{_q(k)}] = {_q(val)}"
             for k, val in s[1]
         ]
         return "(" + " or ".join(alts) + ")" if alts else None

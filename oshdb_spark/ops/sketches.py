@@ -138,7 +138,7 @@ def tdigest_quantiles(
         ]
     )
 
-    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def finish(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         parts = [
             (np.asarray(m, dtype=np.float64), np.asarray(w, dtype=np.float64))
             for m, w in zip(pdf["means"], pdf["weights"])

@@ -134,3 +134,28 @@ class TestSynthGenerator:
             "size(filter(spans, s -> s.kind = 'media')) as m"
         ).agg({"m": "sum"}).collect()[0][0]
         assert media == 50
+
+
+def test_filter_values_with_quotes(spark):
+    """SQL-compiled filters must survive quotes/backslashes in tag values
+    (real OSM names carry both)."""
+    from oshdb_spark.kernels.snapshot import snapshots
+    from oshdb_spark.model.synth import docs_df, make_doc, make_version
+
+    docs = docs_df(spark, [
+        make_doc("node", 1, [make_version(
+            1, 1_200_000_000, 1, tags={"name": "O'Hare \\ Int'l"},
+            lon=0, lat=0)]),
+        make_doc("node", 2, [make_version(
+            1, 1_200_000_000, 1, tags={"name": "plain"}, lon=0, lat=0)]),
+    ])
+    out = snapshots(
+        docs, [1_300_000_000],
+        filter_spec=[("tag_eq", "name", "O'Hare \\ Int'l")],
+    ).collect()
+    assert [r.id for r in out] == [1]
+    out2 = snapshots(
+        docs, [1_300_000_000],
+        filter_spec=[("tag_any", [("name", "O'Hare \\ Int'l"), ("x", None)])],
+    ).collect()
+    assert [r.id for r in out2] == [1]
