@@ -165,3 +165,70 @@ def test_view_aoi_composition(spark):
     )
     direct = count(base.area_of_interest(bbox=(-30.0, 0.0, 90.0, 85.0)))
     assert composed == direct
+
+
+# ---------------------------------------------------------------------------
+# property-based checks (hypothesis): random convex polygons are always in
+# general position w.p. 1, so ring_intersection must satisfy the algebra
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+def convex_ring(cx, cy, r, angles):
+    """Convex polygon from sorted angles on an ellipse around (cx, cy)."""
+    pts = [
+        (cx + r * np.cos(a), cy + 0.7 * r * np.sin(a))
+        for a in sorted(angles)
+    ]
+    pts.append(pts[0])
+    return np.asarray(pts, dtype=np.float64)
+
+
+if HAVE_HYP:
+    ring_strategy = st.tuples(
+        st.floats(-50, 50), st.floats(-50, 50), st.floats(1, 30),
+        st.lists(
+            st.floats(0, 2 * np.pi), min_size=3, max_size=9, unique=True
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(ring_strategy, ring_strategy)
+    def test_ring_intersection_properties(a_spec, b_spec):
+        a = convex_ring(*a_spec)
+        b = convex_ring(*b_spec)
+        if shoelace(a) < 1.0 or shoelace(b) < 1.0:
+            return  # degenerate sliver input (crossing tests lose meaning)
+        ab = ring_intersection(a, b)
+        ba = ring_intersection(b, a)
+        area_ab = rings_area(ab)
+        area_ba = rings_area(ba)
+        # commutative area
+        assert area_ab == pytest.approx(area_ba, rel=1e-9, abs=1e-9)
+        # bounded by both inputs
+        assert area_ab <= min(shoelace(a), shoelace(b)) + 1e-9
+        # convex ∩ convex is a single convex piece (or empty)
+        assert len(ab) <= 1
+
+    @settings(max_examples=30, deadline=None)
+    @given(ring_strategy, st.floats(0.1, 0.9))
+    def test_ring_intersection_containment(spec, scale):
+        cx, cy, r, angles = spec
+        outer = convex_ring(cx, cy, r, angles)
+        if shoelace(outer) < 1.0:
+            return  # sliver: scaled copy's clearance is below float noise
+        # scale about the CENTROID (always interior for a convex ring —
+        # the ellipse center is not when the angles span < pi)
+        gx, gy = outer[:-1, 0].mean(), outer[:-1, 1].mean()
+        inner = outer.copy()
+        inner[:, 0] = gx + (inner[:, 0] - gx) * scale
+        inner[:, 1] = gy + (inner[:, 1] - gy) * scale
+        out = ring_intersection(outer, inner)
+        assert rings_area(out) == pytest.approx(shoelace(inner), rel=1e-9)
