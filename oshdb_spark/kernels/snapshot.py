@@ -134,8 +134,6 @@ def prepared_docs(
     # re-sorts in python)
     typed = docs_mod.typed_docs(docs, sort=False)
     pre = compile_doc_prefilter(filter_spec)
-    if pre is not None:
-        typed = typed.filter(pre)
     has_py = any(s[0] == "py" for s in (filter_spec or []))
     # member-less node docs ALWAYS take the vectorized path (they never
     # demote), so their raw spans can be dropped right here instead of
@@ -167,6 +165,12 @@ def prepared_docs(
         ).alias("members"),
         F.monotonically_increasing_id().alias("_barrier"),
     )
+    # doc pre-filter evaluated on the BOUND arrays (post-barrier): the
+    # exists() predicate can never push into a parquet scan anyway (it
+    # reads decoded JSON), and evaluating it below the barrier paid a
+    # second full decode of every row
+    if pre is not None:
+        typed = typed.filter(pre)
     typed = with_doc_bbox(typed)
     if aoi is not None and not aoi.is_world:
         b = aoi.bbox
