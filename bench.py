@@ -98,12 +98,39 @@ def main():
                  _F.round(_F.sum("len_m"), 0).alias("total_len_m"))
         )
 
+    # relation workload (general per-doc path: 2-level member recursion)
+    from oshdb_spark.model.history import relation_docs_from_events
+
+    rel_reps = int(os.environ.get("SPARK_GRAFT_REL_REPS", "10"))
+    rel_path = os.path.join(tempfile.mkdtemp(prefix="benchrels"), "rels.parquet")
+    _rd = relation_docs_from_events(_ev)
+    _rreps = spark.range(rel_reps).select(_F.col("id").alias("rep"))
+    (_rd.crossJoin(_rreps)
+        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"), "spans")
+        .repartition(CPUS).write.parquet(rel_path))
+    rel_docs_n = spark.read.parquet(rel_path).count()
+
+    def relation_snapshot_length(spark, sf_dir):
+        from oshdb_spark.geo.measures import wkb_length_m
+
+        docs = spark.read.parquet(rel_path)
+        snaps = snapshots(
+            docs, SNAPSHOT_TS, filter_spec=[("type_in", ["relation"])]
+        )
+        return (
+            snaps.withColumn("len_m", wkb_length_m("geom_wkb"))
+            .groupBy("ts")
+            .agg(_F.count(_F.lit(1)).alias("cnt"),
+                 _F.round(_F.sum("len_m"), 0).alias("total_len_m"))
+        )
+
     qs = {
         "snapshot_sql": E.q_snapshot_count,
         "snapshot_kernel": E.q_snapshot_bbox_tag,
         "contribution_kernel": E.q_contribution_types,
         "snapshot_synth": synth_snapshot,
         "way_kernel": way_snapshot_length,
+        "relation_kernel": relation_snapshot_length,
         "cell_assign": E.q_cell_count_z6,
         "traj_length": E.q_geodesic_traj_length,
         "nation_join": E.q_agg_by_index_nation,
@@ -135,6 +162,8 @@ def main():
         "docs_per_sec": round(SYNTH_DOCS / times["snapshot_synth"], 1),
         "way_docs": way_docs_n,
         "way_docs_per_sec": round(way_docs_n / times["way_kernel"], 1),
+        "rel_docs": rel_docs_n,
+        "rel_docs_per_sec": round(rel_docs_n / times["relation_kernel"], 1),
         "rows": rows,
     }
     print(json.dumps(result))
