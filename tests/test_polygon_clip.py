@@ -206,6 +206,15 @@ if HAVE_HYP:
         b = convex_ring(*b_spec)
         if shoelace(a) < 1.0 or shoelace(b) < 1.0:
             return  # degenerate sliver input (crossing tests lose meaning)
+        # ring_intersection's documented precondition is GENERAL POSITION:
+        # no vertex of one ring on the other's boundary (hypothesis reuses
+        # generated values, so identical centers/angles do occur)
+        from oshdb_spark.kernels.geometry_builder import _points_on_ring_boundary
+
+        if _points_on_ring_boundary(a[:-1, 0], a[:-1, 1], b).any():
+            return
+        if _points_on_ring_boundary(b[:-1, 0], b[:-1, 1], a).any():
+            return
         ab = ring_intersection(a, b)
         ba = ring_intersection(b, a)
         area_ab = rings_area(ab)
