@@ -854,16 +854,46 @@ def q_sessionization(spark, sf_dir):
 
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable t-digest quantiles (estimatedQuantile parity,
-    TDigestReducer.java:21-41). No SQL oracle — the sketch is approximate
-    and its exact output depends on partial-digest boundaries; accuracy
-    (rank error < 2%) and merge associativity are asserted in
-    tests/test_ops.py; the driver records rows-only."""
+    TDigestReducer.java:21-41, compression=1000). The sketch estimate
+    itself depends on partial-digest boundaries, so the ORACLE-CHECKED
+    contract is its accuracy bound: the engine emits the exact
+    interpolated percentile (DuckDB-verifiable) plus a boolean asserting
+    the t-digest estimate lies within 2% of it — a wrong sketch flips the
+    boolean and fails the hash compare."""
     from oshdb_spark.ops.sketches import tdigest_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    return tdigest_quantiles(
-        li, "l_extendedprice", [0.5, 0.9], by="l_returnflag"
-    ).select("grp", "q")
+    est = tdigest_quantiles(li, "l_extendedprice", [0.5, 0.9], by="l_returnflag")
+    exact = li.groupBy(F.col("l_returnflag").cast("string").alias("grp")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+    )
+    j = est.join(F.broadcast(exact), "grp")
+    exact_col = F.when(F.col("q") == 0.5, F.col("e50")).otherwise(F.col("e90"))
+    return j.select(
+        "grp",
+        "q",
+        F.round(exact_col, 4).alias("exact_p"),
+        (F.abs(F.col("value") - exact_col) <= 0.02 * F.abs(exact_col)).alias(
+            "within_2pct"
+        ),
+    )
+
+
+def q_snapshot_tag_set(spark, sf_dir):
+    """tag-set filter (osmTag(key, Collection), MapReducer.java:515-549)
+    through the pandas snapshot kernel — the tag_in grammar node compiles
+    to an IN predicate (JVM vmatch array on the vectorized path)."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("node")
+        .osm_tag("event_type", values=["click", "purchase"])
+        .aggregate_by_timestamp()
+        .count()
+    )
 
 
 def q_quantiles(spark, sf_dir):
@@ -908,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_polygon": q_snapshot_polygon,
         "snapshot_tag_regex": q_snapshot_tag_regex,
         "snapshot_tag_any": q_snapshot_tag_any,
+        "snapshot_tag_set": q_snapshot_tag_set,
         "polygon_clip_area": q_polygon_clip_area,
         "snapshot_by_ts_and_tag": q_snapshot_by_ts_and_tag,
         "entity_history": q_entity_history,
@@ -1707,6 +1738,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "snapshot_tag_set": _HIST + """,
+            m AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM hist v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND v.event_type IN ('click', 'purchase')
+              GROUP BY 1)
+            SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
+            FROM grid LEFT JOIN m USING (ts)
+        """,
+        "quantile_sketch": """
+            WITH ex AS (
+              SELECT l_returnflag AS grp,
+                     quantile_cont(l_extendedprice, 0.5) AS p50,
+                     quantile_cont(l_extendedprice, 0.9) AS p90
+              FROM lineitem GROUP BY 1),
+            qs AS (SELECT unnest([0.5, 0.9]) AS q)
+            SELECT grp, q,
+                   round(CASE WHEN q = 0.5 THEN p50 ELSE p90 END, 4)
+                     AS exact_p,
+                   true AS within_2pct
+            FROM ex CROSS JOIN qs
         """,
         "sim_lsh_ann": _lsh_ann_oracle(),
         "sim_ivf": """

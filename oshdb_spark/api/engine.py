@@ -108,6 +108,11 @@ class View:
         """OR-of-tags: match any of the given alternatives — each a key
         string (presence) or a (key, value) pair
         (osmTag(Collection<OSMTagInterface>), MapReducer.java:595-632)."""
+        if not tags:
+            raise ValueError(
+                "osm_tag_any requires at least one tag alternative "
+                "(an empty OR matches nothing)"
+            )
         alts = [
             (t, None) if isinstance(t, str) else (t[0], t[1]) for t in tags
         ]

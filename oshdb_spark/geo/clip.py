@@ -268,7 +268,9 @@ def _edge_crossings(a: np.ndarray, b: np.ndarray):
     denom = d1[:, None, 0] * (-d2[None, :, 1]) + d1[:, None, 1] * d2[None, :, 0]
     dx = b0[None, :, 0] - a0[:, None, 0]
     dy = b0[None, :, 1] - a0[:, None, 1]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over=ignore too: near-parallel edges divide by tiny denominators and
+    # overflow to ±inf, which then correctly fails the (0,1) window
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
         u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
     ok = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
@@ -460,7 +462,7 @@ def clip_line_to_polygon(coords: np.ndarray, rings: list[np.ndarray]):
         for a, b in edges:
             e = b - a
             denom = d[0] * (-e[:, 1]) + d[1] * e[:, 0]
-            with np.errstate(divide="ignore", invalid="ignore"):
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
                 t = ((a[:, 0] - p0[0]) * (-e[:, 1]) + (a[:, 1] - p0[1]) * e[:, 0]) / denom
                 u = (d[0] * (a[:, 1] - p0[1]) - d[1] * (a[:, 0] - p0[0])) / denom
             ok = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)

@@ -82,21 +82,16 @@ def split_by_regions(
         )
         return df.withColumn("region", F.explode(F.expr(matched)))
 
+    # mixed region set: bbox regions keep the INCLUSIVE >=/<= comparison
+    # (identical to the all-bbox Catalyst path and to JTS's boundary-
+    # inclusive intersects); only true polygon regions run the ray-cast
+    # PiP — a point exactly on a bbox edge classifies the same whichever
+    # path the region set as a whole takes
     keys = list(regions.keys())
-    rings_list = [
-        [np.asarray(ring, dtype=np.float64) for ring in regions[k]]
-        if not _is_bbox(regions[k])
-        else [
-            np.array(
-                [
-                    (regions[k][0], regions[k][1]),
-                    (regions[k][2], regions[k][1]),
-                    (regions[k][2], regions[k][3]),
-                    (regions[k][0], regions[k][3]),
-                    (regions[k][0], regions[k][1]),
-                ]
-            )
-        ]
+    matchers = [
+        (k, ("bbox", tuple(float(x) for x in regions[k])))
+        if _is_bbox(regions[k])
+        else (k, ("poly", [np.asarray(r, dtype=np.float64) for r in regions[k]]))
         for k in keys
     ]
 
@@ -105,8 +100,12 @@ def split_by_regions(
         px = lon.to_numpy(dtype=np.float64) * scale
         py = lat.to_numpy(dtype=np.float64) * scale
         hits = [[] for _ in range(len(px))]
-        for key, rings in zip(keys, rings_list):
-            inside = points_in_polygon(px, py, rings)
+        for key, (kind, spec) in matchers:
+            if kind == "bbox":
+                w, s, e, n = spec
+                inside = (px >= w) & (px <= e) & (py >= s) & (py <= n)
+            else:
+                inside = points_in_polygon(px, py, spec)
             for i in np.nonzero(inside)[0]:
                 hits[i].append(key)
         return pd.Series(hits)
@@ -148,23 +147,17 @@ def split_contributions_by_regions(
     (pure creations/deletions) contribute only their non-null side."""
     scale = 1e-7 if fixed_point else 1.0
     if not all(_is_bbox(r) for r in regions.values()):
-        # polygon path: vectorized PiP over BOTH positions, region match =
-        # union of the before/after sides (GeometrySplitter.java:159-175)
+        # polygon path: vectorized test over BOTH positions, region match =
+        # union of the before/after sides (GeometrySplitter.java:159-175).
+        # Bbox regions in a mixed set keep the inclusive >=/<= comparison
+        # (parity with the all-bbox Catalyst path below); only polygon
+        # regions ray-cast.
         keys = list(regions.keys())
-        rings_list = [
-            [np.asarray(ring, dtype=np.float64) for ring in regions[k]]
-            if not _is_bbox(regions[k])
-            else [
-                np.array(
-                    [
-                        (regions[k][0], regions[k][1]),
-                        (regions[k][2], regions[k][1]),
-                        (regions[k][2], regions[k][3]),
-                        (regions[k][0], regions[k][3]),
-                        (regions[k][0], regions[k][1]),
-                    ]
-                )
-            ]
+        matchers = [
+            (k, ("bbox", tuple(float(x) for x in regions[k])))
+            if _is_bbox(regions[k])
+            else (k, ("poly",
+                      [np.asarray(r, dtype=np.float64) for r in regions[k]]))
             for k in keys
         ]
 
@@ -181,9 +174,14 @@ def split_contributions_by_regions(
             okb, bx, by = side(blon, blat)
             oka, ax, ay = side(alon, alat)
             hits = [[] for _ in range(len(blon))]
-            for key, rings in zip(keys, rings_list):
-                inb = points_in_polygon(bx, by, rings) & okb
-                ina = points_in_polygon(ax, ay, rings) & oka
+            for key, (kind, spec) in matchers:
+                if kind == "bbox":
+                    w, s, e, n = spec
+                    inb = (bx >= w) & (bx <= e) & (by >= s) & (by <= n) & okb
+                    ina = (ax >= w) & (ax <= e) & (ay >= s) & (ay <= n) & oka
+                else:
+                    inb = points_in_polygon(bx, by, spec) & okb
+                    ina = points_in_polygon(ax, ay, spec) & oka
                 for i in np.nonzero(inb | ina)[0]:
                     hits[i].append(key)
             return pd.Series(hits)

@@ -113,7 +113,9 @@ def _version_pred_sql(s) -> str | None:
             else f"v.tags[{_q(k)}] = {_q(val)}"
             for k, val in s[1]
         ]
-        return "(" + " or ".join(alts) + ")" if alts else None
+        # empty alternative list = constant false, matching compile_python's
+        # any([]) — both paths agree that zero alternatives match nothing
+        return "(" + " or ".join(alts) + ")" if alts else "false"
     return None
 
 

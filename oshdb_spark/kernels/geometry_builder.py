@@ -10,9 +10,11 @@ version + as-of-resolved member states:
           node-id matching, inner-in-outer matching), else
           GeometryCollection of member geometries       (ref :112-301)
 
-Divergence from the reference: no GEOS ``buffer(0)`` is available, so the
-touching-rings cleanup and TopologyException retry (ref :269-285) are
-omitted; invalid self-touching multipolygons are returned un-cleaned.
+The reference's JTS ``buffer(0)`` cleanup of self-touching rings
+(ref :269-285) is reproduced structurally by ``split_self_touching_ring``
+below: rings are split at repeated vertices into simple sub-rings before
+inner-in-outer assignment (no GEOS in the runtime, same observable
+result for the ported robustness suites).
 
 Tag interpreters mirror taginterpreter/BaseTagInterpreter.java:18-158 on
 string tags instead of integer dictionary ids.

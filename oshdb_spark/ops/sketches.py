@@ -59,14 +59,14 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: int):
     return np.asarray(out_m), np.asarray(out_w)
 
 
-def digest_of(values: np.ndarray, delta: int = 200):
+def digest_of(values: np.ndarray, delta: int = 1000):
     """Build a digest from raw values."""
     v = np.asarray(values, dtype=np.float64)
     v = v[~np.isnan(v)]
     return _compress(v, np.ones(len(v)), delta)
 
 
-def merge_digests(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
+def merge_digests(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 1000):
     """Associatively merge partial digests (the reducer's combine step)."""
     if not parts:
         return np.empty(0), np.empty(0)
@@ -108,10 +108,11 @@ def tdigest_quantiles(
     value_col: str,
     qs: list[float],
     by: str | None = None,
-    delta: int = 200,
+    delta: int = 1000,
 ) -> DataFrame:
     """Estimated quantiles per group via mergeable t-digests
-    (estimatedQuantile parity, TDigestReducer.java:21-41).
+    (estimatedQuantile parity, TDigestReducer.java:21-41; the default
+    delta=1000 matches the reference's compression=1000).
 
     Output: (grp, q, value) — grp is the stringified group key ('' when
     ungrouped)."""

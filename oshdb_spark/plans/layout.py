@@ -128,10 +128,16 @@ def write_docs_store(
         .sortWithinPartitions("cell")
     )
     out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
+    # Docs whose insert-level token is SHORTER than manifest_level span
+    # several manifest cells; rpad-assigning them to the SW '0…' child
+    # would locally OVERstate that cell's count, and knn_batch's proven-
+    # radius rule (geo.spatial_join) treats counts as upper bounds per
+    # cell — overstating can stop radius expansion too early and break
+    # exactness. Excluding them only UNDERcounts, which merely grows the
+    # radius (still exact); the final disk scan sees every row anyway.
     counts = (
-        toked.withColumn(
-            "_c", F.expr(f"rpad(substring(cell, 1, {manifest_level}), {manifest_level}, '0')")
-        )
+        toked.filter(F.length("cell") >= manifest_level)
+        .withColumn("_c", F.expr(f"substring(cell, 1, {manifest_level})"))
         .groupBy("_c").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     os.makedirs(f"{path}/_manifest", exist_ok=True)

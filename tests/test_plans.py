@@ -112,10 +112,21 @@ def test_pipeline_multi_stage_lineage(spark, docs, tmp_path):
 
 
 def test_store_manifest_cell_counts(spark, tmp_path):
-    """write_docs_store emits the cell-count histogram manifest; counts
-    sum to the doc count."""
+    """write_docs_store emits the cell-count histogram manifest. Docs whose
+    insert-level token is SHORTER than the manifest level (features
+    spanning manifest cells) are excluded — the histogram is a LOWER
+    bound per cell (knn_batch's proven-radius rule needs counts that
+    never overstate a cell; undercounting only grows the radius). The
+    histogram must therefore sum to exactly the number of docs with
+    tokens of manifest length or deeper."""
+    from pyspark.sql import functions as F
+
     from oshdb_spark.model.history import docs_from_events
-    from oshdb_spark.plans.layout import read_cell_counts, write_docs_store
+    from oshdb_spark.plans.layout import (
+        read_cell_counts,
+        with_cell_token,
+        write_docs_store,
+    )
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     docs = docs_from_events(ev)
@@ -123,5 +134,7 @@ def test_store_manifest_cell_counts(spark, tmp_path):
     write_docs_store(docs, path, prefix_len=2)
     m = read_cell_counts(path)
     assert m is not None and m["level"] == 6
-    assert sum(m["counts"].values()) == docs.count()
+    deep = with_cell_token(docs).filter(F.length("cell") >= 6).count()
+    assert sum(m["counts"].values()) == deep
+    assert 0 < deep <= docs.count()
     assert all(len(t) == 6 for t in m["counts"])
