@@ -508,6 +508,37 @@ def q_relation_snapshot_length(spark, sf_dir):
     )
 
 
+def q_way_polygon_clip(spark, sf_dir):
+    """WAY snapshots under a POLYGON AOI with exact line clipping: per ts,
+    count of ways intersecting the polygon and total CLIPPED length. The
+    kernel routes fully-inside way docs through the vectorized path and
+    demotes boundary-crossing docs to the exact per-doc clip
+    (clip_line_to_polygon ≙ JTS line∩polygon in Geo.clip); the oracle
+    clips each segment with the rect param-window (Liang-Barsky in SQL)."""
+    from oshdb_spark.geo.measures import wkb_length_m
+    from oshdb_spark.model.history import way_docs_from_events
+
+    w, s, e, n = _CLIP_RECT
+    ring = [(w, s), (e, s), (e, n), (w, n), (w, s)]
+    docs = way_docs_from_events(_t(spark, sf_dir, "events"))
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(polygon=[ring])
+        .osm_type("way")
+        .dataframe()
+    )
+    return (
+        snaps.withColumn("len_m", wkb_length_m("geom_clipped_wkb"))
+        .groupBy("ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("len_m"), 0).alias("clip_len_m"),
+        )
+    )
+
+
 def _event_points(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
@@ -933,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
+        "way_polygon_clip": q_way_polygon_clip,
         "relation_snapshot_length": q_relation_snapshot_length,
         "relation_contrib_types": q_relation_contrib_types,
         "snapshot_polygon": q_snapshot_polygon,
@@ -1323,6 +1355,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT ts, count(*) AS cnt, round(sum(len_m), 0) AS total_len_m
             FROM lens GROUP BY 1
         """,
+        "way_polygon_clip": """
+            WITH ded AS (
+              SELECT event_id, user_id, sec FROM (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       row_number() OVER (
+                         PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                         ORDER BY event_id) AS rn
+                FROM events) WHERE rn = 1),
+            ev AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec)
+                       AS urn
+              FROM ded),
+            nodes AS (
+              SELECT user_id, urn % 3 AS j, user_id*10 + (urn % 3) AS node_id,
+                     sec,
+                     row_number() OVER (PARTITION BY user_id, urn % 3
+                                        ORDER BY sec) AS k
+              FROM ev),
+            wsec AS (
+              SELECT user_id, max(fs) AS way_sec FROM (
+                SELECT user_id, j, min(sec) AS fs FROM nodes GROUP BY 1, 2)
+              GROUP BY 1),
+            grid AS (SELECT unnest(""" + _TS_LIST + """) AS ts),
+            nasof AS (
+              SELECT g.ts, n.user_id, n.j, n.node_id, max(n.k) AS k
+              FROM nodes n JOIN grid g ON n.sec <= g.ts
+              GROUP BY 1, 2, 3, 4),
+            pos AS (
+              SELECT ts, user_id, j,
+                (((node_id*1103515245 + k*1000003) % 3600000000)
+                  - 1800000000) * 1e-7 AS lon,
+                (((node_id*1234567891 + k*999983) % 1700000000)
+                  - 850000000) * 1e-7 AS lat
+              FROM nasof),
+            pv AS (
+              SELECT ts, user_id,
+                max(CASE WHEN j = 0 THEN lon END) AS lon0,
+                max(CASE WHEN j = 0 THEN lat END) AS lat0,
+                max(CASE WHEN j = 1 THEN lon END) AS lon1,
+                max(CASE WHEN j = 1 THEN lat END) AS lat1,
+                max(CASE WHEN j = 2 THEN lon END) AS lon2,
+                max(CASE WHEN j = 2 THEN lat END) AS lat2
+              FROM pos JOIN wsec USING (user_id)
+              WHERE wsec.way_sec <= pos.ts
+              GROUP BY 1, 2),
+            seg AS (
+              SELECT ts, user_id, lon0 AS x0, lat0 AS y0,
+                     lon1 AS x1, lat1 AS y1 FROM pv
+              UNION ALL
+              SELECT ts, user_id, lon1, lat1, lon2, lat2 FROM pv),
+            -- Liang-Barsky param window of each segment vs the clip rect
+            win AS (
+              SELECT ts, user_id, x0, y0, x1, y1,
+                greatest(0.0,
+                  CASE WHEN x1 = x0 THEN
+                    (CASE WHEN x0 >= {W} AND x0 <= {E} THEN 0.0 ELSE 1e30 END)
+                  ELSE least(({W} - x0)/(x1 - x0), ({E} - x0)/(x1 - x0)) END,
+                  CASE WHEN y1 = y0 THEN
+                    (CASE WHEN y0 >= {S} AND y0 <= {N} THEN 0.0 ELSE 1e30 END)
+                  ELSE least(({S} - y0)/(y1 - y0), ({N} - y0)/(y1 - y0)) END
+                ) AS t0,
+                least(1.0,
+                  CASE WHEN x1 = x0 THEN
+                    (CASE WHEN x0 >= {W} AND x0 <= {E} THEN 1.0 ELSE -1e30 END)
+                  ELSE greatest(({W} - x0)/(x1 - x0), ({E} - x0)/(x1 - x0)) END,
+                  CASE WHEN y1 = y0 THEN
+                    (CASE WHEN y0 >= {S} AND y0 <= {N} THEN 1.0 ELSE -1e30 END)
+                  ELSE greatest(({S} - y0)/(y1 - y0), ({N} - y0)/(y1 - y0)) END
+                ) AS t1
+              FROM seg),
+            cl AS (
+              SELECT ts, user_id,
+                x0 + (x1 - x0)*t0 AS ax, y0 + (y1 - y0)*t0 AS ay,
+                x0 + (x1 - x0)*t1 AS bx, y0 + (y1 - y0)*t1 AS "by"
+              FROM win WHERE t1 > t0),
+            lens AS (
+              SELECT ts, user_id,
+                6371000.0 * sqrt(
+                  pow(radians(bx - ax) * cos(radians((ay + "by")/2.0)), 2)
+                  + pow(radians("by" - ay), 2)) AS len_m
+              FROM cl)
+            SELECT ts, count(DISTINCT user_id) AS cnt,
+                   round(sum(len_m), 0) AS clip_len_m
+            FROM lens GROUP BY 1
+        """.replace("{W}", repr(_CLIP_RECT[0])).replace(
+            "{S}", repr(_CLIP_RECT[1])
+        ).replace("{E}", repr(_CLIP_RECT[2])).replace(
+            "{N}", repr(_CLIP_RECT[3])
+        ),
         "relation_snapshot_length": """
             WITH ded AS (
               SELECT event_id, user_id, sec FROM (

@@ -50,6 +50,7 @@ from .snapshot import (
     _point_wkb_vec,
     _points_in_aoi,
     _resolve_way_geometry,
+    _route_way_fast,
     _vectorizable_decider,
     _way_wkb_vec,
     prepared_docs,
@@ -562,7 +563,7 @@ def contributions(
     aoi = AOI(bbox=bbox, polygon=polygon)
     decider = area_decider or DEFAULT_INTERPRETER
     flt = compile_python(filter_spec)
-    fast_ways = aoi.polygon is None and _vectorizable_decider(decider)
+    fast_ways = _vectorizable_decider(decider)
     typed = prepared_docs(
         docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways
     )
@@ -573,8 +574,9 @@ def contributions(
                 continue
             fk = pdf["fast_kind"]
             node_mask = (fk == "node").to_numpy()
-            way_mask = (fk == "way").to_numpy()
-            gen_mask = ~(node_mask | way_mask)
+            way_raw = (fk == "way").to_numpy()
+            way_mask, way_demote = _route_way_fast(pdf, way_raw, aoi)
+            gen_mask = ~(node_mask | way_raw) | way_demote
             frames = []
             if node_mask.any():
                 frames.append(

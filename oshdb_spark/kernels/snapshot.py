@@ -196,7 +196,10 @@ def prepared_docs(
     )
     if aoi is not None and not aoi.is_world:
         # way fast path handles only fully-inside docs (no clip step);
-        # boundary-crossing ways keep the general per-doc path
+        # boundary-crossing ways keep the general per-doc path. For a
+        # polygon AOI this bbox test is only NECESSARY — the kernel
+        # refines with the exact bbox_vs_polygon 3-state and demotes
+        # boundary docs, so their spans are preserved below.
         b = aoi.bbox
         fast_way = fast_way & (
             (F.col("bbox_min_lon") >= int(b[0] * _FP))
@@ -209,6 +212,7 @@ def prepared_docs(
     if has_py:
         fast_node = F.lit(False)
         fast_way = F.lit(False)
+    way_may_demote = aoi is not None and aoi.polygon is not None
     typed = (
         typed.withColumn("_fastn", fast_node)
         .withColumn("_fastw", fast_way)
@@ -257,9 +261,15 @@ def prepared_docs(
         + _TS_PARSE.format("v")
         + ")))"
     )
+    # fast-way docs under a polygon AOI may demote to the general path
+    # (kernel-side exact 3-state), so they keep their spans; fast nodes
+    # never demote (their polygon test is exact in the vectorized path)
+    spans_keep = (
+        (~F.col("_fastn")) if way_may_demote else (~F.col("_fast"))
+    )
     return typed.select(
         *base,
-        F.when(~F.col("_fast"), F.col("spans")).alias("spans"),
+        F.when(spans_keep, F.col("spans")).alias("spans"),
         F.when(F.col("_fastn"), F.lit("node"))
         .when(F.col("_fastw"), F.lit("way"))
         .alias("fast_kind"),
@@ -852,6 +862,23 @@ def _vectorizable_decider(decider) -> bool:
     return type(decider) in (DefaultTagInterpreter, AlwaysArea, NeverArea)
 
 
+def _route_way_fast(pdf: pd.DataFrame, way_mask: np.ndarray, aoi: AOI):
+    """Refine the JVM way-fast routing under a polygon AOI with the exact
+    per-doc bbox_vs_polygon 3-state (the FastBboxIn/OutsidePolygon cull,
+    CellIterator.java:182-215): fully-inside docs stay on the vectorized
+    path, boundary docs demote to the general per-doc path (they need the
+    exact clip), disjoint docs drop. Returns (vec_mask, demote_mask)."""
+    if aoi.polygon is None or not way_mask.any():
+        return way_mask, np.zeros(len(pdf), dtype=bool)
+    rel = _doc_rel_vec(pdf[way_mask], aoi)
+    idx = np.nonzero(way_mask)[0]
+    vec = np.zeros(len(pdf), dtype=bool)
+    dem = np.zeros(len(pdf), dtype=bool)
+    vec[idx] = rel == 1
+    dem[idx] = rel == 2
+    return vec, dem
+
+
 def snapshots(
     docs: DataFrame,
     timestamps: list[int],
@@ -872,11 +899,10 @@ def snapshots(
     decider = area_decider or DEFAULT_INTERPRETER
     requested = sorted(timestamps)
     flt = compile_python(filter_spec)
-    # way fast path: only when no clipping decision is needed per doc
-    # (polygon AOIs need the exact bbox-vs-polygon cull, done per doc in
-    # the general path) and the area decider is one of the vectorizable
-    # built-ins
-    fast_ways = aoi.polygon is None and _vectorizable_decider(decider)
+    # way fast path: any AOI (bbox AND polygon — the kernel's exact
+    # 3-state keeps fully-inside docs vectorized and demotes boundary
+    # docs), as long as the area decider is a vectorizable built-in
+    fast_ways = _vectorizable_decider(decider)
     typed = prepared_docs(
         docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways
     )
@@ -887,8 +913,9 @@ def snapshots(
                 continue
             fk = pdf["fast_kind"]
             node_mask = (fk == "node").to_numpy()
-            way_mask = (fk == "way").to_numpy()
-            gen_mask = ~(node_mask | way_mask)
+            way_raw = (fk == "way").to_numpy()
+            way_mask, way_demote = _route_way_fast(pdf, way_raw, aoi)
+            gen_mask = ~(node_mask | way_raw) | way_demote
             frames = []
             if node_mask.any():
                 frames.append(

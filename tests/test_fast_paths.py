@@ -243,14 +243,30 @@ def _tricky_way_docs(spark):
     return docs_df(spark, docs)
 
 
+# polygon AOIs for the way fast path's kernel-side 3-state routing:
+# _BIG_QUAD contains every tricky way fully (all docs stay vectorized);
+# _SLIT_QUAD is the same cover with a thin notch descending to the origin
+# (docs near the origin become BOUNDARY → demote to the general path and
+# get exactly clipped; off-lattice vertices avoid degeneracies)
+_BIG_QUAD = [[(-62.0000013, -62.0000021), (62.0000017, -62.0000011),
+              (62.0000019, 62.0000023), (-62.0000015, 62.0000027),
+              (-62.0000013, -62.0000021)]]
+_SLIT_QUAD = [[(-62.0000013, -62.0000021), (62.0000017, -62.0000011),
+               (62.0000019, 62.0000023), (0.4000001, 62.0000027),
+               (0.5000003, 0.5000001), (-0.6000007, 62.0000025),
+               (-62.0000015, 62.0000027), (-62.0000013, -62.0000021)]]
+
+
 @pytest.mark.parametrize(
     "aoi_kw",
     [
         {},
         {"bbox": (-60.0, -60.0, 60.0, 60.0)},  # all tricky ways fully inside
         {"bbox": (-11.0, -11.0, 20.0, 20.0)},  # some ways cross the border
+        {"polygon": _BIG_QUAD},  # polygon AOI, all fully inside → vec path
+        {"polygon": _SLIT_QUAD},  # polygon AOI with boundary demotion
     ],
-    ids=["world", "inside", "boundary"],
+    ids=["world", "inside", "boundary", "poly_inside", "poly_slit"],
 )
 @pytest.mark.parametrize(
     "flt",
@@ -264,10 +280,45 @@ def test_way_snapshot_fast_vs_slow(spark, aoi_kw, flt):
     pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
 
 
+def test_way_polygon_routing(spark):
+    """Proof the polygon-AOI way fast path actually routes: under a
+    covering polygon every way doc stays vectorized; under the slit
+    polygon the near-origin doc demotes while the rest stay fast."""
+    import numpy as np
+
+    from oshdb_spark.kernels.aoi import AOI
+    from oshdb_spark.kernels.snapshot import _route_way_fast, prepared_docs
+
+    docs = _tricky_way_docs(spark)
+    aoi = AOI(polygon=_BIG_QUAD)
+    pdf = prepared_docs(docs, None, aoi, fast_arrays=True, fast_ways=True).toPandas()
+    way_raw = (pdf["fast_kind"] == "way").to_numpy()
+    assert way_raw.sum() == 5  # all way docs JVM-eligible
+    vec, dem = _route_way_fast(pdf, way_raw, aoi)
+    assert vec.sum() == 5 and dem.sum() == 0
+
+    aoi2 = AOI(polygon=_SLIT_QUAD)
+    pdf2 = prepared_docs(docs, None, aoi2, fast_arrays=True, fast_ways=True).toPandas()
+    way_raw2 = (pdf2["fast_kind"] == "way").to_numpy()
+    vec2, dem2 = _route_way_fast(pdf2, way_raw2, aoi2)
+    assert vec2.sum() >= 3  # far-from-slit docs stay vectorized
+    assert dem2.sum() >= 1  # the near-origin doc demotes (boundary)
+    # demoted docs kept their spans (they re-enter the general path)
+    assert all(
+        s is not None and len(s) > 0
+        for s in pdf2.loc[np.nonzero(dem2)[0], "spans"]
+    )
+
+
 @pytest.mark.parametrize(
     "aoi_kw",
-    [{}, {"bbox": (-60.0, -60.0, 60.0, 60.0)}],
-    ids=["world", "inside"],
+    [
+        {},
+        {"bbox": (-60.0, -60.0, 60.0, 60.0)},
+        {"polygon": _BIG_QUAD},
+        {"polygon": _SLIT_QUAD},
+    ],
+    ids=["world", "inside", "poly_inside", "poly_slit"],
 )
 @pytest.mark.parametrize(
     "flt",
