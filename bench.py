@@ -60,11 +60,14 @@ def main():
 
     def synth_snapshot(spark, sf_dir):
         docs = spark.read.parquet(synth_path)
+        # type_in node matches the driver flagship entry()'s .osm_type
+        # declaration — typed queries skip the way/relation member-table
+        # projections entirely (kernels.snapshot._allowed_types)
         snaps = snapshots(
             docs,
             SNAPSHOT_TS,
             bbox=(-120.0, -60.0, 120.0, 60.0),
-            filter_spec=[("tag_eq", "amenity", "cafe")],
+            filter_spec=[("type_in", ["node"]), ("tag_eq", "amenity", "cafe")],
         )
         from pyspark.sql import functions as F
 

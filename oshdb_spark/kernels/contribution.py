@@ -563,9 +563,21 @@ def contributions(
     aoi = AOI(bbox=bbox, polygon=polygon)
     decider = area_decider or DEFAULT_INTERPRETER
     flt = compile_python(filter_spec)
-    fast_ways = _vectorizable_decider(decider)
+    from .relation_vec import rel_fast_mode, rels_contrib_vec
+    from .snapshot import _allowed_types
+
+    types = _allowed_types(filter_spec)
+    fast_ways = _vectorizable_decider(decider) and (
+        types is None or "way" in types
+    )
+    fast_rels = (
+        rel_fast_mode(decider)
+        if types is None or "relation" in types
+        else None
+    )
     typed = prepared_docs(
-        docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways
+        docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways,
+        fast_rels=fast_rels,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -575,8 +587,12 @@ def contributions(
             fk = pdf["fast_kind"]
             node_mask = (fk == "node").to_numpy()
             way_raw = (fk == "way").to_numpy()
+            rel_raw = (fk == "relation").to_numpy()
             way_mask, way_demote = _route_way_fast(pdf, way_raw, aoi)
-            gen_mask = ~(node_mask | way_raw) | way_demote
+            rel_mask, rel_demote = _route_way_fast(pdf, rel_raw, aoi)
+            gen_mask = (
+                ~(node_mask | way_raw | rel_raw) | way_demote | rel_demote
+            )
             frames = []
             if node_mask.any():
                 frames.append(
@@ -588,6 +604,12 @@ def contributions(
                 frames.append(
                     _ways_contrib_vec(
                         pdf[way_mask], t_first, t_last, with_geometry, decider
+                    )
+                )
+            if rel_mask.any():
+                frames.append(
+                    rels_contrib_vec(
+                        pdf[rel_mask], t_first, t_last, with_geometry, decider
                     )
                 )
             if gen_mask.any():

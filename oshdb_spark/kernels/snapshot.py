@@ -53,12 +53,23 @@ def with_doc_bbox(typed: DataFrame) -> DataFrame:
     """Doc-level bbox summary columns (fixed-point), computed JVM-side over
     own versions ∪ embedded member versions — the analog of the OSH
     entity's stored bounding box used by the reference pre-filter
-    (CellIterator.java:201-204)."""
+    (CellIterator.java:201-204). Reads member coords from `members`
+    (LITE) and, when present, `membersR` (the relation fast path's full
+    decode — those docs carry NO LITE members, avoiding a double parse)."""
+    mr = (
+        ", flatten(transform(coalesce(membersR, array()),"
+        " m -> m.versions.lon))"
+        if "membersR" in typed.columns
+        else ""
+    )
+    mr_lat = mr.replace(".lon", ".lat")
     all_lons = (
-        "concat(versions.lon, flatten(transform(members, m -> m.versions.lon)))"
+        "concat(versions.lon, flatten(transform(coalesce(members, array()),"
+        f" m -> m.versions.lon)){mr})"
     )
     all_lats = (
-        "concat(versions.lat, flatten(transform(members, m -> m.versions.lat)))"
+        "concat(versions.lat, flatten(transform(coalesce(members, array()),"
+        f" m -> m.versions.lat)){mr_lat})"
     )
     return (
         typed.withColumn("_lons", F.expr(f"filter({all_lons}, x -> x is not null)"))
@@ -100,6 +111,7 @@ def prepared_docs(
     aoi: AOI | None = None,
     fast_arrays: bool = False,
     fast_ways: bool = False,
+    fast_rels: str | None = None,
 ) -> DataFrame:
     """Summarized + JVM-pre-filtered docs (shared by both kernels).
 
@@ -125,7 +137,17 @@ def prepared_docs(
     per-member sorted version histories flattened to (mid, mvcnt, mts,
     mvis, mlon, mlat, mcs, muid) — all single-level primitive arrays, so
     one np.concatenate per column rebuilds the batch-global flat table.
-    The column `fast_kind` ('node' | 'way' | null) routes each doc.
+    The column `fast_kind` ('node' | 'way' | 'relation' | null) routes
+    each doc.
+
+    With ``fast_rels`` ('default' | 'never' — the area-decider mode)
+    additionally, RELATION docs that can never take the multipolygon
+    assembly path (mode 'default': no version carries
+    type∈{multipolygon,boundary}; mode 'never': all) and whose members
+    are nodes/ways only get TWO-LEVEL flat member tables: own refs keep
+    their type (rvref/rvreftype), member histories carry way tags + ref
+    id lists (rm* columns), so the kernel resolves
+    relation→way-member→node-member as-of joins with pure searchsorted.
     """
     # versions sort happens AFTER the barrier over a bound column (index
     # natural-sort) — the comparator-lambda sort in typed_docs runs
@@ -155,14 +177,39 @@ def prepared_docs(
     # wide fast-array projection re-decodes the doc ~18×). Members decode
     # with the LITE schema: neither the bbox summary nor the flat member
     # tables need member tags/refs, and from_json skips absent fields.
+    lite_decode = (
+        "transform(filter(spans, s -> s.kind = 'member'),"
+        f" s -> from_json(s.text, '{schemas.MEMBER_LITE.simpleString()}'))"
+    )
+    if not fast_rels:
+        first_barrier = [
+            "doc_id", "entity_type", "id",
+            spans_out.alias("spans"),
+            "versions",
+            F.expr(lite_decode).alias("members"),
+        ]
+    else:
+        # relation docs decode members ONCE with the full REL schema
+        # (tags + ref ids for the 2-level flat tables) and carry NO LITE
+        # members; everything downstream (bbox summary, way tables) reads
+        # whichever column its doc kind populates — single barrier, no
+        # double JSON parse, no extra projection on the non-relation path.
+        first_barrier = [
+            "doc_id", "entity_type", "id",
+            spans_out.alias("spans"),
+            "versions",
+            F.expr(
+                "case when entity_type = 'relation' then"
+                " transform(filter(spans, s -> s.kind = 'member'),"
+                f" s -> from_json(s.text, '{schemas.MEMBER_REL.simpleString()}'))"
+                " end"
+            ).alias("membersR"),
+            F.expr(
+                f"case when entity_type <> 'relation' then {lite_decode} end"
+            ).alias("members"),
+        ]
     typed = typed.select(
-        "doc_id", "entity_type", "id",
-        spans_out.alias("spans"),
-        "versions",
-        F.expr(
-            "transform(filter(spans, s -> s.kind = 'member'),"
-            f" s -> from_json(s.text, '{schemas.MEMBER_LITE.simpleString()}'))"
-        ).alias("members"),
+        *first_barrier,
         F.monotonically_increasing_id().alias("_barrier"),
     )
     # doc pre-filter evaluated on the BOUND arrays (post-barrier): the
@@ -209,14 +256,44 @@ def prepared_docs(
         )
     if not fast_ways:
         fast_way = F.lit(False)
+    fast_rel = F.lit(False)
+    if fast_rels:
+        # relation fast path: members are node/way only, and (mode
+        # 'default') no version can trigger the multipolygon assembly —
+        # DefaultTagInterpreter.is_area(relation) is exactly
+        # type∈{multipolygon,boundary} (DefaultTagInterpreter.java:122-128)
+        # coalesce: IN over a missing map key is NULL, and exists() over
+        # nulls is NULL — which would silently null out _fast and drop
+        # the doc from every path
+        fast_rel = (F.col("entity_type") == "relation") & ~F.expr(
+            "exists(membersR,"
+            " m -> not coalesce(m.entity_type in ('node', 'way'), false))"
+        )
+        if fast_rels == "default":
+            fast_rel = fast_rel & ~F.expr(
+                "exists(versions, v -> coalesce("
+                "v.tags['type'] in ('multipolygon', 'boundary'), false))"
+            )
+        if aoi is not None and not aoi.is_world:
+            b = aoi.bbox
+            fast_rel = fast_rel & (
+                (F.col("bbox_min_lon") >= int(b[0] * _FP))
+                & (F.col("bbox_max_lon") <= int(b[2] * _FP))
+                & (F.col("bbox_min_lat") >= int(b[1] * _FP))
+                & (F.col("bbox_max_lat") <= int(b[3] * _FP))
+            )
     if has_py:
         fast_node = F.lit(False)
         fast_way = F.lit(False)
-    way_may_demote = aoi is not None and aoi.polygon is not None
+        fast_rel = F.lit(False)
+    may_demote = aoi is not None and aoi.polygon is not None
     typed = (
         typed.withColumn("_fastn", fast_node)
         .withColumn("_fastw", fast_way)
-        .withColumn("_fast", F.col("_fastn") | F.col("_fastw"))
+        .withColumn("_fastr", fast_rel)
+        .withColumn(
+            "_fast", F.col("_fastn") | F.col("_fastw") | F.col("_fastr")
+        )
     )
     # second barrier: sort the OWN versions (index natural-sort over the
     # bound array — struct(ts, ver, i) keys are fully orderable, then
@@ -229,7 +306,7 @@ def prepared_docs(
         " k -> versions[k.i])"
     )
     others = [c for c in typed.columns if c != "versions"]
-    typed = typed.select(
+    second_barrier = [
         *others,
         sorted_versions.alias("versions"),
         (
@@ -240,6 +317,14 @@ def prepared_docs(
                 "lon:bigint,lat:bigint,cs:bigint,uid:int>>>"
             )
         ).alias("_ms"),
+    ]
+    # relation member versions are NOT sorted JVM-side: an array_sort
+    # index-gather would re-materialize every member struct (tags maps +
+    # ref arrays) a second time; the kernel's _flat_rel_arrays sorts the
+    # flat primitive arrays with one numpy lexsort instead (free when the
+    # store is already version-ordered).
+    typed = typed.select(
+        *second_barrier,
         F.monotonically_increasing_id().alias("_barrier2"),
     )
 
@@ -265,13 +350,14 @@ def prepared_docs(
     # (kernel-side exact 3-state), so they keep their spans; fast nodes
     # never demote (their polygon test is exact in the vectorized path)
     spans_keep = (
-        (~F.col("_fastn")) if way_may_demote else (~F.col("_fast"))
+        (~F.col("_fastn")) if may_demote else (~F.col("_fast"))
     )
-    return typed.select(
+    out_cols = [
         *base,
         F.when(spans_keep, F.col("spans")).alias("spans"),
         F.when(F.col("_fastn"), F.lit("node"))
         .when(F.col("_fastw"), F.lit("way"))
+        .when(F.col("_fastr"), F.lit("relation"))
         .alias("fast_kind"),
         arr(ts_expr).alias("vts"),
         arr("versions.version").alias("vversion"),
@@ -306,7 +392,81 @@ def prepared_docs(
         ).alias("mlat"),
         warr("flatten(transform(_ms, vs -> vs.cs))").alias("mcs"),
         warr("flatten(transform(_ms, vs -> vs.uid))").alias("muid"),
-    )
+    ]
+    if fast_rels:
+
+        def rarr(expr_sql: str):
+            return F.when(F.col("_fastr"), F.expr(expr_sql))
+
+        rmem_ts = (
+            "flatten(transform(membersR, m -> transform(m.versions, v -> "
+            + _TS_PARSE.format("v")
+            + ")))"
+        )
+        out_cols += [
+            # relation own refs keep their TYPE (node/way/other) so the
+            # kernel resolves each to the right member table
+            rarr(
+                "transform(versions, v -> size(coalesce(v.refs, array())))"
+            ).alias("rvrefcnt"),
+            rarr(
+                "flatten(transform(versions,"
+                " v -> transform(coalesce(v.refs, array()), r -> r.ref)))"
+            ).alias("rvref"),
+            rarr(
+                "flatten(transform(versions,"
+                " v -> transform(coalesce(v.refs, array()),"
+                " r -> case when r.type = 'node' then 0"
+                " when r.type = 'way' then 1 else 2 end)))"
+            ).alias("rvreftype"),
+            rarr("transform(membersR, m -> m.id)").alias("rmid"),
+            rarr(
+                "transform(membersR,"
+                " m -> case when m.entity_type = 'node' then 0 else 1 end)"
+            ).alias("rmtype"),
+            rarr("transform(membersR, m -> size(m.versions))").alias("rmvcnt"),
+            rarr(rmem_ts).alias("rmts"),
+            rarr(
+                "flatten(transform(membersR, m -> m.versions.version))"
+            ).alias("rmver"),
+            rarr(
+                "flatten(transform(membersR, m -> m.versions.visible))"
+            ).alias("rmvis"),
+            rarr(
+                "flatten(transform(membersR, m -> transform(m.versions,"
+                f" v -> coalesce(v.lon, cast({_LON_SENTINEL} as bigint)))))"
+            ).alias("rmlon"),
+            rarr(
+                "flatten(transform(membersR, m -> transform(m.versions,"
+                f" v -> coalesce(v.lat, cast({_LON_SENTINEL} as bigint)))))"
+            ).alias("rmlat"),
+            rarr(
+                "flatten(transform(membersR, m -> m.versions.changeset))"
+            ).alias("rmcs"),
+            rarr(
+                "flatten(transform(membersR, m -> m.versions.uid))"
+            ).alias("rmuid"),
+            # tags ride only for WAY member versions (the area decision);
+            # node member tags are never read by the kernel — nulls keep
+            # the flat offsets aligned without per-version to_json cost
+            rarr(
+                "flatten(transform(membersR, m ->"
+                " case when m.entity_type = 'way'"
+                " then transform(m.versions, v -> to_json(v.tags))"
+                " else transform(m.versions, v -> cast(null as string)) end))"
+            ).alias("rmtags"),
+            # third level: way-member version ref-id lists (flat)
+            rarr(
+                "flatten(transform(membersR, m -> transform(m.versions,"
+                " v -> size(coalesce(v.refs, array())))))"
+            ).alias("rmrefcnt"),
+            rarr(
+                "flatten(transform(membersR, m -> flatten(transform("
+                "m.versions,"
+                " v -> transform(coalesce(v.refs, array()), r -> r.ref)))))"
+            ).alias("rmref"),
+        ]
+    return typed.select(*out_cols)
 
 
 def _doc_structs(row, token=None):
@@ -734,27 +894,31 @@ _NAN_POINT = np.frombuffer(
 )
 
 
-def _way_wkb_vec(
+def _way_wkb_nbytes(kind: np.ndarray, ncoords: np.ndarray) -> np.ndarray:
+    """Encoded byte length per row for the geometry-ladder WKB kinds."""
+    return np.select(
+        [kind <= 1, kind == 2, kind == 4],
+        [21, 9 + 16 * ncoords, 9],
+        13 + 16 * ncoords,
+    ).astype(np.int64)
+
+
+def _way_wkb_write(
+    buf: np.ndarray,
+    offs: np.ndarray,
     kind: np.ndarray,
     ncoords: np.ndarray,
     cstart: np.ndarray,
     c_row: np.ndarray,
     x: np.ndarray,
     y: np.ndarray,
-) -> list[bytes]:
-    """Vectorized ISO little-endian WKB for the way geometry ladder —
-    byte-identical to geo.geom.to_wkb. kind: 0 empty Point, 1 Point,
-    2 LineString, 3 Polygon(single ring). Coords (x, y degrees) are
-    grouped by output row (c_row ascending), segment offsets in cstart."""
-    n = len(kind)
-    nbytes = np.select(
-        [kind <= 1, kind == 2], [21, 9 + 16 * ncoords], 13 + 16 * ncoords
-    ).astype(np.int64)
-    offs = np.cumsum(nbytes) - nbytes
-    buf = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+) -> None:
+    """Write each row's WKB at buf[offs[r]:] — caller-placed encoding so
+    collections can embed components at their final positions with zero
+    copy passes."""
     buf[offs] = 1  # little-endian marker
     # geometry type code (u32 LE; codes < 256 so one byte suffices)
-    buf[offs + 1] = np.where(kind == 0, 1, kind)
+    buf[offs + 1] = np.select([kind == 0, kind == 4], [1, 2], kind)
 
     def put_u32(pos: np.ndarray, val: np.ndarray):
         for b in range(4):
@@ -780,6 +944,42 @@ def _way_wkb_vec(
         local = np.arange(len(x), dtype=np.int64) - cstart[c_row]
         dest = coord_base[c_row] + 16 * local
         buf[dest[:, None] + np.arange(16)[None, :]] = pair_u8
+
+
+def _way_wkb_buf(
+    kind: np.ndarray,
+    ncoords: np.ndarray,
+    cstart: np.ndarray,
+    c_row: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ISO little-endian WKB for the way geometry ladder —
+    byte-identical to geo.geom.to_wkb. kind: 0 empty Point, 1 Point,
+    2 LineString, 3 Polygon(single ring), 4 empty LineString (invisible
+    way members inside relation collections, OSHDBGeometryBuilder.java:
+    83-84). Coords (x, y degrees) are grouped by output row (c_row
+    ascending), segment offsets in cstart.
+
+    Returns the CONTIGUOUS (buf, offs, nbytes) encoding — row r's WKB is
+    buf[offs[r] : offs[r] + nbytes[r]]."""
+    nbytes = _way_wkb_nbytes(kind, ncoords)
+    offs = np.cumsum(nbytes) - nbytes
+    buf = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    _way_wkb_write(buf, offs, kind, ncoords, cstart, c_row, x, y)
+    return buf, offs, nbytes
+
+
+def _way_wkb_vec(
+    kind: np.ndarray,
+    ncoords: np.ndarray,
+    cstart: np.ndarray,
+    c_row: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+) -> list[bytes]:
+    """Per-row bytes view of _way_wkb_buf (kernel emission form)."""
+    buf, offs, nbytes = _way_wkb_buf(kind, ncoords, cstart, c_row, x, y)
     return [buf[o : o + nb].tobytes() for o, nb in zip(offs, nbytes)]
 
 
@@ -862,6 +1062,17 @@ def _vectorizable_decider(decider) -> bool:
     return type(decider) in (DefaultTagInterpreter, AlwaysArea, NeverArea)
 
 
+def _allowed_types(filter_spec) -> set[str] | None:
+    """Entity types a filter_spec can match (None = unrestricted) — used
+    to skip building member-table projections a query can never touch
+    (a type_in('node') query pays nothing for way/relation machinery)."""
+    types = None
+    for s in filter_spec or []:
+        if s[0] == "type_in":
+            types = set(s[1]) if types is None else types & set(s[1])
+    return types
+
+
 def _route_way_fast(pdf: pd.DataFrame, way_mask: np.ndarray, aoi: AOI):
     """Refine the JVM way-fast routing under a polygon AOI with the exact
     per-doc bbox_vs_polygon 3-state (the FastBboxIn/OutsidePolygon cull,
@@ -899,12 +1110,25 @@ def snapshots(
     decider = area_decider or DEFAULT_INTERPRETER
     requested = sorted(timestamps)
     flt = compile_python(filter_spec)
-    # way fast path: any AOI (bbox AND polygon — the kernel's exact
-    # 3-state keeps fully-inside docs vectorized and demotes boundary
-    # docs), as long as the area decider is a vectorizable built-in
-    fast_ways = _vectorizable_decider(decider)
+    # way/relation fast paths: any AOI (bbox AND polygon — the kernel's
+    # exact 3-state keeps fully-inside docs vectorized and demotes
+    # boundary docs), as long as the area decider is a vectorizable
+    # built-in; relations additionally need a decider mode that can rule
+    # out multipolygon assembly JVM-side (relation_vec.rel_fast_mode)
+    from .relation_vec import rel_fast_mode, rels_snapshot_vec
+
+    types = _allowed_types(filter_spec)
+    fast_ways = _vectorizable_decider(decider) and (
+        types is None or "way" in types
+    )
+    fast_rels = (
+        rel_fast_mode(decider)
+        if types is None or "relation" in types
+        else None
+    )
     typed = prepared_docs(
-        docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways
+        docs, filter_spec, aoi, fast_arrays=True, fast_ways=fast_ways,
+        fast_rels=fast_rels,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -914,8 +1138,12 @@ def snapshots(
             fk = pdf["fast_kind"]
             node_mask = (fk == "node").to_numpy()
             way_raw = (fk == "way").to_numpy()
+            rel_raw = (fk == "relation").to_numpy()
             way_mask, way_demote = _route_way_fast(pdf, way_raw, aoi)
-            gen_mask = ~(node_mask | way_raw) | way_demote
+            rel_mask, rel_demote = _route_way_fast(pdf, rel_raw, aoi)
+            gen_mask = (
+                ~(node_mask | way_raw | rel_raw) | way_demote | rel_demote
+            )
             frames = []
             if node_mask.any():
                 frames.append(
@@ -927,6 +1155,12 @@ def snapshots(
                 frames.append(
                     _ways_snapshot_vec(
                         pdf[way_mask], requested, with_geometry, decider
+                    )
+                )
+            if rel_mask.any():
+                frames.append(
+                    rels_snapshot_vec(
+                        pdf[rel_mask], requested, with_geometry, decider
                     )
                 )
             if gen_mask.any():

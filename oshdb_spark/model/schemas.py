@@ -87,6 +87,35 @@ MEMBER_LITE = T.StructType(
     ]
 )
 
+# relation fast-path member decode: way members additionally need their
+# per-version tags (area decision) and ref ids (node resolution); from_json
+# keeps only the listed fields (role/type of refs are not needed — way
+# refs are always nodes)
+VERSION_REL = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("visible", T.BooleanType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("changeset", T.LongType()),
+        T.StructField("uid", T.IntegerType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("lon", T.LongType()),
+        T.StructField("lat", T.LongType()),
+        T.StructField(
+            "refs",
+            T.ArrayType(T.StructType([T.StructField("ref", T.LongType())])),
+        ),
+    ]
+)
+
+MEMBER_REL = T.StructType(
+    [
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("versions", T.ArrayType(VERSION_REL)),
+    ]
+)
+
 META_JSON = T.StructType(
     [
         T.StructField("entity_type", T.StringType()),

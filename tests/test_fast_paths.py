@@ -383,3 +383,216 @@ def test_way_snapshot_fast_vs_slow_reference_fixture(spark):
     a = _canon(fast)
     pd.testing.assert_frame_equal(a, _canon(slow))
     assert len(a) > 50
+
+
+# ---------------------------------------------------------------------------
+# RELATION fast path (2-level member recursion) vs general path
+# ---------------------------------------------------------------------------
+
+def _wmem(id_, versions):
+    return {"entity_type": "way", "id": id_, "versions": versions}
+
+
+def _tricky_rel_docs(spark):
+    """Relation docs exercising: ref-list changes, invisible middle
+    versions, missing members, non-embedded relation-type refs, member
+    nodes moving/deleted under a member way, a relation-member doc
+    (ineligible -> general path), and a multipolygon-typed version
+    (ineligible under DefaultTagInterpreter)."""
+    nref = lambda i, role="": {"type": "node", "ref": i, "role": role}  # noqa: E731
+    wref = lambda i, role="": {"type": "way", "ref": i, "role": role}  # noqa: E731
+    docs = [
+        # route relation: way + node members, refs change, tags change
+        make_doc(
+            "relation", 1,
+            [
+                make_version(1, _ts(0), 10, uid=1, tags={"kind": "route"},
+                             refs=[wref(11, "main"), nref(101, "stop")]),
+                make_version(2, _ts(1), 11, uid=2, tags={"kind": "trail"},
+                             refs=[wref(11, "main"), nref(101, "stop")]),
+                make_version(3, _ts(2), 12, uid=3, tags={"kind": "trail"},
+                             refs=[wref(11, "main")]),
+            ],
+            members=[
+                _wmem(11, [
+                    make_version(1, _ts(0), 10, uid=1, tags={},
+                                 refs=[nref(101), nref(102)]),
+                    make_version(2, _ts(1) + 100, 13, uid=2, tags={},
+                                 refs=[nref(101), nref(102), nref(103)]),
+                ]),
+                _mem(101, [make_version(1, _ts(0), 10, lon=10_0000000, lat=10_0000000),
+                           make_version(2, _ts(1), 14, lon=11_0000000, lat=10_0000000)]),
+                _mem(102, [make_version(1, _ts(0), 10, lon=12_0000000, lat=10_0000000),
+                           make_version(2, _ts(2) + 50, 15, visible=False)]),
+                _mem(103, [make_version(1, _ts(1), 13, lon=13_0000000, lat=11_0000000)]),
+            ],
+        ),
+        # deleted + restored relation; missing member (way 22 absent);
+        # a relation-TYPE ref with no embedded member (skipped component)
+        make_doc(
+            "relation", 2,
+            [
+                make_version(1, _ts(0), 20, uid=1, tags={"a": "1"},
+                             refs=[nref(201), wref(22),
+                                   {"type": "relation", "ref": 9, "role": ""}]),
+                make_version(2, _ts(1), 21, uid=1, visible=False),
+                make_version(3, _ts(2), 22, uid=2, tags={"a": "2"},
+                             refs=[nref(201)]),
+            ],
+            members=[
+                _mem(201, [make_version(1, _ts(0), 20, lon=-10_0000000, lat=-10_0000000)]),
+            ],
+        ),
+        # closed way member with building tag -> Polygon component;
+        # member way deleted mid-history -> empty LineString component
+        make_doc(
+            "relation", 3,
+            [
+                make_version(1, _ts(0), 30, uid=1, tags={"kind": "campus"},
+                             refs=[wref(33), nref(301)]),
+            ],
+            members=[
+                _wmem(33, [
+                    make_version(1, _ts(0), 30, uid=1, tags={"building": "yes"},
+                                 refs=[nref(301), nref(302), nref(303), nref(301)]),
+                    make_version(2, _ts(2), 31, uid=1, visible=False),
+                ]),
+                _mem(301, [make_version(1, _ts(0), 30, lon=0, lat=0)]),
+                _mem(302, [make_version(1, _ts(0), 30, lon=1_0000000, lat=0)]),
+                _mem(303, [make_version(1, _ts(0), 30, lon=1_0000000, lat=1_0000000)]),
+            ],
+        ),
+        # relation-member doc: NOT fast-eligible (nested relation)
+        make_doc(
+            "relation", 4,
+            [
+                make_version(1, _ts(0), 40, uid=1, tags={"kind": "super"},
+                             refs=[{"type": "relation", "ref": 1, "role": ""},
+                                   nref(401)]),
+            ],
+            members=[
+                {"entity_type": "relation", "id": 1,
+                 "versions": [make_version(1, _ts(0), 40, tags={"kind": "route"},
+                                           refs=[nref(401)])]},
+                _mem(401, [make_version(1, _ts(0), 40, lon=20_0000000, lat=20_0000000)]),
+            ],
+        ),
+        # multipolygon-typed version: NOT fast-eligible under the default
+        # interpreter (assembly path)
+        make_doc(
+            "relation", 5,
+            [
+                make_version(1, _ts(0), 50, uid=1,
+                             tags={"type": "multipolygon", "landuse": "farm"},
+                             refs=[wref(55, "outer")]),
+            ],
+            members=[
+                _wmem(55, [
+                    make_version(1, _ts(0), 50, uid=1, tags={},
+                                 refs=[nref(501), nref(502), nref(503), nref(501)]),
+                ]),
+                _mem(501, [make_version(1, _ts(0), 50, lon=30_0000000, lat=30_0000000)]),
+                _mem(502, [make_version(1, _ts(0), 50, lon=31_0000000, lat=30_0000000)]),
+                _mem(503, [make_version(1, _ts(0), 50, lon=31_0000000, lat=31_0000000)]),
+            ],
+        ),
+    ]
+    return docs_df(spark, docs)
+
+
+@pytest.mark.parametrize(
+    "aoi_kw",
+    [
+        {},
+        {"bbox": (-60.0, -60.0, 60.0, 60.0)},
+        {"polygon": _BIG_QUAD},
+        {"polygon": _SLIT_QUAD},
+    ],
+    ids=["world", "inside", "poly_inside", "poly_slit"],
+)
+@pytest.mark.parametrize(
+    "flt",
+    [None, [("tag_key", "kind")], [("tag_eq", "a", "2")]],
+    ids=["nofilter", "tagkey", "tageq"],
+)
+def test_relation_snapshot_fast_vs_slow(spark, aoi_kw, flt):
+    docs = _tricky_rel_docs(spark)
+    fast = snapshots(docs, SNAP_TS, filter_spec=flt, **aoi_kw)
+    slow = snapshots(docs, SNAP_TS, filter_spec=(flt or []) + [NOOP], **aoi_kw)
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+@pytest.mark.parametrize(
+    "aoi_kw",
+    [{}, {"bbox": (-60.0, -60.0, 60.0, 60.0)}, {"polygon": _BIG_QUAD}],
+    ids=["world", "inside", "poly_inside"],
+)
+@pytest.mark.parametrize(
+    "flt",
+    [None, [("tag_key", "kind")], [("tag_eq", "a", "2")]],
+    ids=["nofilter", "tagkey", "tageq"],
+)
+def test_relation_contribution_fast_vs_slow(spark, aoi_kw, flt):
+    docs = _tricky_rel_docs(spark)
+    interval = (_ts(0), _ts(3) + 1)
+    fast = contributions(docs, interval, filter_spec=flt, **aoi_kw)
+    slow = contributions(docs, interval, filter_spec=(flt or []) + [NOOP], **aoi_kw)
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+@pytest.mark.parametrize(
+    "interval",
+    [(0, 2**40), (_ts(1), _ts(2)), (_ts(1) + 1, _ts(3))],
+    ids=["all", "mid", "offset"],
+)
+def test_relation_contribution_fast_vs_slow_intervals(spark, interval):
+    docs = _tricky_rel_docs(spark)
+    fast = contributions(docs, interval)
+    slow = contributions(docs, interval, filter_spec=[NOOP])
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+
+
+def test_relation_routing(spark):
+    """Eligible relation docs take fast_kind='relation'; nested-relation
+    members and multipolygon-typed docs stay on the general path."""
+    from oshdb_spark.kernels.aoi import AOI
+    from oshdb_spark.kernels.snapshot import prepared_docs
+
+    docs = _tricky_rel_docs(spark)
+    pdf = prepared_docs(
+        docs, None, AOI(), fast_arrays=True, fast_ways=True,
+        fast_rels="default",
+    ).toPandas()
+    kinds = dict(zip(pdf["id"], pdf["fast_kind"]))
+    assert kinds[1] == "relation"
+    assert kinds[2] == "relation"
+    assert kinds[3] == "relation"
+    assert kinds[4] is None  # nested relation member
+    assert kinds[5] is None  # multipolygon-typed version
+
+
+def test_relation_fast_vs_slow_reference_fixture(spark):
+    """The reference's polygon.osm relation fixture through both Spark
+    paths (mixed eligibility: multipolygon docs stay general)."""
+    import os
+
+    from oshdb_spark.api.timestamps import timestamp_list
+    from oshdb_spark.model.synth import parse_osm_xml, unix
+
+    ref = "/root/reference/oshdb-util/src/test/resources/different-timestamps/polygon.osm"
+    if not os.path.isfile(ref):
+        pytest.skip("reference fixtures not available")
+    docs = docs_df(spark, parse_osm_xml(ref))
+    docs = docs.filter("doc_id like 'relation/%'")
+    ts = timestamp_list("2000-01-01", "2020-01-01", "P1Y")
+    fast = snapshots(docs, ts)
+    slow = snapshots(docs, ts, filter_spec=[NOOP])
+    a = _canon(fast)
+    pd.testing.assert_frame_equal(a, _canon(slow))
+    assert len(a) > 20
+    interval = (unix("2000-01-01T00:00:00Z"), unix("2020-01-01T00:00:00Z"))
+    cfast = contributions(docs, interval)
+    cslow = contributions(docs, interval, filter_spec=[NOOP])
+    ca = _canon(cfast)
+    pd.testing.assert_frame_equal(ca, _canon(cslow))
+    assert len(ca) > 10
