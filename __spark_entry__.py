@@ -539,6 +539,142 @@ def q_way_polygon_clip(spark, sf_dir):
     )
 
 
+# off-lattice region rects for the geometry splitter (edges can never
+# coincide with integer-lattice coordinates); west/east split at lon≈0,
+# band overlaps both
+_SPLIT_REGIONS = {
+    "west": (-180.00000015, -85.00000025, 0.00000035, 85.00000045),
+    "east": (0.00000035, -85.00000025, 180.00000015, 85.00000045),
+    "band": (-90.00000055, -30.00000065, 90.00000075, 30.00000085),
+}
+
+
+def q_way_length_by_region(spark, sf_dir):
+    """aggregateByGeometry with per-region geometry RE-CLIPPING
+    (GeometrySplitter.java:80-124): a boundary-straddling way's length
+    splits across regions — each (ts, region) sums the length of the
+    way∩region piece, not whole-way assignment by position."""
+    from oshdb_spark.geo.measures import wkb_length_m
+    from oshdb_spark.geo.spatial_join import split_geoms_by_regions
+    from oshdb_spark.model.history import way_docs_from_events
+
+    docs = way_docs_from_events(_t(spark, sf_dir, "events"))
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("way")
+        .dataframe()
+    )
+    split = split_geoms_by_regions(snaps, _SPLIT_REGIONS, geom_col="geom_wkb")
+    return (
+        split.withColumn("len_m", wkb_length_m("region_wkb"))
+        .groupBy("ts", "region")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("len_m"), 0).alias("len_m_sum"),
+        )
+    )
+
+
+def _way_region_oracle() -> str:
+    """Param-window (Liang-Barsky) clip of each way segment against each
+    region rect — the DuckDB mirror of split_geoms_by_regions over the
+    way workload."""
+    prefix = """
+        WITH ded AS (
+          SELECT event_id, user_id, sec FROM (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   row_number() OVER (
+                     PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                     ORDER BY event_id) AS rn
+            FROM events) WHERE rn = 1),
+        ev AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec)
+                   AS urn
+          FROM ded),
+        nodes AS (
+          SELECT user_id, urn % 3 AS j, user_id*10 + (urn % 3) AS node_id,
+                 sec,
+                 row_number() OVER (PARTITION BY user_id, urn % 3
+                                    ORDER BY sec) AS k
+          FROM ev),
+        wsec AS (
+          SELECT user_id, max(fs) AS way_sec FROM (
+            SELECT user_id, j, min(sec) AS fs FROM nodes GROUP BY 1, 2)
+          GROUP BY 1),
+        grid AS (SELECT unnest(""" + _TS_LIST + """) AS ts),
+        nasof AS (
+          SELECT g.ts, n.user_id, n.j, n.node_id, max(n.k) AS k
+          FROM nodes n JOIN grid g ON n.sec <= g.ts
+          GROUP BY 1, 2, 3, 4),
+        pos AS (
+          SELECT ts, user_id, j,
+            (((node_id*1103515245 + k*1000003) % 3600000000)
+              - 1800000000) * 1e-7 AS lon,
+            (((node_id*1234567891 + k*999983) % 1700000000)
+              - 850000000) * 1e-7 AS lat
+          FROM nasof),
+        pv AS (
+          SELECT ts, user_id,
+            max(CASE WHEN j = 0 THEN lon END) AS lon0,
+            max(CASE WHEN j = 0 THEN lat END) AS lat0,
+            max(CASE WHEN j = 1 THEN lon END) AS lon1,
+            max(CASE WHEN j = 1 THEN lat END) AS lat1,
+            max(CASE WHEN j = 2 THEN lon END) AS lon2,
+            max(CASE WHEN j = 2 THEN lat END) AS lat2
+          FROM pos JOIN wsec USING (user_id)
+          WHERE wsec.way_sec <= pos.ts
+          GROUP BY 1, 2),
+        seg AS (
+          SELECT ts, user_id, lon0 AS x0, lat0 AS y0,
+                 lon1 AS x1, lat1 AS y1 FROM pv
+          UNION ALL
+          SELECT ts, user_id, lon1, lat1, lon2, lat2 FROM pv)
+    """
+    region_sel = []
+    for name, (w, s, e, n) in _SPLIT_REGIONS.items():
+        region_sel.append(f"""
+          SELECT '{name}' AS region, ts, user_id,
+            greatest(0.0,
+              CASE WHEN x1 = x0 THEN
+                (CASE WHEN x0 >= {w!r} AND x0 <= {e!r} THEN 0.0 ELSE 1e30 END)
+              ELSE least(({w!r} - x0)/(x1 - x0), ({e!r} - x0)/(x1 - x0)) END,
+              CASE WHEN y1 = y0 THEN
+                (CASE WHEN y0 >= {s!r} AND y0 <= {n!r} THEN 0.0 ELSE 1e30 END)
+              ELSE least(({s!r} - y0)/(y1 - y0), ({n!r} - y0)/(y1 - y0)) END
+            ) AS t0,
+            least(1.0,
+              CASE WHEN x1 = x0 THEN
+                (CASE WHEN x0 >= {w!r} AND x0 <= {e!r} THEN 1.0 ELSE -1e30 END)
+              ELSE greatest(({w!r} - x0)/(x1 - x0), ({e!r} - x0)/(x1 - x0)) END,
+              CASE WHEN y1 = y0 THEN
+                (CASE WHEN y0 >= {s!r} AND y0 <= {n!r} THEN 1.0 ELSE -1e30 END)
+              ELSE greatest(({s!r} - y0)/(y1 - y0), ({n!r} - y0)/(y1 - y0)) END
+            ) AS t1,
+            x0, y0, x1, y1
+          FROM seg
+        """)
+    return prefix + f""",
+        win AS ({' UNION ALL '.join(region_sel)}),
+        cl AS (
+          SELECT region, ts, user_id,
+            x0 + (x1 - x0)*t0 AS ax, y0 + (y1 - y0)*t0 AS ay,
+            x0 + (x1 - x0)*t1 AS bx, y0 + (y1 - y0)*t1 AS "by"
+          FROM win WHERE t1 > t0),
+        lens AS (
+          SELECT region, ts, user_id,
+            6371000.0 * sqrt(
+              pow(radians(bx - ax) * cos(radians((ay + "by")/2.0)), 2)
+              + pow(radians("by" - ay), 2)) AS len_m
+          FROM cl)
+        SELECT ts, region, count(DISTINCT user_id) AS cnt,
+               round(sum(len_m), 0) AS len_m_sum
+        FROM lens GROUP BY 1, 2
+    """
+
+
 def _event_points(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
@@ -965,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
         "way_polygon_clip": q_way_polygon_clip,
+        "way_length_by_region": q_way_length_by_region,
         "relation_snapshot_length": q_relation_snapshot_length,
         "relation_contrib_types": q_relation_contrib_types,
         "snapshot_polygon": q_snapshot_polygon,
@@ -1445,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         ).replace("{E}", repr(_CLIP_RECT[2])).replace(
             "{N}", repr(_CLIP_RECT[3])
         ),
+        "way_length_by_region": _way_region_oracle(),
         "relation_snapshot_length": """
             WITH ded AS (
               SELECT event_id, user_id, sec FROM (

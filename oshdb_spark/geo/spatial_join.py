@@ -57,14 +57,20 @@ def split_by_regions(
     lon_col: str = "lon",
     lat_col: str = "lat",
     fixed_point: bool = True,
+    level: int = 8,
 ) -> DataFrame:
     """One output row per (input row, matching region) — region key in a
     new `region` column. Regions: {key: bbox4 | [rings]} (degrees).
 
     All-bbox region sets compile to a Catalyst explode+filter (whole-stage
-    codegen); any polygon region switches the matcher to a vectorized
-    pandas UDF over the broadcast region list.
-    """
+    codegen). Polygon regions are rasterized ONCE driver-side to a MERGED
+    cell index (token → containing regions / boundary fragments, the
+    blocked-polygon pattern of zonal_aggregate): membership per point is
+    then a token lookup plus an exact parity test against the few
+    fragment edges in ITS cell — O(points + cells), independent of the
+    REGION count, so a 3,000-district split costs the same per point as a
+    3-region one. Bbox regions in a mixed set keep the inclusive >=/<=
+    comparison (boundary-point parity with the all-bbox path)."""
     scale = 1e-7 if fixed_point else 1.0
     if all(_is_bbox(r) for r in regions.values()):
         structs = ", ".join(
@@ -82,33 +88,56 @@ def split_by_regions(
         )
         return df.withColumn("region", F.explode(F.expr(matched)))
 
-    # mixed region set: bbox regions keep the INCLUSIVE >=/<= comparison
-    # (identical to the all-bbox Catalyst path and to JTS's boundary-
-    # inclusive intersects); only true polygon regions run the ray-cast
-    # PiP — a point exactly on a bbox edge classifies the same whichever
-    # path the region set as a whole takes
     keys = list(regions.keys())
-    matchers = [
-        (k, ("bbox", tuple(float(x) for x in regions[k])))
+    bbox_keys = [
+        (k, tuple(float(x) for x in regions[k])) for k in keys
         if _is_bbox(regions[k])
-        else (k, ("poly", [np.asarray(r, dtype=np.float64) for r in regions[k]]))
-        for k in keys
     ]
+    poly_zones = {k: regions[k] for k in keys if not _is_bbox(regions[k])}
+    interior, boundary, fragments = rasterize_zones(
+        poly_zones, level, with_fragments=True
+    )
+    # merged token index: token → region keys (interior) / (key, frags)
+    int_map: dict[str, list[str]] = {}
+    bnd_map: dict[str, list[tuple[str, list]]] = {}
+    for k in poly_zones:
+        for t in interior[k]:
+            int_map.setdefault(t, []).append(k)
+        for t in boundary[k]:
+            bnd_map.setdefault(t, []).append((k, fragments[k].get(t, [])))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def match_regions(lon: pd.Series, lat: pd.Series) -> pd.Series:
         px = lon.to_numpy(dtype=np.float64) * scale
         py = lat.to_numpy(dtype=np.float64) * scale
-        hits = [[] for _ in range(len(px))]
-        for key, (kind, spec) in matchers:
-            if kind == "bbox":
-                w, s, e, n = spec
-                inside = (px >= w) & (px <= e) & (py >= s) & (py <= n)
-            else:
-                inside = points_in_polygon(px, py, spec)
+        hits: list[list[str]] = [[] for _ in range(len(px))]
+        for key, (w, s, e, n) in bbox_keys:
+            inside = (px >= w) & (px <= e) & (py >= s) & (py <= n)
             for i in np.nonzero(inside)[0]:
                 hits[i].append(key)
-        return pd.Series(hits)
+        if int_map or bnd_map:
+            l7 = (px * _FP).astype(np.int64)
+            t7 = (py * _FP).astype(np.int64)
+            toks = np.asarray(cells.token_of_points(l7, t7, level), dtype=object)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            for ti, tok in enumerate(uniq):
+                ik = int_map.get(tok)
+                bk = bnd_map.get(tok)
+                if ik is None and bk is None:
+                    continue
+                at = np.nonzero(inv == ti)[0]
+                if ik:
+                    for i in at:
+                        hits[i].extend(ik)
+                if bk:
+                    for key, frags in bk:
+                        inside = _points_in_rings_parity(px[at], py[at], frags)
+                        for i in at[inside]:
+                            hits[i].append(key)
+        # region-key order must not depend on cell layout: emit in the
+        # caller's declaration order
+        order = {k: j for j, k in enumerate(keys)}
+        return pd.Series([sorted(h, key=order.get) for h in hits])
 
     return df.withColumn(
         "region", F.explode(match_regions(F.col(lon_col), F.col(lat_col)))
@@ -130,6 +159,72 @@ def aggregate_by_geometry(
         .groupBy("region", *group_cols)
         .agg(*agg_exprs)
     )
+
+
+def split_geoms_by_regions(
+    df: DataFrame,
+    regions: dict[str, object],
+    geom_col: str = "geom_wkb",
+    out_col: str = "region_wkb",
+) -> DataFrame:
+    """Geometry-aware region splitter — full GeometrySplitter parity
+    (oshdb-api/.../GeometrySplitter.java:80-124): one output row per
+    (input row, intersecting region), with the row's geometry RE-CLIPPED
+    to that region in `out_col`, so a boundary-straddling way's length
+    (or polygon's area) splits across regions instead of being assigned
+    whole. Rows whose clip is empty for a region produce no row for it.
+
+    Plan shape: narrow map (pandas UDF over the broadcast region list, no
+    shuffle); each row's WKB decodes once, each region match runs the
+    3-state bbox cull before any exact clip. For region sets beyond a few
+    hundred, pre-bucket by cell cover (rasterize_zones) before calling —
+    the per-row loop here is O(regions)."""
+    from ..kernels.aoi import AOI
+    from . import geom as G
+
+    aois = [(k, AOI(bbox=r) if _is_bbox(r) else AOI(polygon=r))
+            for k, r in regions.items()]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("region", T.StringType()),
+            T.StructField(out_col, T.BinaryType()),
+        ]
+    )
+    in_cols = df.columns
+
+    def splitter(batches):
+        for pdf in batches:
+            idx: list[int] = []
+            keys: list[str] = []
+            wkbs: list[bytes] = []
+            for i, buf in enumerate(pdf[geom_col]):
+                if buf is None:
+                    continue
+                g = G.from_wkb(bytes(buf))
+                if g is None or G.is_empty(g):
+                    continue
+                fb = G.bbox_of(g)
+                for key, aoi in aois:
+                    rel = aoi.relation_of_bbox(fb)
+                    if rel == 0:
+                        continue
+                    clipped = g if rel == 1 else aoi.clip(g)
+                    if clipped is not None and not G.is_empty(clipped):
+                        idx.append(i)
+                        keys.append(key)
+                        wkbs.append(G.to_wkb(clipped))
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["region"] = pd.Series(keys, dtype=object)
+            out[out_col] = pd.Series(wkbs, dtype=object)
+            if len(out) == 0:
+                out = pd.DataFrame(
+                    {c: pd.Series([], dtype=object)
+                     for c in in_cols + ["region", out_col]}
+                )
+            yield out
+
+    return df.mapInPandas(splitter, schema=out_schema)
 
 
 def split_contributions_by_regions(
@@ -240,75 +335,29 @@ def knn(
     id_cols: list[str] | None = None,
     level: int = 6,
     fixed_point: bool = True,
+    cell_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """k nearest rows to (query_lon, query_lat) by equirectangular
-    distance, with Hilbert cell-ring candidate pruning.
-
-    Ring discipline: expand the probe radius r (in cells at `level`) until
-    the ring disk holds ≥k candidates AND the disk's guaranteed inner
-    radius (r cells, in meters at the query latitude) exceeds the k-th
-    candidate distance — then the top-k inside the disk is exact. Falls
-    back to a full scan if the data is sparser than the whole grid.
-
-    At 10^12 rows the `cell IN (...)` predicate is a partition prune; the
-    count probe per ring is a metadata-cheap aggregation.
-    """
-    scale = 1e-7 if fixed_point else 1.0
-    qlon7 = int(query_lon / scale) if fixed_point else query_lon
-    qlat7 = int(query_lat / scale)
-    qtok = cells.token_of_points(
-        np.array([qlon7 if fixed_point else query_lon * _FP], dtype=np.int64),
-        np.array([qlat7 if fixed_point else query_lat * _FP], dtype=np.int64),
-        level,
-    )[0]
-
-    @F.pandas_udf(T.StringType())
-    def tok_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        l7 = (lon.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
-        t7 = (lat.to_numpy(dtype=np.float64) * (scale * _FP)).astype(np.int64)
-        return pd.Series(cells.token_of_points(l7, t7, level))
-
-    pts = df.withColumn("_tok", tok_of(F.col(lon_col), F.col(lat_col)))
-    lon_deg = F.col(lon_col) * scale
-    lat_deg = F.col(lat_col) * scale
-    dist = equirect_distance_col(
-        F.lit(float(query_lat)), F.lit(float(query_lon)), lat_deg, lon_deg
+    distance — the single-query form of knn_batch: the proven disk radius
+    comes from the cell-count histogram (pass `cell_counts` from the
+    store manifest, plans.layout.read_cell_counts, for ONE scan total;
+    without it one histogram job runs first), then one scan of the disk
+    takes the exact top-k. No per-ring driver loop of Spark jobs
+    (replaced the round-1 radius-doubling probe; XYGrid.getNeighbours
+    semantics live on inside the disk construction)."""
+    out = knn_batch(
+        df,
+        [("q", float(query_lon), float(query_lat))],
+        k=k,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        id_cols=id_cols,
+        level=level,
+        fixed_point=fixed_point,
+        cell_counts=cell_counts,
     )
-    pts = pts.withColumn("_dist", dist)
-
-    sel = (id_cols or []) + ["_dist"]
-    n_cells_axis = 1 << level
-    cell_h_deg = 180.0 / n_cells_axis
-    cell_h_m = cell_h_deg * 111_194.9  # ~meters per cell row (meridional)
-    r = 1
-    while True:
-        disk = cells.ring_tokens(qtok, r)
-        if len(disk) >= n_cells_axis * n_cells_axis // 2:
-            # the disk no longer provably covers the whole grid ring-by-ring
-            # (high-latitude rows may be missing) — true full-scan fallback:
-            # drop the cell filter entirely so the exactness claim holds
-            cand = pts
-            break
-        cand = pts.filter(F.col("_tok").isin(disk))
-        cnt = cand.count()
-        if cnt >= k:
-            topk = cand.orderBy("_dist", *(id_cols or [])).limit(k).select(*sel)
-            rows = topk.collect()
-            # inner radius of the disk: the east-west extent shrinks by
-            # cos(lat) (cells are 2x wider in degrees than tall, so the
-            # EW guarantee only binds above |lat|=60°); use the worst
-            # latitude reached inside the disk
-            import math
-
-            worst_lat = min(abs(query_lat) + r * cell_h_deg, 89.0)
-            ew_factor = min(1.0, 2.0 * math.cos(math.radians(worst_lat)))
-            guaranteed_m = r * cell_h_m * ew_factor
-            if rows[-1]["_dist"] <= guaranteed_m:
-                break
-        r *= 2
-    out = cand.orderBy("_dist", *(id_cols or [])).limit(k)
-    return out.select(
-        *(id_cols or []), F.col("_dist").alias("dist_m")
+    return out.orderBy("dist_m", *(id_cols or [])).select(
+        *(id_cols or []), "dist_m"
     )
 
 

@@ -260,3 +260,130 @@ def test_knn_batch_with_manifest_counts_single_action(spark):
     sc.setJobGroup(None, None)
     assert got == base
     assert len(jobs) <= 4  # single action (AQE may split), no histogram job
+
+
+def test_split_geoms_by_regions_reclips(spark):
+    """GeometrySplitter parity: a region-straddling LineString is split —
+    each region gets ITS piece, pieces sum to the whole, and a region
+    not touched produces no row."""
+    import numpy as np
+
+    from oshdb_spark.geo import geom as G
+    from oshdb_spark.geo.geodesy import length_of_line
+    from oshdb_spark.geo.spatial_join import split_geoms_by_regions
+
+    line = G.linestring([(-10.0, 0.5), (10.0, 0.5)])  # crosses lon=0
+    point = G.point(5.0, 0.5)
+    df = spark.createDataFrame(
+        [(1, G.to_wkb(line)), (2, G.to_wkb(point))], "id long, geom_wkb binary"
+    )
+    regions = {
+        "w": (-180.00000015, -85.00000025, 0.00000035, 85.00000045),
+        "e": (0.00000035, -85.00000025, 180.00000015, 85.00000045),
+        "far": (100.00000035, 50.00000045, 120.00000055, 60.00000065),
+    }
+    rows = split_geoms_by_regions(df, regions).collect()
+    by = {(r["id"], r["region"]): G.from_wkb(bytes(r["region_wkb"])) for r in rows}
+    assert set(by) == {(1, "w"), (1, "e"), (2, "e")}
+    lw = G.length(by[(1, "w")])
+    le = G.length(by[(1, "e")])
+    assert lw > 0 and le > 0
+    total = length_of_line(np.asarray(line[1]))
+    assert abs(lw + le - total) < 1e-6 * total
+    assert by[(2, "e")][0] == "Point"
+
+
+def test_knn_single_query_action_count(spark):
+    """Interactive knn = knn_batch with one query: exactly ONE action with
+    a store manifest (cell_counts), TWO without (histogram + disk scan) —
+    no per-ring driver loop."""
+    # Spark 4: the concrete class is classic.dataframe.DataFrame (the
+    # pyspark.sql.DataFrame name is the abstract facade)
+    from pyspark.sql.classic.dataframe import DataFrame as DF
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.geo.spatial_join import knn
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon", lon7).withColumn("lat", lat7)
+
+    calls = {"n": 0}
+    orig_collect, orig_count = DF.collect, DF.count
+
+    def wrap_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    def wrap_count(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    # reference result (no instrumentation)
+    expect = [r["event_id"] for r in knn(pts, 10.0, 20.0, k=7, id_cols=["event_id"]).collect()]
+
+    DF.collect, DF.count = wrap_collect, wrap_count
+    try:
+        calls["n"] = 0
+        got = [r["event_id"] for r in knn(pts, 10.0, 20.0, k=7, id_cols=["event_id"]).collect()]
+        assert calls["n"] == 2  # histogram + final scan
+        # with a precomputed histogram: single action
+        from oshdb_spark.geo import cells
+        import numpy as np
+        import pandas as pd
+        rows = pts.select("lon", "lat").toPandas()
+        toks = cells.token_of_points(
+            rows["lon"].to_numpy(np.int64), rows["lat"].to_numpy(np.int64), 6
+        )
+        counts = pd.Series(toks).value_counts().to_dict()
+        calls["n"] = 0
+        got2 = [r["event_id"] for r in knn(
+            pts, 10.0, 20.0, k=7, id_cols=["event_id"], cell_counts=counts
+        ).collect()]
+        assert calls["n"] == 1  # manifest radius: disk scan only
+    finally:
+        DF.collect, DF.count = orig_collect, orig_count
+    assert got == expect and got2 == expect
+
+
+def test_split_by_regions_thousand_polygons(spark):
+    """Indexed polygon splitter at region counts where the naive
+    per-region loop would melt: 1,000 square polygon regions, results
+    equal brute-force point-in-polygon."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.geo.clip import points_in_polygon
+    from oshdb_spark.geo.spatial_join import split_by_regions
+
+    rng = np.random.default_rng(7)
+    regions = {}
+    for i in range(1000):
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-80, 80))
+        s = float(rng.uniform(1.0, 6.0))
+        regions[f"z{i}"] = [[(cx, cy), (cx + s, cy), (cx + s, cy + s),
+                             (cx, cy + s), (cx, cy)]]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon", lon7).withColumn("lat", lat7)
+    t0 = time.time()
+    got = split_by_regions(pts, regions).select("event_id", "region").collect()
+    elapsed = time.time() - t0
+    got_set = {(r["event_id"], r["region"]) for r in got}
+
+    rows = pts.toPandas()
+    px = rows["lon"].to_numpy(np.float64) * 1e-7
+    py = rows["lat"].to_numpy(np.float64) * 1e-7
+    expect = set()
+    for k, rings in regions.items():
+        inside = points_in_polygon(px, py, [np.asarray(r) for r in rings])
+        for i in np.nonzero(inside)[0]:
+            expect.add((int(rows["event_id"].iloc[i]), k))
+    assert got_set == expect
+    assert len(expect) > 0
+    print(f"1000-region split: {len(rows)} pts in {elapsed:.2f}s")
