@@ -71,7 +71,13 @@ class View:
     # -- filters (MapReducer.java:242-632) --------------------------------
     def area_of_interest(self, bbox=None, polygon=None) -> "View":
         """Set the AOI; a second call INTERSECTS with the previous one
-        (MapReducer.java:242-270 intersects rather than replaces)."""
+        (MapReducer.java:242-270 intersects rather than replaces).
+
+        Restriction (divergence from the reference's JTS composition):
+        when two composed polygon AOIs intersect into DISJOINT pieces, a
+        NotImplementedError is raised at plan-build time — pass a single
+        pre-combined polygon instead. Single-piece compositions (the
+        typical bbox∧polygon or overlapping-polygon cases) are exact."""
         s = self._s
         if s.bbox is None and s.polygon is None:
             return self._with(bbox=bbox, polygon=polygon)

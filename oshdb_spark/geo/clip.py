@@ -241,7 +241,10 @@ def clip_to_bbox(g, bbox):
 
 
 # ---------------------------------------------------------------------------
-# polygon ∩ polygon (exact for simple polygons in general position)
+# polygon ∩ polygon (exact for simple polygons; shared-vertex /
+# vertex-on-edge / collinear-overlap degeneracies handled by closed-interval
+# splitting with vertex snapping — the cases real OSM data produces
+# constantly: adjacent buildings, admin boundaries following roads)
 # ---------------------------------------------------------------------------
 
 def _ring_ccw(ring: np.ndarray) -> np.ndarray:
@@ -249,72 +252,6 @@ def _ring_ccw(ring: np.ndarray) -> np.ndarray:
     r = np.asarray(ring, dtype=np.float64)
     area2 = np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
     return r if area2 >= 0 else r[::-1].copy()
-
-
-def _edge_crossings(a: np.ndarray, b: np.ndarray):
-    """Proper crossings between edges of two closed rings.
-
-    Returns (ia, ta, ib, tb, pts): edge index + param in each ring and the
-    intersection point — computed ONCE so both rings' fragment endpoints
-    share bitwise-identical coordinates (stitching matches exactly).
-    Touch degeneracies (vertex on edge, collinear overlap) are outside the
-    supported input class (same posture as the reference before its
-    buffer(0) cleanup, OSHDBGeometryBuilder.java:269-285)."""
-    a0, a1 = a[:-1], a[1:]
-    b0, b1 = b[:-1], b[1:]
-    d1 = a1 - a0  # (n,2)
-    d2 = b1 - b0  # (m,2)
-    # solve a0 + t*d1 = b0 + u*d2 for every pair
-    denom = d1[:, None, 0] * (-d2[None, :, 1]) + d1[:, None, 1] * d2[None, :, 0]
-    dx = b0[None, :, 0] - a0[:, None, 0]
-    dy = b0[None, :, 1] - a0[:, None, 1]
-    # over=ignore too: near-parallel edges divide by tiny denominators and
-    # overflow to ±inf, which then correctly fails the (0,1) window
-    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-        t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
-        u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
-    ok = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
-    ia, ib = np.nonzero(ok)
-    ta, tb = t[ia, ib], u[ia, ib]
-    pts = a0[ia] + ta[:, None] * d1[ia]
-    return ia, ta, ib, tb, pts
-
-
-def _ring_fragments(ring: np.ndarray, edge_idx, edge_t, pts, other_rings):
-    """Split a closed ring at the given (edge, param) points; return the
-    fragments whose interior lies inside `other_rings` (midpoint test —
-    fragments never cross the other boundary by construction)."""
-    n_edges = len(ring) - 1
-    # chain position of each split: edge_idx + t ∈ [0, n_edges)
-    order = np.argsort(edge_idx + edge_t, kind="stable")
-    sp_pos = (edge_idx + edge_t)[order]
-    sp_pts = pts[order]
-    if len(sp_pos) == 0:
-        return []
-    frags = []
-    k = len(sp_pos)
-    for s in range(k):
-        e = (s + 1) % k
-        p_start, p_end = sp_pts[s], sp_pts[e]
-        pos_s, pos_e = sp_pos[s], sp_pos[e]
-        coords = [tuple(p_start)]
-        # interior ring vertices strictly between the two chain positions
-        v = int(np.floor(pos_s)) + 1
-        end_pos = pos_e if e > s else pos_e + n_edges
-        while v <= int(np.ceil(end_pos)) - 1:
-            coords.append(tuple(ring[v % n_edges]))
-            v += 1
-        coords.append(tuple(p_end))
-        frags.append(coords)
-    kept = []
-    for coords in frags:
-        mid = (
-            (coords[0][0] + coords[1][0]) / 2.0,
-            (coords[0][1] + coords[1][1]) / 2.0,
-        )
-        if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), other_rings)[0]:
-            kept.append(coords)
-    return kept
 
 
 def _stitch(fragments: list[list[tuple]]) -> list[np.ndarray]:
@@ -342,24 +279,251 @@ def _stitch(fragments: list[list[tuple]]) -> list[np.ndarray]:
     return rings
 
 
-def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
-    """Intersection region boundary rings of two simple closed rings.
+def _on_ring_edge(px: float, py: float, ring: np.ndarray, eps: float = 0.0):
+    """Index + direction of the ring edge the point lies on (within
+    perpendicular distance eps — 0 keeps the exact-collinearity test), or
+    None. The tolerance makes NEAR-degenerate inputs (boundaries within
+    float roundoff of each other) classify like their degenerate limit,
+    the same snap-rounding posture as _pair_splits."""
+    r = np.asarray(ring)
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    elen = np.hypot(x1 - x0, y1 - y0)
+    inbb = (
+        (px >= np.minimum(x0, x1) - eps) & (px <= np.maximum(x0, x1) + eps)
+        & (py >= np.minimum(y0, y1) - eps) & (py <= np.maximum(y0, y1) + eps)
+    )
+    hit = np.nonzero((np.abs(cross) <= eps * elen) & inbb)[0]
+    if len(hit) == 0:
+        return None
+    j = int(hit[0])
+    return j, (x1[j] - x0[j], y1[j] - y0[j])
 
-    Exact for general-position inputs (no vertex-on-edge / collinear-edge
-    degeneracies). No crossings → containment decides: a⊂b → [a],
-    b⊂a → [b], else disjoint → []."""
+
+def _clean_ring(r: np.ndarray, eps: float) -> np.ndarray | None:
+    """Collapse consecutive vertices closer than eps (degenerate micro-
+    edges amplify crossing roundoff unboundedly — the JTS precision-model
+    posture). Returns None when fewer than 3 distinct vertices remain."""
+    pts = [tuple(r[0])]
+    for p in r[1:-1]:
+        if abs(p[0] - pts[-1][0]) > eps or abs(p[1] - pts[-1][1]) > eps:
+            pts.append(tuple(p))
+    while len(pts) > 1 and (
+        abs(pts[-1][0] - pts[0][0]) <= eps
+        and abs(pts[-1][1] - pts[0][1]) <= eps
+    ):
+        pts.pop()
+    if len(pts) < 3:
+        return None
+    return np.asarray(pts + [pts[0]], dtype=np.float64)
+
+
+def _pair_splits(a: np.ndarray, b: np.ndarray):
+    """Split positions of BOTH rings at every boundary contact — proper
+    crossings (closed [0,1]×[0,1] acceptance), vertex touches, and
+    collinear-overlap interval endpoints. Each contact point is computed
+    (or vertex-snapped) ONCE and recorded on both rings, so fragment
+    endpoints stay bitwise-shared and the stitch matches exactly.
+    Positions are chain params p = edge + t ∈ [0, n). Returns
+    ((pos_a, pts_a), (pos_b, pts_b)) deduplicated and sorted."""
+    na, nb = len(a) - 1, len(b) - 1
+    rec_a: list[tuple[float, tuple]] = []
+    rec_b: list[tuple[float, tuple]] = []
+
+    a0, a1 = a[:-1], a[1:]
+    b0, b1 = b[:-1], b[1:]
+    d1 = a1 - a0
+    d2 = b1 - b0
+    denom = d1[:, None, 0] * (-d2[None, :, 1]) + d1[:, None, 1] * d2[None, :, 0]
+    dx = b0[None, :, 0] - a0[:, None, 0]
+    dy = b0[None, :, 1] - a0[:, None, 1]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
+        u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
+    ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    # vertex snap radius: crossing solutions of NEAR-parallel edge pairs
+    # that truly meet at a shared endpoint amplify roundoff by 1/denom —
+    # snap computed points within eps of an input vertex onto it (both
+    # param and position), keeping endpoints bitwise-shared
+    eps = 1e-9 * max(
+        1.0,
+        float(np.abs(a).max(initial=0.0)),
+        float(np.abs(b).max(initial=0.0)),
+    )
+    for i, j in zip(*np.nonzero(ok)):
+        ti, uj = float(t[i, j]), float(u[i, j])
+        px = float(a0[i, 0] + ti * d1[i, 0])
+        py = float(a0[i, 1] + ti * d1[i, 1])
+        for vx, vy, s_t, s_u in (
+            (float(b0[j, 0]), float(b0[j, 1]), None, 0.0),
+            (float(b1[j, 0]), float(b1[j, 1]), None, 1.0),
+            (float(a0[i, 0]), float(a0[i, 1]), 0.0, None),
+            (float(a1[i, 0]), float(a1[i, 1]), 1.0, None),
+        ):
+            if abs(px - vx) <= eps and abs(py - vy) <= eps:
+                px, py = vx, vy
+                if s_t is not None:
+                    ti = s_t
+                if s_u is not None:
+                    uj = s_u
+                # the snapped vertex may be shared by BOTH rings: clamp
+                # the other param too when the point equals its vertex
+                for w, val in ((0.0, (b0[j, 0], b0[j, 1])),
+                               (1.0, (b1[j, 0], b1[j, 1]))):
+                    if (px, py) == (float(val[0]), float(val[1])):
+                        uj = w
+                for w, val in ((0.0, (a0[i, 0], a0[i, 1])),
+                               (1.0, (a1[i, 0], a1[i, 1]))):
+                    if (px, py) == (float(val[0]), float(val[1])):
+                        ti = w
+                break
+        rec_a.append(((i + ti) % na, (px, py)))
+        rec_b.append(((j + uj) % nb, (px, py)))
+    # collinear overlaps: parallel AND b0 on the a-edge's carrier line
+    coll = (denom == 0) & (d1[:, None, 0] * dy - d1[:, None, 1] * dx == 0)
+    for i, j in zip(*np.nonzero(coll)):
+        L2a = float(d1[i, 0] ** 2 + d1[i, 1] ** 2)
+        L2b = float(d2[j, 0] ** 2 + d2[j, 1] ** 2)
+        if L2a == 0.0 or L2b == 0.0:
+            continue
+        tb0 = float((dx[i, j] * d1[i, 0] + dy[i, j] * d1[i, 1]) / L2a)
+        tb1 = float(
+            ((b1[j, 0] - a0[i, 0]) * d1[i, 0] + (b1[j, 1] - a0[i, 1]) * d1[i, 1])
+            / L2a
+        )
+        lo, hi = max(0.0, min(tb0, tb1)), min(1.0, max(tb0, tb1))
+        if lo > hi:
+            continue
+        for tt in (lo, hi):
+            # overlap endpoints are always input vertices of one ring
+            if tt == tb0:
+                pt = (float(b0[j, 0]), float(b0[j, 1]))
+            elif tt == tb1:
+                pt = (float(b1[j, 0]), float(b1[j, 1]))
+            elif tt == 0.0:
+                pt = (float(a0[i, 0]), float(a0[i, 1]))
+            else:  # tt == 1.0
+                pt = (float(a1[i, 0]), float(a1[i, 1]))
+            uu = float(
+                ((pt[0] - b0[j, 0]) * d2[j, 0] + (pt[1] - b0[j, 1]) * d2[j, 1])
+                / L2b
+            )
+            rec_a.append(((i + tt) % na, pt))
+            rec_b.append(((j + min(max(uu, 0.0), 1.0)) % nb, pt))
+
+    def dedup(recs):
+        if not recs:
+            return np.empty(0), []
+        recs = sorted(recs, key=lambda r: r[0])
+        pos: list[float] = []
+        pts: list[tuple] = []
+        seen: set[tuple] = set()
+        for p, pt in recs:
+            if pt in seen:
+                continue
+            seen.add(pt)
+            pos.append(p)
+            pts.append(pt)
+        return np.asarray(pos), pts
+
+    return dedup(rec_a), dedup(rec_b)
+
+
+def _classified_fragments(
+    ring: np.ndarray, positions: np.ndarray, points: list, other: np.ndarray,
+    keep_shared: bool,
+):
+    """Fragments of `ring` between consecutive split positions, keeping
+    those inside `other` — and, when keep_shared, fragments lying ON
+    `other`'s boundary traversed CODIRECTIONALLY (same-direction shared
+    edges bound the intersection region once; anti-directional contact is
+    measure-zero). Fragment interiors touch the other boundary only at
+    endpoints (every contact is a split), so the first-segment midpoint
+    classifies the whole fragment."""
+    n_edges = len(ring) - 1
+    k = len(positions)
+    frags = []
+    for s in range(k):
+        e = (s + 1) % k
+        p_start, p_end = points[s], points[e]
+        pos_s, pos_e = positions[s], positions[e]
+        coords = [p_start]
+        v = int(np.floor(pos_s)) + 1
+        end_pos = pos_e if e > s else pos_e + n_edges
+        while v <= int(np.ceil(end_pos)) - 1:
+            c = (float(ring[v % n_edges, 0]), float(ring[v % n_edges, 1]))
+            if c != coords[-1]:
+                coords.append(c)
+            v += 1
+        if p_end != coords[-1]:
+            coords.append(p_end)
+        if len(coords) < 2:
+            continue
+        mid = (
+            (coords[0][0] + coords[1][0]) / 2.0,
+            (coords[0][1] + coords[1][1]) / 2.0,
+        )
+        eps = 1e-9 * max(1.0, abs(mid[0]), abs(mid[1]))
+        edge_hit = _on_ring_edge(mid[0], mid[1], other, eps)
+        if edge_hit is not None:
+            if not keep_shared:
+                continue
+            fdir = (coords[1][0] - coords[0][0], coords[1][1] - coords[0][1])
+            _, odir = edge_hit
+            if fdir[0] * odir[0] + fdir[1] * odir[1] > 0:
+                frags.append(coords)
+            continue
+        if points_in_polygon(
+            np.array([mid[0]]), np.array([mid[1]]), [other]
+        )[0]:
+            frags.append(coords)
+    return frags
+
+
+def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    """Intersection region boundary rings of two simple closed rings
+    (the engine's JTS-intersection analog, Geo.java:185-191).
+
+    Exact for simple rings including float-exact degeneracies (shared
+    vertices, vertex-on-edge T-contacts, collinear overlapping edges):
+    both rings split at EVERY boundary contact with vertex-snapped
+    points; result fragments = a-fragments inside-or-codirectionally-on
+    b ∪ b-fragments strictly inside a, stitched and pinch-split.
+    Anti-directional edge contact (side-by-side neighbors) contributes
+    nothing (the overlap is measure-zero — JTS would return the shared
+    LineString, which polygon measures also count as zero).
+    No contact at all → containment decides: a⊂b → [a], b⊂a → [b],
+    else disjoint → []."""
     a = _ring_ccw(np.asarray(a, dtype=np.float64))
     b = _ring_ccw(np.asarray(b, dtype=np.float64))
-    ia, ta, ib, tb, pts = _edge_crossings(a, b)
-    if len(ia) == 0:
+    scale = max(
+        1.0,
+        float(np.abs(a).max(initial=0.0)),
+        float(np.abs(b).max(initial=0.0)),
+    )
+    a = _clean_ring(a, 1e-12 * scale)
+    b = _clean_ring(b, 1e-12 * scale)
+    if a is None or b is None:
+        return []
+    (pos_a, pts_a), (pos_b, pts_b) = _pair_splits(a, b)
+    if len(pos_a) == 0 and len(pos_b) == 0:
         if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
             return [a]
         if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
             return [b]
         return []
-    frags_a = _ring_fragments(a, ia, ta, pts, [b])
-    frags_b = _ring_fragments(b, ib, tb, pts, [a])
-    return _stitch(frags_a + frags_b)
+    frags_a = _classified_fragments(a, pos_a, pts_a, b, keep_shared=True)
+    frags_b = _classified_fragments(b, pos_b, pts_b, a, keep_shared=False)
+    from ..kernels.geometry_builder import split_self_touching_ring
+
+    rings = _stitch(frags_a + frags_b)
+    out = []
+    for r in rings:
+        out.extend(split_self_touching_ring(r))
+    # pinch-splitting re-derives orientation; results must be CCW like
+    # the pre-split stitch output
+    return [_ring_ccw(r) for r in out]
 
 
 def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]):

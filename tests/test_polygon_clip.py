@@ -206,15 +206,10 @@ if HAVE_HYP:
         b = convex_ring(*b_spec)
         if shoelace(a) < 1.0 or shoelace(b) < 1.0:
             return  # degenerate sliver input (crossing tests lose meaning)
-        # ring_intersection's documented precondition is GENERAL POSITION:
-        # no vertex of one ring on the other's boundary (hypothesis reuses
-        # generated values, so identical centers/angles do occur)
-        from oshdb_spark.kernels.geometry_builder import _points_on_ring_boundary
-
-        if _points_on_ring_boundary(a[:-1, 0], a[:-1, 1], b).any():
-            return
-        if _points_on_ring_boundary(b[:-1, 0], b[:-1, 1], a).any():
-            return
+        # no general-position precondition: shared-vertex / vertex-on-edge
+        # inputs (hypothesis reuses values, so identical centers/angles DO
+        # occur) are inside the supported class since the degeneracy
+        # handling round
         ab = ring_intersection(a, b)
         ba = ring_intersection(b, a)
         area_ab = rings_area(ab)
@@ -241,3 +236,78 @@ if HAVE_HYP:
         inner[:, 1] = gy + (inner[:, 1] - gy) * scale
         out = ring_intersection(outer, inner)
         assert rings_area(out) == pytest.approx(shoelace(inner), rel=1e-9)
+
+
+class TestDegeneratePositions:
+    """Shared vertices, T-contacts, collinear overlaps — the cases real
+    OSM data produces constantly (adjacent buildings, admin boundaries
+    following roads). JTS handles these in the reference (Geo.java:
+    185-191); ring_intersection must too."""
+
+    def test_identical_rings(self):
+        r = rect(0, 0, 10, 10)
+        out = ring_intersection(r, r.copy())
+        assert rings_area(out) == pytest.approx(100.0)
+
+    def test_shared_edge_overlap(self):
+        # B shares A's right edge segment and overlaps into A
+        out = ring_intersection(rect(0, 0, 10, 10), rect(5, 0, 10, 10))
+        assert rings_area(out) == pytest.approx(50.0)
+
+    def test_adjacent_side_by_side(self):
+        # neighbors sharing only an edge: measure-zero intersection
+        out = ring_intersection(rect(0, 0, 10, 10), rect(10, 0, 20, 10))
+        assert rings_area(out) == pytest.approx(0.0)
+
+    def test_shared_corner_vertex_only(self):
+        # touching at exactly one shared vertex
+        out = ring_intersection(rect(0, 0, 10, 10), rect(10, 10, 20, 20))
+        assert rings_area(out) == pytest.approx(0.0)
+
+    def test_vertex_on_edge_t_contact(self):
+        # triangle apex lies ON the square's top edge from inside
+        tri = np.array([(2, 0), (8, 0), (5, 10), (2, 0)], dtype=np.float64)
+        out = ring_intersection(tri, rect(0, 0, 10, 10))
+        assert rings_area(out) == pytest.approx(shoelace(tri))
+
+    def test_vertex_on_edge_crossing(self):
+        # diamond whose left vertex lies exactly on the square's right
+        # edge, extending outside
+        d = np.array([(10, 5), (15, 2), (20, 5), (15, 8), (10, 5)],
+                     dtype=np.float64)
+        out = ring_intersection(rect(0, 0, 10, 10), d)
+        assert rings_area(out) == pytest.approx(0.0)
+
+    def test_partial_collinear_overlap(self):
+        # B's bottom edge collinear with A's bottom edge, offset; B pokes
+        # above into A
+        out = ring_intersection(rect(0, 0, 10, 10), rect(5, 0, 15, 5))
+        assert rings_area(out) == pytest.approx(25.0)
+
+    def test_contained_sharing_an_edge(self):
+        # inner rect flush against outer's bottom edge (collinear overlap
+        # with containment)
+        out = ring_intersection(rect(0, 0, 10, 10), rect(2, 0, 8, 4))
+        assert rings_area(out) == pytest.approx(24.0)
+
+    def test_cross_shape_four_t_contacts(self):
+        # plus-sign bar through the square: both crossings hit corners
+        out = ring_intersection(rect(0, 0, 10, 10), rect(0, 4, 10, 6))
+        assert rings_area(out) == pytest.approx(20.0)
+
+    def test_stacked_share_edge_and_overlap_region(self):
+        # B sits on top of A sharing edge y=10... and also dips into A
+        b = np.array([(0, 10), (4, 6), (8, 10), (10, 10), (10, 20),
+                      (0, 20), (0, 10)], dtype=np.float64)
+        out = ring_intersection(rect(0, 0, 10, 10), b)
+        # intersection = triangle (0,10),(4,6),(8,10): area 16
+        assert rings_area(out) == pytest.approx(16.0)
+
+    def test_general_position_unaffected(self):
+        # sanity: the pre-existing proper-crossing case is byte-stable
+        out = ring_intersection(rect(0, 0, 10, 10), rect(5, 5, 20, 20))
+        assert len(out) == 1
+        assert shoelace(out[0]) == pytest.approx(25.0)
+        assert {tuple(c) for c in out[0][:-1]} == {
+            (5.0, 5.0), (10.0, 5.0), (10.0, 10.0), (5.0, 10.0)
+        }
