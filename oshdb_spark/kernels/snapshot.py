@@ -112,6 +112,7 @@ def prepared_docs(
     fast_arrays: bool = False,
     fast_ways: bool = False,
     fast_rels: str | None = None,
+    store_mode: bool = False,
 ) -> DataFrame:
     """Summarized + JVM-pre-filtered docs (shared by both kernels).
 
@@ -149,19 +150,33 @@ def prepared_docs(
     id lists (rm* columns), so the kernel resolves
     relation→way-member→node-member as-of joins with pure searchsorted.
     """
-    # versions sort happens AFTER the barrier over a bound column (index
-    # natural-sort) — the comparator-lambda sort in typed_docs runs
-    # interpreted per comparison; downstream consumers here either sort
-    # later (fast arrays) or are order-insensitive (bbox, general kernel
-    # re-sorts in python)
-    typed = docs_mod.typed_docs(docs, sort=False)
     pre = compile_doc_prefilter(filter_spec)
     has_py = any(s[0] == "py" for s in (filter_spec or []))
+    # FLAT-STORE input (plans.layout.write_typed_store): the heavy decode
+    # (from_json, ts parse, member flattening, member-version sorting) ran
+    # ONCE at ETL time — the store carries the kernel-ready flat primitive
+    # arrays, the raw spans (general path), and the sorted nested
+    # `versions` column (SQL path / vmatch / prefilter; Catalyst prunes it
+    # when unreferenced). Deeply nested `members` is deliberately NOT
+    # stored: array<struct<…versions:array<struct<tags:map…>>>> defeats
+    # both the parquet nested reader and the Arrow transfer (measured 40×
+    # slower than the flat layout on member-heavy docs).
+    if "flat_kind" in docs.columns:
+        return _flat_store_docs(
+            docs, filter_spec, aoi, fast_arrays, fast_ways, fast_rels,
+            has_py, pre,
+        )
+    # RAW docs input: versions sort happens AFTER the barrier over a bound
+    # column (index natural-sort) — the comparator-lambda sort in
+    # typed_docs runs interpreted per comparison; downstream consumers
+    # here either sort later (fast arrays) or are order-insensitive
+    # (bbox, general kernel re-sorts in python)
+    typed = docs_mod.typed_docs(docs, sort=False)
     # member-less node docs ALWAYS take the vectorized path (they never
     # demote), so their raw spans can be dropped right here instead of
     # being copied through every projection below
     spans_out = F.col("spans")
-    if fast_arrays and not has_py:
+    if fast_arrays and not has_py and not store_mode:
         spans_out = F.when(
             ~(
                 (F.col("entity_type") == "node")
@@ -233,7 +248,154 @@ def prepared_docs(
     ]
     if not fast_arrays:
         return typed.select(*base, "spans")
+    return _fast_projection(
+        typed, base, F.col("spans"), filter_spec, aoi, fast_ways, fast_rels,
+        has_py, store_mode,
+    )
 
+
+# flat-array column groups shared by the read-time projection and the
+# flat store (same names, same element types — the store is literally the
+# materialized projection)
+_V_COLS = [
+    "vts", "vversion", "vvisible", "vchangeset", "vuid", "vlon", "vlat",
+    "vtags",
+]
+_W_COLS = [
+    "vrefcnt", "vref", "mid", "mvcnt", "mts", "mvis", "mlon", "mlat",
+    "mcs", "muid",
+]
+_R_COLS = [
+    "rvrefcnt", "rvref", "rvreftype", "rmid", "rmtype", "rmvcnt", "rmts",
+    "rmver", "rmvis", "rmlon", "rmlat", "rmcs", "rmuid", "rmtags",
+    "rmrefcnt", "rmref",
+]
+
+
+def _flat_store_docs(
+    docs: DataFrame,
+    filter_spec,
+    aoi: AOI | None,
+    fast_arrays: bool,
+    fast_ways: bool,
+    fast_rels: str | None,
+    has_py: bool,
+    pre,
+) -> DataFrame:
+    """prepared_docs over the FLAT STORE: zero decode — only routing
+    flags, the filter's vmatch, and when()-gating of the stored arrays.
+    Output schema is identical to the raw-docs projection, so the kernels
+    cannot tell the inputs apart. Structural routing facts were frozen at
+    ETL time as `flat_kind` ('node' memberless / 'way' all-node-members /
+    'relation' node-way-members / null) and `has_mp_type`; query-dependent
+    conditions (AOI bbox containment, python filters, decider mode)
+    compose on top here."""
+    from .filters import _version_pred_sql
+
+    typed = docs
+    if pre is not None:
+        typed = typed.filter(pre)
+    if aoi is not None and not aoi.is_world:
+        b = aoi.bbox
+        typed = typed.filter(
+            (F.col("bbox_min_lon") <= int(b[2] * _FP))
+            & (F.col("bbox_max_lon") >= int(b[0] * _FP))
+            & (F.col("bbox_min_lat") <= int(b[3] * _FP))
+            & (F.col("bbox_max_lat") >= int(b[1] * _FP))
+        )
+    base = [
+        "doc_id", "entity_type", "id",
+        "bbox_min_lon", "bbox_min_lat", "bbox_max_lon", "bbox_max_lat",
+    ]
+    if not fast_arrays:
+        return typed.select(*base, "spans")
+    inside = None
+    if aoi is not None and not aoi.is_world:
+        b = aoi.bbox
+        inside = (
+            (F.col("bbox_min_lon") >= int(b[0] * _FP))
+            & (F.col("bbox_max_lon") <= int(b[2] * _FP))
+            & (F.col("bbox_min_lat") >= int(b[1] * _FP))
+            & (F.col("bbox_max_lat") <= int(b[3] * _FP))
+        )
+    # eqNullSafe: flat_kind is NULL for structurally-unroutable docs, and
+    # a plain == would propagate that NULL into _fast and silently null
+    # out the spans gate (dropping the doc from the general path)
+    fast_node = F.col("flat_kind").eqNullSafe("node")
+    fast_way = F.col("flat_kind").eqNullSafe("way")
+    if inside is not None:
+        fast_way = fast_way & inside
+    if not fast_ways:
+        fast_way = F.lit(False)
+    fast_rel = F.lit(False)
+    if fast_rels:
+        fast_rel = F.col("flat_kind").eqNullSafe("relation")
+        if fast_rels == "default":
+            fast_rel = fast_rel & ~F.col("has_mp_type")
+        if inside is not None:
+            fast_rel = fast_rel & inside
+    if has_py:
+        fast_node = F.lit(False)
+        fast_way = F.lit(False)
+        fast_rel = F.lit(False)
+    may_demote = aoi is not None and aoi.polygon is not None
+    typed = (
+        typed.withColumn("_fastn", fast_node)
+        .withColumn("_fastw", fast_way)
+        .withColumn("_fastr", fast_rel)
+        .withColumn(
+            "_fast", F.col("_fastn") | F.col("_fastw") | F.col("_fastr")
+        )
+    )
+    spans_keep = (~F.col("_fastn")) if may_demote else (~F.col("_fast"))
+    preds = [
+        p for s in (filter_spec or []) for p in [_version_pred_sql(s)] if p
+    ]
+    match_expr = None
+    if preds:
+        conj = " and ".join(f"({p})" for p in preds)
+        match_expr = f"transform(versions, v -> coalesce({conj}, false))"
+    out_cols = [
+        *base,
+        F.when(spans_keep, F.col("spans")).alias("spans"),
+        F.when(F.col("_fastn"), F.lit("node"))
+        .when(F.col("_fastw"), F.lit("way"))
+        .when(F.col("_fastr"), F.lit("relation"))
+        .alias("fast_kind"),
+        *[F.when(F.col("_fast"), F.col(c)).alias(c) for c in _V_COLS],
+        (
+            F.when(F.col("_fast"), F.expr(match_expr))
+            if match_expr
+            else F.lit(None).cast("array<boolean>")
+        ).alias("vmatch"),
+        *[F.when(F.col("_fastw"), F.col(c)).alias(c) for c in _W_COLS],
+    ]
+    if fast_rels:
+        out_cols += [
+            F.when(F.col("_fastr"), F.col(c)).alias(c) for c in _R_COLS
+        ]
+    return typed.select(*out_cols)
+
+
+def _fast_projection(
+    typed: DataFrame,
+    base: list,
+    spans_col,
+    filter_spec,
+    aoi: AOI | None,
+    fast_ways: bool,
+    fast_rels: str | None,
+    has_py: bool,
+    store_mode: bool = False,
+) -> DataFrame:
+    """Fast-kind routing flags + flat-array projection over JSON-decoded
+    raw docs. With ``store_mode`` (plans.layout.write_typed_store), the
+    projection becomes the ETL encoder for the flat store: flat arrays
+    are UNGATED (computed for every doc of the right shape), spans ride
+    through for all docs, routing facts are emitted as the structural
+    `flat_kind` + `has_mp_type` columns, and the sorted nested `versions`
+    column is kept for the SQL path — so a query over the store replays
+    only _flat_store_docs' cheap gating, never this decode."""
     from .filters import _version_pred_sql
 
     preds = [p for s in (filter_spec or []) for p in [_version_pred_sql(s)] if p]
@@ -295,6 +457,16 @@ def prepared_docs(
             "_fast", F.col("_fastn") | F.col("_fastw") | F.col("_fastr")
         )
     )
+    # fast-way/relation docs under a polygon AOI may demote to the
+    # general path (kernel-side exact 3-state), so they keep their spans;
+    # fast nodes never demote (their polygon test is exact in the
+    # vectorized path). The store keeps every doc's spans: a later query
+    # may route ANY doc to the general path (python filters).
+    spans_keep = (
+        F.lit(True)
+        if store_mode
+        else ((~F.col("_fastn")) if may_demote else (~F.col("_fast")))
+    )
     # second barrier: sort the OWN versions (index natural-sort over the
     # bound array — struct(ts, ver, i) keys are fully orderable, then
     # gather by i; no interpreted comparator, no re-decode) and
@@ -329,6 +501,11 @@ def prepared_docs(
     )
 
     def arr(expr_sql: str):
+        # store mode: UNGATED — every doc's flat arrays are materialized
+        # (a later query decides which docs run fast; general-path docs
+        # simply get them re-gated to null at read time)
+        if store_mode:
+            return F.expr(expr_sql)
         return F.when(F.col("_fast"), F.expr(expr_sql))
 
     def warr(expr_sql: str):
@@ -346,19 +523,13 @@ def prepared_docs(
         + _TS_PARSE.format("v")
         + ")))"
     )
-    # fast-way docs under a polygon AOI may demote to the general path
-    # (kernel-side exact 3-state), so they keep their spans; fast nodes
-    # never demote (their polygon test is exact in the vectorized path)
-    spans_keep = (
-        (~F.col("_fastn")) if may_demote else (~F.col("_fast"))
-    )
     out_cols = [
         *base,
-        F.when(spans_keep, F.col("spans")).alias("spans"),
+        F.when(spans_keep, spans_col).alias("spans"),
         F.when(F.col("_fastn"), F.lit("node"))
         .when(F.col("_fastw"), F.lit("way"))
         .when(F.col("_fastr"), F.lit("relation"))
-        .alias("fast_kind"),
+        .alias("flat_kind" if store_mode else "fast_kind"),
         arr(ts_expr).alias("vts"),
         arr("versions.version").alias("vversion"),
         arr("versions.visible").alias("vvisible"),
@@ -367,9 +538,16 @@ def prepared_docs(
         arr("versions.lon").alias("vlon"),
         arr("versions.lat").alias("vlat"),
         arr("transform(versions, v -> to_json(v.tags))").alias("vtags"),
-        (arr(match_expr) if match_expr else F.lit(None).cast("array<boolean>")).alias(
-            "vmatch"
-        ),
+    ]
+    if not store_mode:
+        out_cols.append(
+            (
+                arr(match_expr)
+                if match_expr
+                else F.lit(None).cast("array<boolean>")
+            ).alias("vmatch")
+        )
+    out_cols += [
         # way fast-path extras: per-version refs + flat member histories
         warr(
             "transform(versions, v -> size(coalesce(v.refs, array())))"
@@ -465,6 +643,18 @@ def prepared_docs(
                 "m.versions,"
                 " v -> transform(coalesce(v.refs, array()), r -> r.ref)))))"
             ).alias("rmref"),
+        ]
+    if store_mode:
+        # the sorted nested versions ride along for the SQL path
+        # (versions_table) and read-time vmatch/prefilter; structural
+        # has_mp_type lets mode-'default' queries rule out multipolygon
+        # assembly without touching the nested column
+        out_cols += [
+            F.col("versions"),
+            F.expr(
+                "exists(versions, v -> coalesce("
+                "v.tags['type'] in ('multipolygon', 'boundary'), false))"
+            ).alias("has_mp_type"),
         ]
     return typed.select(*out_cols)
 

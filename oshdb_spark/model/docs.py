@@ -84,8 +84,10 @@ def typed_docs(docs: DataFrame, sort: bool = True) -> DataFrame:
 
 
 def versions_table(docs: DataFrame) -> DataFrame:
-    """Flat per-version table with validity windows (FIXTURES.md §2)."""
-    td = typed_docs(docs)
+    """Flat per-version table with validity windows (FIXTURES.md §2).
+    Accepts raw docs (doc_id, spans) or the flat store (sorted `versions`
+    already a native column — no JSON decode)."""
+    td = docs if "versions" in docs.columns else typed_docs(docs)
     ex = td.select(
         "doc_id", "entity_type", "id", F.explode("versions").alias("v")
     ).select(

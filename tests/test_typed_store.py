@@ -1,0 +1,144 @@
+"""Typed docs store (plans.layout.write_typed_store): ETL-time decode,
+query-time parity with the raw interleaved-JSON docs path.
+
+The store is the engine's analog of the reference's ETL into binary grid
+cells — queries over it skip the per-query from_json entirely, so every
+kernel result must be IDENTICAL to the raw-docs pipeline (including
+general-path docs, whose spans are re-synthesized on demand)."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "tests")
+
+from oshdb_spark.kernels.contribution import contributions  # noqa: E402
+from oshdb_spark.kernels.snapshot import snapshots  # noqa: E402
+from oshdb_spark.plans.layout import read_typed_store, write_typed_store  # noqa: E402
+
+from test_fast_paths import (  # noqa: E402
+    _canon,
+    _tricky_docs,
+    _tricky_rel_docs,
+    _tricky_way_docs,
+    NOOP,
+    SNAP_TS,
+    _ts,
+)
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    out = {}
+    for name, mk in (
+        ("node", _tricky_docs),
+        ("way", _tricky_way_docs),
+        ("rel", _tricky_rel_docs),
+    ):
+        raw = mk(spark)
+        path = str(tmp_path_factory.mktemp("tstore") / name)
+        write_typed_store(raw, path)
+        out[name] = (raw, read_typed_store(spark, path))
+    return out
+
+
+@pytest.mark.parametrize("kind", ["node", "way", "rel"])
+def test_snapshot_parity(spark, stores, kind):
+    raw, typed = stores[kind]
+    a = _canon(snapshots(raw, SNAP_TS))
+    b = _canon(snapshots(typed, SNAP_TS))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+@pytest.mark.parametrize("kind", ["node", "way", "rel"])
+def test_contribution_parity(spark, stores, kind):
+    raw, typed = stores[kind]
+    interval = (_ts(0), _ts(3) + 1)
+    a = _canon(contributions(raw, interval))
+    b = _canon(contributions(typed, interval))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_general_path_parity_via_py_filter(spark, stores):
+    """Force the typed store through the GENERAL per-doc path (python
+    filter disables fast arrays): the to_json spans synthesis must
+    round-trip every field the kernel reads."""
+    for kind in ("node", "way", "rel"):
+        raw, typed = stores[kind]
+        a = _canon(snapshots(raw, SNAP_TS, filter_spec=[NOOP]))
+        b = _canon(snapshots(typed, SNAP_TS, filter_spec=[NOOP]))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_polygon_aoi_parity(spark, stores):
+    """Polygon AOIs over the typed store: boundary docs demote with
+    synthesized spans and clip exactly like the raw path."""
+    poly = [[(-62.0000013, -62.0000021), (62.0000017, -62.0000011),
+             (62.0000019, 62.0000023), (0.4000001, 62.0000027),
+             (0.5000003, 0.5000001), (-0.6000007, 62.0000025),
+             (-62.0000015, 62.0000027), (-62.0000013, -62.0000021)]]
+    for kind in ("way", "rel"):
+        raw, typed = stores[kind]
+        a = _canon(snapshots(raw, SNAP_TS, polygon=poly))
+        b = _canon(snapshots(typed, SNAP_TS, polygon=poly))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_store_pruning_and_manifest(spark, tmp_path):
+    """Partition pruning on cell_prefix + bbox row-group predicates reach
+    the parquet scan; the cell-count manifest rides along."""
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import read_cell_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs_from_events(ev)
+    path = str(tmp_path / "store")
+    write_typed_store(docs, path)
+    m = read_cell_counts(path)
+    assert m is not None and sum(m["counts"].values()) > 0
+    pruned = read_typed_store(spark, path, bbox=(0.0, 0.0, 40.0, 40.0))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    explained = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "cell_prefix" in explained
+    assert "bbox_min_lon" in explained  # row-group predicate pushdown
+    # pruned read returns a strict subset, all inside-or-overlapping
+    n_all = spark.read.parquet(path).count()
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < n_all
+
+
+def test_node_sql_path_on_typed_store(spark, tmp_path):
+    """The pure-Catalyst node path (versions_table) accepts the typed
+    store directly — same counts as the raw docs path."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw = docs_from_events(ev)
+    path = str(tmp_path / "store")
+    write_typed_store(raw, path)
+    typed = read_typed_store(spark, path)
+
+    def q(docs):
+        return sorted(
+            tuple(r)
+            for r in OSHDB(docs)
+            .snapshot_view()
+            .timestamps(SNAPSHOT_TS)
+            .osm_type("node")
+            .without_geometry()
+            .aggregate_by_timestamp()
+            .count()
+            .collect()
+        )
+
+    assert q(raw) == q(typed)
