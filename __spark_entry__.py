@@ -1080,6 +1080,79 @@ def q_topk_orders(spark, sf_dir):
     )
 
 
+_STORE_CACHE = "/tmp/oshdb_flat_store"
+
+
+def _store_docs(spark, sf_dir, kind):
+    """Docs re-read through the FLAT kernel-ready store
+    (plans.layout.write_typed_store): the interleaved JSON is decoded
+    once here (ETL) and every query over the store skips the decode.
+    Built once per (sf_dir, kind) under /tmp, re-used across driver
+    sessions; a `.done` marker guards against partial writes."""
+    import hashlib
+    import os
+
+    from oshdb_spark.model.history import (
+        docs_from_events,
+        relation_docs_from_events,
+    )
+    from oshdb_spark.plans.layout import read_typed_store, write_typed_store
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}".encode()
+    ).hexdigest()[:12]
+    path = f"{_STORE_CACHE}/{key}"
+    done = f"{path}/.done"
+    if not os.path.exists(done):
+        mk = {
+            "node": docs_from_events,
+            "relation": relation_docs_from_events,
+        }[kind]
+        write_typed_store(mk(_t(spark, sf_dir, "events")), path)
+        open(done, "w").close()
+    return read_typed_store(spark, path)
+
+
+def q_store_snapshot_bbox_tag(spark, sf_dir):
+    """snapshot_bbox_tag re-run over the flat store — certifies the
+    ETL-decode-once path end-to-end (routing flags, stored flat arrays,
+    vmatch over the stored versions column) against the same oracle."""
+    docs = _store_docs(spark, sf_dir, "node")
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(bbox=_BBOX)
+        .osm_type("node")
+        .osm_tag("event_type", "click")
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
+def q_store_relation_length(spark, sf_dir):
+    """relation_snapshot_length over the flat store — the member-heavy
+    case where the stored rm* arrays replace the dominant decode cost."""
+    from oshdb_spark.geo.measures import wkb_length_m
+
+    docs = _store_docs(spark, sf_dir, "relation")
+    snaps = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .osm_type("relation")
+        .dataframe()
+    )
+    return (
+        snaps.withColumn("len_m", wkb_length_m("geom_wkb"))
+        .groupBy("ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("len_m"), 0).alias("total_len_m"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1135,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
         "topk_orders": q_topk_orders,
+        "store_snapshot_bbox_tag": q_store_snapshot_bbox_tag,
+        "store_relation_length": q_store_relation_length,
     }
 
 
@@ -1194,7 +1269,7 @@ def oracle_sql() -> dict[str, str]:
       FROM geo g
       WINDOW w AS (PARTITION BY id ORDER BY version)
     """
-    return {
+    out = {
         "snapshot_count": _HIST + """,
             m AS (
               SELECT grid.ts AS ts, count(*) AS c
@@ -2169,3 +2244,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
     }
+    # store-backed queries are semantics-preserving re-reads of the same
+    # docs through the flat kernel-ready ETL layout — they share their
+    # raw-path twins' oracles verbatim
+    out["store_snapshot_bbox_tag"] = out["snapshot_bbox_tag"]
+    out["store_relation_length"] = out["relation_snapshot_length"]
+    return out
