@@ -295,6 +295,46 @@ def q_snapshot_polygon(spark, sf_dir):
     )
 
 
+# two rectilinear polygons (off-lattice vertices) whose intersection is a
+# DISJOINT MultiPolygon — exercises the multi-piece composed-AOI path
+# (reference: JTS Geometry.intersection, MapReducer.java:242-270)
+_U_POLY = [
+    (-170.00000005, -80.00000005),
+    (160.00000005, -80.00000005),
+    (160.00000005, 70.00000005),
+    (50.00000005, 70.00000005),
+    (50.00000005, -30.00000005),
+    (-60.00000005, -30.00000005),
+    (-60.00000005, 70.00000005),
+    (-170.00000005, 70.00000005),
+    (-170.00000005, -80.00000005),
+]
+_BAR_POLY = [
+    (-175.00000005, -5.00000005),
+    (165.00000005, -5.00000005),
+    (165.00000005, 45.00000005),
+    (-175.00000005, 45.00000005),
+    (-175.00000005, -5.00000005),
+]
+
+
+def q_snapshot_multi_aoi(spark, sf_dir):
+    """Composed polygon AOIs intersecting into a disjoint 2-piece
+    MultiPolygon (U-shape ∧ bar): node snapshot counts. The engine
+    carries the multi-piece AOI through every predicate stage."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(polygon=[_U_POLY])
+        .area_of_interest(polygon=[_BAR_POLY])
+        .osm_type("node")
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
 def q_snapshot_tag_regex(spark, sf_dir):
     """tag-regex filter (osmTag(key, Pattern)) through the node SQL path."""
     docs = docs_from_events(_t(spark, sf_dir, "events"))
@@ -1178,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_snapshot_length": q_relation_snapshot_length,
         "relation_contrib_types": q_relation_contrib_types,
         "snapshot_polygon": q_snapshot_polygon,
+        "snapshot_multi_aoi": q_snapshot_multi_aoi,
         "snapshot_tag_regex": q_snapshot_tag_regex,
         "snapshot_tag_any": q_snapshot_tag_any,
         "snapshot_tag_set": q_snapshot_tag_set,
@@ -1737,6 +1778,21 @@ def oracle_sql() -> dict[str, str]:
                     - (60.0000037 - 50.0000023) * (px - 120.0000019) > 0
                 AND (-100.0000017 - -80.0000011) * (py - 60.0000037)
                     - (-50.0000031 - 60.0000037) * (px - -80.0000011) > 0
+              GROUP BY 1)
+            SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
+            FROM grid LEFT JOIN m USING (ts)
+        """,
+        "snapshot_multi_aoi": _HIST + """,
+            m AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM (SELECT *, lon7*1e-7 AS px, lat7*1e-7 AS py FROM geo) v
+              JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND ((px > -170.00000005 AND px < -60.00000005)
+                     OR (px > 50.00000005 AND px < 160.00000005))
+                AND py > -5.00000005 AND py < 45.00000005
               GROUP BY 1)
             SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
             FROM grid LEFT JOIN m USING (ts)

@@ -73,11 +73,12 @@ class View:
         """Set the AOI; a second call INTERSECTS with the previous one
         (MapReducer.java:242-270 intersects rather than replaces).
 
-        Restriction (divergence from the reference's JTS composition):
-        when two composed polygon AOIs intersect into DISJOINT pieces, a
-        NotImplementedError is raised at plan-build time — pass a single
-        pre-combined polygon instead. Single-piece compositions (the
-        typical bbox∧polygon or overlapping-polygon cases) are exact."""
+        Composition mirrors the reference's JTS `Geometry.intersection`
+        (MapReducer.java:242-270): when two composed polygon AOIs
+        intersect into DISJOINT pieces the result is carried as a
+        multi-piece AOI (list of ring-lists) and every predicate/clip
+        stage handles it (points/bbox tests OR the pieces; clips run
+        per piece and concatenate)."""
         s = self._s
         if s.bbox is None and s.polygon is None:
             return self._with(bbox=bbox, polygon=polygon)

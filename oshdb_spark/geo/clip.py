@@ -37,9 +37,14 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
 
 
 def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
-    """Inside outer ring and outside every hole."""
+    """Inside outer ring and outside every hole. Also accepts the
+    multi-piece AOI form (list of ring-lists, see aoi_pieces) and ORs
+    the pieces — composed areaOfInterest intersections may be
+    MultiPolygons (MapReducer.java:242-270)."""
     if not rings:
         return np.zeros(len(np.atleast_1d(px)), dtype=bool)
+    if not isinstance(rings[0], np.ndarray):
+        return points_in_multipolygon(px, py, rings)
     inside = points_in_ring(px, py, rings[0])
     for hole in rings[1:]:
         inside &= ~points_in_ring(px, py, hole)
@@ -51,6 +56,35 @@ def points_in_multipolygon(px, py, polys: list[list[np.ndarray]]) -> np.ndarray:
     for rings in polys:
         out |= points_in_polygon(px, py, rings)
     return out
+
+
+def aoi_pieces(poly) -> list[list[np.ndarray]] | None:
+    """Normalize an AOI polygon argument to a list of PIECES, each a list
+    of float64 rings (outer first). Accepts a single polygon (list of
+    rings) or a multipolygon (list of such lists) — the latter arises from
+    composed areaOfInterest intersections with disjoint overlap
+    (MapReducer.java:242-270 via JTS Geometry.intersection)."""
+    if poly is None:
+        return None
+
+    def depth(x):
+        d = 0
+        while not isinstance(x, np.ndarray):
+            try:
+                x = x[0]
+            except (TypeError, IndexError, KeyError):
+                return d
+            d += 1
+        return d + x.ndim
+
+    d = depth(poly)
+    if d == 3:
+        pieces = [poly]
+    elif d == 4:
+        pieces = list(poly)
+    else:
+        raise ValueError(f"AOI polygon must nest rings 3 or 4 deep, got {d}")
+    return [[np.asarray(r, dtype=np.float64) for r in rings] for rings in pieces]
 
 
 # ---------------------------------------------------------------------------
@@ -556,19 +590,17 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
 
 
 def intersect_aois(bbox1, poly1, bbox2, poly2):
-    """Intersection of two AOIs (bbox and/or polygon, degrees) →
-    (bbox, polygon) for the composed areaOfInterest semantics
-    (MapReducer.java:242-270). Empty intersections return a degenerate
-    bbox (min > max) that matches no documents."""
+    """Intersection of two AOIs (bbox and/or polygon/multipolygon,
+    degrees) → (bbox, polygon) for the composed areaOfInterest semantics
+    (MapReducer.java:242-270). A disjoint multi-piece overlap returns the
+    multi-piece form (list of ring-lists; see aoi_pieces) — the JTS
+    composition in the reference likewise yields a MultiPolygon. Empty
+    intersections return a degenerate bbox (min > max) that matches no
+    documents."""
     _EMPTY = ((1.0, 1.0, -1.0, -1.0), None)
+    p1, p2 = aoi_pieces(poly1), aoi_pieces(poly2)
 
-    def as_rings(bbox, poly):
-        if poly is not None:
-            return [np.asarray(r, dtype=np.float64) for r in poly]
-        w, s, e, n = bbox
-        return [np.array([(w, s), (e, s), (e, n), (w, n), (w, s)])]
-
-    if poly1 is None and poly2 is None:
+    if p1 is None and p2 is None:
         w = max(bbox1[0], bbox2[0])
         s = max(bbox1[1], bbox2[1])
         e = min(bbox1[2], bbox2[2])
@@ -576,32 +608,36 @@ def intersect_aois(bbox1, poly1, bbox2, poly2):
         if w > e or s > n:
             return _EMPTY
         return (w, s, e, n), None
-    if poly1 is not None and poly2 is None:
-        poly1, poly2 = poly2, poly1
+    if p1 is not None and p2 is None:
+        p1, p2 = p2, p1
         bbox1, bbox2 = bbox2, bbox1
-    if poly1 is None:
-        # bbox ∧ polygon: Sutherland–Hodgman each ring against the bbox
-        outer = _clip_ring_bbox(np.asarray(poly2[0], dtype=np.float64), bbox1)
-        if outer is None:
-            return _EMPTY
-        rings = [outer]
-        for h in poly2[1:]:
-            hc = _clip_ring_bbox(np.asarray(h, dtype=np.float64), bbox1)
-            if hc is not None:
-                rings.append(hc)
-        return None, [r for r in rings]
-    g = clip_polygon_to_polygon(as_rings(bbox1, poly1), as_rings(bbox2, poly2))
-    if g is None:
+    if p1 is None:
+        # bbox ∧ polygon piece(s): Sutherland–Hodgman each ring against
+        # the (convex) bbox
+        out: list[list[np.ndarray]] = []
+        for rings in p2:
+            outer = _clip_ring_bbox(rings[0], bbox1)
+            if outer is None:
+                continue
+            rs = [outer]
+            for h in rings[1:]:
+                hc = _clip_ring_bbox(h, bbox1)
+                if hc is not None:
+                    rs.append(hc)
+            out.append(rs)
+    else:
+        # polygon ∧ polygon, piecewise: input pieces are disjoint, so
+        # pairwise intersections are disjoint too — concatenate
+        out = []
+        for ra in p1:
+            for rb in p2:
+                g = clip_polygon_to_polygon(ra, rb)
+                if g is None:
+                    continue
+                out.extend([g[1]] if g[0] == "Polygon" else g[1])
+    if not out:
         return _EMPTY
-    if g[0] == "Polygon":
-        return None, g[1]
-    # MultiPolygon AOI: keep the largest piece's rings plus the rest as
-    # additional outers is not representable — conservative: bbox of all
-    # pieces with the FIRST piece exact is wrong; instead raise
-    raise NotImplementedError(
-        "composed AOI intersection produced a MultiPolygon; pass a single "
-        "combined polygon instead"
-    )
+    return None, (out[0] if len(out) == 1 else out)
 
 
 # ---------------------------------------------------------------------------
@@ -611,9 +647,16 @@ def intersect_aois(bbox1, poly1, bbox2, poly2):
 def clip_line_to_polygon(coords: np.ndarray, rings: list[np.ndarray]):
     """Clip a polyline to a polygon by splitting segments at ring crossings
     and keeping the inside pieces (midpoint test). Exact for simple
-    polygons; replaces JTS line∩polygon for the AOI-polygon case."""
+    polygons; replaces JTS line∩polygon for the AOI-polygon case. Accepts
+    the multi-piece AOI form (pieces are disjoint, so splitting at every
+    ring of every piece plus the sniffed membership test stays exact)."""
+    flat = (
+        rings
+        if not rings or isinstance(rings[0], np.ndarray)
+        else [r for piece in rings for r in piece]
+    )
     edges = []
-    for ring in rings:
+    for ring in flat:
         r = np.asarray(ring)
         edges.append((r[:-1], r[1:]))
     pieces: list[list] = []

@@ -53,7 +53,18 @@ def bbox_vs_polygon(bbox, rings) -> int:
 
     Exact (FastBboxInPolygon/FastBboxOutsidePolygon semantics): if no
     polygon edge touches the bbox, containment of one corner decides all.
+    Accepts the multi-piece AOI form (list of ring-lists): pieces are
+    disjoint, so a bbox fully inside one piece cannot touch another.
     """
+    if rings and not isinstance(rings[0], np.ndarray):
+        rel = 0
+        for piece in rings:
+            r = bbox_vs_polygon(bbox, piece)
+            if r == 2:
+                return 2
+            if r == 1:
+                rel = 1
+        return rel
     if _segments_intersect_bbox(rings, bbox):
         return 2
     corners_in = C.points_in_polygon(
@@ -70,12 +81,22 @@ class AOI:
     """Query area: bbox, polygon, or whole world (None)."""
 
     def __init__(self, bbox=None, polygon=None):
-        # polygon: list of rings (outer first), degrees
+        # polygon: list of rings (outer first) OR list of such piece
+        # lists (MultiPolygon from a composed areaOfInterest), degrees
+        self.pieces = C.aoi_pieces(polygon) if polygon else None
         self.polygon = (
-            [np.asarray(r, dtype=np.float64) for r in polygon] if polygon else None
+            None
+            if self.pieces is None
+            else (self.pieces[0] if len(self.pieces) == 1 else self.pieces)
         )
-        if bbox is None and self.polygon is not None:
-            bbox = G.bbox_of(("Polygon", self.polygon))
+        if bbox is None and self.pieces is not None:
+            allr = [r for piece in self.pieces for r in piece]
+            bbox = (
+                min(float(np.min(r[:, 0])) for r in allr),
+                min(float(np.min(r[:, 1])) for r in allr),
+                max(float(np.max(r[:, 0])) for r in allr),
+                max(float(np.max(r[:, 1])) for r in allr),
+            )
         self.bbox = tuple(bbox) if bbox is not None else None
 
     @property
@@ -109,7 +130,21 @@ class AOI:
             if C.bbox_relation(G.bbox_of(g), self.bbox) == 0:
                 return None
             if g[0] == "Polygon":
-                return C.clip_polygon_to_polygon(g[1], self.polygon)
+                if len(self.pieces) == 1:
+                    return C.clip_polygon_to_polygon(g[1], self.polygon)
+                # multi-piece AOI: clip against each (disjoint) piece and
+                # concatenate the resulting polygons
+                polys = []
+                for piece in self.pieces:
+                    r = C.clip_polygon_to_polygon(g[1], piece)
+                    if r is None:
+                        continue
+                    polys.extend([r[1]] if r[0] == "Polygon" else r[1])
+                if not polys:
+                    return None
+                if len(polys) == 1:
+                    return ("Polygon", polys[0])
+                return ("MultiPolygon", polys)
             pieces = []
             for comp in G._components(g):
                 r = self.clip(comp)

@@ -147,6 +147,112 @@ class TestIntersectAois:
         assert shoelace(np.asarray(p[0])) == pytest.approx(25.0)
 
 
+def u_shape():
+    """Rectilinear U: arms x∈[0,10] and x∈[20,30] up to y=30, base y∈[0,10]."""
+    return np.array(
+        [(0, 0), (30, 0), (30, 30), (20, 30), (20, 10), (10, 10),
+         (10, 30), (0, 30), (0, 0)],
+        dtype=np.float64,
+    )
+
+
+class TestMultiPieceAoi:
+    """Composed AOIs whose intersection is a disjoint MultiPolygon
+    (reference: JTS Geometry.intersection in MapReducer.java:242-270)."""
+
+    BAR = rect(-5, 15, 35, 25)  # crosses both U arms → 2 disjoint rects
+
+    def _pieces(self):
+        b, p = intersect_aois(None, [u_shape()], None, [self.BAR])
+        assert b is None
+        return p
+
+    def test_intersection_is_multi(self):
+        p = self._pieces()
+        # multi form: list of ring-lists
+        assert not isinstance(p[0], np.ndarray) and len(p) == 2
+        assert sum(rings_area(piece) for piece in p) == pytest.approx(200.0)
+
+    def test_point_and_bbox_predicates(self):
+        from oshdb_spark.geo.clip import points_in_polygon
+        from oshdb_spark.kernels.aoi import bbox_vs_polygon
+
+        aoi = AOI(polygon=self._pieces())
+        inb = points_in_polygon(
+            np.array([5.0, 15.0, 25.0]), np.array([20.0, 20.0, 20.0]),
+            aoi.polygon,
+        )
+        assert inb.tolist() == [True, False, True]
+        assert bbox_vs_polygon((2, 17, 8, 23), aoi.polygon) == 1
+        assert bbox_vs_polygon((12, 17, 18, 23), aoi.polygon) == 0
+        assert bbox_vs_polygon((8, 17, 12, 23), aoi.polygon) == 2
+        assert aoi.relation_of_bbox((2, 17, 8, 23)) == 1
+        assert aoi.bbox == (0.0, 15.0, 30.0, 25.0)
+
+    def test_clip_line_across_pieces(self):
+        aoi = AOI(polygon=self._pieces())
+        line = ("LineString",
+                np.array([(-5.0, 20.0), (35.0, 20.0)], dtype=np.float64))
+        out = aoi.clip(line)
+        assert out[0] == "MultiLineString" and len(out[1]) == 2
+        lengths = sorted(
+            abs(np.asarray(seg)[-1, 0] - np.asarray(seg)[0, 0])
+            for seg in out[1]
+        )
+        assert lengths == pytest.approx([10.0, 10.0])
+
+    def test_clip_polygon_across_pieces(self):
+        aoi = AOI(polygon=self._pieces())
+        g = ("Polygon", [rect(-5, 10, 35, 40)])
+        out = aoi.clip(g)
+        assert out[0] == "MultiPolygon" and len(out[1]) == 2
+        assert sum(rings_area(rs) for rs in out[1]) == pytest.approx(200.0)
+
+    def test_view_composition_counts_add(self, spark):
+        """Composed multi-piece AOI count == sum of per-piece counts
+        (pieces are disjoint)."""
+        from oshdb_spark.api.engine import OSHDB
+        from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        docs = docs_from_events(ev)
+
+        # scale the U/bar to cover a large share of the ±180/±85 world so
+        # the tiny sf0.001 snapshot population lands inside the pieces
+        def sc(ring):
+            r = np.asarray(ring, dtype=np.float64).copy()
+            r[:, 0] = r[:, 0] * 11.0 - 170.0  # x∈[0,30] → [-170,160]
+            r[:, 1] = r[:, 1] * 5.0 - 80.0    # y∈[0,30] → [-80,70]
+            return r
+
+        base = OSHDB(docs).snapshot_view().timestamps(SNAPSHOT_TS).osm_type("node")
+        composed = (
+            base.area_of_interest(polygon=[sc(u_shape())])
+            .area_of_interest(polygon=[sc(self.BAR)])
+        )
+        assert composed._s.polygon is not None
+        assert not isinstance(composed._s.polygon[0], np.ndarray)
+
+        def counts(view):
+            out = {}
+            for r in view.aggregate_by_timestamp().count().collect():
+                out[r[0]] = out.get(r[0], 0) + r[1]
+            return out
+
+        got = counts(composed)
+        b, pieces = intersect_aois(
+            None, [sc(u_shape())], None, [sc(self.BAR)]
+        )
+        per_piece = [counts(base.area_of_interest(polygon=piece))
+                     for piece in pieces]
+        want = {}
+        for c in per_piece:
+            for k, v in c.items():
+                want[k] = want.get(k, 0) + v
+        assert sum(got.values()) > 0
+        assert got == want
+
+
 def test_view_aoi_composition(spark):
     """area_of_interest composes by intersection (MapReducer.java:242-270)."""
     from oshdb_spark.api.engine import OSHDB
