@@ -971,6 +971,26 @@ def q_sim_ivf(spark, sf_dir):
     return ivf_ann(emb, qvec, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed k-means (Lloyd's, 2 iterations, deterministic first-k
+    init, 6-decimal centroid quantization per update): per-cluster size
+    and the first 4 centroid dims. The quantize-per-update contract makes
+    every iteration bit-replayable by the DuckDB oracle."""
+    from oshdb_spark.ops.clustering import _q6, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, sizes = kmeans_train(emb, k=8, n_iter=2)
+    # _q6 is idempotent on trained centroids; it matters only for an
+    # empty cluster that kept its (unquantized) init vector
+    rows = [
+        (c, sizes[c], *[_q6(cents[c][i]) for i in range(4)])
+        for c in range(len(cents))
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, n long, c0 double, c1 double, c2 double, c3 double"
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     from oshdb_spark.ops.textstats import with_token_count
 
@@ -1239,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
+        "kmeans_centroids": q_kmeans_centroids,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -2154,6 +2175,62 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_p,
                    true AS within_2pct
             FROM ex CROSS JOIN qs
+        """,
+        "kmeans_centroids": """
+            -- mirror of ops.clustering.kmeans_train: init = first 8 by
+            -- vec_id; 2 Lloyd iterations; argmin ties -> lowest centroid
+            -- index (ORDER BY d, c == the strict-less aggregate fold);
+            -- centroids quantized to 6 decimals after each update; empty
+            -- clusters keep their previous centroid; sizes are the final
+            -- iteration's assignment counts
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+            init AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS c,
+                            e AS ce
+                     FROM emb ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT vec_id, e, c AS cl FROM (
+                SELECT emb.vec_id, emb.e, init.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, init.ce), init.c
+                       ) AS rn
+                FROM emb CROSS JOIN init)
+              WHERE rn = 1),
+            u1 AS (
+              SELECT cl, i, round(avg(v), 6) AS m FROM (
+                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                FROM a1)
+              GROUP BY cl, i),
+            cents1 AS (
+              SELECT init.c, coalesce(nn.ce, init.ce) AS ce
+              FROM init LEFT JOIN (
+                SELECT cl AS c, list(m ORDER BY i) AS ce
+                FROM u1 GROUP BY cl) nn USING (c)),
+            a2 AS (
+              SELECT vec_id, e, c AS cl FROM (
+                SELECT emb.vec_id, emb.e, cents1.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, cents1.ce), cents1.c
+                       ) AS rn
+                FROM emb CROSS JOIN cents1)
+              WHERE rn = 1),
+            u2 AS (
+              SELECT cl, i, round(avg(v), 6) AS m FROM (
+                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                FROM a2)
+              GROUP BY cl, i),
+            cents2 AS (
+              SELECT cents1.c, coalesce(nn.ce, cents1.ce) AS ce
+              FROM cents1 LEFT JOIN (
+                SELECT cl AS c, list(m ORDER BY i) AS ce
+                FROM u2 GROUP BY cl) nn USING (c)),
+            cnt AS (SELECT cl AS c, count(*) AS n FROM a2 GROUP BY cl)
+            SELECT cents2.c AS cluster, coalesce(cnt.n, 0) AS n,
+                   round(ce[1], 6) AS c0, round(ce[2], 6) AS c1,
+                   round(ce[3], 6) AS c2, round(ce[4], 6) AS c3
+            FROM cents2 LEFT JOIN cnt USING (c)
         """,
         "sim_lsh_ann": _lsh_ann_oracle(),
         "sim_ivf": """

@@ -142,20 +142,29 @@ def ivf_ann(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
 ) -> DataFrame:
-    """IVF: coarse quantize to deterministic sampled centroids, probe the
+    """IVF: coarse quantize to deterministic centroids, probe the
     n_probe centroids nearest to the query, exact re-rank inside.
 
-    NOTE the "training" is a STUB: centroids are the first n_centroids
-    vectors by id (deterministic, not k-means). A production build would
-    run a few Lloyd iterations on a sample; the routing/probing plan shape
-    (map-side argmin, partition-prunable `_cent`) is what's real here."""
+    With train_iters=0 (default) the "training" is a STUB: centroids are
+    the first n_centroids vectors by id (deterministic, not k-means).
+    With train_iters>0 the centroids come from clustering.kmeans_train
+    (real Lloyd iterations, deterministic init) — the production path."""
     dim = len(query_vec)
-    # deterministic "training" stub: first n_centroids vectors by id
-    cents = [
-        [float(x) for x in r[0]]
-        for r in df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    ]
+    if train_iters > 0:
+        from .clustering import kmeans_train
+
+        cents, _ = kmeans_train(
+            df, k=n_centroids, n_iter=train_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        # deterministic "training" stub: first n_centroids vectors by id
+        cents = [
+            [float(x) for x in r[0]]
+            for r in df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        ]
     if not cents:
         return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
 

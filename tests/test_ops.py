@@ -77,6 +77,64 @@ def test_ivf_ann_returns_k(spark):
     assert rows[0].vec_id == 0  # query vector is its own nearest
 
 
+def test_kmeans_recovers_separated_blobs(spark):
+    """3 well-separated blobs → 2 Lloyd iterations recover them exactly
+    and the centroids land on the blob means."""
+    import numpy as np
+
+    from oshdb_spark.ops.clustering import kmeans_assign, kmeans_train
+
+    rng = np.random.default_rng(7)
+    blobs = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    rows = []
+    # interleave ids across blobs so the deterministic first-k init picks
+    # one seed per blob (ids 0,1,2 land in blobs 0,1,2)
+    for b, (cx, cy) in enumerate(blobs):
+        for j in range(30):
+            x, y = rng.normal((cx, cy), 1.0)
+            rows.append((b + 3 * j, [float(x), float(y)], b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, blob int")
+    cents, sizes = kmeans_train(df, k=3, n_iter=2)
+    assert sorted(sizes) == [30, 30, 30]
+    # each trained centroid sits within 1 unit of some blob mean
+    for c in cents:
+        assert min((c[0] - bx) ** 2 + (c[1] - by) ** 2 for bx, by in blobs) < 1.0
+    # assignment is pure (every blob maps to exactly one cluster)
+    got = kmeans_assign(df, cents).groupBy("blob").agg(
+        F.countDistinct("cluster").alias("k"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert all(r.k == 1 and r.n == 30 for r in got)
+
+
+def test_kmeans_deterministic_and_empty_cluster_keeps_centroid(spark):
+    from oshdb_spark.ops.clustering import kmeans_train
+
+    # two distinct points, k=3 → init has a duplicate centroid; ties go to
+    # the lowest index, so the duplicate cluster ends up empty and must
+    # keep its previous (initial) centroid
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents, sizes = kmeans_train(df, k=3, n_iter=2)
+    assert sizes == [2, 0, 1]
+    assert cents[0] == [0.0, 0.0]
+    assert cents[1] == [0.0, 0.0]  # empty: kept the init centroid
+    assert cents[2] == [10.0, 10.0]
+    again, _ = kmeans_train(df, k=3, n_iter=2)
+    assert again == cents
+
+
+def test_ivf_trained_returns_k(spark):
+    from oshdb_spark.ops.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    rows = ivf_ann(emb, q, k=5, n_centroids=8, n_probe=4, train_iters=2).collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0
+
+
 def test_embedding_neardup_self_join(spark):
     from oshdb_spark.ops.dedup import embedding_neardup_pairs
 
