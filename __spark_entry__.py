@@ -1156,10 +1156,14 @@ def _store_docs(spark, sf_dir, kind):
         docs_from_events,
         relation_docs_from_events,
     )
-    from oshdb_spark.plans.layout import read_typed_store, write_typed_store
+    from oshdb_spark.plans.layout import (
+        STORE_SCHEMA_VERSION,
+        read_typed_store,
+        write_typed_store,
+    )
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{kind}".encode()
+        f"{os.path.abspath(sf_dir)}|{kind}|v{STORE_SCHEMA_VERSION}".encode()
     ).hexdigest()[:12]
     path = f"{_STORE_CACHE}/{key}"
     done = f"{path}/.done"

@@ -303,13 +303,23 @@ def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
 
 
 def _multipolygon(version, t, members_by_key, area_decider):
-    """Multipolygon assembly (ref getMultiPolygonGeometry, :187-301):
-    ring joining by node-id endpoint matching, self-touching rings split
-    into simple sub-rings (≙ buffer(0) cleanup), inner rings assigned to
-    their containing outer by exact containment. Unmatched inners are
-    dropped (the reference's open todo does the same via its filter)."""
+    """Multipolygon assembly (ref getMultiPolygonGeometry, :187-301) from
+    per-doc nested structures; the assembly itself is shared with the
+    vectorized relation kernel via assemble_multipolygon."""
     outer_lines = _member_lines(version, t, members_by_key, area_decider.is_outer_role)
     inner_lines = _member_lines(version, t, members_by_key, area_decider.is_inner_role)
+    return assemble_multipolygon(outer_lines, inner_lines)
+
+
+def assemble_multipolygon(outer_lines, inner_lines):
+    """Multipolygon assembly from resolved member chains ([(node_id, x,
+    y), ...] per visible way member, ref order): ring joining by node-id
+    endpoint matching, self-touching rings split into simple sub-rings
+    (≙ buffer(0) cleanup), inner rings assigned to their containing outer
+    by exact containment. Unmatched inners are dropped (the reference's
+    open todo does the same via its filter). Raises ValueError on
+    unclosed/short rings (≙ JTS IllegalArgumentException → geometry-
+    collection fallback)."""
     outer_raw = [
         np.array([(x, y) for _, x, y in ring]) for ring in join_rings(outer_lines)
     ]

@@ -60,10 +60,12 @@ _INF = 2**62
 
 
 def rel_fast_mode(decider) -> str | None:
-    """JVM-eligibility mode for the relation fast path, per area decider:
-    'default' adds the type∈{multipolygon,boundary} exclusion, 'never'
-    takes every relation, None (AlwaysArea / custom) keeps the general
-    path (those deciders can trigger multipolygon assembly on any doc)."""
+    """Eligibility mode for the relation fast path, per area decider:
+    'default' and 'never' both route every node/way-membered relation —
+    multipolygon-typed versions are assembled IN the kernel
+    (_mp_assembly_wkb over resolved flat chains). None (AlwaysArea /
+    custom deciders) keeps the general path: their is_area/role rules
+    aren't guaranteed to match the vectorized area-flag batch logic."""
     if type(decider) is DefaultTagInterpreter:
         return "default"
     if type(decider) is NeverArea:
@@ -82,6 +84,11 @@ def _flat_rel_arrays(pdf: pd.DataFrame) -> dict:
     refcnt = _flat_i64(pdf["rvrefcnt"])
     ref_flat = _flat_i64(pdf["rvref"])
     reftype = _flat_i64(pdf["rvreftype"])
+    refrole = (
+        np.concatenate([np.asarray(v, dtype=object) for v in pdf["rvrefrole"]])
+        if n_docs
+        else np.empty(0, dtype=object)
+    )
     ref_starts = np.cumsum(refcnt) - refcnt
 
     nm = np.fromiter((len(v) for v in pdf["rmid"]), dtype=np.int64, count=n_docs)
@@ -137,6 +144,7 @@ def _flat_rel_arrays(pdf: pd.DataFrame) -> dict:
         "refcnt": refcnt,
         "ref_flat": ref_flat,
         "reftype": reftype,
+        "refrole": refrole,
         "ref_starts": ref_starts,
         "mem_doc": mem_doc,
         "mem_id": mem_id,
@@ -251,6 +259,7 @@ def _resolve_rel_components(
         wc_row = wrow[nvalid]
         way_lon = ra["m_lon"][nmp[nvalid]]
         way_lat = ra["m_lat"][nmp[nvalid]]
+        way_nid = wref[nvalid]  # node ids feed multipolygon ring joining
         way_nc = np.bincount(wc_row, minlength=len(winc)).astype(np.int64)
 
         # area decision on the way member's own tags + ref-id closedness
@@ -284,6 +293,7 @@ def _resolve_rel_components(
     n_coords = int(comp_nc.sum())
     lon7 = np.zeros(n_coords, dtype=np.int64)
     lat7 = np.zeros(n_coords, dtype=np.int64)
+    nid = np.zeros(n_coords, dtype=np.int64)
     npt = np.nonzero(node_pt)[0]
     if len(npt):
         lon7[cstart[npt]] = ra["m_lon"][mp_i[npt]]
@@ -294,6 +304,7 @@ def _resolve_rel_components(
         dest = cstart[winc[wc_row]] + ranks
         lon7[dest] = way_lon
         lat7[dest] = way_lat
+        nid[dest] = way_nid
 
     ncomp = np.bincount(crow_i, minlength=n_rows).astype(np.int64)
     comp_starts = np.cumsum(ncomp) - ncomp
@@ -303,14 +314,68 @@ def _resolve_rel_components(
         "comp_row": crow_i,
         "kind": comp_kind,
         "nc": comp_nc,
+        "ctype": ctype_i,
+        "role": ra["refrole"][goff][inc],
         "cstart": cstart,
         "lon7": lon7,
         "lat7": lat7,
+        "nid": nid,
         "ncomp": ncomp,
         "comp_starts": comp_starts,
         "row_nc": row_nc,
         "row_coord_starts": np.cumsum(row_nc) - row_nc,
     }
+
+
+def _mp_assembly_wkb(rc: dict, rows, decider) -> dict:
+    """Multipolygon assembly over RESOLVED components (ref
+    getMultiPolygonGeometry, OSHDBGeometryBuilder.java:187-301): for each
+    given row, split its visible way-member chains by role, join rings by
+    node id, assemble. Returns {row: wkb} for rows whose assembly
+    succeeded non-empty; absent rows keep the GeometryCollection fallback
+    (ref :126-131 exception/empty fallback). Only the small ring-joining
+    step is per-row Python — member resolution/as-of work happened in the
+    flat batch kernels."""
+    from ..geo import geom as G
+    from .geometry_builder import assemble_multipolygon
+
+    out: dict[int, bytes] = {}
+    for r in rows:
+        r = int(r)
+        c0 = int(rc["comp_starts"][r])
+        outer: list[list] = []
+        inner: list[list] = []
+        for ci in range(c0, c0 + int(rc["ncomp"][r])):
+            # visible way chains with ≥1 coord only (kind 0 = empty
+            # chain, 4 = invisible way; nodes never join rings)
+            if rc["ctype"][ci] != 1 or rc["kind"][ci] in (0, 4):
+                continue
+            role = rc["role"][ci]
+            if decider.is_outer_role(role):
+                dest = outer
+            elif decider.is_inner_role(role):
+                dest = inner
+            else:
+                continue
+            s = int(rc["cstart"][ci])
+            k = int(rc["nc"][ci])
+            dest.append(
+                list(
+                    zip(
+                        rc["nid"][s : s + k].tolist(),
+                        (rc["lon7"][s : s + k] * 1e-7).tolist(),
+                        (rc["lat7"][s : s + k] * 1e-7).tolist(),
+                    )
+                )
+            )
+        try:
+            mp = assemble_multipolygon(outer, inner)
+        except (ValueError, IndexError):
+            continue
+        if mp is None or G.is_empty(mp):
+            continue
+        out[r] = G.to_wkb(mp)
+    return out
 
 
 def _rel_wkb_vec(rc: dict, rows: np.ndarray | None = None) -> np.ndarray:
@@ -396,6 +461,16 @@ def rels_snapshot_vec(
     if with_geometry:
         rc = _resolve_rel_components(ra, sdoc, st, ps, decider)
         wkb = _rel_wkb_vec(rc)
+        # multipolygon-typed as-of versions: assembled geometry replaces
+        # the collection; failures keep the GC fallback (ref :126-131)
+        area_u = np.array(
+            [bool(decider.is_area("relation", tg, [])) for tg in parsed],
+            dtype=bool,
+        )
+        mp_rows = np.nonzero(area_u[inv[ps]])[0]
+        if len(mp_rows):
+            for r, b in _mp_assembly_wkb(rc, mp_rows, decider).items():
+                wkb[r] = b
     else:
         wkb = np.full(len(sel), None, dtype=object)
 
@@ -686,6 +761,21 @@ def rels_contrib_vec(
     g_of[gi] = np.arange(len(gi))
     rc = _resolve_rel_components(ra, sdoc[gi], t_arr_s[gi], a[gi], decider)
 
+    # multipolygon-typed states get ASSEMBLED geometry (GC fallback on
+    # failure); computed before the compare because geometry change for
+    # pairs involving an assembled side must compare the final built
+    # geometry (ref :649-665 equalsExact on built geometries)
+    area_u2 = np.array(
+        [bool(decider.is_area("relation", tg, [])) for tg in parsed_u],
+        dtype=bool,
+    )
+    area_state = area_u2[inv[a[gi]]] if len(gi) else np.zeros(0, dtype=bool)
+    mp_wkb = (
+        _mp_assembly_wkb(rc, np.nonzero(area_state)[0], decider)
+        if area_state.any()
+        else {}
+    )
+
     cmp_idx = np.nonzero(both)[0]
     ga, gb = g_of[cmp_idx], g_of[prev_ptr[cmp_idx]]
     geom_neq = rc["ncomp"][ga] != rc["ncomp"][gb]
@@ -722,6 +812,29 @@ def rels_contrib_vec(
                 ).astype(np.int64)
                 coord_ok = np.add.reduceat(ceq, cst) == clen3
                 geom_neq[p3[~coord_ok]] = True
+
+    if mp_wkb:
+        # pairs with an assembled side: byte-compare the FINAL geometries
+        # (assembled where applicable, GC otherwise) — identical
+        # components always assemble identically, but differing
+        # components can still assemble to equal rings
+        involved = [
+            i for i in range(len(cmp_idx))
+            if int(ga[i]) in mp_wkb or int(gb[i]) in mp_wkb
+        ]
+        if involved:
+            need_gc = sorted(
+                {int(x) for i in involved for x in (ga[i], gb[i])}
+                - set(mp_wkb)
+            )
+            gcw = {}
+            if need_gc:
+                arr = _rel_wkb_vec(rc, np.asarray(need_gc, dtype=np.int64))
+                gcw = dict(zip(need_gc, arr))
+            for i in involved:
+                wa = mp_wkb.get(int(ga[i]), gcw.get(int(ga[i])))
+                wb = mp_wkb.get(int(gb[i]), gcw.get(int(gb[i])))
+                geom_neq[i] = wa != wb
 
     tag_chg = np.zeros(ns, dtype=bool)
     geom_chg = np.zeros(ns, dtype=bool)
@@ -774,6 +887,9 @@ def rels_contrib_vec(
         used = used[used >= 0]
         if len(used):
             wkb_g[used] = _rel_wkb_vec(rc, used)
+            for g in used:
+                if int(g) in mp_wkb:
+                    wkb_g[g] = mp_wkb[int(g)]
     geom_after = np.where(pres[sel], wkb_g[np.maximum(g_of[sel], 0)], None)
     geom_before = np.where(
         prev_present[sel], wkb_g[np.maximum(g_of[prev_ptr[sel]], 0)], None

@@ -266,9 +266,9 @@ _W_COLS = [
     "mcs", "muid",
 ]
 _R_COLS = [
-    "rvrefcnt", "rvref", "rvreftype", "rmid", "rmtype", "rmvcnt", "rmts",
-    "rmver", "rmvis", "rmlon", "rmlat", "rmcs", "rmuid", "rmtags",
-    "rmrefcnt", "rmref",
+    "rvrefcnt", "rvref", "rvreftype", "rvrefrole", "rmid", "rmtype",
+    "rmvcnt", "rmts", "rmver", "rmvis", "rmlon", "rmlat", "rmcs", "rmuid",
+    "rmtags", "rmrefcnt", "rmref",
 ]
 
 
@@ -330,8 +330,6 @@ def _flat_store_docs(
     fast_rel = F.lit(False)
     if fast_rels:
         fast_rel = F.col("flat_kind").eqNullSafe("relation")
-        if fast_rels == "default":
-            fast_rel = fast_rel & ~F.col("has_mp_type")
         if inside is not None:
             fast_rel = fast_rel & inside
     if has_py:
@@ -420,10 +418,10 @@ def _fast_projection(
         fast_way = F.lit(False)
     fast_rel = F.lit(False)
     if fast_rels:
-        # relation fast path: members are node/way only, and (mode
-        # 'default') no version can trigger the multipolygon assembly —
-        # DefaultTagInterpreter.is_area(relation) is exactly
-        # type∈{multipolygon,boundary} (DefaultTagInterpreter.java:122-128)
+        # relation fast path: members are node/way only (multipolygon-
+        # typed versions are handled IN the vectorized kernel — per-state
+        # is_area routes them through assemble_multipolygon on resolved
+        # flat chains, with the geometry-collection fallback).
         # coalesce: IN over a missing map key is NULL, and exists() over
         # nulls is NULL — which would silently null out _fast and drop
         # the doc from every path
@@ -431,11 +429,6 @@ def _fast_projection(
             "exists(membersR,"
             " m -> not coalesce(m.entity_type in ('node', 'way'), false))"
         )
-        if fast_rels == "default":
-            fast_rel = fast_rel & ~F.expr(
-                "exists(versions, v -> coalesce("
-                "v.tags['type'] in ('multipolygon', 'boundary'), false))"
-            )
         if aoi is not None and not aoi.is_world:
             b = aoi.bbox
             fast_rel = fast_rel & (
@@ -597,6 +590,13 @@ def _fast_projection(
                 " r -> case when r.type = 'node' then 0"
                 " when r.type = 'way' then 1 else 2 end)))"
             ).alias("rvreftype"),
+            # roles feed the multipolygon outer/inner split
+            # (BaseTagInterpreter.java:139-151 via the area decider)
+            rarr(
+                "flatten(transform(versions,"
+                " v -> transform(coalesce(v.refs, array()),"
+                " r -> coalesce(r.role, ''))))"
+            ).alias("rvrefrole"),
             rarr("transform(membersR, m -> m.id)").alias("rmid"),
             rarr(
                 "transform(membersR,"

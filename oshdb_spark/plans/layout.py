@@ -35,6 +35,12 @@ from ..geo import cells
 from ..kernels.snapshot import with_doc_bbox
 from ..model import docs as docs_mod
 
+# Bumped whenever the flat kernel projection (_fast_projection store
+# mode) changes shape — readers refuse mismatched stores instead of
+# failing mid-query with UNRESOLVED_COLUMN. v2: + rvrefrole (member
+# roles feed in-kernel multipolygon assembly).
+STORE_SCHEMA_VERSION = 2
+
 
 def with_cell_token(docs: DataFrame, prefix_len: int = 2) -> DataFrame:
     """docs + `cell` (insert-level Hilbert token) + `cell_prefix` columns.
@@ -146,6 +152,8 @@ def write_docs_store(
             {"level": manifest_level, "counts": {r["_c"]: r["n"] for r in counts}},
             f,
         )
+    with open(f"{path}/_manifest/schema_version", "w") as f:
+        f.write(str(STORE_SCHEMA_VERSION))
     return plan
 
 
@@ -224,6 +232,8 @@ def write_typed_store(
             {"level": manifest_level, "counts": {r["_c"]: r["n"] for r in counts}},
             f,
         )
+    with open(f"{path}/_manifest/schema_version", "w") as f:
+        f.write(str(STORE_SCHEMA_VERSION))
     return plan
 
 
@@ -233,7 +243,20 @@ def read_typed_store(
     """Read the typed store with cell-prefix partition pruning plus the
     doc-bbox row-group predicate (bbox columns are top-level parquet
     columns here, so min/max statistics prune row groups before decode —
-    check .explain for PushedFilters on bbox_*)."""
+    check .explain for PushedFilters on bbox_*). Refuses a store written
+    by an older engine (kernels assume the current flat projection)."""
+    import os
+
+    ver_file = f"{path}/_manifest/schema_version"
+    ver = 1
+    if os.path.exists(ver_file):
+        with open(ver_file) as f:
+            ver = int(f.read().strip() or 1)
+    if ver != STORE_SCHEMA_VERSION:
+        raise ValueError(
+            f"typed store at {path} has schema v{ver}, engine expects "
+            f"v{STORE_SCHEMA_VERSION} — re-run write_typed_store"
+        )
     df = spark.read.parquet(path)
     if bbox is None:
         return df

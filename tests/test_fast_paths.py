@@ -477,8 +477,7 @@ def _tricky_rel_docs(spark):
                 _mem(401, [make_version(1, _ts(0), 40, lon=20_0000000, lat=20_0000000)]),
             ],
         ),
-        # multipolygon-typed version: NOT fast-eligible under the default
-        # interpreter (assembly path)
+        # multipolygon-typed version: fast-eligible, assembled in-kernel
         make_doc(
             "relation", 5,
             [
@@ -494,6 +493,63 @@ def _tricky_rel_docs(spark):
                 _mem(501, [make_version(1, _ts(0), 50, lon=30_0000000, lat=30_0000000)]),
                 _mem(502, [make_version(1, _ts(0), 50, lon=31_0000000, lat=30_0000000)]),
                 _mem(503, [make_version(1, _ts(0), 50, lon=31_0000000, lat=31_0000000)]),
+            ],
+        ),
+        # type flips GC→multipolygon mid-history; outer ring split across
+        # TWO half-ways (ring joining by node id) + an inner hole way; a
+        # member node moves under the assembled ring (GEOMETRY_CHANGE via
+        # assembled-WKB compare)
+        make_doc(
+            "relation", 6,
+            [
+                make_version(1, _ts(0), 60, uid=1, tags={"kind": "area"},
+                             refs=[wref(61, "outer"), wref(62, "outer"),
+                                   wref(63, "inner")]),
+                make_version(2, _ts(1), 61, uid=2,
+                             tags={"type": "multipolygon", "kind": "area"},
+                             refs=[wref(61, "outer"), wref(62, "outer"),
+                                   wref(63, "inner")]),
+            ],
+            members=[
+                _wmem(61, [
+                    make_version(1, _ts(0), 60, uid=1, tags={},
+                                 refs=[nref(601), nref(602), nref(603)]),
+                ]),
+                _wmem(62, [
+                    make_version(1, _ts(0), 60, uid=1, tags={},
+                                 refs=[nref(603), nref(604), nref(601)]),
+                ]),
+                _wmem(63, [
+                    make_version(1, _ts(0), 60, uid=1, tags={},
+                                 refs=[nref(605), nref(606), nref(607), nref(605)]),
+                ]),
+                _mem(601, [make_version(1, _ts(0), 60, lon=-50_0000000, lat=-50_0000000)]),
+                _mem(602, [make_version(1, _ts(0), 60, lon=-40_0000000, lat=-50_0000000)]),
+                _mem(603, [make_version(1, _ts(0), 60, lon=-40_0000000, lat=-40_0000000),
+                           make_version(2, _ts(2), 62, lon=-39_0000000, lat=-39_0000000)]),
+                _mem(604, [make_version(1, _ts(0), 60, lon=-50_0000000, lat=-40_0000000)]),
+                _mem(605, [make_version(1, _ts(0), 60, lon=-47_0000000, lat=-47_0000000)]),
+                _mem(606, [make_version(1, _ts(0), 60, lon=-45_0000000, lat=-47_0000000)]),
+                _mem(607, [make_version(1, _ts(0), 60, lon=-45_0000000, lat=-45_0000000)]),
+            ],
+        ),
+        # boundary-typed with an UNCLOSED outer (dangling way) → assembly
+        # raises → geometry-collection fallback must match general path
+        make_doc(
+            "relation", 7,
+            [
+                make_version(1, _ts(0), 70, uid=1,
+                             tags={"type": "boundary", "name": "open"},
+                             refs=[wref(71, "outer"), nref(701, "label")]),
+            ],
+            members=[
+                _wmem(71, [
+                    make_version(1, _ts(0), 70, uid=1, tags={},
+                                 refs=[nref(701), nref(702), nref(703)]),
+                ]),
+                _mem(701, [make_version(1, _ts(0), 70, lon=55_0000000, lat=-20_0000000)]),
+                _mem(702, [make_version(1, _ts(0), 70, lon=56_0000000, lat=-20_0000000)]),
+                _mem(703, [make_version(1, _ts(0), 70, lon=56_0000000, lat=-19_0000000)]),
             ],
         ),
     ]
@@ -553,8 +609,9 @@ def test_relation_contribution_fast_vs_slow_intervals(spark, interval):
 
 
 def test_relation_routing(spark):
-    """Eligible relation docs take fast_kind='relation'; nested-relation
-    members and multipolygon-typed docs stay on the general path."""
+    """Eligible relation docs take fast_kind='relation' — including
+    multipolygon-typed docs (assembled in-kernel since the MP
+    vectorization); only nested-relation members stay general."""
     from oshdb_spark.kernels.aoi import AOI
     from oshdb_spark.kernels.snapshot import prepared_docs
 
@@ -568,7 +625,7 @@ def test_relation_routing(spark):
     assert kinds[2] == "relation"
     assert kinds[3] == "relation"
     assert kinds[4] is None  # nested relation member
-    assert kinds[5] is None  # multipolygon-typed version
+    assert kinds[5] == "relation"  # multipolygon-typed: in-kernel assembly
 
 
 def test_relation_fast_vs_slow_reference_fixture(spark):
