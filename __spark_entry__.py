@@ -453,6 +453,38 @@ def q_contrib_uniq_contributors(spark, sf_dir):
     )
 
 
+def q_contrib_uniq_approx(spark, sf_dir):
+    """HLL++ estimated countUniq (Aggregator.count_uniq_approx) over the
+    contribution view. Like quantile_sketch, the sketch value itself is
+    backend-defined, so the oracle-checked contract is its accuracy: emit
+    the exact distinct count (DuckDB-verifiable) plus a boolean asserting
+    the HLL estimate lies within 5% of it."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    df = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps(list(CONTRIB_INTERVAL))
+        .osm_type("node")
+        .without_geometry()
+        .dataframe()
+    )
+    per_type = df.select(
+        F.explode("contrib_types").alias("contrib_type"), "contributor_uid"
+    )
+    est = per_type.groupBy("contrib_type").agg(
+        F.approx_count_distinct("contributor_uid", 0.02).alias("est"),
+        F.countDistinct("contributor_uid").alias("uniq_contributors"),
+    )
+    return est.select(
+        "contrib_type",
+        "uniq_contributors",
+        (
+            F.abs(F.col("est") - F.col("uniq_contributors"))
+            <= 0.05 * F.col("uniq_contributors")
+        ).alias("within_5pct"),
+    )
+
+
 def q_ring_area(spark, sf_dir):
     """Chamberlain–Duquette spherical ring area (Geo.java:147-179 parity):
     per entity, the triangle of its first three geometry epochs."""
@@ -991,6 +1023,23 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cosine near-duplicate pairs scoped to
+    deterministic k-means clusters — candidate generation is the cluster
+    assignment itself (O(Σ size²), never O(n²)). The DuckDB oracle replays
+    the full chain: 2 Lloyd iterations, the final-centroid assignment, and
+    the within-cluster pairwise cosine filter."""
+    from oshdb_spark.ops.clustering import kmeans_train
+    from oshdb_spark.ops.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=8, n_iter=2)
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cos"), "cluster"
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     from oshdb_spark.ops.textstats import with_token_count
 
@@ -1250,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_by_ts_and_tag": q_snapshot_by_ts_and_tag,
         "entity_history": q_entity_history,
         "contrib_uniq_contributors": q_contrib_uniq_contributors,
+        "contrib_uniq_approx": q_contrib_uniq_approx,
         "ring_area": q_ring_area,
         "agg_by_geometry": q_agg_by_geometry,
         "knn_events": q_knn_events,
@@ -1264,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
         "kmeans_centroids": q_kmeans_centroids,
+        "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1324,6 +1375,55 @@ def _lsh_ann_oracle() -> str:
           WHERE bt.b IN (SELECT b FROM probes))
         ORDER BY c DESC, vec_id LIMIT 10
     """
+
+
+# Deterministic k-means replay (ops.clustering.kmeans_train, k=8,
+# n_iter=2): shared by the kmeans_centroids and dedup_semantic oracles so
+# the chain can't drift between them. Yields CTEs emb / init / a1 / u1 /
+# cents1 / a2 / u2 / cents2.
+_KMEANS_CTES = """emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+            init AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS c,
+                            e AS ce
+                     FROM emb ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT vec_id, e, c AS cl FROM (
+                SELECT emb.vec_id, emb.e, init.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, init.ce), init.c
+                       ) AS rn
+                FROM emb CROSS JOIN init)
+              WHERE rn = 1),
+            u1 AS (
+              SELECT cl, i, round(avg(v), 6) AS m FROM (
+                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                FROM a1)
+              GROUP BY cl, i),
+            cents1 AS (
+              SELECT init.c, coalesce(nn.ce, init.ce) AS ce
+              FROM init LEFT JOIN (
+                SELECT cl AS c, list(m ORDER BY i) AS ce
+                FROM u1 GROUP BY cl) nn USING (c)),
+            a2 AS (
+              SELECT vec_id, e, c AS cl FROM (
+                SELECT emb.vec_id, emb.e, cents1.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, cents1.ce), cents1.c
+                       ) AS rn
+                FROM emb CROSS JOIN cents1)
+              WHERE rn = 1),
+            u2 AS (
+              SELECT cl, i, round(avg(v), 6) AS m FROM (
+                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                FROM a2)
+              GROUP BY cl, i),
+            cents2 AS (
+              SELECT cents1.c, coalesce(nn.ce, cents1.ce) AS ce
+              FROM cents1 LEFT JOIN (
+                SELECT cl AS c, list(m ORDER BY i) AS ce
+                FROM u2 GROUP BY cl) nn USING (c))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1931,6 +2031,32 @@ def oracle_sql() -> dict[str, str]:
                  AND valid_from <  {CONTRIB_INTERVAL[1]}
             ) GROUP BY 1
         """,
+        "contrib_uniq_approx": _HIST + f""",
+            s AS ({contrib_states})
+            SELECT contrib_type, count(DISTINCT id) AS uniq_contributors,
+                   true AS within_5pct
+            FROM (
+              SELECT 'CREATION' AS contrib_type, id FROM s
+               WHERE visible AND coalesce(lv, false) = false
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'DELETION', id FROM s
+               WHERE NOT visible AND lv
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'TAG_CHANGE', id FROM s
+               WHERE visible AND lv AND event_type <> let
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+              UNION ALL
+              SELECT 'GEOMETRY_CHANGE', id FROM s
+               WHERE visible AND lv AND (version-1)//3 <> lg
+                 AND valid_from >= {CONTRIB_INTERVAL[0]}
+                 AND valid_from <  {CONTRIB_INTERVAL[1]}
+            ) GROUP BY 1
+        """,
         "ring_area": """
             SELECT id, round(abs(t0 + t1 + t2 + t3)
                              * 6371000.0 * 6371000.0 / 2.0 / 1e6, 3)
@@ -2180,61 +2306,42 @@ def oracle_sql() -> dict[str, str]:
                    true AS within_2pct
             FROM ex CROSS JOIN qs
         """,
-        "kmeans_centroids": """
+        "kmeans_centroids": f"""
             -- mirror of ops.clustering.kmeans_train: init = first 8 by
             -- vec_id; 2 Lloyd iterations; argmin ties -> lowest centroid
             -- index (ORDER BY d, c == the strict-less aggregate fold);
             -- centroids quantized to 6 decimals after each update; empty
             -- clusters keep their previous centroid; sizes are the final
             -- iteration's assignment counts
-            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                         FROM embeddings),
-            init AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS c,
-                            e AS ce
-                     FROM emb ORDER BY vec_id LIMIT 8),
-            a1 AS (
-              SELECT vec_id, e, c AS cl FROM (
-                SELECT emb.vec_id, emb.e, init.c,
-                       row_number() OVER (
-                         PARTITION BY emb.vec_id
-                         ORDER BY list_distance(emb.e, init.ce), init.c
-                       ) AS rn
-                FROM emb CROSS JOIN init)
-              WHERE rn = 1),
-            u1 AS (
-              SELECT cl, i, round(avg(v), 6) AS m FROM (
-                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
-                FROM a1)
-              GROUP BY cl, i),
-            cents1 AS (
-              SELECT init.c, coalesce(nn.ce, init.ce) AS ce
-              FROM init LEFT JOIN (
-                SELECT cl AS c, list(m ORDER BY i) AS ce
-                FROM u1 GROUP BY cl) nn USING (c)),
-            a2 AS (
-              SELECT vec_id, e, c AS cl FROM (
-                SELECT emb.vec_id, emb.e, cents1.c,
-                       row_number() OVER (
-                         PARTITION BY emb.vec_id
-                         ORDER BY list_distance(emb.e, cents1.ce), cents1.c
-                       ) AS rn
-                FROM emb CROSS JOIN cents1)
-              WHERE rn = 1),
-            u2 AS (
-              SELECT cl, i, round(avg(v), 6) AS m FROM (
-                SELECT cl, unnest(e) AS v, generate_subscripts(e, 1) AS i
-                FROM a2)
-              GROUP BY cl, i),
-            cents2 AS (
-              SELECT cents1.c, coalesce(nn.ce, cents1.ce) AS ce
-              FROM cents1 LEFT JOIN (
-                SELECT cl AS c, list(m ORDER BY i) AS ce
-                FROM u2 GROUP BY cl) nn USING (c)),
+            WITH {_KMEANS_CTES},
             cnt AS (SELECT cl AS c, count(*) AS n FROM a2 GROUP BY cl)
             SELECT cents2.c AS cluster, coalesce(cnt.n, 0) AS n,
                    round(ce[1], 6) AS c0, round(ce[2], 6) AS c1,
                    round(ce[3], 6) AS c2, round(ce[4], 6) AS c3
             FROM cents2 LEFT JOIN cnt USING (c)
+        """,
+        "dedup_semantic": f"""
+            -- SemDeDup: replay kmeans (same CTE chain as kmeans_centroids),
+            -- assign every vector to its FINAL centroid (cents2), then
+            -- pairwise cosine within each cluster only
+            WITH {_KMEANS_CTES},
+            a3 AS (
+              SELECT vec_id, e, c AS cl FROM (
+                SELECT emb.vec_id, emb.e, cents2.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, cents2.ce), cents2.c
+                       ) AS rn
+                FROM emb CROSS JOIN cents2)
+              WHERE rn = 1)
+            SELECT id_a, id_b, round(cosine, 6) AS cos, cluster
+            FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
+                     list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e))
+                        * sqrt(list_inner_product(b.e, b.e))) AS cosine
+              FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+            WHERE cosine >= 0.4
         """,
         "sim_lsh_ann": _lsh_ann_oracle(),
         "sim_ivf": """

@@ -318,6 +318,23 @@ class Aggregator:
             self.df.groupBy(*self.keys).agg(F.countDistinct(c).alias(alias)), 0
         )
 
+    def count_uniq_approx(
+        self, col, alias: str = "uniq_approx", rsd: float = 0.05
+    ) -> DataFrame:
+        """HyperLogLog++ distinct estimate — the 10^12-row companion to
+        count_uniq: the exact HashSet/countDistinct partials the reference
+        merges (MapReducer.java:1135-1168) grow with the cardinality,
+        while the HLL sketch is fixed-size (map-side partials, mergeable,
+        one k-groups-wide shuffle). `rsd` is the target relative standard
+        deviation (Spark's approx_count_distinct knob)."""
+        c = F.expr(col) if isinstance(col, str) else col
+        return self._finish(
+            self.df.groupBy(*self.keys).agg(
+                F.approx_count_distinct(c, rsd).alias(alias)
+            ),
+            0,
+        )
+
     def quantile(self, col, q: float, alias: str = "quantile", exact: bool = True) -> DataFrame:
         """Exact interpolated percentile by default (test parity); the
         reference's t-digest (TDigestReducer.java:21-41) is a mergeable

@@ -260,6 +260,15 @@ def lsh_neardup_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _cosine_verify(cand, df, vec_col, id_col, threshold)
+
+
+def _cosine_verify(
+    cand: DataFrame, df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-cosine verification of (id_a, id_b) candidate pairs: one
+    keyed re-join per side fetches the vectors (candidates only — the
+    vector payload never rides the candidate-generation shuffle)."""
     v = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -286,10 +295,14 @@ def lsh_neardup_pairs(
         "aggregate(zip_with(_va, _vb, (x, y) -> x * y),"
         " cast(0 as double), (a, x) -> a + x)"
     )
+    extra = [
+        c for c in cand.columns
+        if c not in ("id_a", "id_b", "_va", "_na", "_vb", "_nb")
+    ]
     return (
         cand.withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "cosine", *extra)
     )
 
 
@@ -322,3 +335,64 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): near-duplicate
+    pairs scoped to k-means clusters. Candidate generation IS the cluster
+    assignment — pairwise cosine runs only within a cluster, so total work
+    is O(Σ cluster_size²) instead of O(n²), and a pair of semantically
+    similar documents in different clusters is out of scope by design
+    (that's the algorithm's recall trade-off, not an implementation gap).
+
+    Plan shape: map-side centroid argmin (broadcast literal, no shuffle),
+    ids-only self-join keyed by cluster id, then the exact-cosine verify
+    re-join. At 10^12 rows k should grow ~√n (SemDeDup uses k≈100k for
+    LAION-scale) so cluster populations — and the quadratic term — stay
+    bounded; skewed clusters are the k-means failure mode, not a join-key
+    artifact, and AQE's skew-join split handles the residue.
+
+    Returns (id_a, id_b, cosine, cluster) with id_a < id_b.
+    """
+    from .clustering import kmeans_assign
+
+    a = kmeans_assign(df.select(id_col, vec_col), cents, vec_col=vec_col,
+                      out="cluster")
+    ids = a.select(F.col(id_col).alias("_id"), "cluster")
+    cand = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.cluster").alias("cluster"),
+        )
+    )
+    return _cosine_verify(cand, df, vec_col, id_col, threshold)
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The keep-set of SemDeDup: drop every row that appears as the
+    HIGHER id of a within-cluster near-duplicate pair (deterministic
+    lowest-id representative — SemDeDup's keep-random / keep-far-from-
+    centroid variants differ only in this tie-break). Anti-join keyed by
+    id: no extra shuffle beyond the pair generation."""
+    pairs = semantic_dedup_pairs(df, cents, vec_col, id_col, threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -119,3 +119,31 @@ def test_custom_tag_interpreter_on_view(spark):
     assert len(rows) > 0
     # NeverArea: every way stays a LineString (wkb type byte 2)
     assert all(bytes(r.geom_wkb)[1] == 2 for r in rows if r.geom_wkb)
+
+
+def test_count_uniq_approx_matches_exact_on_small_cardinality(spark):
+    """HLL++ estimated countUniq: at small cardinality the sparse HLL
+    representation is exact, so the estimate must equal count_uniq; the
+    zerofill contract (0 for absent groups) matches count_uniq's."""
+    from oshdb_spark.api.engine import OSHDB
+    from oshdb_spark.model.history import SNAPSHOT_TS, docs_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = (
+        OSHDB(docs_from_events(ev))
+        .snapshot_view().timestamps(SNAPSHOT_TS[:2])
+        .osm_type("node").without_geometry()
+    )
+    exact = {
+        (r.ts,): r.uniq
+        for r in base.aggregate_by_timestamp().count_uniq("changeset").collect()
+    }
+    approx = {
+        (r.ts,): r.uniq_approx
+        for r in base.aggregate_by_timestamp()
+        .count_uniq_approx("changeset", rsd=0.01)
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.05 * ex)

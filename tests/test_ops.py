@@ -228,3 +228,41 @@ def test_tdigest_merge_associativity():
         spread = rng[-1] - rng[0]
         assert abs(a - exact) / spread < 0.01
         assert abs(b - exact) / spread < 0.01
+
+
+def test_semantic_dedup_blobs(spark):
+    """SemDeDup over 3 separated blobs with planted near-clones: pairs
+    stay within their k-means cluster, every planted clone pair is found,
+    and the keep-set drops exactly the higher-id clone of each pair."""
+    import numpy as np
+
+    from oshdb_spark.ops.clustering import kmeans_train
+    from oshdb_spark.ops.dedup import semantic_dedup_keep, semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    blobs = [(0.0, 0.0, 0.0), (100.0, 0.0, 0.0), (0.0, 100.0, 0.0)]
+    rows = []
+    for b, c in enumerate(blobs):
+        for j in range(12):
+            v = rng.normal(c, 1.0)
+            rows.append((b + 3 * j, [float(x) for x in v]))
+    # planted clones: tiny perturbation of ids 0..2 (cosine ≈ 1)
+    base = {vid: v for vid, v in rows}
+    for b in range(3):
+        rows.append((1000 + b, [x * 1.000001 for x in base[b]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, _ = kmeans_train(df, k=3, n_iter=2)
+    pairs = semantic_dedup_pairs(df, cents, threshold=0.9999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 1000), (1, 1001), (2, 1002)} <= got
+    # scale-shape invariant: a pair never crosses clusters (candidate
+    # generation is the cluster join)
+    assign = {
+        r.vec_id: r.cluster
+        for r in __import__("oshdb_spark.ops.clustering", fromlist=["kmeans_assign"])
+        .kmeans_assign(df, cents).collect()
+    }
+    assert all(assign[a] == assign[b] for a, b in got)
+    kept = {r.vec_id for r in semantic_dedup_keep(df, cents, threshold=0.9999).collect()}
+    dropped = {b for _, b in got}
+    assert kept == {vid for vid, _ in rows} - dropped
