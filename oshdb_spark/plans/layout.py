@@ -157,6 +157,43 @@ def write_docs_store(
     return plan
 
 
+@F.pandas_udf(T.StringType())
+def _tok_udf(minlon: pd.Series, minlat: pd.Series, maxlon: pd.Series,
+             maxlat: pd.Series) -> pd.Series:
+    ml = minlon.to_numpy(dtype=np.float64)
+    out = np.empty(len(ml), dtype=object)
+    valid = ~np.isnan(ml)
+    if valid.any():
+        out[valid] = cells.token_of_bboxes(
+            minlon[valid].to_numpy(dtype=np.int64),
+            minlat[valid].to_numpy(dtype=np.int64),
+            maxlon[valid].to_numpy(dtype=np.int64),
+            maxlat[valid].to_numpy(dtype=np.int64),
+        )
+    out[~valid] = ""
+    return pd.Series(out)
+
+
+def _typed_tokenized(docs: DataFrame, prefix_len: int) -> DataFrame:
+    """The typed-store row shape: flat kernel projection + insert-level
+    cell token + fixed-length partition prefix. Shared by the full ETL
+    (write_typed_store) and the incremental merge (update_typed_store) so
+    the two paths can never diverge."""
+    from ..kernels.snapshot import prepared_docs
+
+    typed = prepared_docs(
+        docs, None, None, fast_arrays=True, fast_ways=True,
+        fast_rels="never", store_mode=True,
+    )
+    return typed.withColumn(
+        "cell",
+        _tok_udf("bbox_min_lon", "bbox_min_lat", "bbox_max_lon", "bbox_max_lat"),
+    ).withColumn(
+        "cell_prefix",
+        F.expr(f"rpad(substring(cell, 1, {prefix_len}), {prefix_len}, '0')"),
+    )
+
+
 def write_typed_store(
     docs: DataFrame,
     path: str,
@@ -185,35 +222,7 @@ def write_typed_store(
     import json
     import os
 
-    from ..kernels.snapshot import prepared_docs
-
-    typed = prepared_docs(
-        docs, None, None, fast_arrays=True, fast_ways=True,
-        fast_rels="never", store_mode=True,
-    )
-
-    @F.pandas_udf(T.StringType())
-    def tok(minlon: pd.Series, minlat: pd.Series, maxlon: pd.Series, maxlat: pd.Series) -> pd.Series:
-        ml = minlon.to_numpy(dtype=np.float64)
-        out = np.empty(len(ml), dtype=object)
-        valid = ~np.isnan(ml)
-        if valid.any():
-            out[valid] = cells.token_of_bboxes(
-                minlon[valid].to_numpy(dtype=np.int64),
-                minlat[valid].to_numpy(dtype=np.int64),
-                maxlon[valid].to_numpy(dtype=np.int64),
-                maxlat[valid].to_numpy(dtype=np.int64),
-            )
-        out[~valid] = ""
-        return pd.Series(out)
-
-    toked = typed.withColumn(
-        "cell",
-        tok("bbox_min_lon", "bbox_min_lat", "bbox_max_lon", "bbox_max_lat"),
-    ).withColumn(
-        "cell_prefix",
-        F.expr(f"rpad(substring(cell, 1, {prefix_len}), {prefix_len}, '0')"),
-    )
+    toked = _typed_tokenized(docs, prefix_len)
     plan = salt_plan(toked, target_rows=target_rows)
     out = (
         with_salt(toked, plan)
@@ -235,6 +244,117 @@ def write_typed_store(
     with open(f"{path}/_manifest/schema_version", "w") as f:
         f.write(str(STORE_SCHEMA_VERSION))
     return plan
+
+
+def update_typed_store(
+    docs_changed: DataFrame,
+    path: str,
+    prefix_len: int = 2,
+    target_rows: int = 100_000,
+    manifest_level: int = 6,
+) -> dict:
+    """Incremental typed-store maintenance: merge CHANGED or NEW docs
+    (full replacement rows, keyed by doc_id — the doc is the update unit,
+    exactly as the reference's updatable grid cells hold whole OSH
+    entities) rewriting ONLY the cell-prefix partitions they touch.
+
+    The Iceberg-MERGE shape on plain partitioned parquet:
+    - changed docs run the SAME projection/tokenization as the full ETL
+      (`_typed_tokenized` is shared, the two paths cannot diverge);
+    - stale copies (a doc whose geometry moved to another cell) are
+      located by a COLUMN-PRUNED scan of the store reading only
+      (cell_prefix, doc_id) — parquet never materializes the fat history
+      columns — broadcast-semi-joined against the changed-id set (the
+      incremental batch is broadcast-sized by assumption; at 10^12 rows
+      this is the footer/stats + 2-column scan Iceberg would answer from
+      its manifest files);
+    - affected partitions = new-row prefixes ∪ stale-copy prefixes;
+      surviving old rows of those partitions are staged to a temp dir
+      (parquet cannot read and overwrite the same files in one job —
+      Iceberg's snapshot isolation is what removes this double-write);
+    - the final write uses DYNAMIC partition overwrite, so untouched
+      partitions' files are never rewritten;
+    - the cell-count manifest is patched for affected prefixes only.
+
+    Returns {"affected_prefixes": [...], "plan": salt plan of the
+    rewritten partitions}.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    spark = docs_changed.sparkSession
+    # enforce same-schema store before merging into it
+    read_typed_store(spark, path).schema
+
+    new_toked = _typed_tokenized(docs_changed, prefix_len)
+    ids = new_toked.select("doc_id").distinct()
+    # partition-dir type inference reads all-digit prefixes back as ints
+    # (dropping leading zeros); restore the fixed-width token form so the
+    # rewrite regenerates identical partition directories
+    store = spark.read.parquet(path).withColumn(
+        "cell_prefix",
+        F.lpad(F.col("cell_prefix").cast("string"), prefix_len, "0"),
+    )
+    new_prefixes = {
+        r["cell_prefix"] for r in new_toked.select("cell_prefix").distinct().collect()
+    }
+    stale_prefixes = {
+        r["cell_prefix"]
+        for r in store.select("cell_prefix", "doc_id")
+        .join(F.broadcast(ids), "doc_id")
+        .select("cell_prefix").distinct().collect()
+    }
+    affected = sorted(new_prefixes | stale_prefixes)
+
+    tmp = tempfile.mkdtemp(prefix="typed_store_merge")
+    try:
+        keep_cols = [c for c in store.columns if c != "cell_salt"]
+        old_keep = (
+            store.filter(F.col("cell_prefix").isin(affected))
+            .join(F.broadcast(ids), "doc_id", "left_anti")
+            .select(*keep_cols)
+        )
+        old_keep.unionByName(new_toked.select(*keep_cols)).write.parquet(
+            f"{tmp}/merged"
+        )
+
+        merged = spark.read.parquet(f"{tmp}/merged")
+        plan = salt_plan(merged, target_rows=target_rows)
+        out = (
+            with_salt(merged, plan)
+            .repartition(F.col("cell_prefix"), F.col("cell_salt"))
+            .sortWithinPartitions("cell")
+        )
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        counts = (
+            merged.filter(F.length("cell") >= manifest_level)
+            .withColumn("_c", F.expr(f"substring(cell, 1, {manifest_level})"))
+            .groupBy("_c").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    mf = f"{path}/_manifest/cell_counts.json"
+    manifest = {"level": manifest_level, "counts": {}}
+    if os.path.exists(mf):
+        with open(mf) as f:
+            manifest = json.load(f)
+    kept = {
+        tok: n for tok, n in manifest["counts"].items()
+        if tok[:prefix_len] not in set(affected)
+    }
+    kept.update({r["_c"]: r["n"] for r in counts})
+    with open(mf, "w") as f:
+        json.dump({"level": manifest_level, "counts": kept}, f)
+    return {"affected_prefixes": affected, "plan": plan}
 
 
 def read_typed_store(

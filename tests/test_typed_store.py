@@ -142,3 +142,76 @@ def test_node_sql_path_on_typed_store(spark, tmp_path):
         )
 
     assert q(raw) == q(typed)
+
+
+def _store_json(spark, path):
+    """Canonical store content: one JSON string per row over every
+    non-physical column (maps/arrays serialize; file layout, salt, and
+    row order are excluded — they are layout, not content)."""
+    from pyspark.sql import functions as F
+
+    df = read_typed_store(spark, path)
+    cols = sorted(c for c in df.columns if c != "cell_salt")
+    return sorted(
+        r[0] for r in df.select(
+            F.to_json(F.struct(*cols)).alias("j")
+        ).collect()
+    )
+
+
+def test_incremental_update_matches_full_rebuild(spark, tmp_path):
+    """update_typed_store: build a store from stale docs, merge the
+    changed docs incrementally, and require BYTE-IDENTICAL logical
+    content vs a from-scratch write_typed_store of the final docs —
+    stale copies removed (including docs whose insert cell MOVED),
+    manifest patched, untouched partitions untouched."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import update_typed_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    full = docs_from_events(ev)
+    # stale view: drop a third of the events — affected entities' docs
+    # differ (fewer versions, possibly different insert cell)
+    stale = docs_from_events(ev.filter(F.col("event_id") % 3 != 0))
+    # the doc unit: every entity owning a dropped event gets its FULL doc
+    owner = docs_from_events(ev.filter(F.col("event_id") % 3 == 0)).select(
+        "doc_id"
+    ).distinct()
+    changed = full.join(owner, "doc_id", "left_semi")
+    assert changed.count() > 0
+    # the fixture must exercise stale-copy removal: at least one changed
+    # doc's insert cell lands in a DIFFERENT partition prefix
+    from oshdb_spark.plans.layout import _typed_tokenized
+
+    moved = (
+        _typed_tokenized(full, 2).select("doc_id", "cell_prefix")
+        .join(
+            _typed_tokenized(stale, 2).select(
+                "doc_id", F.col("cell_prefix").alias("p2")
+            ),
+            "doc_id",
+        )
+        .filter("cell_prefix <> p2").count()
+    )
+    assert moved >= 1
+
+    p_inc = str(tmp_path / "incremental")
+    p_ref = str(tmp_path / "rebuild")
+    write_typed_store(stale, p_inc, target_rows=50)
+    res = update_typed_store(changed, p_inc, target_rows=50)
+    write_typed_store(full, p_ref, target_rows=50)
+
+    assert res["affected_prefixes"]
+    assert _store_json(spark, p_inc) == _store_json(spark, p_ref)
+
+    # manifest parity after the patch
+    with open(os.path.join(p_inc, "_manifest", "cell_counts.json")) as f:
+        m_inc = json.load(f)
+    with open(os.path.join(p_ref, "_manifest", "cell_counts.json")) as f:
+        m_ref = json.load(f)
+    assert m_inc == m_ref
