@@ -139,7 +139,10 @@ def main():
         "nation_join": E.q_agg_by_index_nation,
     }
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min-of-3 default: this VM's run-to-run variance widened to 2-5×
+    # within a single session (BASELINE.md round-3 notes); two samples
+    # routinely both land in a slow burst
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in qs.items():
