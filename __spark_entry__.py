@@ -1040,6 +1040,47 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (ops/sampling.py):
+    downsample English hard, keep more of the low-resource strata —
+    the no-RNG-state sampling a resumable 10^12-doc pipeline needs.
+    md5-threshold membership is bit-identical in DuckDB, so the oracle
+    re-derives the exact keep set (sum of kept ids pins membership)."""
+    from oshdb_spark.ops.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = deterministic_sample(
+        d, by="lang", rates={"en": 0.25, "zh": 0.75}, default_rate=0.5,
+        salt="r3",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_pipeline_prep(spark, sf_dir):
+    """End-to-end training-data prep — the composition the ops layer
+    exists for: quality gate → exact dedup (keep lowest id per
+    fingerprint) → deterministic 50% sample → per-language token
+    accounting, over a corpus with planted duplicates. Every stage is
+    pure Catalyst; the oracle replays the identical pipeline in SQL."""
+    from oshdb_spark.ops.dedup import exact_dedup
+    from oshdb_spark.ops.sampling import deterministic_sample
+    from oshdb_spark.ops.textstats import with_quality, with_token_count
+
+    d = _dup_corpus(spark, sf_dir)
+    q = with_quality(d).filter(F.col("distinct_ratio") >= 0.5)
+    keep = exact_dedup(q).select(F.col("keep_id").alias("doc_id"))
+    deduped = q.join(keep, "doc_id", "left_semi")
+    sampled = deterministic_sample(deduped, rate=0.5, salt="pipe")
+    return with_token_count(sampled).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("token_count").alias("tokens"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     from oshdb_spark.ops.textstats import with_token_count
 
@@ -1314,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
         "kmeans_centroids": q_kmeans_centroids,
+        "sample_stratified": q_sample_stratified,
+        "pipeline_prep": q_pipeline_prep,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -2319,6 +2362,46 @@ def oracle_sql() -> dict[str, str]:
                    round(ce[1], 6) AS c0, round(ce[2], 6) AS c1,
                    round(ce[3], 6) AS c2, round(ce[4], 6) AS c3
             FROM cents2 LEFT JOIN cnt USING (c)
+        """,
+        "pipeline_prep": """
+            -- same pipeline in SQL: dup corpus -> quality gate
+            -- (distinct-word ratio >= 0.5) -> keep min doc_id per exact
+            -- text fingerprint -> md5-threshold 50% sample -> per-lang
+            -- token accounting
+            WITH dup AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL SELECT doc_id + 1000, text, lang FROM documents),
+            q AS (
+              SELECT * FROM (
+                SELECT doc_id, text, lang,
+                       len(list_distinct(string_split(text, ' ')))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                         AS dr
+                FROM dup)
+              WHERE dr >= 0.5),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+            s AS (
+              SELECT q.doc_id, q.text, q.lang
+              FROM q JOIN keep USING (doc_id)
+              WHERE md5(q.doc_id::VARCHAR || 'pipe') < '80000000000000000000000000000000')
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS tokens,
+                   sum(doc_id) AS id_sum
+            FROM s GROUP BY lang
+        """,
+        "sample_stratified": """
+            -- mirror of ops.sampling.deterministic_sample: md5 of
+            -- (doc_id || 'r3') compared against the per-stratum
+            -- 32-hex-char threshold; membership is bit-identical
+            SELECT lang, count(*) AS kept, sum(doc_id) AS id_sum
+            FROM documents
+            WHERE md5(doc_id::VARCHAR || 'r3') <
+                  CASE lang WHEN 'en' THEN '40000000000000000000000000000000'
+                            WHEN 'zh' THEN 'c0000000000000000000000000000000'
+                            ELSE '80000000000000000000000000000000' END
+            GROUP BY lang
         """,
         "dedup_semantic": f"""
             -- SemDeDup: replay kmeans (same CTE chain as kmeans_centroids),

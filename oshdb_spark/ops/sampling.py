@@ -1,0 +1,71 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 10^12-doc corpus cannot be sampled with RNG state: resumed/retried
+tasks would re-draw, two engines would disagree, and an audit could
+never re-derive the keep set. The standard fix (what every serious data
+pipeline ships) is HASH-based Bernoulli sampling: a row is kept iff a
+cryptographic hash of its id falls under a threshold. Properties:
+
+- deterministic and engine-portable — md5 hex is bit-identical in
+  Spark, DuckDB, and Python, so the keep set is re-derivable anywhere
+  (this is what makes the driver oracle possible);
+- map-side only: no shuffle, no RNG seed plumbing, no skew — the plan
+  is a single whole-stage-codegen filter;
+- stratified: per-group rates (e.g. downsample English, keep all
+  low-resource languages) compile to one CASE expression;
+- stable under resharding: membership depends only on the id, never on
+  partition layout or row order.
+
+The threshold trick avoids hex→int conversion entirely: md5 produces a
+uniform 32-char lowercase hex string, so `md5(id) < T` with T the
+32-char hex threshold for rate r keeps an r-fraction — plain string
+comparison, identical semantics in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate: float) -> str:
+    """32-char lowercase hex threshold T such that a uniform 32-hex-char
+    string s satisfies s < T with probability `rate` (quantized to
+    1/16^8 ≈ 2.3e-10, exact at 0 and 1)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        return "g" * 32  # above every hex string
+    return format(int(rate * 16**8), "08x") + "0" * 24
+
+
+def sample_pred(
+    id_col: str, rate: float, salt: str = ""
+) -> Column:
+    """Keep-predicate for deterministic Bernoulli sampling. `salt`
+    derives an independent sample from the same ids (e.g. train/eval
+    splits: disjoint salts give independent draws)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return F.md5(key) < F.lit(rate_threshold(rate))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float | None = None,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Hash-based Bernoulli sample; uniform (`rate`) or stratified
+    (`by` column + per-value `rates`, `default_rate` for the rest)."""
+    if (rate is None) == (by is None):
+        raise ValueError("pass exactly one of `rate` or (`by`, `rates`)")
+    if rate is not None:
+        return df.filter(sample_pred(id_col, rate, salt))
+    thr = F.lit(rate_threshold(default_rate))
+    for value, r in sorted((rates or {}).items()):
+        thr = F.when(F.col(by) == value, F.lit(rate_threshold(r))).otherwise(thr)
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.filter(F.md5(key) < thr)

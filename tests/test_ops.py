@@ -266,3 +266,39 @@ def test_semantic_dedup_blobs(spark):
     kept = {r.vec_id for r in semantic_dedup_keep(df, cents, threshold=0.9999).collect()}
     dropped = {b for _, b in got}
     assert kept == {vid for vid, _ in rows} - dropped
+
+
+def test_deterministic_sample_properties(spark):
+    """Hash-based sampling: rate accuracy within binomial bounds,
+    re-run determinism, salt independence, stratified thresholds, and
+    reshard stability (membership survives repartition)."""
+    from oshdb_spark.ops.sampling import deterministic_sample, rate_threshold
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    kept = deterministic_sample(df, rate=0.3)
+    n = kept.count()
+    assert abs(n - 6000) < 5 * (20_000 * 0.3 * 0.7) ** 0.5
+    # deterministic: same ids both runs, and stable under resharding
+    ids1 = {r[0] for r in kept.collect()}
+    ids2 = {r[0] for r in deterministic_sample(
+        df.repartition(7), rate=0.3).collect()}
+    assert ids1 == ids2
+    # disjoint salts draw (near-)independently: overlap ≈ rate²·N
+    ids_b = {r[0] for r in deterministic_sample(df, rate=0.3, salt="b").collect()}
+    overlap = len(ids1 & ids_b)
+    assert abs(overlap - 1800) < 5 * (20_000 * 0.09 * 0.91) ** 0.5
+    # boundary rates
+    assert deterministic_sample(df, rate=0.0).count() == 0
+    assert deterministic_sample(df, rate=1.0).count() == 20_000
+    # stratified: per-group rates apply
+    d2 = df.withColumn("grp", F.expr("CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+    s = deterministic_sample(d2, by="grp", rates={"a": 0.8}, default_rate=0.1)
+    got = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["a"] - 8000) < 5 * (10_000 * 0.8 * 0.2) ** 0.5
+    assert abs(got["b"] - 1000) < 5 * (10_000 * 0.1 * 0.9) ** 0.5
+    # threshold quantization is exact at the ends
+    assert rate_threshold(0.0) == "0" * 32
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rate_threshold(1.5)
