@@ -1040,6 +1040,40 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation (GeoAlign EDBT'18 uniform-density baseline,
+    geo/align.py): re-aggregate 10°-lat-band event counts onto three
+    UNALIGNED target regions. The engine computes weights from the exact
+    polygon clip + Chamberlain–Duquette spherical areas; the oracle
+    derives the same weights analytically (lon-aligned bands ⇒ weight =
+    Δsin(lat overlap)/Δsin(lat band)) — agreement certifies the clip+area
+    kernels against closed-form geometry."""
+    from oshdb_spark.geo.align import areal_interpolate
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    zone = F.concat(
+        F.lit("band"),
+        F.floor((lat7 + 850_000_000) / 100_000_000).cast("long"),
+    )
+    src_agg = ev.withColumn("zone", zone).groupBy("zone").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    src = {
+        f"band{z}": (-180.0, -85.0 + 10 * z, 180.0, -75.0 + 10 * z)
+        for z in range(17)
+    }
+    # targets: lat cuts offset from every band edge; lon widened past the
+    # bands so no vertical edges coincide (general-position clip inputs)
+    dst = {
+        "south": (-180.5, -85.0, 180.5, -41.0),
+        "mid": (-180.5, -41.0, 180.5, 32.0),
+        "north": (-180.5, 32.0, 180.5, 85.0),
+    }
+    out = areal_interpolate(src_agg, src, dst, value_col="cnt")
+    return out.select("region", F.round("value", 2).alias("est_cnt"))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling (ops/sampling.py):
     downsample English hard, keep more of the low-resource strata —
@@ -1356,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "kmeans_centroids": q_kmeans_centroids,
         "sample_stratified": q_sample_stratified,
+        "areal_interp": q_areal_interp,
         "pipeline_prep": q_pipeline_prep,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
@@ -2390,6 +2425,30 @@ def oracle_sql() -> dict[str, str]:
                      AS tokens,
                    sum(doc_id) AS id_sum
             FROM s GROUP BY lang
+        """,
+        "areal_interp": """
+            -- analytic weights: bands share the lon extent of every
+            -- target, so w = (sin(hi∩)-sin(lo∩)) / (sin(hi)-sin(lo))
+            WITH bands AS (
+              SELECT 'band' || z AS zone, -85.0 + 10*z AS lo, -75.0 + 10*z AS hi,
+                     count(*) AS cnt
+              FROM (
+                SELECT ((event_id*1234567891) % 1700000000 - 850000000
+                        + 850000000) // 100000000 AS z
+                FROM events)
+              GROUP BY 1, 2, 3),
+            dst(region, dlo, dhi) AS (VALUES
+              ('south', -85.0, -41.0), ('mid', -41.0, 32.0),
+              ('north', 32.0, 85.0)),
+            w AS (
+              SELECT region, zone, cnt,
+                     (sin(radians(least(hi, dhi)))
+                      - sin(radians(greatest(lo, dlo))))
+                     / (sin(radians(hi)) - sin(radians(lo))) AS w
+              FROM bands CROSS JOIN dst
+              WHERE least(hi, dhi) > greatest(lo, dlo))
+            SELECT region, round(sum(cnt * w), 2) AS est_cnt
+            FROM w GROUP BY region
         """,
         "sample_stratified": """
             -- mirror of ops.sampling.deterministic_sample: md5 of

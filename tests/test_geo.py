@@ -354,3 +354,61 @@ class TestGeoGoldenPort:
         assert self._length(
             ("MultiPolygon", [[self._sq(0.0)], [self._sq(2.0)]])
         ) == 0.0
+
+
+class TestArealInterpolation:
+    """geo/align.py (GeoAlign uniform-density baseline): weight algebra
+    against closed-form spherical geometry."""
+
+    def test_weights_partition_of_unity(self):
+        """Targets that tile the source extent: each source's weights
+        sum to 1 (area is conserved through the clip kernels)."""
+        from oshdb_spark.geo.align import interpolation_weights
+
+        src = {f"b{z}": (-180.0, -85.0 + 10 * z, 180.0, -75.0 + 10 * z)
+               for z in range(17)}
+        dst = {"s": (-180.5, -85.0, 180.5, -41.0),
+               "m": (-180.5, -41.0, 180.5, 32.0),
+               "n": (-180.5, 32.0, 180.5, 85.0)}
+        acc: dict = {}
+        for a, _, w in interpolation_weights(src, dst):
+            acc[a] = acc.get(a, 0.0) + w
+        assert set(acc) == set(src)
+        for a, tot in acc.items():
+            assert abs(tot - 1.0) < 1e-9, (a, tot)
+
+    def test_weight_matches_analytic_sine_ratio(self):
+        import math
+
+        from oshdb_spark.geo.align import interpolation_weights
+
+        src = {"b": (-180.0, 10.0, 180.0, 20.0)}
+        dst = {"d": (-180.5, 15.0, 180.5, 60.0)}
+        (_, _, w), = interpolation_weights(src, dst)
+        expect = (math.sin(math.radians(20)) - math.sin(math.radians(15))) / (
+            math.sin(math.radians(20)) - math.sin(math.radians(10)))
+        assert abs(w - expect) < 1e-12
+
+    def test_contained_source_weight_one_and_disjoint_absent(self):
+        from oshdb_spark.geo.align import interpolation_weights
+
+        src = {"in": (0.0, 0.0, 10.0, 10.0), "out": (100.0, 50.0, 110.0, 60.0)}
+        dst = {"d": (-1.0, -1.0, 11.0, 11.0)}
+        got = {(a, b): w for a, b, w in interpolation_weights(src, dst)}
+        assert abs(got[("in", "d")] - 1.0) < 1e-9
+        assert ("out", "d") not in got
+
+    def test_areal_interpolate_dataframe(self, spark):
+        from oshdb_spark.geo.align import areal_interpolate
+
+        src_agg = spark.createDataFrame(
+            [("a", 100.0), ("b", 200.0)], "zone string, cnt double")
+        src = {"a": (0.0, 0.0, 10.0, 10.0), "b": (0.0, 10.0, 10.0, 20.0)}
+        dst = {"low": (-0.5, 0.0, 10.5, 15.0), "high": (-0.5, 15.0, 10.5, 20.0)}
+        got = {r["region"]: r["value"]
+               for r in areal_interpolate(src_agg, src, dst, "cnt").collect()}
+        import math
+        w_b_low = (math.sin(math.radians(15)) - math.sin(math.radians(10))) / (
+            math.sin(math.radians(20)) - math.sin(math.radians(10)))
+        assert abs(got["low"] - (100.0 + 200.0 * w_b_low)) < 1e-6
+        assert abs(got["high"] - 200.0 * (1 - w_b_low)) < 1e-6
