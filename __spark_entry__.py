@@ -1040,6 +1040,37 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_geoblocks_polygon(spark, sf_dir):
+    """GeoBlocks-style polygon aggregation (EDBT'21 exact mode,
+    geo/spatial_join.polygon_aggregate_blocks): per-cell partials answer
+    the polygon interior without touching raw rows; only boundary cells
+    re-aggregate raw points under the exact PiP test. The oracle is the
+    direct exact aggregation — equality certifies the block decomposition
+    (interior ∪ boundary refinement == whole polygon)."""
+    from oshdb_spark.geo.spatial_join import (
+        build_cell_partials,
+        polygon_aggregate_blocks,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    partials = build_cell_partials(
+        pts,
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_val")],
+        level=5,
+    )
+    import numpy as np
+
+    poly = [np.array(_POLY)]
+    out = polygon_aggregate_blocks(
+        partials, pts, poly, ["cnt", "sum_val"],
+        [F.count(F.lit(1)), F.sum("value")], level=5,
+    )
+    return out.select("cnt", F.round("sum_val", 2).alias("sum_val"))
+
+
 def q_areal_interp(spark, sf_dir):
     """Areal interpolation (GeoAlign EDBT'18 uniform-density baseline,
     geo/align.py): re-aggregate 10°-lat-band event counts onto three
@@ -1391,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "sample_stratified": q_sample_stratified,
         "areal_interp": q_areal_interp,
+        "geoblocks_polygon": q_geoblocks_polygon,
         "pipeline_prep": q_pipeline_prep,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
@@ -2425,6 +2457,24 @@ def oracle_sql() -> dict[str, str]:
                      AS tokens,
                    sum(doc_id) AS id_sum
             FROM s GROUP BY lang
+        """,
+        "geoblocks_polygon": """
+            -- direct exact aggregation over the quad (same half-plane
+            -- tests as snapshot_polygon, applied to the event points)
+            SELECT count(*) AS cnt, round(sum(value), 2) AS sum_val
+            FROM (
+              SELECT ((event_id*1103515245) % 3600000000 - 1800000000)*1e-7 AS px,
+                     ((event_id*1234567891) % 1700000000 - 850000000)*1e-7 AS py,
+                     value
+              FROM events)
+            WHERE (80.0000013 - -100.0000017) * (py - -50.0000031)
+                  - (-60.0000029 - -50.0000031) * (px - -100.0000017) > 0
+              AND (120.0000019 - 80.0000013) * (py - -60.0000029)
+                  - (50.0000023 - -60.0000029) * (px - 80.0000013) > 0
+              AND (-80.0000011 - 120.0000019) * (py - 50.0000023)
+                  - (60.0000037 - 50.0000023) * (px - 120.0000019) > 0
+              AND (-100.0000017 - -80.0000011) * (py - 60.0000037)
+                  - (-50.0000031 - 60.0000037) * (px - -80.0000011) > 0
         """,
         "areal_interp": """
             -- analytic weights: bands share the lon extent of every

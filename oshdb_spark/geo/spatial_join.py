@@ -648,3 +648,97 @@ def zonal_aggregate(
         .groupBy("zone")
         .agg(*agg_exprs)
     )
+
+
+def build_cell_partials(
+    df: DataFrame,
+    agg_exprs: list[Column],
+    lon_col: str = "lon7",
+    lat_col: str = "lat7",
+    level: int = 6,
+) -> DataFrame:
+    """Per-cell partial aggregates at `level` — the GeoBlocks pattern
+    (EDBT 2021): pre-aggregate once, then any polygon query whose
+    interior covers a cell is answered from this table without touching
+    the raw rows. One hash aggregate over the data; the result is
+    O(4^level) rows (≤4k at level 6) — metadata-sized."""
+
+    @F.pandas_udf(T.StringType())
+    def tok_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.token_of_points(
+            lon.to_numpy(dtype=np.int64), lat.to_numpy(dtype=np.int64), level
+        ))
+
+    return (
+        df.withColumn("cell", tok_of(lon_col, lat_col))
+        .groupBy("cell")
+        .agg(*agg_exprs)
+    )
+
+
+def polygon_aggregate_blocks(
+    partials: DataFrame,
+    raw: DataFrame,
+    polygon,
+    partial_cols: list[str],
+    raw_exprs: list[Column],
+    lon_col: str = "lon7",
+    lat_col: str = "lat7",
+    level: int = 6,
+    raw_cell_col: str | None = None,
+) -> DataFrame:
+    """Polygon aggregation from pre-aggregated cell blocks + exact
+    boundary refinement (GeoBlocks EDBT 2021, exact mode):
+
+    - cells FULLY INSIDE the polygon contribute their stored partials —
+      at 10^12 rows the interior mass (the overwhelming majority of a
+      large AOI) never touches a raw row;
+    - BOUNDARY cells re-aggregate their raw rows under the exact
+      point-in-polygon test; the raw scan is restricted to those cells'
+      tokens (a partition-prunable predicate over a token-partitioned
+      store, same shape as read_typed_store's prefix pruning);
+    - disjoint cells contribute nothing.
+
+    `partial_cols` are the partials' aggregate columns; `raw_exprs` must
+    compute THE SAME aggregates (same order) over raw rows. Aggregates
+    must be decomposable (sum/count/min/max — the GeoBlocks contract).
+    Returns one row with the combined aggregates, exactly equal to
+    aggregating the polygon's rows directly."""
+    rz_int, rz_bnd, frags = rasterize_zones(
+        {"q": polygon}, level, with_fragments=True
+    )
+    interior, boundary = rz_int["q"], rz_bnd["q"]
+    frag = frags["q"]
+
+    parts = partials.filter(F.col("cell").isin(interior)).select(
+        *[F.sum(c).alias(c) for c in partial_cols]
+    ) if interior else None
+
+    @F.pandas_udf(T.BooleanType())
+    def in_boundary_poly(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        l7 = lon.to_numpy(dtype=np.int64)
+        t7 = lat.to_numpy(dtype=np.int64)
+        toks = cells.token_of_points(l7, t7, level)
+        px, py = l7 * 1e-7, t7 * 1e-7
+        out = np.zeros(len(toks), dtype=bool)
+        for t in np.unique(toks):
+            rings = frag.get(t)
+            if rings is None:
+                continue
+            sel = toks == t
+            out[sel] = _points_in_rings_parity(px[sel], py[sel], rings)
+        return pd.Series(out)
+
+    # with a token column (token-partitioned store) the boundary scan is
+    # partition-prunable; without one the exact test alone is still
+    # correct (interior rows test False — their mass came from partials)
+    refined = (
+        raw.filter(F.col(raw_cell_col).isin(sorted(set(boundary))))
+        if raw_cell_col is not None
+        else raw
+    )
+    refined = refined.filter(in_boundary_poly(lon_col, lat_col)).select(
+        *[e.alias(c) for e, c in zip(raw_exprs, partial_cols)]
+    )
+    both = refined if parts is None else parts.unionByName(refined)
+    return both.select(*[F.sum(c).alias(c) for c in partial_cols])

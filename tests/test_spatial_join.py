@@ -387,3 +387,50 @@ def test_split_by_regions_thousand_polygons(spark):
     assert got_set == expect
     assert len(expect) > 0
     print(f"1000-region split: {len(rows)} pts in {elapsed:.2f}s")
+
+
+def test_polygon_aggregate_blocks_exact(spark):
+    """GeoBlocks pattern: partials for interior cells + exact boundary
+    refinement must equal the direct exact aggregation, and the interior
+    must actually carry mass (the raw-row-free path is exercised)."""
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import (
+        build_cell_partials,
+        polygon_aggregate_blocks,
+        rasterize_zones,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    lon7 = rng.integers(-1_500_000_000, 1_500_000_000, n)
+    lat7 = rng.integers(-800_000_000, 800_000_000, n)
+    val = rng.integers(0, 100, n)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(v)) for a, b, v in zip(lon7, lat7, val)],
+        "lon7 long, lat7 long, value long",
+    )
+    poly = [np.array([
+        (-100.0000017, -50.0000031), (80.0000013, -60.0000029),
+        (120.0000019, 50.0000023), (-80.0000011, 60.0000037),
+        (-100.0000017, -50.0000031),
+    ])]
+    level = 4
+    got = polygon_aggregate_blocks(
+        build_cell_partials(
+            df, [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")],
+            level=level,
+        ),
+        df, poly, ["cnt", "sv"],
+        [F.count(F.lit(1)), F.sum("value")], level=level,
+    ).collect()[0]
+
+    from oshdb_spark.geo.clip import points_in_polygon
+
+    inside = points_in_polygon(lon7 * 1e-7, lat7 * 1e-7, poly)
+    assert got["cnt"] == int(inside.sum())
+    assert got["sv"] == int(val[inside].sum())
+    interior, boundary, _ = rasterize_zones({"q": poly}, level,
+                                            with_fragments=True)
+    assert interior["q"]  # the metadata-only path carries real mass
+    assert boundary["q"]
