@@ -1003,6 +1003,20 @@ def q_sim_ivf(spark, sf_dir):
     return ivf_ann(emb, qvec, k=10, n_centroids=16, n_probe=4).select("vec_id")
 
 
+def q_sim_ivf_trained(spark, sf_dir):
+    """IVF ANN with the PRODUCTION quantizer: coarse centroids trained by
+    the distributed k-means (2 Lloyd iterations, deterministic contract)
+    instead of the first-k stub — the oracle replays training, routing,
+    probing, and the exact re-rank end to end."""
+    from oshdb_spark.ops.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return ivf_ann(
+        emb, qvec, k=10, n_centroids=8, n_probe=3, train_iters=2
+    ).select("vec_id")
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed k-means (Lloyd's, 2 iterations, deterministic first-k
     init, 6-decimal centroid quantization per update): per-cluster size
@@ -1419,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_trained": q_sim_ivf_trained,
         "kmeans_centroids": q_kmeans_centroids,
         "sample_stratified": q_sample_stratified,
         "areal_interp": q_areal_interp,
@@ -2563,6 +2578,41 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_inner_product(q.qv, q.qv))
                      * sqrt(list_inner_product(c.cv, c.cv))) AS s
                 FROM c, q) ORDER BY s DESC, ci DESC LIMIT 4)
+            SELECT vec_id FROM (
+              SELECT r.vec_id,
+                list_inner_product(r.embedding::DOUBLE[], q.qv)
+                / (sqrt(list_inner_product(r.embedding::DOUBLE[],
+                                           r.embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+              FROM routed r, q
+              WHERE r.cent IN (SELECT ci FROM probes))
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "sim_ivf_trained": f"""
+            -- ivf_ann with train_iters=2: centroids are the kmeans
+            -- replay's cents2; routing ties -> lower index (fold), probe
+            -- ties -> higher index (python sorted(reverse=True))
+            WITH {_KMEANS_CTES},
+            c AS (SELECT cents2.c AS ci, ce AS cv FROM cents2),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            routed AS (
+              SELECT e.vec_id, e.embedding,
+                (SELECT ci FROM (
+                   SELECT c.ci,
+                     list_inner_product(e.embedding::DOUBLE[], c.cv)
+                     / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(c.cv, c.cv))) AS s
+                   FROM c) ORDER BY s DESC, ci LIMIT 1) AS cent
+              FROM embeddings e),
+            probes AS (
+              SELECT ci FROM (
+                SELECT c.ci,
+                  list_inner_product(q.qv, c.cv)
+                  / (sqrt(list_inner_product(q.qv, q.qv))
+                     * sqrt(list_inner_product(c.cv, c.cv))) AS s
+                FROM c, q) ORDER BY s DESC, ci DESC LIMIT 3)
             SELECT vec_id FROM (
               SELECT r.vec_id,
                 list_inner_product(r.embedding::DOUBLE[], q.qv)
