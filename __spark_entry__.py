@@ -1138,6 +1138,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality signals (Gopher-rules family,
+    ops/textstats.with_repetition): per source, mean duplicate-bigram
+    fraction and mean top-bigram coverage — computed with a fold over the
+    sorted bigram array (no explode/shuffle); the oracle recomputes both
+    via unnest + window in DuckDB."""
+    from oshdb_spark.ops.textstats import with_repetition
+
+    d = with_repetition(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.round(F.avg("dup_2gram_frac"), 6).alias("avg_dup_2gram"),
+        F.round(F.avg("top_2gram_cover"), 6).alias("avg_top_2gram"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def q_pipeline_prep(spark, sf_dir):
     """End-to-end training-data prep — the composition the ops layer
     exists for: quality gate → exact dedup (keep lowest id per
@@ -1438,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "areal_interp": q_areal_interp,
         "geoblocks_polygon": q_geoblocks_polygon,
+        "text_repetition": q_text_repetition,
         "pipeline_prep": q_pipeline_prep,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
@@ -2444,6 +2461,34 @@ def oracle_sql() -> dict[str, str]:
                    round(ce[1], 6) AS c0, round(ce[2], 6) AS c1,
                    round(ce[3], 6) AS c2, round(ce[4], 6) AS c3
             FROM cents2 LEFT JOIN cnt USING (c)
+        """,
+        "text_repetition": """
+            -- per-doc bigram stats via unnest; top coverage = max bigram
+            -- frequency / total bigrams; docs with <2 words score 0
+            WITH g AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                     ELSE list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i+1])
+                     END AS grams
+              FROM documents),
+            per AS (
+              SELECT doc_id, source,
+                CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(grams))
+                           / CAST(len(grams) AS DOUBLE) END AS dupf,
+                CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE (SELECT max(c) FROM (
+                        SELECT count(*) AS c FROM unnest(grams) AS t(x)
+                        GROUP BY x))
+                     / CAST(len(grams) AS DOUBLE) END AS topc
+              FROM g)
+            SELECT source, round(avg(dupf), 6) AS avg_dup_2gram,
+                   round(avg(topc), 6) AS avg_top_2gram,
+                   count(*) AS cnt
+            FROM per GROUP BY source
         """,
         "pipeline_prep": """
             -- same pipeline in SQL: dup corpus -> quality gate

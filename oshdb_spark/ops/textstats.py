@@ -98,3 +98,45 @@ def with_fingerprint(
     return df.withColumn(
         "fingerprint", F.expr(f"array_min(transform({sh}, s -> md5(s)))")
     )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family used to drop
+    degenerate/boilerplate text from training corpora):
+
+    - dup_2gram_frac: 1 − distinct bigrams / total bigrams — high when
+      the document loops over the same phrases;
+    - top_2gram_cover: occurrences of the single most frequent bigram /
+      total bigrams — catches one dominant repeated phrase.
+
+    Pure Catalyst: the max bigram frequency is the LONGEST RUN of equal
+    adjacent elements in the sorted bigram array, computed with one
+    aggregate fold — no explode, no per-doc shuffle, whole plan stays a
+    narrow projection. Single-word docs get 0 for both (no bigrams)."""
+    words = f"split({text_col}, ' ')"
+    grams = (
+        f"CASE WHEN size({words}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({words}) - 1), "
+        f"i -> concat_ws(' ', slice({words}, i, 2))) END"
+    )
+    dup = (
+        f"CASE WHEN size({grams}) = 0 THEN cast(0 as double) "
+        f"ELSE 1.0 - size(array_distinct({grams})) / size({grams}) END"
+    )
+    max_run = (
+        f"aggregate(array_sort({grams}),"
+        f" named_struct('prev', '', 'run', 0, 'best', 0),"
+        f" (a, x) -> named_struct("
+        f"   'prev', x,"
+        f"   'run', CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,"
+        f"   'best', greatest(a.best,"
+        f"     CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)),"
+        f" a -> a.best)"
+    )
+    top = (
+        f"CASE WHEN size({grams}) = 0 THEN cast(0 as double) "
+        f"ELSE {max_run} / size({grams}) END"
+    )
+    return df.withColumn("dup_2gram_frac", F.expr(dup)).withColumn(
+        "top_2gram_cover", F.expr(top)
+    )

@@ -302,3 +302,27 @@ def test_deterministic_sample_properties(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rate_threshold(1.5)
+
+
+def test_with_repetition_signals(spark):
+    """Gopher-style repetition signals: a degenerate looping doc scores
+    high on both; diverse text scores 0 duplicate bigrams; the max-run
+    fold equals the true top-bigram frequency."""
+    from oshdb_spark.ops.textstats import with_repetition
+
+    rows = [
+        (1, "spam spam spam spam spam"),          # one bigram repeated 4×
+        (2, "a b c d e f"),                        # all bigrams distinct
+        (3, "x y x y x y"),                        # 'x y'×3, 'y x'×2
+        (4, "single"),                             # no bigrams
+    ]
+    d = {r["doc_id"]: r for r in with_repetition(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert abs(d[1]["dup_2gram_frac"] - 0.75) < 1e-9      # 1 distinct / 4
+    assert abs(d[1]["top_2gram_cover"] - 1.0) < 1e-9
+    assert d[2]["dup_2gram_frac"] == 0.0
+    assert abs(d[2]["top_2gram_cover"] - 0.2) < 1e-9      # 1 / 5
+    assert abs(d[3]["dup_2gram_frac"] - 0.6) < 1e-9       # 1 - 2/5
+    assert abs(d[3]["top_2gram_cover"] - 0.6) < 1e-9      # 3 / 5
+    assert d[4]["dup_2gram_frac"] == 0.0 and d[4]["top_2gram_cover"] == 0.0
