@@ -1138,6 +1138,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_chunk_plan(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ops/textstats.chunk_plan):
+    documents in doc_id order, 512-token training sequences; summary per
+    chunk-straddle class. The oracle replays the cumulative layout in
+    SQL, pinning every document's offset through id_sum."""
+    from oshdb_spark.ops.textstats import chunk_plan, with_token_count
+
+    d = with_token_count(_t(spark, sf_dir, "documents"))
+    plan = chunk_plan(d, budget=512)
+    return plan.groupBy("n_chunks").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("token_offset").alias("offset_sum"),
+        F.max("first_chunk").alias("max_first_chunk"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Repetition quality signals (Gopher-rules family,
     ops/textstats.with_repetition): per source, mean duplicate-bigram
@@ -1454,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "areal_interp": q_areal_interp,
         "geoblocks_polygon": q_geoblocks_polygon,
+        "chunk_plan": q_chunk_plan,
         "text_repetition": q_text_repetition,
         "pipeline_prep": q_pipeline_prep,
         "dedup_semantic": q_dedup_semantic,
@@ -2461,6 +2478,29 @@ def oracle_sql() -> dict[str, str]:
                    round(ce[1], 6) AS c0, round(ce[2], 6) AS c1,
                    round(ce[3], 6) AS c2, round(ce[4], 6) AS c3
             FROM cents2 LEFT JOIN cnt USING (c)
+        """,
+        "chunk_plan": """
+            -- concat-and-chunk layout: cumulative whitespace-token sums
+            -- in doc_id order, 512-token chunks
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS tc
+              FROM documents),
+            c AS (
+              SELECT doc_id, tc,
+                     sum(tc) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - tc AS off
+              FROM t),
+            p AS (
+              SELECT doc_id, off AS token_offset,
+                     off // 512 AS first_chunk,
+                     CASE WHEN tc <= 0 THEN 0
+                          ELSE (off + tc - 1) // 512 - off // 512 + 1
+                     END AS n_chunks
+              FROM c)
+            SELECT n_chunks, count(*) AS docs,
+                   sum(token_offset) AS offset_sum,
+                   max(first_chunk) AS max_first_chunk
+            FROM p GROUP BY n_chunks
         """,
         "text_repetition": """
             -- per-doc bigram stats via unnest; top coverage = max bigram

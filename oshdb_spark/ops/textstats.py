@@ -140,3 +140,40 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("dup_2gram_frac", F.expr(dup)).withColumn(
         "top_2gram_cover", F.expr(top)
     )
+
+
+def chunk_plan(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "token_count",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing plan (the standard pretraining prep:
+    documents are concatenated in a deterministic order and cut into
+    fixed `budget`-token training sequences; a document may straddle a
+    boundary). For each doc: its global token offset, the first chunk it
+    lands in, and how many chunks it spans.
+
+    Plan shape: one window cumulative sum over the deterministic order —
+    at 10^12 docs this is a single range-partitioned sort (Spark's window
+    exchange), no joins; the chunk ids are then map-side arithmetic.
+    Zero-token docs occupy no span: they land at their offset's chunk
+    with n_chunks = 0 (nothing to emit)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    end = cum.cast("long")
+    return (
+        df.withColumn("token_offset", start)
+        .withColumn(
+            "first_chunk", F.floor(F.col("token_offset") / budget).cast("long")
+        )
+        .withColumn(
+            "n_chunks",
+            F.when(F.col(token_col) <= 0, F.lit(0)).otherwise(
+                F.floor((end - 1) / budget) - F.col("first_chunk") + 1
+            ).cast("long"),
+        )
+    )

@@ -326,3 +326,22 @@ def test_with_repetition_signals(spark):
     assert abs(d[3]["dup_2gram_frac"] - 0.6) < 1e-9       # 1 - 2/5
     assert abs(d[3]["top_2gram_cover"] - 0.6) < 1e-9      # 3 / 5
     assert d[4]["dup_2gram_frac"] == 0.0 and d[4]["top_2gram_cover"] == 0.0
+
+
+def test_chunk_plan_layout(spark):
+    """Packing plan: offsets are the exact cumulative layout, straddling
+    docs span the right chunk count, zero-token docs occupy no span."""
+    from oshdb_spark.ops.textstats import chunk_plan
+
+    rows = [(1, 100), (2, 400), (3, 50), (4, 0), (5, 2000)]
+    d = spark.createDataFrame(rows, "doc_id long, token_count long")
+    got = {r["doc_id"]: r for r in chunk_plan(d, budget=512).collect()}
+    assert [got[i]["token_offset"] for i in (1, 2, 3, 4, 5)] == [
+        0, 100, 500, 550, 550]
+    # doc 2 (offset 100, 400 tokens) fits inside chunk 0
+    assert got[2]["first_chunk"] == 0 and got[2]["n_chunks"] == 1
+    # doc 3 straddles the 512 boundary → chunks 0..1
+    assert got[3]["first_chunk"] == 0 and got[3]["n_chunks"] == 2
+    assert got[4]["n_chunks"] == 0
+    # doc 5: offset 550, ends 2550 → chunks 1..4
+    assert got[5]["first_chunk"] == 1 and got[5]["n_chunks"] == 4
