@@ -741,4 +741,8 @@ def polygon_aggregate_blocks(
         *[e.alias(c) for e, c in zip(raw_exprs, partial_cols)]
     )
     both = refined if parts is None else parts.unionByName(refined)
-    return both.select(*[F.sum(c).alias(c) for c in partial_cols])
+    # coalesce: a polygon disjoint from the data must aggregate to 0,
+    # not NULL (sum over zero rows)
+    return both.select(
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in partial_cols]
+    )

@@ -307,6 +307,8 @@ def update_typed_store(
         .select("cell_prefix").distinct().collect()
     }
     affected = sorted(new_prefixes | stale_prefixes)
+    if not affected:  # empty batch: nothing to rewrite
+        return {"affected_prefixes": [], "plan": {}}
 
     tmp = tempfile.mkdtemp(prefix="typed_store_merge")
     try:

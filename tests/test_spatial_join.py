@@ -434,3 +434,24 @@ def test_polygon_aggregate_blocks_exact(spark):
                                             with_fragments=True)
     assert interior["q"]  # the metadata-only path carries real mass
     assert boundary["q"]
+
+
+def test_polygon_aggregate_blocks_disjoint_is_zero(spark):
+    """A polygon disjoint from the data aggregates to 0, not NULL."""
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import (
+        build_cell_partials,
+        polygon_aggregate_blocks,
+    )
+
+    df = spark.createDataFrame(
+        [(10_000_000, 10_000_000, 5)], "lon7 long, lat7 long, value long"
+    )
+    poly = [np.array([(100.0, 50.0), (110.0, 50.0), (110.0, 60.0),
+                      (100.0, 60.0), (100.0, 50.0)])]
+    got = polygon_aggregate_blocks(
+        build_cell_partials(df, [F.count(F.lit(1)).alias("cnt")], level=4),
+        df, poly, ["cnt"], [F.count(F.lit(1))], level=4,
+    ).collect()[0]
+    assert got["cnt"] == 0

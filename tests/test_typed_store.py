@@ -215,3 +215,20 @@ def test_incremental_update_matches_full_rebuild(spark, tmp_path):
     with open(os.path.join(p_ref, "_manifest", "cell_counts.json")) as f:
         m_ref = json.load(f)
     assert m_inc == m_ref
+
+
+def test_incremental_update_empty_batch_is_noop(spark, tmp_path):
+    """An empty changed-docs batch leaves the store byte-identical."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import update_typed_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs_from_events(ev)
+    p = str(tmp_path / "store")
+    write_typed_store(docs, p, target_rows=50)
+    before = _store_json(spark, p)
+    res = update_typed_store(docs.filter(F.lit(False)), p, target_rows=50)
+    assert res["affected_prefixes"] == []
+    assert _store_json(spark, p) == before
