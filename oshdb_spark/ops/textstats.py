@@ -154,19 +154,45 @@ def chunk_plan(
     boundary). For each doc: its global token offset, the first chunk it
     lands in, and how many chunks it spans.
 
-    Plan shape: one window cumulative sum over the deterministic order —
-    at 10^12 docs this is a single range-partitioned sort (Spark's window
-    exchange), no joins; the chunk ids are then map-side arithmetic.
-    Zero-token docs occupy no span: they land at their offset's chunk
-    with n_chunks = 0 (nothing to emit)."""
+    Plan shape — the scalable two-pass prefix sum (a GLOBAL
+    Window.orderBy would collapse to one partition, the classic window
+    anti-pattern): range-partition by the order column, local cumsum per
+    partition (parallel windows), collect the per-partition totals
+    (numPartitions rows — driver-sized), prefix-sum them, and add each
+    partition's offset back as a broadcast literal map. Zero-token docs
+    occupy no span: n_chunks = 0. The partitioned frame is persisted so
+    the totals pass and the output pass see the SAME range bounds
+    (RangePartitioner samples the input)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(token_col).over(w)
-    start = (cum - F.col(token_col)).cast("long")
-    end = cum.cast("long")
+    part = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn(
+        "_lcum", F.sum(F.col(token_col).cast("long")).over(w)
+    ).persist()
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.max("_lcum").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    start = (
+        F.coalesce(off_map[F.col("_pid")], F.lit(0))
+        + F.col("_lcum") - F.col(token_col)
+    ).cast("long")
+    end = start + F.col(token_col).cast("long")
     return (
-        df.withColumn("token_offset", start)
+        local.withColumn("token_offset", start)
         .withColumn(
             "first_chunk", F.floor(F.col("token_offset") / budget).cast("long")
         )
@@ -176,4 +202,5 @@ def chunk_plan(
                 F.floor((end - 1) / budget) - F.col("first_chunk") + 1
             ).cast("long"),
         )
+        .drop("_pid", "_lcum")
     )

@@ -345,3 +345,22 @@ def test_chunk_plan_layout(spark):
     assert got[4]["n_chunks"] == 0
     # doc 5: offset 550, ends 2550 → chunks 1..4
     assert got[5]["first_chunk"] == 1 and got[5]["n_chunks"] == 4
+
+
+def test_chunk_plan_cross_partition_prefix_sum(spark):
+    """The two-pass prefix sum must equal the single-sequence layout
+    across many range partitions (the scalable-window correctness)."""
+    import numpy as np
+
+    from oshdb_spark.ops.textstats import chunk_plan
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 300, 5000)
+    d = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(toks)],
+        "doc_id long, token_count long",
+    ).repartition(16)
+    got = {r["doc_id"]: r["token_offset"]
+           for r in chunk_plan(d, budget=512).collect()}
+    expect = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert all(got[i] == int(expect[i]) for i in range(len(toks)))
