@@ -1119,6 +1119,23 @@ def q_areal_interp(spark, sf_dir):
     return out.select("region", F.round("value", 2).alias("est_cnt"))
 
 
+def q_sample_diversity(spark, sf_dir):
+    """Cluster-balanced diversity sampling (ops/sampling.diversity_sample):
+    cap every k-means cluster at 20 vectors chosen by deterministic md5
+    rank. The oracle replays training, assignment, and the rank draw —
+    id_sum pins the exact sample membership."""
+    from oshdb_spark.ops.clustering import kmeans_train
+    from oshdb_spark.ops.sampling import diversity_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=8, n_iter=2)
+    s = diversity_sample(emb, cents, quota=20, salt="dv")
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("picked"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling (ops/sampling.py):
     downsample English hard, keep more of the low-resource strata —
@@ -1467,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "sim_ivf_trained": q_sim_ivf_trained,
         "kmeans_centroids": q_kmeans_centroids,
+        "sample_diversity": q_sample_diversity,
         "sample_stratified": q_sample_stratified,
         "areal_interp": q_areal_interp,
         "geoblocks_polygon": q_geoblocks_polygon,
@@ -2599,6 +2617,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE least(hi, dhi) > greatest(lo, dlo))
             SELECT region, round(sum(cnt * w), 2) AS est_cnt
             FROM w GROUP BY region
+        """,
+        "sample_diversity": f"""
+            -- kmeans replay (shared chain) -> final assignment (a3, as
+            -- in dedup_semantic) -> per-cluster md5 rank, quota 20
+            WITH {_KMEANS_CTES},
+            a3 AS (
+              SELECT vec_id, c AS cl FROM (
+                SELECT emb.vec_id, cents2.c,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_distance(emb.e, cents2.ce), cents2.c
+                       ) AS rn
+                FROM emb CROSS JOIN cents2)
+              WHERE rn = 1),
+            ranked AS (
+              SELECT vec_id, cl,
+                     row_number() OVER (
+                       PARTITION BY cl
+                       ORDER BY md5(vec_id::VARCHAR || 'dv'), vec_id
+                     ) AS rk
+              FROM a3)
+            SELECT cl AS cluster, count(*) AS picked, sum(vec_id) AS id_sum
+            FROM ranked WHERE rk <= 20 GROUP BY cl
         """,
         "sample_stratified": """
             -- mirror of ops.sampling.deterministic_sample: md5 of

@@ -69,3 +69,36 @@ def deterministic_sample(
         thr = F.when(F.col(by) == value, F.lit(rate_threshold(r))).otherwise(thr)
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     return df.filter(F.md5(key) < thr)
+
+
+def diversity_sample(
+    df: DataFrame,
+    cents: list[list[float]],
+    quota: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: at most `quota` rows per
+    k-means cluster, chosen by deterministic md5 rank — the standard
+    counter to head-heavy corpora (dominant clusters are capped, rare
+    clusters survive whole). Same determinism contract as the Bernoulli
+    sampler: membership depends only on (id, salt, centroids), never on
+    partition layout, so the draw is reproducible and oracle-checkable.
+
+    Plan: map-side centroid argmin (broadcast literals), one
+    rank-within-cluster window partitioned by cluster id (k partitions —
+    the window key is the cluster, not a global order), filter. Returns
+    the sampled rows plus their `cluster` column."""
+    from pyspark.sql import Window
+
+    from .clustering import kmeans_assign
+
+    a = kmeans_assign(df, cents, vec_col=vec_col, out="cluster")
+    rank = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            F.col(id_col),
+        )
+    )
+    return a.withColumn("_rk", rank).filter(F.col("_rk") <= quota).drop("_rk")

@@ -364,3 +364,33 @@ def test_chunk_plan_cross_partition_prefix_sum(spark):
            for r in chunk_plan(d, budget=512).collect()}
     expect = np.concatenate([[0], np.cumsum(toks)[:-1]])
     assert all(got[i] == int(expect[i]) for i in range(len(toks)))
+
+
+def test_diversity_sample_caps_clusters(spark):
+    """Cluster quota: a head-heavy corpus (one dominant blob) is capped
+    at the quota while small clusters survive whole; re-run identical."""
+    import numpy as np
+
+    from oshdb_spark.ops.clustering import kmeans_train
+    from oshdb_spark.ops.sampling import diversity_sample
+
+    rng = np.random.default_rng(2)
+    rows = []
+    # blob 0: 200 vectors; blob 1: 5; blob 2: 8 (interleaved ids for init)
+    sizes = [200, 5, 8]
+    blobs = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    i = 0
+    for b, (cx, cy) in enumerate(blobs):
+        for j in range(sizes[b]):
+            v = rng.normal((cx, cy), 1.0)
+            rows.append((b + 3 * j if j < 5 else 100 + i, [float(v[0]), float(v[1])]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, _ = kmeans_train(df, k=3, n_iter=2)
+    got = diversity_sample(df, cents, quota=10).groupBy("cluster").count().collect()
+    counts = sorted(r["count"] for r in got)
+    assert counts == [5, 8, 10]
+    a = sorted(r["vec_id"] for r in diversity_sample(df, cents, quota=10).collect())
+    b = sorted(r["vec_id"] for r in diversity_sample(
+        df.repartition(5), cents, quota=10).collect())
+    assert a == b
