@@ -64,3 +64,17 @@ def timestamp_list(start: str, end: str | None = None, period: str | None = None
         if k > 1_000_000:
             raise ValueError("period too small / runaway timestamp list")
     return out
+
+
+def format_iso(ts: int) -> str:
+    """unix seconds → ISO 8601 Zulu (ref TimestampFormatter.isoDateTime,
+    util/time/TimestampFormatter.java — thread-local UTC formatters; here
+    a plain pure function)."""
+    return datetime.fromtimestamp(int(ts), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def format_date(ts: int) -> str:
+    """unix seconds → yyyy-MM-dd (ref TimestampFormatter.date)."""
+    return datetime.fromtimestamp(int(ts), tz=timezone.utc).strftime("%Y-%m-%d")

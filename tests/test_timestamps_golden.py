@@ -37,3 +37,16 @@ def test_time_intervals(start, end, period, expected):
         for t in timestamp_list(start, end, period)
     ]
     assert got == expected
+
+
+def test_timestamp_formatter():
+    """TimestampFormatterTest port (util/time/TimestampFormatterTest.java
+    :18-44): the reference's exact expected strings."""
+    from oshdb_spark.api.timestamps import format_date, format_iso
+
+    assert format_date(1510052557) == "2017-11-07"
+    assert format_iso(1510052557) == "2017-11-07T11:02:37Z"
+    # round-trip with the parser
+    from oshdb_spark.api.timestamps import parse_iso
+
+    assert parse_iso(format_iso(1510052557)) == 1510052557
