@@ -747,6 +747,176 @@ def _way_region_oracle() -> str:
     """
 
 
+def q_contrib_length_by_region(spark, sf_dir):
+    """Contribution-view geometry splitter with per-region RE-CLIPPING of
+    BOTH sides (GeometrySplitter.java:141-203): each contribution's
+    way-length delta (after∩region − before∩region) splits at the region
+    edge — a boundary-crossing node move attributes only the in-region
+    length change to each region, not the whole delta."""
+    from oshdb_spark.geo.measures import wkb_length_m
+    from oshdb_spark.geo.spatial_join import (
+        split_contribution_geoms_by_regions,
+    )
+    from oshdb_spark.model.history import way_docs_from_events
+
+    docs = way_docs_from_events(_t(spark, sf_dir, "events"))
+    contribs = (
+        OSHDB(docs)
+        .contribution_view()
+        .timestamps(list(CONTRIB_INTERVAL))
+        .osm_type("way")
+        .dataframe()
+    )
+    split = split_contribution_geoms_by_regions(
+        contribs, _SPLIT_REGIONS,
+        before_col="geom_before_wkb", after_col="geom_after_wkb",
+    )
+    return (
+        split.withColumn("blen", wkb_length_m("region_before_wkb"))
+        .withColumn("alen", wkb_length_m("region_after_wkb"))
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("alen") - F.col("blen")), 0).alias("dlen_m"),
+        )
+    )
+
+
+def _contrib_region_oracle() -> str:
+    """Way-contribution region splitter oracle: replay node-version
+    history, take each node-change sec in the interval as a contribution,
+    reconstruct before/after 3-node polylines, Liang-Barsky-clip both
+    sides per region, and aggregate the clipped length delta."""
+    prefix = f"""
+        WITH ded AS (
+          SELECT event_id, user_id, sec FROM (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   row_number() OVER (
+                     PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                     ORDER BY event_id) AS rn
+            FROM events) WHERE rn = 1),
+        ev AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec)
+                   AS urn
+          FROM ded),
+        nodes AS (
+          SELECT user_id, urn % 3 AS j, user_id*10 + (urn % 3) AS node_id,
+                 sec,
+                 row_number() OVER (PARTITION BY user_id, urn % 3
+                                    ORDER BY sec) AS k
+          FROM ev),
+        wsec AS (
+          SELECT user_id, max(fs) AS way_sec FROM (
+            SELECT user_id, j, min(sec) AS fs FROM nodes GROUP BY 1, 2)
+          GROUP BY 1),
+        csec AS (
+          SELECT DISTINCT n.user_id, n.sec AS cs
+          FROM nodes n JOIN wsec w USING (user_id)
+          WHERE n.sec > w.way_sec
+            AND n.sec >= {CONTRIB_INTERVAL[0]}
+            AND n.sec < {CONTRIB_INTERVAL[1]}),
+        aftk AS (
+          SELECT c.user_id, c.cs, n.j, max(n.k) AS k
+          FROM csec c JOIN nodes n
+            ON n.user_id = c.user_id AND n.sec <= c.cs
+          GROUP BY 1, 2, 3),
+        befk AS (
+          SELECT c.user_id, c.cs, n.j, max(n.k) AS k
+          FROM csec c JOIN nodes n
+            ON n.user_id = c.user_id AND n.sec < c.cs
+          GROUP BY 1, 2, 3),
+        posa AS (
+          SELECT user_id, cs, j,
+            (((user_id*10 + j)*1103515245 + k*1000003) % 3600000000
+              - 1800000000) * 1e-7 AS lon,
+            (((user_id*10 + j)*1234567891 + k*999983) % 1700000000
+              - 850000000) * 1e-7 AS lat
+          FROM aftk),
+        posb AS (
+          SELECT user_id, cs, j,
+            (((user_id*10 + j)*1103515245 + k*1000003) % 3600000000
+              - 1800000000) * 1e-7 AS lon,
+            (((user_id*10 + j)*1234567891 + k*999983) % 1700000000
+              - 850000000) * 1e-7 AS lat
+          FROM befk),
+        pva AS (
+          SELECT user_id, cs,
+            max(CASE WHEN j = 0 THEN lon END) AS lon0,
+            max(CASE WHEN j = 0 THEN lat END) AS lat0,
+            max(CASE WHEN j = 1 THEN lon END) AS lon1,
+            max(CASE WHEN j = 1 THEN lat END) AS lat1,
+            max(CASE WHEN j = 2 THEN lon END) AS lon2,
+            max(CASE WHEN j = 2 THEN lat END) AS lat2
+          FROM posa GROUP BY 1, 2),
+        pvb AS (
+          SELECT user_id, cs,
+            max(CASE WHEN j = 0 THEN lon END) AS lon0,
+            max(CASE WHEN j = 0 THEN lat END) AS lat0,
+            max(CASE WHEN j = 1 THEN lon END) AS lon1,
+            max(CASE WHEN j = 1 THEN lat END) AS lat1,
+            max(CASE WHEN j = 2 THEN lon END) AS lon2,
+            max(CASE WHEN j = 2 THEN lat END) AS lat2
+          FROM posb GROUP BY 1, 2),
+        seg AS (
+          SELECT user_id, cs, 'a' AS side, lon0 AS x0, lat0 AS y0,
+                 lon1 AS x1, lat1 AS y1 FROM pva
+          UNION ALL
+          SELECT user_id, cs, 'a', lon1, lat1, lon2, lat2 FROM pva
+          UNION ALL
+          SELECT user_id, cs, 'b', lon0, lat0, lon1, lat1 FROM pvb
+          UNION ALL
+          SELECT user_id, cs, 'b', lon1, lat1, lon2, lat2 FROM pvb)
+    """
+    region_sel = []
+    for name, (w, s, e, n) in _SPLIT_REGIONS.items():
+        region_sel.append(f"""
+          SELECT '{name}' AS region, user_id, cs, side,
+            greatest(0.0,
+              CASE WHEN x1 = x0 THEN
+                (CASE WHEN x0 >= {w!r} AND x0 <= {e!r} THEN 0.0 ELSE 1e30 END)
+              ELSE least(({w!r} - x0)/(x1 - x0), ({e!r} - x0)/(x1 - x0)) END,
+              CASE WHEN y1 = y0 THEN
+                (CASE WHEN y0 >= {s!r} AND y0 <= {n!r} THEN 0.0 ELSE 1e30 END)
+              ELSE least(({s!r} - y0)/(y1 - y0), ({n!r} - y0)/(y1 - y0)) END
+            ) AS t0,
+            least(1.0,
+              CASE WHEN x1 = x0 THEN
+                (CASE WHEN x0 >= {w!r} AND x0 <= {e!r} THEN 1.0 ELSE -1e30 END)
+              ELSE greatest(({w!r} - x0)/(x1 - x0), ({e!r} - x0)/(x1 - x0)) END,
+              CASE WHEN y1 = y0 THEN
+                (CASE WHEN y0 >= {s!r} AND y0 <= {n!r} THEN 1.0 ELSE -1e30 END)
+              ELSE greatest(({s!r} - y0)/(y1 - y0), ({n!r} - y0)/(y1 - y0)) END
+            ) AS t1,
+            x0, y0, x1, y1
+          FROM seg
+        """)
+    return prefix + f""",
+        win AS ({' UNION ALL '.join(region_sel)}),
+        cl AS (
+          SELECT region, user_id, cs, side,
+            x0 + (x1 - x0)*t0 AS ax, y0 + (y1 - y0)*t0 AS ay,
+            x0 + (x1 - x0)*t1 AS bx, y0 + (y1 - y0)*t1 AS "by"
+          FROM win WHERE t1 > t0),
+        lens AS (
+          SELECT region, user_id, cs, side,
+            6371000.0 * sqrt(
+              pow(radians(bx - ax) * cos(radians((ay + "by")/2.0)), 2)
+              + pow(radians("by" - ay), 2)) AS len_m
+          FROM cl),
+        per_side AS (
+          SELECT region, user_id, cs, side, sum(len_m) AS len
+          FROM lens GROUP BY 1, 2, 3, 4),
+        per_contrib AS (
+          SELECT region, user_id, cs,
+            coalesce(max(CASE WHEN side = 'a' THEN len END), 0)
+              - coalesce(max(CASE WHEN side = 'b' THEN len END), 0) AS dlen
+          FROM per_side GROUP BY 1, 2, 3)
+        SELECT region, count(*) AS cnt, round(sum(dlen), 0) AS dlen_m
+        FROM per_contrib GROUP BY region
+    """
+
+
 def _event_points(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
@@ -1457,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_snapshot_length": q_way_snapshot_length,
         "way_polygon_clip": q_way_polygon_clip,
         "way_length_by_region": q_way_length_by_region,
+        "contrib_length_by_region": q_contrib_length_by_region,
         "relation_snapshot_length": q_relation_snapshot_length,
         "relation_contrib_types": q_relation_contrib_types,
         "snapshot_polygon": q_snapshot_polygon,
@@ -2001,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
             "{N}", repr(_CLIP_RECT[3])
         ),
         "way_length_by_region": _way_region_oracle(),
+        "contrib_length_by_region": _contrib_region_oracle(),
         "relation_snapshot_length": """
             WITH ded AS (
               SELECT event_id, user_id, sec FROM (

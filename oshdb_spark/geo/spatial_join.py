@@ -161,61 +161,64 @@ def aggregate_by_geometry(
     )
 
 
-def _aoi_token_index(aois: list[tuple[str, object]]):
-    """Cell-token candidate index over region AOIs (the STRtree analog of
-    GeometrySplitter.java:60-66, built from the same Hilbert grid the
-    rest of the engine uses): token at the chosen level → indexes of the
-    AOIs whose bbox cover includes it. Probing a feature's own bbox cover
-    returns a candidate superset — two bboxes intersect only if their
-    covers share a cell — so the per-row region loop becomes
+def _cell_range(w, s, e, n, ncell):
+    """Grid-cell index range of a degree bbox at an ncell×(ncell/2)-ish
+    resolution (lon cells = ncell over 360°, lat cells = ncell over
+    180°) — pure arithmetic, no numpy, so the per-row probe stays
+    microseconds."""
+    x0 = min(max(int((w + 180.0) * ncell / 360.0), 0), ncell - 1)
+    x1 = min(max(int((e + 180.0) * ncell / 360.0), 0), ncell - 1)
+    y0 = min(max(int((s + 90.0) * ncell / 180.0), 0), ncell - 1)
+    y1 = min(max(int((n + 90.0) * ncell / 180.0), 0), ncell - 1)
+    return x0, x1, y0, y1
+
+
+def _aoi_grid_index(aois: list[tuple[str, object]]):
+    """Grid-cell candidate index over region AOIs (the STRtree analog of
+    GeometrySplitter.java:60-66): (x, y) cell at the chosen level →
+    indexes of the AOIs whose bbox covers it. Probing a feature's own
+    bbox cells returns a candidate superset — two bboxes intersect only
+    if they share a cell — so the per-row region loop becomes
     O(candidates) instead of O(regions). The level is the finest one
-    whose total cover size stays ≤ 32 tokens/region on average (driver-
-    side, broadcast with the closure)."""
-    boxes7 = []
-    for _, aoi in aois:
-        w, s, e, n = aoi.bbox
-        boxes7.append((
-            int(np.floor(w * 1e7)), int(np.floor(s * 1e7)),
-            int(np.ceil(e * 1e7)), int(np.ceil(n * 1e7)),
-        ))
+    whose total cover stays ≤ 32 cells/region on average (driver-side,
+    broadcast with the closure). Plain integer keys, not Hilbert tokens:
+    the probe runs per ROW, so it must cost microseconds."""
+    boxes = [aoi.bbox for _, aoi in aois]
     budget = 32 * len(aois)
-    level = 0
+    ncell = 1
     for lv in range(8, -1, -1):
-        ncell = 1 << lv
+        nc = 1 << lv
         total = 0
-        for (w, s, e, n) in boxes7:
-            x0 = max(0, min(int((w + 1800000000) * ncell // 3600000000), ncell - 1))
-            x1 = max(0, min(int((e + 1800000000) * ncell // 3600000000), ncell - 1))
-            y0 = max(0, min(int((s + 900000000) * ncell // 1800000000), ncell - 1))
-            y1 = max(0, min(int((n + 900000000) * ncell // 1800000000), ncell - 1))
+        for (w, s, e, n) in boxes:
+            x0, x1, y0, y1 = _cell_range(w, s, e, n, nc)
             total += (x1 - x0 + 1) * (y1 - y0 + 1)
             if total > budget:
                 break
         if total <= budget:
-            level = lv
+            ncell = nc
             break
-    index: dict[str, list[int]] = {}
-    for i, b7 in enumerate(boxes7):
-        for tok in cells.cover_tokens(b7, level, enlarge=False):
-            index.setdefault(tok, []).append(i)
-    return level, index
+    index: dict[tuple[int, int], list[int]] = {}
+    for i, (w, s, e, n) in enumerate(boxes):
+        x0, x1, y0, y1 = _cell_range(w, s, e, n, ncell)
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                index.setdefault((x, y), []).append(i)
+    return ncell, index
 
 
-def _candidates(aois, index_lv, fbbox_deg):
-    """Candidate AOI list for a feature bbox (degrees): via the token
+def _candidates(aois, grid, fbbox_deg):
+    """Candidate AOI list for a feature bbox (degrees): via the grid
     index when one was built, else all AOIs."""
-    if index_lv is None:
+    if grid is None:
         return aois
-    level, index = index_lv
-    w, s, e, n = fbbox_deg
-    b7 = (
-        int(np.floor(w * 1e7)), int(np.floor(s * 1e7)),
-        int(np.ceil(e * 1e7)), int(np.ceil(n * 1e7)),
-    )
+    ncell, index = grid
+    x0, x1, y0, y1 = _cell_range(*fbbox_deg, ncell)
     seen: set[int] = set()
-    for tok in cells.cover_tokens(b7, level, enlarge=False):
-        for i in index.get(tok, ()):
-            seen.add(i)
+    for x in range(x0, x1 + 1):
+        for y in range(y0, y1 + 1):
+            hit = index.get((x, y))
+            if hit:
+                seen.update(hit)
     return [aois[i] for i in sorted(seen)]
 
 
@@ -243,7 +246,7 @@ def split_geoms_by_regions(
 
     aois = [(k, AOI(bbox=r) if _is_bbox(r) else AOI(polygon=r))
             for k, r in regions.items()]
-    index_lv = _aoi_token_index(aois) if len(aois) > 16 else None
+    index_lv = _aoi_grid_index(aois) if len(aois) > 16 else None
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -314,7 +317,7 @@ def split_contribution_geoms_by_regions(
 
     aois = [(k, AOI(bbox=r) if _is_bbox(r) else AOI(polygon=r))
             for k, r in regions.items()]
-    index_lv = _aoi_token_index(aois) if len(aois) > 16 else None
+    index_lv = _aoi_grid_index(aois) if len(aois) > 16 else None
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

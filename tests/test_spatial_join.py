@@ -293,6 +293,102 @@ def test_split_geoms_by_regions_reclips(spark):
     assert by[(2, "e")][0] == "Point"
 
 
+def test_split_geoms_token_index_parity(spark):
+    """Beyond 16 regions the geometry splitter routes candidates through
+    the cell-token index — output must be IDENTICAL to the plain
+    all-regions loop (here: forced by slicing to <16 and unioning)."""
+    from oshdb_spark.geo import geom as G
+    from oshdb_spark.geo.spatial_join import split_geoms_by_regions
+
+    # 6x6 off-lattice grid of regions over [-60,60]^2 (36 > 16 → index)
+    regions = {}
+    for gx in range(6):
+        for gy in range(6):
+            w = -60.0 + 20.0 * gx + 1.5e-7
+            s = -60.0 + 20.0 * gy + 2.5e-7
+            regions[f"r{gx}_{gy}"] = (w, s, w + 20.0, s + 20.0)
+    lines = [
+        (i, G.to_wkb(G.linestring([(-55.0 + 7 * i, -58.0 + 11 * i),
+                                   (-41.0 + 7 * i, -47.0 + 11 * i)])))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(lines, "id long, geom_wkb binary")
+    got = {
+        (r["id"], r["region"], bytes(r["region_wkb"]))
+        for r in split_geoms_by_regions(df, regions).collect()
+    }
+    # reference: run each region alone (plain loop, no index)
+    want = set()
+    for k, box in regions.items():
+        for r in split_geoms_by_regions(df, {k: box}).collect():
+            want.add((r["id"], r["region"], bytes(r["region_wkb"])))
+    assert got == want and len(got) > 10
+
+
+def test_split_contribution_geoms_by_regions(spark):
+    """Contribution-view GeometrySplitter parity (GeometrySplitter.java:
+    141-203): regions match on the before∪after envelope, both sides are
+    re-clipped at the region edge, a fully-inside match passes through
+    unclipped, a creation keeps its NULL before, and a region where both
+    clips are empty yields no row."""
+    import numpy as np
+
+    from oshdb_spark.geo import geom as G
+    from oshdb_spark.geo.geodesy import length_of_line
+    from oshdb_spark.geo.spatial_join import (
+        split_contribution_geoms_by_regions,
+    )
+
+    # way moved across lon=0: before entirely west, after straddles
+    before = G.linestring([(-10.0, 0.5), (-1.0, 0.5)])
+    after = G.linestring([(-10.0, 0.5), (10.0, 0.5)])
+    # fully-inside-west edit
+    b2 = G.linestring([(-20.0, 10.0), (-19.0, 10.0)])
+    a2 = G.linestring([(-20.0, 10.0), (-18.0, 10.0)])
+    # creation (no before), east only
+    a3 = G.linestring([(5.0, -10.0), (6.0, -10.0)])
+    df = spark.createDataFrame(
+        [
+            (1, G.to_wkb(before), G.to_wkb(after)),
+            (2, G.to_wkb(b2), G.to_wkb(a2)),
+            (3, None, G.to_wkb(a3)),
+        ],
+        "id long, before_wkb binary, after_wkb binary",
+    )
+    regions = {
+        "w": (-180.00000015, -85.00000025, 0.00000035, 85.00000045),
+        "e": (0.00000035, -85.00000025, 180.00000015, 85.00000045),
+        "far": (100.00000035, 50.00000045, 120.00000055, 60.00000065),
+    }
+    rows = split_contribution_geoms_by_regions(df, regions).collect()
+    by = {
+        (r["id"], r["region"]): (
+            G.from_wkb(bytes(r["region_before_wkb"]))
+            if r["region_before_wkb"] is not None else None,
+            G.from_wkb(bytes(r["region_after_wkb"]))
+            if r["region_after_wkb"] is not None else None,
+        )
+        for r in rows
+    }
+    assert set(by) == {(1, "w"), (1, "e"), (2, "w"), (3, "e")}
+    # straddling way: west keeps the full before + the west piece of
+    # after; east has NO before piece and the east piece of after
+    bw, aw = by[(1, "w")]
+    be, ae = by[(1, "e")]
+    assert be is None
+    total_after = length_of_line(np.asarray(after[1]))
+    lw = G.length(aw)
+    le = G.length(ae)
+    assert abs(lw + le - total_after) < 1e-6 * total_after
+    assert abs(G.length(bw) - length_of_line(np.asarray(before[1]))) < 1e-9
+    # fully inside: bitwise pass-through (no re-clip round trip)
+    b2o, a2o = by[(2, "w")]
+    assert G.to_wkb(b2o) == G.to_wkb(b2) and G.to_wkb(a2o) == G.to_wkb(a2)
+    # creation: before stays NULL
+    b3o, a3o = by[(3, "e")]
+    assert b3o is None and a3o is not None
+
+
 def test_knn_single_query_action_count(spark):
     """Interactive knn = knn_batch with one query: exactly ONE action with
     a store manifest (cell_counts), TWO without (histogram + disk scan) —
