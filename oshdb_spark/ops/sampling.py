@@ -86,19 +86,41 @@ def diversity_sample(
     sampler: membership depends only on (id, salt, centroids), never on
     partition layout, so the draw is reproducible and oracle-checkable.
 
-    Plan: map-side centroid argmin (broadcast literals), one
-    rank-within-cluster window partitioned by cluster id (k partitions —
-    the window key is the cluster, not a global order), filter. Returns
-    the sampled rows plus their `cluster` column."""
+    Plan — winners-then-broadcast-join, the skew-safe shape:
+    1. project a NARROW (id, cluster, rank-key) frame (vectors and
+       payload never enter any shuffle);
+    2. per-(input-partition, cluster) top-quota window — the shuffle key
+       includes the physical partition id, so a 90%-dominant cluster
+       spreads over partitions×1 tasks instead of landing in one;
+    3. global top-quota window over the surviving ≤ quota×partitions
+       rows per cluster (tiny);
+    4. BROADCAST the ≤ k×quota winner ids back onto the full frame.
+    The global top-quota under a total order is a subset of every
+    per-partition top-quota under the same order, so the output is
+    row-identical to the naive single-window form and stays
+    layout-independent. Returns the sampled rows plus their `cluster`
+    column."""
     from pyspark.sql import Window
 
     from .clustering import kmeans_assign
 
     a = kmeans_assign(df, cents, vec_col=vec_col, out="cluster")
-    rank = F.row_number().over(
-        Window.partitionBy("cluster").orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-            F.col(id_col),
-        )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    narrow = a.select(
+        F.col(id_col), F.col("cluster"), key.alias("_dkey"),
+        F.spark_partition_id().alias("_pid"),
     )
-    return a.withColumn("_rk", rank).filter(F.col("_rk") <= quota).drop("_rk")
+    w_local = Window.partitionBy("_pid", "cluster").orderBy(
+        F.col("_dkey"), F.col(id_col)
+    )
+    w_global = Window.partitionBy("cluster").orderBy(
+        F.col("_dkey"), F.col(id_col)
+    )
+    winners = (
+        narrow.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= quota)
+        .withColumn("_rk", F.row_number().over(w_global))
+        .filter(F.col("_rk") <= quota)
+        .select(id_col, "cluster")
+    )
+    return df.join(F.broadcast(winners), id_col)

@@ -158,11 +158,16 @@ def chunk_plan(
     Window.orderBy would collapse to one partition, the classic window
     anti-pattern): range-partition by the order column, local cumsum per
     partition (parallel windows), collect the per-partition totals
-    (numPartitions rows — driver-sized), prefix-sum them, and add each
-    partition's offset back as a broadcast literal map. Zero-token docs
-    occupy no span: n_chunks = 0. The partitioned frame is persisted so
-    the totals pass and the output pass see the SAME range bounds
-    (RangePartitioner samples the input)."""
+    (numPartitions rows — driver-sized), prefix-sum them, and join each
+    partition's offset back as a BROADCAST 2-column frame — a
+    create_map literal would grow the expression tree linearly with the
+    partition count (megabytes at 10^5-10^6 partitions). Zero-token docs
+    occupy no span: n_chunks = 0. The partitioned frame is eagerly
+    localCheckpoint-ed (not just cached): the _pid offsets are only
+    correct for the exact partition layout the totals pass saw, and a
+    cache eviction would re-run RangePartitioner sampling — checkpointing
+    truncates the lineage so recomputation is impossible, and the blocks
+    release when the plan is garbage-collected (no unpersist leak)."""
     from pyspark.sql import Window
 
     part = df.repartitionByRange(F.col(order_col)).withColumn(
@@ -174,20 +179,23 @@ def chunk_plan(
     )
     local = part.withColumn(
         "_lcum", F.sum(F.col(token_col).cast("long")).over(w)
-    ).persist()
+    ).localCheckpoint(eager=True)
     totals = {
         r["_pid"]: r["t"]
         for r in local.groupBy("_pid").agg(F.max("_lcum").alias("t")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += int(totals[pid] or 0)
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema="_off_pid int, _off long"
+    )
+    local = local.join(
+        F.broadcast(off_df), local["_pid"] == off_df["_off_pid"], "left"
+    ).drop("_off_pid")
     start = (
-        F.coalesce(off_map[F.col("_pid")], F.lit(0))
+        F.coalesce(F.col("_off"), F.lit(0))
         + F.col("_lcum") - F.col(token_col)
     ).cast("long")
     end = start + F.col(token_col).cast("long")
@@ -202,5 +210,5 @@ def chunk_plan(
                 F.floor((end - 1) / budget) - F.col("first_chunk") + 1
             ).cast("long"),
         )
-        .drop("_pid", "_lcum")
+        .drop("_pid", "_lcum", "_off")
     )
