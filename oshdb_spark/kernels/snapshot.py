@@ -166,6 +166,12 @@ def prepared_docs(
             docs, filter_spec, aoi, fast_arrays, fast_ways, fast_rels,
             has_py, pre,
         )
+    # NATIVE-TYPED derived docs (model.history): entity_type/id/versions/
+    # members are already struct columns built by the same expressions
+    # whose to_json produced the spans — no from_json anywhere on this
+    # path, and Catalyst materializes the to_json spans only for rows the
+    # general path actually reads
+    native = {"versions", "members", "entity_type", "id"} <= set(docs.columns)
     # RAW docs input: versions sort happens AFTER the barrier over a bound
     # column (index natural-sort) — the comparator-lambda sort in
     # typed_docs runs interpreted per comparison; downstream consumers
@@ -175,13 +181,15 @@ def prepared_docs(
     # member-less node docs ALWAYS take the vectorized path (they never
     # demote), so their raw spans can be dropped right here instead of
     # being copied through every projection below
+    memberless = (
+        F.expr("size(members) = 0")
+        if native
+        else ~F.expr("exists(spans, s -> s.kind = 'member')")
+    )
     spans_out = F.col("spans")
     if fast_arrays and not has_py and not store_mode:
         spans_out = F.when(
-            ~(
-                (F.col("entity_type") == "node")
-                & ~F.expr("exists(spans, s -> s.kind = 'member')")
-            ),
+            ~((F.col("entity_type") == "node") & memberless),
             F.col("spans"),
         )
     # materialization barrier: a nondeterministic column blocks
@@ -192,10 +200,35 @@ def prepared_docs(
     # wide fast-array projection re-decodes the doc ~18×). Members decode
     # with the LITE schema: neither the bbox summary nor the flat member
     # tables need member tags/refs, and from_json skips absent fields.
-    lite_decode = (
-        "transform(filter(spans, s -> s.kind = 'member'),"
-        f" s -> from_json(s.text, '{schemas.MEMBER_LITE.simpleString()}'))"
-    )
+    if native:
+        # struct re-projection instead of JSON parse: select the LITE /
+        # REL field subsets straight off the native member structs
+        lite_decode = (
+            "transform(members, m -> named_struct("
+            "'entity_type', m.entity_type, 'id', m.id,"
+            " 'versions', transform(m.versions, v -> named_struct("
+            "'version', v.version, 'visible', v.visible, 'ts', v.ts,"
+            " 'changeset', v.changeset, 'uid', v.uid,"
+            " 'lon', v.lon, 'lat', v.lat))))"
+        )
+        rel_decode = (
+            "transform(members, m -> named_struct("
+            "'entity_type', m.entity_type, 'id', m.id,"
+            " 'versions', transform(m.versions, v -> named_struct("
+            "'version', v.version, 'visible', v.visible, 'ts', v.ts,"
+            " 'changeset', v.changeset, 'uid', v.uid, 'tags', v.tags,"
+            " 'lon', v.lon, 'lat', v.lat,"
+            " 'refs', transform(v.refs, r -> named_struct('ref', r.ref))))))"
+        )
+    else:
+        lite_decode = (
+            "transform(filter(spans, s -> s.kind = 'member'),"
+            f" s -> from_json(s.text, '{schemas.MEMBER_LITE.simpleString()}'))"
+        )
+        rel_decode = (
+            "transform(filter(spans, s -> s.kind = 'member'),"
+            f" s -> from_json(s.text, '{schemas.MEMBER_REL.simpleString()}'))"
+        )
     if not fast_rels:
         first_barrier = [
             "doc_id", "entity_type", "id",
@@ -215,8 +248,7 @@ def prepared_docs(
             "versions",
             F.expr(
                 "case when entity_type = 'relation' then"
-                " transform(filter(spans, s -> s.kind = 'member'),"
-                f" s -> from_json(s.text, '{schemas.MEMBER_REL.simpleString()}'))"
+                f" {rel_decode}"
                 " end"
             ).alias("membersR"),
             F.expr(

@@ -40,7 +40,16 @@ def typed_docs(docs: DataFrame, sort: bool = True) -> DataFrame:
     materialized column — prepared_docs — or don't need order at all:
     versions_table re-sorts via its window, bbox summaries are
     order-insensitive).
+
+    NATIVE-TYPED input (model.history derivations): frames that already
+    carry entity_type/id/versions/members struct columns — built by the
+    same expressions whose to_json produced the spans — pass through
+    unchanged, skipping the from_json decode entirely (and letting
+    Catalyst prune the to_json spans when nothing downstream reads them).
+    Precondition: attached versions are oldest-first.
     """
+    if {"versions", "members", "entity_type", "id"} <= set(docs.columns):
+        return docs
     v = F.expr(
         f"""
         transform(

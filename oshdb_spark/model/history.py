@@ -34,9 +34,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import schemas
 
 LON_MOD = 3_600_000_000
 LAT_MOD = 1_700_000_000
+
+# Derived docs ALSO carry native typed columns (entity_type, id,
+# versions, members) next to the JSON spans: the span text is built BY
+# to_json OVER THESE SAME STRUCTS (they cannot diverge), and
+# typed_docs/prepared_docs consume the structs directly — so the
+# to_json→from_json round trip disappears from every kernel plan, and
+# Catalyst materializes the JSON spans only for rows a general-path
+# consumer actually reads. Field order follows schemas.VERSION_JSON
+# everywhere (relation docs concat way- and node-member structs into one
+# array, so the element types must be identical).
+_EMPTY_REFS = (
+    "cast(array() as array<struct<type:string,ref:bigint,role:string>>)"
+)
+
+
+def _empty_members():
+    return F.expr("array()").cast(T.ArrayType(schemas.MEMBER_JSON))
 
 # snapshot grid used by the entry-point queries: weekly Mondays spanning the
 # events table's Jan-2024 range, plus one instant past the end (exercises
@@ -160,47 +180,61 @@ def way_docs_from_events(events: DataFrame) -> DataFrame:
                F.lit(LAT_MOD)) - LAT_MOD // 2
     )
     nv = nv.withColumn("lon7", lon7).withColumn("lat7", lat7)
-    vjson = F.expr(
-        """
-        to_json(named_struct(
+    vstruct = F.expr(
+        f"""
+        named_struct(
           'version', k, 'visible', true,
           'ts', date_format(timestamp_seconds(sec), "yyyy-MM-dd'T'HH:mm:ssX"),
           'changeset', event_id, 'uid', cast(user_id as int),
           'tags', map(), 'lon', lon7, 'lat', lat7,
-          'refs', array()))
+          'refs', {_EMPTY_REFS})
         """
     )
     node_hist = (
-        nv.withColumn("_v", vjson)
+        nv.withColumn("_vt", vstruct)
         .groupBy("user_id", "j", "node_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(k as k, _v as v)),"
+                "array_sort(collect_list(struct(k as k, _vt as t)),"
                 " (a,b) -> case when a.k < b.k then -1 when a.k > b.k then 1"
-                " else 0 end), x -> x.v)"
-            ).alias("vjsons"),
+                " else 0 end)"
+            ).alias("_sorted"),
             F.min("sec").alias("first_sec"),
         )
+        .withColumn("vstructs", F.expr("transform(_sorted, x -> x.t)"))
         .withColumn(
+            # span text derives from the SAME structs (cannot diverge);
+            # evaluated only when the spans column is actually consumed
             "member_json",
             F.expr(
                 "concat('{\"entity_type\":\"node\",\"id\":', node_id,"
-                " ', \"versions\":[', concat_ws(',', vjsons), ']}')"
+                " ', \"versions\":[',"
+                " concat_ws(',', transform(_sorted, x -> to_json(x.t))),"
+                " ']}')"
             ),
         )
+        .drop("_sorted")
     )
     per_way = node_hist.groupBy("user_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(j as j,"
-            " member_json as m, node_id as nid)),"
+            "array_sort(collect_list(struct(j as j, member_json as m,"
+            " node_id as nid, vstructs as vs)),"
             " (a,b) -> case when a.j < b.j then -1 when a.j > b.j then 1"
-            " else 0 end), x -> named_struct('m', x.m, 'nid', x.nid))"
-        ).alias("members"),
+            " else 0 end)"
+        ).alias("_ms"),
         F.max("first_sec").alias("way_sec"),
-    )
-    way_version = F.expr(
+    ).withColumn(
+        "members", F.expr("transform(_ms, x -> named_struct('m', x.m, 'nid', x.nid))")
+    ).withColumn(
+        "members_typed",
+        F.expr(
+            "transform(_ms, x -> named_struct('entity_type', 'node',"
+            " 'id', x.nid, 'versions', x.vs))"
+        ),
+    ).drop("_ms")
+    way_vstruct = F.expr(
         """
-        to_json(named_struct(
+        named_struct(
           'version', 1, 'visible', true,
           'ts', date_format(timestamp_seconds(way_sec),
                             "yyyy-MM-dd'T'HH:mm:ssX"),
@@ -208,7 +242,7 @@ def way_docs_from_events(events: DataFrame) -> DataFrame:
           'tags', map('kind', 'trace'),
           'lon', cast(null as bigint), 'lat', cast(null as bigint),
           'refs', transform(members, x -> named_struct(
-              'type', 'node', 'ref', x.nid, 'role', ''))))
+              'type', 'node', 'ref', x.nid, 'role', '')))
         """
     )
     spans = F.expr(
@@ -219,7 +253,7 @@ def way_docs_from_events(events: DataFrame) -> DataFrame:
               'text', to_json(named_struct('entity_type', 'way',
                                            'id', user_id)),
               'media_ref', '', 'offset', 0)),
-            array(named_struct('kind', 'version', 'text', way_version_json,
+            array(named_struct('kind', 'version', 'text', to_json(_wvt),
                                'media_ref', '', 'offset', 0)),
             transform(members, x -> named_struct('kind', 'member',
               'text', x.m, 'media_ref', '', 'offset', 0))),
@@ -228,10 +262,15 @@ def way_docs_from_events(events: DataFrame) -> DataFrame:
         """
     )
     return (
-        per_way.withColumn("way_version_json", way_version)
+        per_way.withColumn("_wvt", way_vstruct)
         .withColumn("spans", spans)
         .select(
-            F.concat(F.lit("way/"), F.col("user_id")).alias("doc_id"), "spans"
+            F.concat(F.lit("way/"), F.col("user_id")).alias("doc_id"),
+            "spans",
+            F.lit("way").alias("entity_type"),
+            F.col("user_id").cast("long").alias("id"),
+            F.expr("array(_wvt)").alias("versions"),
+            F.col("members_typed").alias("members"),
         )
     )
 
@@ -244,32 +283,41 @@ def relation_docs_from_events(events: DataFrame) -> DataFrame:
     GeometryCollection([way LineString, node Point]); total length equals
     the way's, so the `way_snapshot_length` oracle applies verbatim."""
     way_docs = way_docs_from_events(events)
-    # rewrap the way doc's spans: its version span becomes a way-member
-    # payload, its member spans (node histories) carry over, and a new
-    # relation meta/version pair heads the doc.
+    # rewrap the way doc: its own version becomes a way-member payload,
+    # its node-member histories carry over, and a new relation
+    # meta/version pair heads the doc. Native typed columns compose from
+    # the way doc's native columns directly; the JSON spans derive from
+    # the same structs.
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     wid = F.expr("cast(substring(doc_id, 5) as bigint)")  # 'way/<id>'
     d = way_docs.withColumn("_id", wid)
-    way_v = F.expr("filter(spans, s -> s.kind = 'version')[0].text")
     node_members = F.expr("filter(spans, s -> s.kind = 'member')")
-    rel_version = F.expr(
+    rel_vstruct = F.expr(
         """
-        to_json(named_struct(
+        named_struct(
           'version', 1, 'visible', true,
-          'ts', get_json_object(way_v, '$.ts'),
+          'ts', versions[0].ts,
           'changeset', _id, 'uid', cast(_id as int),
           'tags', map('kind', 'route'),
           'lon', cast(null as bigint), 'lat', cast(null as bigint),
           'refs', array(
             named_struct('type', 'way', 'ref', _id, 'role', 'main'),
-            named_struct('type', 'node', 'ref', _id * 10, 'role', 'stop'))))
+            named_struct('type', 'node', 'ref', _id * 10, 'role', 'stop')))
         """
     )
     way_member = F.expr(
         """
         concat('{"entity_type":"way","id":', _id,
-               ', "versions":[', way_v, ']}')
+               ', "versions":[', to_json(versions[0]), ']}')
+        """
+    )
+    members_typed = F.expr(
+        """
+        concat(
+          array(named_struct('entity_type', 'way', 'id', _id,
+                             'versions', versions)),
+          members)
         """
     )
     spans = F.expr(
@@ -280,7 +328,7 @@ def relation_docs_from_events(events: DataFrame) -> DataFrame:
               'text', to_json(named_struct('entity_type', 'relation',
                                            'id', _id)),
               'media_ref', '', 'offset', 0)),
-            array(named_struct('kind', 'version', 'text', rel_v,
+            array(named_struct('kind', 'version', 'text', to_json(_rvt),
                                'media_ref', '', 'offset', 0)),
             array(named_struct('kind', 'member', 'text', way_m,
                                'media_ref', '', 'offset', 0)),
@@ -290,14 +338,20 @@ def relation_docs_from_events(events: DataFrame) -> DataFrame:
         """
     )
     return (
-        d.withColumn("way_v", way_v)
-        .withColumn("node_ms", node_members)
-        .withColumn("rel_v", rel_version)
+        d.withColumn("node_ms", node_members)
+        .withColumn("_rvt", rel_vstruct)
         .withColumn("way_m", way_member)
+        .withColumn("members_typed", members_typed)
         .withColumn("spans", spans)
         .select(
-            F.concat(F.lit("relation/"), F.col("_id")).alias("doc_id"), "spans"
+            F.concat(F.lit("relation/"), F.col("_id")).alias("doc_id"),
+            "spans",
+            F.lit("relation").alias("entity_type"),
+            F.col("_id").alias("id"),
+            F.expr("array(_rvt)").alias("versions_rel"),
+            F.col("members_typed").alias("members"),
         )
+        .withColumnRenamed("versions_rel", "versions")
     )
 
 
@@ -324,41 +378,57 @@ def multipolygon_docs_from_events(events: DataFrame) -> DataFrame:
     base_lat = F.pmod(F.col("user_id") * F.lit(1234567891), F.lit(1_500_000_000)) - 750_000_000
     d = first.withColumn("blon", base_lon).withColumn("blat", base_lat)
     corner_offsets = [(0, 0), (S, 0), (S, S), (0, S)]
-    node_members = []
+    node_vstructs = []
     for j, (dx, dy) in enumerate(corner_offsets):
-        node_members.append(
-            f"""concat('{{"entity_type":"node","id":', user_id*10+{j},
-              ', "versions":[', to_json(named_struct(
+        node_vstructs.append(
+            f"""named_struct(
                 'version', 1, 'visible', true,
                 'ts', date_format(timestamp_seconds(t0),
                                   "yyyy-MM-dd'T'HH:mm:ssX"),
                 'changeset', user_id, 'uid', cast(user_id as int),
                 'tags', map(), 'lon', blon + {dx}, 'lat', blat + {dy},
-                'refs', array())), ']}}')"""
+                'refs', {_EMPTY_REFS})"""
         )
-    way_version = """
-        to_json(named_struct(
+    way_vstruct = """
+        named_struct(
           'version', 1, 'visible', true,
           'ts', date_format(timestamp_seconds(t0), "yyyy-MM-dd'T'HH:mm:ssX"),
           'changeset', user_id, 'uid', cast(user_id as int), 'tags', map(),
           'lon', cast(null as bigint), 'lat', cast(null as bigint),
           'refs', transform(array(0, 1, 2, 3, 0), j -> named_struct(
-              'type', 'node', 'ref', user_id*10+j, 'role', ''))))
+              'type', 'node', 'ref', user_id*10+j, 'role', '')))
     """
-    way_member = f"""
-        concat('{{"entity_type":"way","id":', user_id,
-               ', "versions":[', {way_version}, ']}}')
-    """
-    rel_version = """
-        to_json(named_struct(
+    rel_vstruct = """
+        named_struct(
           'version', 1, 'visible', true,
           'ts', date_format(timestamp_seconds(t0), "yyyy-MM-dd'T'HH:mm:ssX"),
           'changeset', user_id, 'uid', cast(user_id as int),
           'tags', map('type', 'multipolygon', 'landuse', 'meadow'),
           'lon', cast(null as bigint), 'lat', cast(null as bigint),
           'refs', array(named_struct('type', 'way', 'ref', user_id,
-                                     'role', 'outer'))))
+                                     'role', 'outer')))
     """
+    node_members = [
+        f"""concat('{{"entity_type":"node","id":', user_id*10+{j},
+          ', "versions":[', to_json({v}), ']}}')"""
+        for j, v in enumerate(node_vstructs)
+    ]
+    way_member = f"""
+        concat('{{"entity_type":"way","id":', user_id,
+               ', "versions":[', to_json({way_vstruct}), ']}}')
+    """
+    members_typed = F.expr(
+        "array("
+        f"named_struct('entity_type', 'way', 'id', cast(user_id as bigint),"
+        f" 'versions', array({way_vstruct})), "
+        + ", ".join(
+            f"named_struct('entity_type', 'node',"
+            f" 'id', cast(user_id*10+{j} as bigint),"
+            f" 'versions', array({v}))"
+            for j, v in enumerate(node_vstructs)
+        )
+        + ")"
+    )
     all_members = ", ".join(
         f"named_struct('kind', 'member', 'text', {m}, 'media_ref', '', 'offset', 0)"
         for m in [way_member] + node_members
@@ -371,7 +441,7 @@ def multipolygon_docs_from_events(events: DataFrame) -> DataFrame:
               'text', to_json(named_struct('entity_type', 'relation',
                                            'id', user_id)),
               'media_ref', '', 'offset', 0)),
-            array(named_struct('kind', 'version', 'text', {rel_version},
+            array(named_struct('kind', 'version', 'text', to_json({rel_vstruct}),
                                'media_ref', '', 'offset', 0)),
             array({all_members})),
           (s, i) -> named_struct('kind', s.kind, 'text', s.text,
@@ -379,7 +449,12 @@ def multipolygon_docs_from_events(events: DataFrame) -> DataFrame:
         """
     )
     return d.withColumn("spans", spans).select(
-        F.concat(F.lit("relation/"), F.col("user_id")).alias("doc_id"), "spans"
+        F.concat(F.lit("relation/"), F.col("user_id")).alias("doc_id"),
+        "spans",
+        F.lit("relation").alias("entity_type"),
+        F.col("user_id").cast("long").alias("id"),
+        F.expr(f"array({rel_vstruct})").alias("versions"),
+        members_typed.alias("members"),
     )
 
 
@@ -388,26 +463,33 @@ def docs_from_events(events: DataFrame) -> DataFrame:
     version spans newest-first, one meta span, one trailing media span.
     All span payloads via to_json — pure Catalyst."""
     v = versions_from_events(events)
-    vspan = F.expr(
+    vstruct = F.expr(
         """
         named_struct(
-          'kind', 'version',
-          'text', to_json(named_struct(
-             'version', version, 'visible', visible,
-             'ts', date_format(timestamp_seconds(valid_from),
-                               "yyyy-MM-dd'T'HH:mm:ssX"),
-             'changeset', changeset, 'uid', uid, 'tags', tags,
-             'lon', lon, 'lat', lat, 'refs', refs)),
-          'media_ref', '', 'offset', 0)
+          'version', version, 'visible', visible,
+          'ts', date_format(timestamp_seconds(valid_from),
+                            "yyyy-MM-dd'T'HH:mm:ssX"),
+          'changeset', changeset, 'uid', uid, 'tags', tags,
+          'lon', lon, 'lat', lat, 'refs', refs)
         """
     )
-    per = v.withColumn("_vs", vspan).groupBy("doc_id", "id").agg(
+    per = v.withColumn("_vt", vstruct).groupBy("doc_id", "id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(version as v, _vs as s)),"
-            " (a,b) -> case when a.v > b.v then -1 when a.v < b.v then 1 else 0 end),"
-            " x -> x.s)"
-        ).alias("vspans")
-    )
+            "array_sort(collect_list(struct(version as v, _vt as t)),"
+            " (a,b) -> case when a.v < b.v then -1 when a.v > b.v then 1 else 0 end)"
+        ).alias("_sorted")
+    ).withColumn(
+        # span storage order is newest-first (FIXTURES.md §1); the JSON
+        # text derives from the SAME structs as the native column
+        "vspans",
+        F.expr(
+            "transform(reverse(_sorted), x -> named_struct("
+            "'kind', 'version', 'text', to_json(x.t),"
+            " 'media_ref', '', 'offset', 0))"
+        ),
+    ).withColumn(
+        "versions", F.expr("transform(_sorted, x -> x.t)")
+    ).drop("_sorted")
     meta = F.expr(
         """
         named_struct('kind','meta',
@@ -434,5 +516,9 @@ def docs_from_events(events: DataFrame) -> DataFrame:
         per.withColumn("meta_span", meta)
         .withColumn("media_span", media)
         .withColumn("spans", spans)
-        .select("doc_id", "spans")
+        .select(
+            "doc_id", "spans",
+            F.lit("node").alias("entity_type"), F.col("id"),
+            "versions", _empty_members().alias("members"),
+        )
     )
