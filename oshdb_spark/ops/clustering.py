@@ -26,8 +26,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _vec_lit(vec) -> str:
@@ -95,12 +98,43 @@ def kmeans_train(
     return cents, sizes
 
 
+# Above this many centroids the unrolled Catalyst argmin expression is
+# replaced by an Arrow-batched matrix argmin: the expression tree grows
+# O(k·dim) and would blow past plan/codegen limits around k≈10^3
+# (SemDeDup-style k≈√n at corpus scale is 10^4-10^5), while the numpy
+# path is a (batch × k) GEMM whose centroid matrix ships once per task
+# in the closure. The Catalyst path is kept for small k because it is
+# pure codegen (no Python worker) and bit-reproduces the DuckDB oracle's
+# sequential-fold distances; the matrix path sums in pairwise order, so
+# exact distance TIES could in principle break differently in the last
+# ulp — fine for assignment quality, which is why the oracle-checked
+# queries (k=8) stay on the expression path.
+_EXPR_ARGMIN_MAX_K = 64
+
+
 def kmeans_assign(
     df: DataFrame,
     cents: list[list[float]],
     vec_col: str = "embedding",
     out: str = "cluster",
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment (no shuffle)."""
-    v = f"cast({vec_col} as array<double>)"
-    return df.withColumn(out, F.expr(_l2_argmin_expr(v, cents)))
+    """Map-side nearest-centroid assignment (no shuffle). Small k compiles
+    to a whole-stage-codegen argmin expression; large k (>64) runs a
+    vectorized pandas-UDF matrix argmin (see _EXPR_ARGMIN_MAX_K)."""
+    if len(cents) <= _EXPR_ARGMIN_MAX_K:
+        v = f"cast({vec_col} as array<double>)"
+        return df.withColumn(out, F.expr(_l2_argmin_expr(v, cents)))
+
+    C = np.asarray(cents, dtype=np.float64)  # k × dim
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per row,
+        # so argmin over (-2x·c + ||c||²) suffices — np.argmin takes the
+        # FIRST minimal index (the lowest-centroid tie rule)
+        d = -2.0 * (X @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))

@@ -106,6 +106,39 @@ def test_kmeans_recovers_separated_blobs(spark):
     assert all(r.k == 1 and r.n == 30 for r in got)
 
 
+def test_kmeans_assign_large_k_matches_expression_path(spark):
+    """k>64 routes assignment through the matrix pandas UDF; on
+    well-separated inputs it must agree row-for-row with the small-k
+    codegen expression (forced by raising the threshold)."""
+    import numpy as np
+
+    import oshdb_spark.ops.clustering as CL
+
+    rng = np.random.default_rng(11)
+    k, dim, n = 100, 6, 400
+    cents = (rng.uniform(-100, 100, size=(k, dim)) * 1.0).round(3).tolist()
+    vecs = [
+        (int(i), [float(x) for x in np.asarray(cents[i % k]) + rng.normal(0, 0.01, dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got_matrix = {
+        r["vec_id"]: r["cluster"]
+        for r in CL.kmeans_assign(df, cents).collect()
+    }
+    orig = CL._EXPR_ARGMIN_MAX_K
+    CL._EXPR_ARGMIN_MAX_K = 10_000
+    try:
+        got_expr = {
+            r["vec_id"]: r["cluster"]
+            for r in CL.kmeans_assign(df, cents).collect()
+        }
+    finally:
+        CL._EXPR_ARGMIN_MAX_K = orig
+    assert got_matrix == got_expr
+    assert set(got_matrix.values()) == set(range(k))
+
+
 def test_kmeans_deterministic_and_empty_cluster_keeps_centroid(spark):
     from oshdb_spark.ops.clustering import kmeans_train
 
