@@ -1357,6 +1357,65 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (ops/curation.contamination — the
+    GPT-3/Gopher any-ngram-overlap rule): documents sharing any word
+    3-gram with the 'src0' benchmark slice, per language: candidate
+    docs, contaminated docs, total shared-3-gram hits, mean
+    contamination fraction. Ids-only hash join, benchmark broadcast."""
+    from oshdb_spark.ops.curation import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    c = contamination(train, bench, n=3).join(
+        train.select("doc_id", "lang"), "doc_id"
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("hits") > 0).cast("long")).alias("contaminated"),
+        F.sum("hits").alias("hit_sum"),
+        F.round(F.avg(F.col("hits") / F.col("ngrams")), 6).alias("avg_frac"),
+    )
+
+
+def q_pattern_scan(spark, sf_dir):
+    """Policy-pattern scan (ops/curation.pattern_scan — the PII-scrub
+    mechanism): per source, total matches of named regexes over the
+    corpus. Patterns stay in the RE2 ∩ Java portable subset; the oracle
+    runs the identical expressions in DuckDB."""
+    from oshdb_spark.ops.curation import pattern_scan
+
+    d = pattern_scan(
+        _t(spark, sf_dir, "documents"),
+        {"kw": "(key|table|scan)", "num": "[0-9]+",
+         "email": "[a-z0-9.]+@[a-z0-9.]+"},
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("kw_n").alias("kw_hits"),
+        F.sum("num_n").alias("num_hits"),
+        F.sum("email_n").alias("email_hits"),
+        F.max("kw_n").alias("kw_max"),
+    )
+
+
+def q_source_mix(spark, sf_dir):
+    """Temperature-α source mixing (ops/curation.source_mix_sample,
+    α=0.5, target 300): per-source deterministic md5-threshold keep at
+    the α-mixing rate — head sources downsample, tail sources survive.
+    Rates round to 6 decimals before thresholding, so the oracle derives
+    the identical thresholds and replays exact membership."""
+    from oshdb_spark.ops.curation import source_mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = source_mix_sample(d, alpha=0.5, target=300, salt="mix")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_pipeline_prep(spark, sf_dir):
     """End-to-end training-data prep — the composition the ops layer
     exists for: quality gate → exact dedup (keep lowest id per
@@ -1662,6 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": q_chunk_plan,
         "text_repetition": q_text_repetition,
         "pipeline_prep": q_pipeline_prep,
+        "contamination": q_contamination,
+        "pattern_scan": q_pattern_scan,
+        "source_mix": q_source_mix,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -2722,6 +2784,84 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(topc), 6) AS avg_top_2gram,
                    count(*) AS cnt
             FROM per GROUP BY source
+        """,
+        "contamination": """
+            -- GPT-3-style any-ngram-overlap decontamination: word
+            -- 3-grams (docs under 3 words use whole text), md5'd; hits =
+            -- distinct grams shared with the src0 benchmark slice
+            WITH base AS (
+              SELECT doc_id, lang, source, text,
+                     string_split(text, ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang, source,
+                CASE WHEN len(ws) < 3 THEN [text]
+                ELSE list_distinct(list_transform(
+                  range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                END AS grams
+              FROM base),
+            bh AS (
+              SELECT DISTINCT md5(x) AS h FROM (
+                SELECT unnest(grams) AS x FROM g WHERE source = 'src0')),
+            t AS (
+              SELECT doc_id, lang, md5(x) AS h FROM (
+                SELECT doc_id, lang, unnest(grams) AS x
+                FROM g WHERE source <> 'src0')),
+            per AS (
+              SELECT doc_id, lang, count(*) AS ngrams,
+                     sum(CASE WHEN h IN (SELECT h FROM bh)
+                         THEN 1 ELSE 0 END) AS hits
+              FROM t GROUP BY 1, 2)
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS contaminated,
+                   CAST(sum(hits) AS BIGINT) AS hit_sum,
+                   round(avg(hits * 1.0 / ngrams), 6) AS avg_frac
+            FROM per GROUP BY lang
+        """,
+        "pattern_scan": """
+            -- identical RE2-portable regexes; count = non-overlapping
+            -- matches in both engines
+            SELECT source, count(*) AS docs,
+              CAST(sum(len(regexp_extract_all(text, '(key|table|scan)')))
+                AS BIGINT) AS kw_hits,
+              CAST(sum(len(regexp_extract_all(text, '[0-9]+')))
+                AS BIGINT) AS num_hits,
+              CAST(sum(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')))
+                AS BIGINT) AS email_hits,
+              CAST(max(len(regexp_extract_all(text, '(key|table|scan)')))
+                AS BIGINT) AS kw_max
+            FROM documents GROUP BY source
+        """,
+        "source_mix": """
+            -- temperature-0.5 mixing: rate_s = round(min(1, 300*n^0.5 /
+            -- sum(n^0.5) / n), 6) with the SAME operation order as
+            -- ops.curation.source_mix_rates; threshold = the md5-hex
+            -- quantization of ops.sampling.rate_threshold
+            WITH c AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n,
+                     round(least(1.0,
+                       300 * pow(n, 0.5)
+                       / (SELECT sum(pow(n, 0.5)) FROM c) / n), 6) AS rate
+              FROM c WHERE n > 0),
+            thr AS (
+              SELECT source,
+                CASE WHEN rate >= 1.0 THEN repeat('g', 32)
+                ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0)
+                                            AS BIGINT))), 8, '0')
+                     || repeat('0', 24)
+                END AS t
+              FROM w),
+            k AS (
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN thr USING (source)
+              WHERE md5(d.doc_id::VARCHAR || 'mix') < thr.t)
+            SELECT lang, count(*) AS kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM k GROUP BY lang
         """,
         "pipeline_prep": """
             -- same pipeline in SQL: dup corpus -> quality gate

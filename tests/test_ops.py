@@ -427,3 +427,72 @@ def test_diversity_sample_caps_clusters(spark):
     b = sorted(r["vec_id"] for r in diversity_sample(
         df.repartition(5), cents, quota=10).collect())
     assert a == b
+
+
+def test_contamination_any_ngram_overlap(spark):
+    """The any-3-gram rule: a train doc sharing one trigram with the
+    benchmark is contaminated; distinct-counting (repeats count once);
+    short docs fall back to whole-text grams."""
+    from oshdb_spark.ops.curation import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares 'a b c' with bench
+            (2, "x y z w"),          # clean
+            (3, "a b c a b c x"),    # repeated shared trigram: 1 hit
+            (4, "a b"),              # <3 words: whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q q a b c q"), (101, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["ngrams"], r["hits"])
+        for r in contamination(train, bench, n=3).collect()
+    }
+    # doc 1: trigrams {abc,bcd,cde} → 1 hit; doc 3: distinct trigrams
+    # {abc,bca,cab,bcx} wait — 'a b c a b c x': abc,bca,cab,abc,bcx →
+    # distinct {abc,bca,cab,bcx} → 1 hit
+    assert got[1] == (3, 1)
+    assert got[2] == (2, 0)
+    assert got[3] == (4, 1)
+    assert got[4] == (1, 1)  # whole text 'a b' matches bench doc 101
+
+
+def test_pattern_scan_counts(spark):
+    from oshdb_spark.ops.curation import pattern_scan
+
+    df = spark.createDataFrame(
+        [(1, "key table 12 scan 3x4 none")], "doc_id long, text string"
+    )
+    r = pattern_scan(df, {"kw": "(key|table|scan)", "num": "[0-9]+"}).collect()[0]
+    assert r["kw_n"] == 3
+    assert r["num_n"] == 3  # 12, 3, 4
+
+
+def test_source_mix_rates_properties():
+    """α<1 flattens: dominant sources downsample harder; tiny sources
+    cap at rate 1; rates are 6-decimal quantized."""
+    from oshdb_spark.ops.curation import source_mix_rates
+
+    rates = source_mix_rates({"big": 10000, "small": 10}, alpha=0.5, target=500)
+    assert rates["small"] == 1.0
+    assert 0 < rates["big"] < 0.06
+    assert rates["big"] == round(rates["big"], 6)
+    # α=1 reproduces proportional sampling: equal rates
+    prop = source_mix_rates({"a": 100, "b": 300}, alpha=1.0, target=200)
+    assert prop["a"] == prop["b"] == 0.5
+
+
+def test_source_mix_sample_deterministic(spark):
+    from oshdb_spark.ops.curation import source_mix_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in source_mix_sample(df, 0.7, 150).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in source_mix_sample(df.repartition(7), 0.7, 150).collect()
+    )
+    assert a == b and 100 < len(a) < 200
