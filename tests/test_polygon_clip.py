@@ -417,6 +417,34 @@ if HAVE_HYP:
         expect = 400.0 - (ar(r1) + ar(r2) - inter(r1, r2))
         assert a1 == pytest.approx(expect, rel=1e-9, abs=1e-9)
 
+    star_strategy = st.tuples(
+        st.floats(-20, 20), st.floats(-20, 20), st.floats(5, 15),
+        st.floats(1, 4), st.integers(3, 7), st.floats(0, 6.28),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(star_strategy, star_strategy)
+    def test_ring_intersection_nonconvex_commutative(a_spec, b_spec):
+        # alternating-radius stars: simple NON-convex rings — multi-piece
+        # intersections, concave pockets, repeated hypothesis values give
+        # shared-vertex/identical-ring degeneracies (400-example offline
+        # stress clean at round 4)
+        def star(cx, cy, r1, r2, n, rot):
+            pts = []
+            for i in range(2 * n):
+                r = r1 if i % 2 == 0 else r2
+                a = rot + np.pi * i / n
+                pts.append((cx + r * np.cos(a), cy + 0.8 * r * np.sin(a)))
+            pts.append(pts[0])
+            return np.asarray(pts, dtype=np.float64)
+
+        a = star(*a_spec)
+        b = star(*b_spec)
+        sa = rings_area(ring_intersection(a, b))
+        sb = rings_area(ring_intersection(b, a))
+        assert sa == pytest.approx(sb, rel=1e-9, abs=1e-9)
+        assert sa <= min(shoelace(a), shoelace(b)) + 1e-9
+
     @settings(max_examples=30, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
     def test_ring_intersection_containment(spec, scale):
