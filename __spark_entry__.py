@@ -228,6 +228,75 @@ def q_cell_count_z6(spark, sf_dir):
     )
 
 
+# Osmosis .poly query area for poly_aoi_filter: a convex CCW pentagon.
+# Parsed by oshdb_spark.sources.poly (TestPolyFileReader.java parity); the
+# Spark predicate AND the DuckDB oracle are both generated from the parsed
+# ring, so the two sides agree by construction.
+_POLY_AOI_TEXT = """engine-test-area
+1
+   120.0 0.0
+   37.0 57.0
+   -97.0 35.0
+   -97.0 -35.0
+   37.0 -57.0
+END
+END
+"""
+
+
+def _poly_aoi_ring():
+    from oshdb_spark.sources.poly import parse_poly
+
+    kind, rings = parse_poly(_POLY_AOI_TEXT)
+    assert kind == "Polygon"
+    return rings[0]  # closed, CCW
+
+
+def q_poly_aoi_filter(spark, sf_dir):
+    """areaOfInterest from an Osmosis .poly file: event points filtered by
+    a convex polygon expressed as half-plane conjunctions over the PARSED
+    ring — pure codegen (no UDF), pushdown-friendly at 100 TB."""
+    ring = _poly_aoi_ring()
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon", lon7 / 1e7).withColumn("lat", lat7 / 1e7)
+    pred = F.lit(True)
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        cross = (F.lit(float(x1 - x0)) * (F.col("lat") - float(y0))
+                 - F.lit(float(y1 - y0)) * (F.col("lon") - float(x0)))
+        pred = pred & (cross >= 0)
+    zone = F.floor(F.col("lat") / 30.0).cast("long")
+    return (
+        pts.filter(pred)
+        .withColumn("zone", zone)
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+
+
+def _poly_aoi_oracle() -> str:
+    ring = _poly_aoi_ring()
+    edges = " AND ".join(
+        f"(({x1!r} - {x0!r}) * (lat - {y0!r}) - ({y1!r} - {y0!r}) * (lon - {x0!r})) >= 0"
+        for (x0, y0), (x1, y1) in zip(ring[:-1].tolist(), ring[1:].tolist())
+    )
+    return f"""
+        SELECT CAST(floor(lat / 30.0) AS BIGINT) AS zone,
+               count(*) AS cnt, round(sum(value), 2) AS sum_val
+        FROM (
+          SELECT (((event_id*1103515245) % 3600000000) - 1800000000) / 1e7 AS lon,
+                 (((event_id*1234567891) % 1700000000) - 850000000) / 1e7 AS lat,
+                 value
+          FROM events)
+        WHERE {edges}
+        GROUP BY 1
+    """
+
+
 def q_geodesic_traj_length(spark, sf_dir):
     """Per-entity trajectory length over visible versions in version order,
     with the reference's exact equirectangular formula (Geo.java:37-45) —
@@ -1681,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reducer_weighted_avg": q_reducer_weighted_avg,
         "agg_by_index_nation": q_agg_by_index_nation,
         "cell_count_z6": q_cell_count_z6,
+        "poly_aoi_filter": q_poly_aoi_filter,
         "geodesic_traj_length": q_geodesic_traj_length,
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
@@ -2056,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY 1
         """,
+        "poly_aoi_filter": _poly_aoi_oracle(),
         "geodesic_traj_length": _HIST + """
             SELECT id, round(sum(6371000.0 * sqrt(dx*dx + dy*dy)), 0) AS traj_m
             FROM (

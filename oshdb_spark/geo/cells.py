@@ -37,12 +37,45 @@ _LAT_MAX = 90 * GEOM_PRECISION_TO_LONG
 
 
 # ---------------------------------------------------------------------------
-# Layer 1: reference-parity XY grid (fixed-point long arithmetic throughout)
+# Layer 1: reference-parity XY grid
+#
+# The reference's cell width is a DOUBLE: 360e7 / 2^zoom
+# (XYGrid.java:108 ``cellWidth = (360.0 / zoompow) * GEOM_PRECISION_TO_LONG``)
+# — an integer only up to zoom 10 (360e7 = 3515625 * 2^10); at deeper zooms
+# it is fractional (e.g. 1757812.5 at zoom 11), and every id / bbox below
+# reproduces the reference's double arithmetic EXACTLY via integer rationals
+# width = _N / 2^(zoom-10). (The double ops themselves are exact or provably
+# round-safe: 3515625 fits the 53-bit mantissa, operands stay < 2^52, and a
+# non-integer quotient v*2^k/_N is ≥ 1/_N ≈ 2.8e-7 away from an integer
+# while the division's rounding error is < 2^-23 of it.)
 # ---------------------------------------------------------------------------
 
-def xy_cell_width(zoom: int) -> int:
-    """Cell width in fixed-point units at a zoom level (360° / 2^zoom)."""
-    return (360 * GEOM_PRECISION_TO_LONG) >> zoom
+_N = 3515625  # odd mantissa of the grid width: 360e7 == _N << 10
+
+
+def _clamp_zoom(zoom: int) -> int:
+    """XYGrid.java:96-105 — zoom is clamped into [0, 30]."""
+    return 0 if zoom < 0 else (30 if zoom > 30 else zoom)
+
+
+def xy_cell_width(zoom: int) -> float:
+    """Cell width in fixed-point units (360e7 / 2^zoom) — the reference's
+    exact double; fractional for zoom > 10."""
+    return (360 * GEOM_PRECISION_TO_LONG) / (1 << _clamp_zoom(zoom))
+
+
+def _floor_div_w(v, zoom: int):
+    """Exact floor(v / cellWidth) for int64 scalar/array v (any sign)."""
+    if zoom <= 10:
+        return v // (_N << (10 - zoom))
+    return (v * (1 << (zoom - 10))) // _N
+
+
+def _ceil_div_w(v, zoom: int):
+    """Exact ceil(v / cellWidth) for int64 scalar/array v (any sign)."""
+    if zoom <= 10:
+        return -((-v) // (_N << (10 - zoom)))
+    return -((-v * (1 << (zoom - 10))) // _N)
 
 
 def xy_id(lon7: np.ndarray, lat7: np.ndarray, zoom: int) -> np.ndarray:
@@ -52,6 +85,7 @@ def xy_id(lon7: np.ndarray, lat7: np.ndarray, zoom: int) -> np.ndarray:
     lon=180 wrap to the westernmost column, points on lat=90 go to the
     northernmost row.
     """
+    zoom = _clamp_zoom(zoom)
     lon7 = np.asarray(lon7, dtype=np.int64)
     lat7 = np.asarray(lat7, dtype=np.int64)
     bad = (lon7 > _LON_MAX) | (lon7 < -_LON_MAX) | (lat7 > _LAT_MAX) | (lat7 < -_LAT_MAX)
@@ -59,25 +93,20 @@ def xy_id(lon7: np.ndarray, lat7: np.ndarray, zoom: int) -> np.ndarray:
     lat = lat7 + _LAT_MAX
     lon = np.where(lon == 2 * _LON_MAX, 0, lon)
     lat = np.where(lat == 2 * _LAT_MAX, lat - 1, lat)
-    w = xy_cell_width(zoom)
-    x = lon // w
-    y = lat // w
+    x = _floor_div_w(lon, zoom)
+    y = _floor_div_w(lat, zoom)
     out = y * (1 << zoom) + x
     return np.where(bad, -1, out)
 
 
 def xy_estimated_id_count(bbox7: tuple[int, int, int, int], zoom: int) -> int:
-    """Max cells along either axis covering bbox (XYGrid.java:210-216).
-
-    Reference uses double division + ceil/floor; reproduced exactly.
-    """
+    """Max cells along either axis covering bbox (XYGrid.java:210-216):
+    ``ceil(max/W) - floor(min/W)`` per axis, exact."""
+    zoom = _clamp_zoom(zoom)
     minlon, minlat, maxlon, maxlat = bbox7
-    w = float(xy_cell_width(zoom))
-    import math
-
     return max(
-        int(math.ceil(maxlon / w)) - int(math.floor(minlon / w)),
-        int(math.ceil(maxlat / w)) - int(math.floor(minlat / w)),
+        int(_ceil_div_w(maxlon, zoom)) - int(_floor_div_w(minlon, zoom)),
+        int(_ceil_div_w(maxlat, zoom)) - int(_floor_div_w(minlat, zoom)),
     )
 
 
@@ -134,11 +163,11 @@ def xy_bbox2_cell_id_ranges(
             (minlon, minlat, _LON_MAX - 1, maxlat), zoom, enlarge
         )
         minlon = -_LON_MAX
-    w = xy_cell_width(zoom)
-    colmin = (minlon + _LON_MAX) // w
-    colmax = (maxlon + _LON_MAX) // w
-    rowmin = (minlat + _LAT_MAX) // w
-    rowmax = (maxlat + _LAT_MAX) // w
+    zoom = _clamp_zoom(zoom)
+    colmin = int(_floor_div_w(minlon + _LON_MAX, zoom))
+    colmax = int(_floor_div_w(maxlon + _LON_MAX, zoom))
+    rowmin = int(_floor_div_w(minlat + _LAT_MAX, zoom))
+    rowmax = int(_floor_div_w(maxlat + _LAT_MAX, zoom))
     if enlarge:
         if colmin > 0:
             colmin -= 1
@@ -151,14 +180,39 @@ def xy_bbox2_cell_id_ranges(
 
 
 def xy_cell_bbox7(zoom: int, cell_id: int) -> tuple[int, int, int, int]:
-    """Fixed-point bbox of a cell (XYGrid.java getCellDimensions)."""
+    """Fixed-point bbox of a cell (XYGrid.java:176-202 getCellDimensions).
+
+    Exact double parity incl. the deep-zoom quirks: corner longs are the
+    JAVA-CAST (truncate-toward-zero) of fractional ``x*W - 180e7``, and the
+    reference's northernmost-row special case (``lat == 90e7 - W``) can
+    only trigger where W is integral (zoom ≤ 10) — at zoom 0 the whole
+    world is one ±90e7 row."""
+    zoom = _clamp_zoom(zoom)
     zp = 1 << zoom
-    w = xy_cell_width(zoom)
     x = cell_id % zp
     y = cell_id // zp
-    minlon = x * w - _LON_MAX
-    minlat = y * w - _LAT_MAX
-    return (minlon, minlat, minlon + w - 1, minlat + w - 1)
+    if zoom <= 10:
+        w = _N << (10 - zoom)
+        minlon = x * w - _LON_MAX
+        maxlon = minlon + w - 1
+        lat = y * w - _LAT_MAX
+        if zoom == 0:
+            minlat, maxlat = -_LAT_MAX, _LAT_MAX
+        elif lat == _LAT_MAX - w:
+            minlat, maxlat = lat, _LAT_MAX
+        else:
+            minlat, maxlat = lat, lat + w - 1
+        return (minlon, minlat, maxlon, maxlat)
+    d = 1 << (zoom - 10)  # width = _N / d
+
+    def _trunc(t: int) -> int:  # Java (long) cast of t/d: toward zero
+        return t // d if t >= 0 else -((-t) // d)
+
+    minlon = _trunc(x * _N - _LON_MAX * d)
+    maxlon = _trunc(minlon * d + _N) - 1
+    minlat = _trunc(y * _N - _LAT_MAX * d)
+    maxlat = _trunc(minlat * d + _N) - 1
+    return (minlon, minlat, maxlon, maxlat)
 
 
 def xy_neighbours(zoom: int, cell_id: int) -> set[tuple[int, int]]:
@@ -167,6 +221,28 @@ def xy_neighbours(zoom: int, cell_id: int) -> set[tuple[int, int]]:
     return xy_bbox2_cell_id_ranges(
         (minlon - 1, minlat - 1, maxlon + 1, maxlat + 1), zoom, False
     )
+
+
+def xy_tree_ids(lon7: int, lat7: int, maxzoom: int = MAXZOOM) -> set[tuple[int, int]]:
+    """(zoom, cell) of a point at EVERY zoom 0..maxzoom
+    (XYGridTree.java:46-69 getIds)."""
+    lon = np.array([lon7], dtype=np.int64)
+    lat = np.array([lat7], dtype=np.int64)
+    return {(z, int(xy_id(lon, lat, z)[0])) for z in range(maxzoom + 1)}
+
+
+def xy_tree_bbox2_cell_ids(
+    bbox7: tuple[int, int, int, int], maxzoom: int = MAXZOOM, enlarge: bool = False
+) -> set[tuple[int, int]]:
+    """(zoom, cell) of every cell intersecting bbox across all zooms
+    0..maxzoom (XYGridTree.java:104-160 bbox2CellIds) — the read-side dual
+    of the SW-anchored insert rule (``enlarge=True`` picks up features
+    stored one tile to the south-west)."""
+    out: set[tuple[int, int]] = set()
+    for z in range(maxzoom + 1):
+        for start, end in xy_bbox2_cell_id_ranges(bbox7, z, enlarge):
+            out.update((z, c) for c in range(start, end + 1))
+    return out
 
 
 def xy_id_col(lon7_col, lat7_col, zoom: int):
@@ -187,8 +263,17 @@ def xy_id_col(lon7_col, lat7_col, zoom: int):
     lat = lat7 + F.lit(_LAT_MAX)
     lon = F.when(lon == 2 * _LON_MAX, F.lit(0)).otherwise(lon)
     lat = F.when(lat == 2 * _LAT_MAX, lat - 1).otherwise(lat)
-    w = xy_cell_width(zoom)
-    cell = F.floor(lat / w) * (1 << zoom) + F.floor(lon / w)
+    zoom = _clamp_zoom(zoom)
+    if zoom <= 10:  # integral width
+        w = _N << (10 - zoom)
+        cell = F.floor(lat / w) * (1 << zoom) + F.floor(lon / w)
+    else:
+        # fractional width _N/2^(zoom-10): scaled int64 floor-div stays in
+        # codegen and matches the double path exactly (operands < 2^52)
+        d = 1 << (zoom - 10)
+        cell = F.floor(lat.cast("long") * d / _N) * (1 << zoom) + F.floor(
+            lon.cast("long") * d / _N
+        )
     return F.when(bad, F.lit(-1)).otherwise(cell).cast("long")
 
 

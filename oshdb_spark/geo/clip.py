@@ -106,6 +106,14 @@ def bbox_contains(outer, inner) -> bool:
     )
 
 
+def bbox_intersection(a, b):
+    """Intersection bbox of two bboxes (OSHDBBoundingBox.java ``intersect``:
+    max of mins, min of maxes). Callers guard disjointness with
+    :func:`bbox_intersects` — like the reference, a disjoint pair yields an
+    inverted (empty) box."""
+    return (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+
+
 def bbox_relation(feature_bbox, aoi_bbox) -> int:
     """3-state cull (CellIterator.java:199-215,349-378):
     0 = disjoint (skip), 1 = fully inside (keep unclipped), 2 = boundary

@@ -554,3 +554,86 @@ class TestDegeneratePositions:
         assert {tuple(c) for c in out[0][:-1]} == {
             (5.0, 5.0), (10.0, 5.0), (10.0, 10.0), (5.0, 10.0)
         }
+
+
+class TestBug206Golden:
+    """Port of FastPolygonOperationsTest.testBug206 (fip/
+    FastPolygonOperationsTest.java:44-56; upstream GIScience/oshdb
+    PR#204): a real-world building outline against a neighbour sharing
+    long collinear boundary stretches. The reference asserts the blocked
+    intersection is non-null; we additionally assert commutativity and
+    cross-check the area against a point-in-polygon Monte-Carlo grid."""
+
+    def _load(self):
+        from tests._bug206_wkt import (
+            BUG206_POLY,
+            BUG206_TEST,
+            parse_wkt_polygon,
+        )
+
+        return parse_wkt_polygon(BUG206_POLY), parse_wkt_polygon(BUG206_TEST)
+
+    @staticmethod
+    def _area(res):
+        if res is None:
+            return 0.0
+        kind, data = res
+        polys = [data] if kind == "Polygon" else data
+        return sum(
+            shoelace(p[0]) - sum(shoelace(h) for h in p[1:]) for p in polys
+        )
+
+    def test_bug206_intersection(self):
+        # upstream bug206 was a CRASH in the blocked intersection; the two
+        # buildings share only collinear boundary stretches (zero area).
+        # JTS returns the shared LineString (the reference's
+        # assertNotNull); the engine's polygon-area convention returns
+        # None for measure-zero contact (ring_intersection docstring) —
+        # assert no crash, commutativity, and a Monte-Carlo zero area.
+        from oshdb_spark.geo.clip import points_in_polygon
+
+        poly, test = self._load()
+        ab = clip_polygon_to_polygon(test, poly)
+        ba = clip_polygon_to_polygon(poly, test)
+        assert self._area(ab) == pytest.approx(self._area(ba), abs=1e-18)
+        assert self._area(ab) == pytest.approx(0.0, abs=1e-12)
+
+        # Monte-Carlo confirms the zero-area ground truth on a 512² grid
+        t = test[0]
+        minx, maxx = t[:, 0].min(), t[:, 0].max()
+        miny, maxy = t[:, 1].min(), t[:, 1].max()
+        xs, ys = np.meshgrid(
+            np.linspace(minx, maxx, 512), np.linspace(miny, maxy, 512)
+        )
+        px, py = xs.ravel(), ys.ravel()
+        in_both = points_in_polygon(px, py, test) & points_in_polygon(
+            px, py, poly
+        )
+        assert int(in_both.sum()) == 0
+
+    def test_bug206_shifted_overlap(self):
+        # shift the neighbour 60% of its height south so a REAL area
+        # overlap exists across the formerly-shared degenerate boundary —
+        # the stress the collinear machinery must survive
+        from oshdb_spark.geo.clip import points_in_polygon
+
+        poly, test = self._load()
+        t = test[0].copy()
+        t[:, 1] -= 0.6 * (t[:, 1].max() - t[:, 1].min())
+        ab = clip_polygon_to_polygon([t], poly)
+        ba = clip_polygon_to_polygon(poly, [t])
+        a_ab, a_ba = self._area(ab), self._area(ba)
+        assert a_ab > 0
+        assert a_ab == pytest.approx(a_ba, rel=1e-9)
+
+        minx, maxx = t[:, 0].min(), t[:, 0].max()
+        miny, maxy = t[:, 1].min(), t[:, 1].max()
+        xs, ys = np.meshgrid(
+            np.linspace(minx, maxx, 512), np.linspace(miny, maxy, 512)
+        )
+        px, py = xs.ravel(), ys.ravel()
+        in_both = points_in_polygon(px, py, [t]) & points_in_polygon(
+            px, py, poly
+        )
+        cell = ((maxx - minx) / 511) * ((maxy - miny) / 511)
+        assert a_ab == pytest.approx(float(in_both.sum()) * cell, rel=0.05)
