@@ -1205,6 +1205,24 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup GROUP resolution: MinHash-LSH pairs closed into connected
+    components (large-star/small-star, O(log n) shuffle rounds); every doc
+    labeled with its component's min doc_id (singletons label themselves)."""
+    from oshdb_spark.ops.dedup import minhash_lsh_pairs
+    from oshdb_spark.ops.graph import connected_components
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, k=3, n_bands=4, rows_per_band=4, jaccard_threshold=0.5
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    docs = corpus.select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — rows-only check; parity is
     covered by tests/test_ops.py asserting each clone pair is found)."""
@@ -1778,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
@@ -2731,6 +2750,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida AS id_a, idb AS id_b,
                    round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
             FROM jac WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+        """,
+        "dedup_components": """
+            -- MinHash-LSH pairs (same pipeline as dedup_minhash) closed
+            -- into components by a recursive min-label closure; the engine
+            -- side closes them with large-star/small-star
+            WITH RECURSIVE dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000, text FROM documents),
+            words AS (SELECT doc_id, text, string_split(text, ' ') w FROM dup),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(w) < 3 THEN text
+                     ELSE concat_ws(' ', w[i], w[i+1], w[i+2]) END AS s
+              FROM words,
+                UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                       ELSE generate_series(1, len(w) - 2) END) AS t(i)),
+            mh AS (
+              SELECT doc_id, j, min(md5(s || ':' || j)) AS h
+              FROM sh, UNNEST(generate_series(0, 15)) AS u(j)
+              GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY j)) AS sig
+              FROM mh GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            pairs AS (
+              SELECT ida, idb FROM cand
+              WHERE (SELECT count(*) FROM sh x JOIN sh y ON x.s = y.s
+                      WHERE x.doc_id = cand.ida AND y.doc_id = cand.idb)
+                    / CAST((SELECT count(DISTINCT s) FROM sh z
+                            WHERE z.doc_id IN (cand.ida, cand.idb)) AS DOUBLE)
+                    >= 0.5),
+            sym AS (
+              SELECT ida AS a, idb AS b FROM pairs
+              UNION ALL SELECT idb, ida FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM dup
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+            SELECT node AS doc_id, min(lab) AS component
+            FROM reach GROUP BY 1
         """,
         "dedup_simhash": """
             -- SimHash mirror of ops/dedup.with_simhash (32-bit token-hash

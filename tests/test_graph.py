@@ -1,0 +1,113 @@
+"""Connected components (ops/graph.py) — structure cases with known
+answers, randomized differential against a python union-find, layout
+independence, and the keep-canonical dedup resolution."""
+
+import random
+
+import pytest
+
+from oshdb_spark.ops.graph import connected_components, keep_canonical
+
+
+def _uf_components(n_edges, nodes=None):
+    """Ground truth: plain union-find over the edge list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in n_edges:
+        union(a, b)
+    for x in nodes or []:
+        find(x)
+    # min-id per component
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = connected_components(edges)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_single_edge(self, spark):
+        assert _run(spark, [(2, 9)]) == {2: 2, 9: 2}
+
+    def test_chain_forces_multiple_rounds(self, spark):
+        # a 200-node path: naive label propagation needs ~200 rounds;
+        # large-star/small-star must close it in O(log n)
+        edges = [(i, i + 1) for i in range(200)]
+        got = _run(spark, edges)
+        assert got == {i: 0 for i in range(201)}
+
+    def test_descending_chain_and_cycle(self, spark):
+        edges = [(i + 1, i) for i in range(50)]  # reversed orientation
+        edges += [(100, 101), (101, 102), (102, 100)]  # a cycle
+        got = _run(spark, edges)
+        assert all(got[i] == 0 for i in range(51))
+        assert all(got[i] == 100 for i in (100, 101, 102))
+
+    def test_star_and_self_loops(self, spark):
+        edges = [(7, v) for v in (8, 9, 10, 11)] + [(7, 7), (9, 9)]
+        got = _run(spark, edges)
+        assert got == {v: 7 for v in (7, 8, 9, 10, 11)}
+
+    def test_duplicate_and_bidirectional_edges(self, spark):
+        edges = [(1, 2), (2, 1), (1, 2), (3, 4)]
+        got = _run(spark, edges)
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_random_differential(self, spark, seed):
+        rng = random.Random(seed)
+        n = 400
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(300)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _run(spark, edges)
+        want = _uf_components(edges)
+        assert got == want
+
+    def test_layout_independent(self, spark):
+        rng = random.Random(99)
+        edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+        df16 = spark.createDataFrame(
+            list(reversed(edges)), "src long, dst long"
+        ).repartition(16)
+        out1 = {
+            r["node"]: r["component"]
+            for r in connected_components(df1).collect()
+        }
+        out16 = {
+            r["node"]: r["component"]
+            for r in connected_components(df16).collect()
+        }
+        assert out1 == out16
+
+
+class TestKeepCanonical:
+    def test_keeps_min_per_component_and_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+        )
+        # components {0,1,2}, {5,6}; 3,4,7,8,9 isolated
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in keep_canonical(docs, pairs).collect()
+        )
+        assert kept == [0, 3, 4, 5, 7, 8, 9]
