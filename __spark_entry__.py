@@ -1239,6 +1239,21 @@ def q_sim_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10).select("vec_id")
 
 
+def q_sim_knn_join(spark, sf_dir):
+    """Batch kNN join: exact cosine top-10 for each of 8 query vectors —
+    one matmul per Arrow batch with per-query local top-k, global rank
+    over the candidate set only."""
+    from oshdb_spark.ops.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    out = knn_join(emb, queries, k=10)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "nbr_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_sim_lsh_ann(spark, sf_dir):
     """LSH-bucketed ANN (rows-only; recall asserted in tests/test_ops.py)."""
     from oshdb_spark.ops.similarity import lsh_ann
@@ -1799,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
+        "sim_knn_join": q_sim_knn_join,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
         "sim_ivf_trained": q_sim_ivf_trained,
@@ -3211,6 +3227,25 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_inner_product(q.qv, q.qv))) AS c
               FROM embeddings, q)
             ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "sim_knn_join": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT q.qid, e.vec_id AS nbr_id,
+                list_inner_product(e.embedding::DOUBLE[], q.qv)
+                / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(q.qv, q.qv))) AS c
+              FROM embeddings e, q),
+            r AS (
+              SELECT qid, nbr_id, c,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY c DESC, nbr_id) AS rank
+              FROM s)
+            SELECT qid, CAST(rank AS BIGINT) AS rank, nbr_id,
+                   round(c, 6) AS cosine
+            FROM r WHERE rank <= 10
         """,
         "text_tokens": """
             SELECT source,

@@ -194,3 +194,87 @@ def ivf_ann(
     probe = [ci for _, ci in sorted(qsims, reverse=True)[:n_probe]]
     cand = routed.filter(F.col("_cent").isin(probe))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN join: exact top-k corpus neighbours by cosine for EVERY
+    row of a (small) query set — the retrieval primitive behind dataset
+    attribution / influence lookups, where ``cosine_topk`` handles only
+    one query at a time.
+
+    Scale shape: the query matrix (Q×dim; Q up to ~10³ by contract)
+    broadcasts into a vectorized Arrow kernel that computes each batch's
+    cosine matrix with ONE matmul and keeps a per-query LOCAL top-k, in
+    the exact global order (cosine desc, id asc). The global stage ranks
+    only ≤ Q·k·n_batches candidate rows, so the corpus payload never
+    shuffles and the reduce side is metadata-sized. Ties break by id,
+    making results layout-independent.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("knn_join: empty query set")
+    qids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nbr_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            vm = np.array(
+                [[float(x) for x in v] for v in pdf["_cvec"]],
+                dtype=np.float64,
+            )
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            cos = (vm @ qm.T) / (vnorm[:, None] * qnorm[None, :])
+            kk = min(k, len(ids))
+            parts = []
+            for j in range(len(qids)):
+                # exact global order locally: cosine desc, id asc
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(kk, qids[j], dtype=np.int64),
+                            "nbr_id": ids[order],
+                            "cosine": cos[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("_cid"), F.col(vec_col).alias("_cvec")
+    ).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nbr_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nbr_id", "cosine")
+    )

@@ -496,3 +496,30 @@ def test_source_mix_sample_deterministic(spark):
         for r in source_mix_sample(df.repartition(7), 0.7, 150).collect()
     )
     assert a == b and 100 < len(a) < 200
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    # every query's rows must equal the single-query exact top-k, and the
+    # result must be layout-independent (per-batch local top-k uses the
+    # exact global order)
+    from oshdb_spark.ops.similarity import cosine_topk, knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter("vec_id < 4")
+    out = knn_join(emb, queries, k=5).collect()
+    assert len(out) == 4 * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.nbr_id))
+    for qid, rows in by_q.items():
+        qv = [
+            float(x)
+            for x in emb.filter(f"vec_id = {qid}").head()["embedding"]
+        ]
+        exact = [r.vec_id for r in cosine_topk(emb, qv, k=5).collect()]
+        assert [nid for _, nid in sorted(rows)] == exact
+
+    out16 = knn_join(emb.repartition(16), queries, k=5).collect()
+    assert sorted((r.qid, r.rank, r.nbr_id) for r in out16) == sorted(
+        (r.qid, r.rank, r.nbr_id) for r in out
+    )
