@@ -1254,6 +1254,16 @@ def q_sim_knn_join(spark, sf_dir):
     )
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 keyword relevance over documents (3-term query) — stats in one
+    tiny aggregate, scoring as a codegen map, no inverted-index shuffle."""
+    from oshdb_spark.ops.textstats import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_scores(d, ["hash", "join", "vector"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_sim_lsh_ann(spark, sf_dir):
     """LSH-bucketed ANN (rows-only; recall asserted in tests/test_ops.py)."""
     from oshdb_spark.ops.similarity import lsh_ann
@@ -1815,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
+        "text_bm25": q_text_bm25,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
         "sim_ivf_trained": q_sim_ivf_trained,
@@ -3227,6 +3238,38 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_inner_product(q.qv, q.qv))) AS c
               FROM embeddings, q)
             ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "text_bm25": """
+            -- Lucene-style BM25 (k1=1.2, b=0.75), mirrored term-for-term
+            -- against ops/textstats.bm25_scores (avgdl = sum(dl)/N)
+            WITH base AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'hash')) AS tf0,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'join')) AS tf1,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'vector')) AS tf2
+              FROM documents),
+            st AS (
+              SELECT count(*) AS n, sum(dl) AS sum_dl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM base)
+            SELECT doc_id, round(
+                ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                  * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl
+                                                / (sum_dl / CAST(n AS DOUBLE))))
+              + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                  * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl
+                                                / (sum_dl / CAST(n AS DOUBLE))))
+              + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                  * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl
+                                                / (sum_dl / CAST(n AS DOUBLE))))
+              , 6) AS score
+            FROM base, st
+            WHERE tf0 + tf1 + tf2 > 0
         """,
         "sim_knn_join": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

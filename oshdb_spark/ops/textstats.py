@@ -212,3 +212,56 @@ def chunk_plan(
         )
         .drop("_pid", "_lcum", "_off")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a (small) term set — the
+    lexical retrieval / keyword-quality baseline next to the embedding
+    ANN family. Lucene-style idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: corpus stats (N, total length, per-term document
+    frequencies) are ONE tiny aggregate row; term frequencies are
+    ``size(filter(tokens))`` projections — no explode, no inverted-index
+    shuffle; scoring is a pure map over the corpus (whole-stage codegen),
+    so the only reduce in the plan is the stats row. Returns
+    ``(id, score)`` for documents matching ≥1 term.
+    """
+    if not terms:
+        raise ValueError("bm25_scores: empty term set")
+    toks = f"split({text_col}, ' ')"
+    tf_cols = [
+        F.expr(f"size(filter({toks}, w -> w = '{t}'))").alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = df.select(F.col(id_col), F.expr(f"size({toks})").alias("_dl"), *tf_cols)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n if n else 1.0
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        dfreq = int(stats[f"df{i}"])
+        idf = F.lit(float(__import__("math").log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))))
+        tf = F.col(f"_tf{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("_dl").cast("double") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return (
+        base.withColumn("score", score)
+        .filter(sum(F.col(f"_tf{i}") for i in range(len(terms))) > 0)
+        .select(F.col(id_col), "score")
+    )

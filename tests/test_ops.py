@@ -523,3 +523,39 @@ def test_knn_join_matches_per_query_bruteforce(spark):
     assert sorted((r.qid, r.rank, r.nbr_id) for r in out16) == sorted(
         (r.qid, r.rank, r.nbr_id) for r in out
     )
+
+
+def test_bm25_ranks_term_dense_docs(spark):
+    from oshdb_spark.ops.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark slow"),
+            (3, "other words entirely"),
+            (4, "spark " + "filler " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 matches no term → excluded
+    # higher tf wins; length normalization pushes the long doc below the
+    # short one at equal tf
+    assert out[1] > out[2] > out[4]
+    assert all(s > 0 for s in out.values())
+
+
+def test_bm25_multi_term_additivity(spark):
+    from oshdb_spark.ops.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "b c"), (4, "c c")],
+        "doc_id long, text string",
+    )
+    single_a = {r.doc_id: r.score for r in bm25_scores(docs, ["a"]).collect()}
+    single_b = {r.doc_id: r.score for r in bm25_scores(docs, ["b"]).collect()}
+    both = {r.doc_id: r.score for r in bm25_scores(docs, ["a", "b"]).collect()}
+    # doc 1 contains both terms: its two-term score is the sum of the
+    # single-term scores (BM25 is additive over query terms)
+    assert both[1] == pytest.approx(single_a[1] + single_b[1])
+    assert set(both) == {1, 2, 3}
