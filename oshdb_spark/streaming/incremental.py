@@ -149,3 +149,55 @@ def contribution_tracker(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+    ]
+)
+
+DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _dedup_first(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the min-id document the FIRST time a content fingerprint is
+    seen; every later duplicate (same or later micro-batch) is dropped."""
+    if state.exists:
+        return
+    best = None
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+    if best is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame([{"fingerprint": key[0], "keep_id": best}])
+
+
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-micro-batch exact deduplication: the streaming counterpart of
+    ``ops.dedup.exact_dedup`` — one surviving (fingerprint, keep_id) row
+    per distinct content over the WHOLE stream, emitted in the micro-batch
+    where the content first appears (outputMode=append).
+
+    Scale posture: the shuffle key is the content hash (uniform), state is
+    ONE boolean per distinct content, and duplicate payloads die at their
+    first shuffle — downstream operators never see them."""
+    fp = stream.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return fp.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_first,
+        outputStructType=DEDUP_OUTPUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,53 @@ def test_windowed_counts_with_watermark(spark, tmp_path, split_source):
     for k, v in got.items():
         assert ref[k] == v
     assert len(got) >= len(ref) - 20  # tail windows stay open under the watermark
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicates arriving in later micro-batches must be dropped by the
+    state store; first-arrival content emits exactly once with the min id
+    of its arrival batch (== batch exact_dedup keepers when originals
+    arrive first)."""
+    from oshdb_spark.ops.dedup import exact_dedup
+    from oshdb_spark.streaming.incremental import streaming_exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i, part in enumerate([docs, clones]):
+        d = tmp_path / f"_p{i}"
+        part.coalesce(1).write.parquet(str(d))
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.rename(d / fn, f"{src}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.fingerprint, r.keep_id)
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    want = {
+        (r.fingerprint, r.keep_id)
+        for r in exact_dedup(docs.unionAll(clones)).collect()
+    }
+    assert got == want
+    # every fingerprint emitted exactly once, and no clone survived
+    assert len(got) == len({f for f, _ in got})
+    assert all(k < 1000 for _, k in got)
