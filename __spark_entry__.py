@@ -1604,6 +1604,39 @@ def q_media_meta(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing: fixed-size payload per blob (stubbed repeat-
+    truncate transform; the mapInPandas batch shape is what's checked) —
+    md5 of each resized payload so the oracle compares content exactly."""
+    from oshdb_spark.ops.media import attach_media, resize_media
+
+    d = attach_media(_t(spark, sf_dir, "documents"))
+    rz = resize_media(d, target_bytes=64)
+    return rz.select(
+        "doc_id",
+        F.md5(F.col("resized")).alias("content_md5"),
+        F.length("resized").alias("n_bytes"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Feature-extraction plumbing: media → fixed-dim vector (stub
+    encoder, SQL-mirrorable), reduced per bucket over two coordinates."""
+    from oshdb_spark.ops.media import attach_media, extract_features
+
+    d = attach_media(_t(spark, sf_dir, "documents"))
+    ft = extract_features(d, dim=16)
+    return (
+        ft.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(10)))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.sum(F.element_at("features", 1)), 6).alias("sum_f0"),
+            F.round(F.sum(F.element_at("features", 16)), 6).alias("sum_f15"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 def q_media_frames(spark, sf_dir):
     from oshdb_spark.ops.media import attach_media, sample_frames
 
@@ -1846,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
+        "media_resize": q_media_resize,
+        "media_features": q_media_features,
         "media_frames": q_media_frames,
         "sessionization": q_sessionization,
         "quantiles": q_quantiles,
@@ -3352,6 +3387,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text) % 640 + 1) AS BIGINT) AS sum_width,
                    CAST(sum((strlen(text) * 7) % 480 + 1) AS BIGINT)
                      AS sum_height
+            FROM documents GROUP BY 1
+        """,
+        "media_resize": """
+            -- repeat-truncate stub resize mirrored on the UTF-8 source
+            -- text (ASCII corpus: byte ops == char ops); empty text is
+            -- 64 NUL bytes
+            SELECT doc_id,
+                   md5(CASE WHEN strlen(text) = 0
+                            THEN repeat(chr(0), 64)
+                            ELSE substr(repeat(text,
+                                   CAST(ceil(64.0 / strlen(text)) AS BIGINT)),
+                                   1, 64) END) AS content_md5,
+                   CAST(64 AS INT) AS n_bytes
+            FROM documents
+        """,
+        "media_features": """
+            -- stub encoder: feature j = ((n_bytes * (j + 13)) % 997) / 997
+            SELECT doc_id % 10 AS bucket,
+                   round(sum(((strlen(text) * 13) % 997) / 997.0), 6)
+                     AS sum_f0,
+                   round(sum(((strlen(text) * 28) % 997) / 997.0), 6)
+                     AS sum_f15,
+                   count(*) AS cnt
             FROM documents GROUP BY 1
         """,
         "media_frames": """

@@ -115,3 +115,95 @@ def sample_frames(
             )
 
     return df.select(id_col, media_col).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stub_resizer(buf: bytes, target: int) -> bytes:
+    """Deterministic fake resize: repeat-truncate to exactly ``target``
+    bytes. Replace with a real (PIL) resizer outside this sandbox."""
+    if not buf:
+        return b"\x00" * target
+    reps = -(-target // len(buf))
+    return (buf * reps)[:target]
+
+
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 64,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    resizer: Callable[[bytes, int], bytes] | str | None = None,
+) -> DataFrame:
+    """Resize every blob to a fixed-size payload (the thumbnail/tensor
+    normalization step). 1→1 narrow mapInPandas; output size is constant
+    per row, so downstream batch shapes are predictable at 100 TB."""
+    if resizer == "real":
+        raise NotImplementedError(
+            "real image resizing requires PIL — not available in this "
+            "container; use the default stub resizer"
+        )
+    rz = resizer or stub_resizer
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "resized": [rz(b, target_bytes) for b in pdf[media_col]],
+                },
+                columns=[f.name for f in RESIZE_SCHEMA.fields],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+def stub_feature_extractor(buf: bytes, dim: int) -> list[float]:
+    """Deterministic fake embedding: feature j = ((n_bytes * (j + 13))
+    % 997) / 997 — SQL-mirrorable so the oracle can replay it. Replace
+    with a real vision/audio encoder outside this sandbox."""
+    n = len(buf)
+    return [((n * (j + 13)) % 997) / 997.0 for j in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    extractor: Callable[[bytes, int], list[float]] | str | None = None,
+) -> DataFrame:
+    """Media → fixed-dim feature vector (the encoder step feeding the
+    ANN/dedup family: its output column plugs directly into knn_join /
+    lsh_neardup_pairs). Narrow mapInPandas, constant output width."""
+    if extractor == "real":
+        raise NotImplementedError(
+            "real feature extraction requires a vision/audio model — not "
+            "available in this container; use the default stub extractor"
+        )
+    ex = extractor or stub_feature_extractor
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "features": [ex(b, dim) for b in pdf[media_col]],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema=FEATURE_SCHEMA)

@@ -559,3 +559,43 @@ def test_bm25_multi_term_additivity(spark):
     # single-term scores (BM25 is additive over query terms)
     assert both[1] == pytest.approx(single_a[1] + single_b[1])
     assert set(both) == {1, 2, 3}
+
+
+def test_media_resize_and_features_compose_with_ann(spark):
+    # resize: constant output size incl. the empty-blob edge; features:
+    # fixed dim, deterministic, and the output column plugs straight into
+    # the ANN family (knn_join over media-derived vectors)
+    from oshdb_spark.ops.media import (
+        attach_media,
+        extract_features,
+        resize_media,
+    )
+    from oshdb_spark.ops.similarity import knn_join
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    d = attach_media(docs)
+    rz = {r.doc_id: r.resized for r in resize_media(d, target_bytes=64).collect()}
+    assert all(len(v) == 64 for v in rz.values())
+    assert rz[2] == b"\x00" * 64
+    assert rz[3] == b"x" * 64
+
+    with _pt.raises(NotImplementedError):
+        resize_media(d, resizer="real").collect()
+    with _pt.raises(NotImplementedError):
+        extract_features(d, extractor="real").collect()
+
+    corpus = extract_features(attach_media(_docs(spark)), dim=8).withColumnRenamed(
+        "features", "embedding"
+    )
+    queries = corpus.filter("doc_id < 2")
+    out = knn_join(corpus, queries, k=3, id_col="doc_id", query_id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 2 * 3
+    # a vector's nearest neighbour by cosine is itself (rank-1 cosine 1.0)
+    for r in rows:
+        if r.rank == 1:
+            assert r.cosine == _pt.approx(1.0)
