@@ -1254,6 +1254,17 @@ def q_sim_knn_join(spark, sf_dir):
     )
 
 
+def q_sim_pq(spark, sf_dir):
+    """Product-quantization ANN (m=4 subspaces, 16 codes, ADC scan, exact
+    re-rank of 4k candidates) — deterministic stub codebooks so the oracle
+    replays encode+ADC end to end."""
+    from oshdb_spark.ops.similarity import pq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return pq_ann(emb, qvec, k=10, m=4, n_codes=16).select("vec_id")
+
+
 def q_text_bm25(spark, sf_dir):
     """BM25 keyword relevance over documents (3-term query) — stats in one
     tiny aggregate, scoring as a codegen map, no inverted-index shuffle."""
@@ -1858,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
+        "sim_pq": q_sim_pq,
         "text_bm25": q_text_bm25,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
@@ -3272,6 +3284,57 @@ def oracle_sql() -> dict[str, str]:
                                            embedding::DOUBLE[]))
                    * sqrt(list_inner_product(q.qv, q.qv))) AS c
               FROM embeddings, q)
+            ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "sim_pq": """
+            -- PQ mirror of ops.similarity.pq_ann (m=4 subspaces of dim 16,
+            -- codebooks = subspace slices of the first 16 vectors, score
+            -- ip(c,c) - 2*ip(v,c), argmin ties -> lower code, ADC sum in
+            -- subspace order, top-40 candidates, exact cosine re-rank)
+            WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+            cb AS (
+              SELECT s.sub, e.vec_id AS ci,
+                     (e.embedding::DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS cv
+              FROM embeddings e, subs s WHERE e.vec_id < 16),
+            q AS (
+              SELECT s.sub,
+                     (e.embedding::DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS qv
+              FROM embeddings e, subs s WHERE e.vec_id = 0),
+            qfull AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                      WHERE vec_id = 0),
+            enc AS (
+              SELECT e.vec_id, s.sub,
+                (SELECT ci FROM (
+                    SELECT c.ci,
+                      list_inner_product(c.cv, c.cv)
+                      - 2.0 * list_inner_product(
+                          (e.embedding::DOUBLE[])[s.sub*16+1 : s.sub*16+16],
+                          c.cv) AS d
+                    FROM cb c WHERE c.sub = s.sub)
+                 ORDER BY d, ci LIMIT 1) AS code
+              FROM embeddings e, subs s),
+            adc AS (
+              SELECT c.sub, c.ci,
+                     list_inner_product(c.cv, c.cv)
+                     - 2.0 * list_inner_product(q.qv, c.cv) AS d
+              FROM cb c JOIN q USING (sub)),
+            appx AS (
+              SELECT enc.vec_id,
+                     max(CASE WHEN enc.sub = 0 THEN adc.d END)
+                   + max(CASE WHEN enc.sub = 1 THEN adc.d END)
+                   + max(CASE WHEN enc.sub = 2 THEN adc.d END)
+                   + max(CASE WHEN enc.sub = 3 THEN adc.d END) AS dist
+              FROM enc JOIN adc
+                ON adc.sub = enc.sub AND adc.ci = enc.code
+              GROUP BY 1),
+            cand AS (SELECT vec_id FROM appx ORDER BY dist, vec_id LIMIT 40)
+            SELECT vec_id FROM (
+              SELECT e.vec_id,
+                list_inner_product(e.embedding::DOUBLE[], f.qv)
+                / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(f.qv, f.qv))) AS c
+              FROM embeddings e JOIN cand USING (vec_id), qfull f)
             ORDER BY c DESC, vec_id LIMIT 10
         """,
         "text_bm25": """

@@ -278,3 +278,95 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nbr_id", "cosine")
     )
+
+
+def pq_ann(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN: split vectors into ``m`` subspaces,
+    encode each subspace as its nearest codebook entry, scan by
+    ASYMMETRIC distance (query ↔ codebook lookup table), exact re-rank
+    the best ``rerank_factor·k`` candidates.
+
+    Codebook "training" is the same deterministic stub as ``ivf_ann``'s
+    default (subspace slices of the first ``n_codes`` vectors by id) so
+    the oracle can replay it; swap in per-subspace ``kmeans_train``
+    centroids for the production path. Scale shape: the encoded corpus is
+    ``m`` small ints per vector (16 bytes vs 256 for dim=64 float32 —
+    the point of PQ at 10^12 rows); encoding and the ADC scan are pure
+    codegen expressions over broadcast-literal codebooks, the only top-k
+    is TakeOrderedAndProject on (approx_dist, id).
+
+    Distance convention: per-subspace score ``ip(c,c) - 2·ip(v,c)``
+    (monotone in L2² — the ‖v‖² term is constant per vector), folds
+    ascending so the oracle's ``list_inner_product`` reproduces the same
+    IEEE doubles; argmin ties break toward the LOWER code index.
+    """
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"pq_ann: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    ]
+    if not cents:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    # codebooks[s][c]: subspace s slice of stub centroid c
+    books = [[c[s * sub : (s + 1) * sub] for c in cents] for s in range(m)]
+
+    v = f"cast({vec_col} as array<double>)"
+
+    def encode_expr(s: int) -> str:
+        vs = f"slice({v}, {s * sub + 1}, {sub})"
+        terms = []
+        for ci, cvec in enumerate(books[s]):
+            ipcc = 0.0
+            for x in cvec:
+                ipcc += x * x
+            terms.append(
+                f"named_struct('c', {ci}, 's', cast({ipcc} as double)"
+                f" - 2.0d * {_dot(vs, _vec_lit(cvec))})"
+            )
+        arr = "array(" + ", ".join(terms) + ")"
+        return (
+            f"aggregate({arr}, named_struct('c', -1, 's', cast('Infinity' as double)),"
+            f" (acc, x) -> CASE WHEN x.s < acc.s THEN x ELSE acc END).c"
+        )
+
+    # ADC lookup tables: adc[s][c] = ip(c,c) - 2·ip(q_s, c)
+    adc = []
+    for s in range(m):
+        qs = query_vec[s * sub : (s + 1) * sub]
+        row = []
+        for cvec in books[s]:
+            ipcc = 0.0
+            for x in cvec:
+                ipcc += x * x
+            ipqc = 0.0
+            for a, b in zip(qs, cvec):
+                ipqc += float(a) * b
+            row.append(ipcc - 2.0 * ipqc)
+        adc.append(row)
+
+    enc = df.select(id_col, vec_col, *[
+        F.expr(encode_expr(s)).alias(f"_pq{s}") for s in range(m)
+    ])
+    dist = None
+    for s in range(m):
+        table = F.array(*[F.lit(float(x)).cast("double") for x in adc[s]])
+        term = F.element_at(table, F.col(f"_pq{s}") + 1)
+        dist = term if dist is None else dist + term
+    cand = (
+        enc.withColumn("_adc", dist)
+        .orderBy(F.col("_adc"), F.col(id_col))
+        .limit(rerank_factor * k)
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -599,3 +599,18 @@ def test_media_resize_and_features_compose_with_ann(spark):
     for r in rows:
         if r.rank == 1:
             assert r.cosine == _pt.approx(1.0)
+
+
+def test_pq_ann_recall_and_self_match(spark):
+    # PQ is approximate: assert the mechanism (query's own vector always
+    # survives — its codes minimize its own ADC entries) and useful recall
+    # vs the exact top-k on this corpus
+    from oshdb_spark.ops.similarity import cosine_topk, pq_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    got = [r.vec_id for r in pq_ann(emb, q, k=10, m=4, n_codes=16).collect()]
+    assert len(got) == 10
+    assert 0 in got
+    assert len(exact & set(got)) >= 2
