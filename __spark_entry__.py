@@ -1746,7 +1746,7 @@ def q_topk_orders(spark, sf_dir):
 _STORE_CACHE = "/tmp/oshdb_flat_store"
 
 
-def _store_docs(spark, sf_dir, kind):
+def _store_docs(spark, sf_dir, kind, bbox=None, polygon=None):
     """Docs re-read through the FLAT kernel-ready store
     (plans.layout.write_typed_store): the interleaved JSON is decoded
     once here (ETL) and every query over the store skips the decode.
@@ -1777,7 +1777,7 @@ def _store_docs(spark, sf_dir, kind):
         }[kind]
         write_typed_store(mk(_t(spark, sf_dir, "events")), path)
         open(done, "w").close()
-    return read_typed_store(spark, path)
+    return read_typed_store(spark, path, bbox=bbox, polygon=polygon)
 
 
 def q_store_snapshot_bbox_tag(spark, sf_dir):
@@ -1792,6 +1792,30 @@ def q_store_snapshot_bbox_tag(spark, sf_dir):
         .area_of_interest(bbox=_BBOX)
         .osm_type("node")
         .osm_tag("event_type", "click")
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
+def q_store_snapshot_polygon(spark, sf_dir):
+    """snapshot_polygon over the flat store with POLYGON-refined partition
+    pruning (cover_prefixes_polygon): reads only polygon-touching cells,
+    same oracle as the raw-docs polygon query."""
+    import numpy as np
+
+    poly = [np.asarray(_POLY, dtype=np.float64)]
+    allv = np.vstack(poly)
+    bbox = (
+        float(allv[:, 0].min()), float(allv[:, 1].min()),
+        float(allv[:, 0].max()), float(allv[:, 1].max()),
+    )
+    docs = _store_docs(spark, sf_dir, "node", bbox=bbox, polygon=poly)
+    return (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(polygon=[_POLY])
+        .osm_type("node")
         .aggregate_by_timestamp()
         .count()
     )
@@ -1899,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "topk_orders": q_topk_orders,
         "store_snapshot_bbox_tag": q_store_snapshot_bbox_tag,
+        "store_snapshot_polygon": q_store_snapshot_polygon,
         "store_relation_length": q_store_relation_length,
     }
 
@@ -3511,4 +3536,5 @@ def oracle_sql() -> dict[str, str]:
     # raw-path twins' oracles verbatim
     out["store_snapshot_bbox_tag"] = out["snapshot_bbox_tag"]
     out["store_relation_length"] = out["relation_snapshot_length"]
+    out["store_snapshot_polygon"] = out["snapshot_polygon"]
     return out

@@ -431,10 +431,9 @@ def cover_tokens(
     return sorted(_d_to_token(d, level).tolist())
 
 
-def cover_prefixes(bbox7, level: int = 6, enlarge: bool = True) -> list[str]:
-    """Compressed cover: merges sibling runs into shorter (ancestor)
-    prefixes so the pruning predicate stays small for large AOIs."""
-    toks = cover_tokens(bbox7, level, enlarge)
+def _compress_tokens(toks: list[str]) -> list[str]:
+    """Merge complete sibling runs into their (shorter) ancestor prefix so
+    pruning predicates stay small for large covers."""
     toks = sorted(set(toks))
     changed = True
     while changed:
@@ -454,6 +453,71 @@ def cover_prefixes(bbox7, level: int = 6, enlarge: bool = True) -> list[str]:
             i += 1
         toks = out
     return toks
+
+
+def cover_prefixes(bbox7, level: int = 6, enlarge: bool = True) -> list[str]:
+    """Compressed cover: merges sibling runs into shorter (ancestor)
+    prefixes so the pruning predicate stays small for large AOIs."""
+    return _compress_tokens(cover_tokens(bbox7, level, enlarge))
+
+
+def cover_tokens_polygon(
+    pieces, level: int, enlarge: bool = True
+) -> list[str]:
+    """Cell tokens at `level` whose cells 3-STATE intersect the polygon
+    AOI (list of pieces, each a list of degree rings, outer first) — the
+    polygon refinement of ``cover_tokens``: for a diagonal or L-shaped
+    AOI, the bbox cover scans every cell of the envelope while the
+    polygon touches ~half of them; fewer tokens = fewer partitions read.
+    Conservative (cells are kept on any contact; exactness is re-checked
+    per doc in the kernels). With enlarge=True each kept cell also keeps
+    its SW / S / W neighbours so SW-anchored features that reach into an
+    intersecting cell are found (same rule as the bbox cover)."""
+    from . import clip as C
+    from ..kernels.aoi import bbox_vs_polygon
+
+    allr = [r for piece in pieces for r in piece]
+    minlon = min(float(np.min(r[:, 0])) for r in allr)
+    minlat = min(float(np.min(r[:, 1])) for r in allr)
+    maxlon = max(float(np.max(r[:, 0])) for r in allr)
+    maxlat = max(float(np.max(r[:, 1])) for r in allr)
+    n = 1 << level
+    wx = 360.0 / n
+    wy = 180.0 / n
+
+    def cx(lon):
+        return max(0, min(int((lon + 180.0) / wx), n - 1))
+
+    def cy(lat):
+        return max(0, min(int((lat + 90.0) / wy), n - 1))
+
+    x0, x1 = cx(minlon), cx(maxlon)
+    y0, y1 = cy(minlat), cy(maxlat)
+    mask = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+    multi = len(pieces) > 1
+    poly = pieces if multi else pieces[0]
+    for yi in range(y0, y1 + 1):
+        s, no = -90.0 + yi * wy, -90.0 + (yi + 1) * wy
+        for xi in range(x0, x1 + 1):
+            w, e = -180.0 + xi * wx, -180.0 + (xi + 1) * wx
+            if bbox_vs_polygon((w, s, e, no), poly) != 0:
+                mask[yi - y0, xi - x0] = True
+    if enlarge:
+        grown = mask.copy()
+        grown[:-1, :] |= mask[1:, :]   # S neighbour of a kept cell
+        grown[:, :-1] |= mask[:, 1:]   # W neighbour
+        grown[:-1, :-1] |= mask[1:, 1:]  # SW neighbour
+        mask = grown
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return []
+    d = hilbert_xy2d(level, xs + x0, ys + y0)
+    return sorted(_d_to_token(d, level).tolist())
+
+
+def cover_prefixes_polygon(pieces, level: int = 6, enlarge: bool = True) -> list[str]:
+    """Compressed polygon cover (see ``cover_tokens_polygon``)."""
+    return _compress_tokens(cover_tokens_polygon(pieces, level, enlarge))
 
 
 def ring_tokens(token: str, k: int = 1) -> list[str]:

@@ -360,13 +360,19 @@ def update_typed_store(
 
 
 def read_typed_store(
-    spark: SparkSession, path: str, bbox=None, prefix_len: int = 2
+    spark: SparkSession, path: str, bbox=None, prefix_len: int = 2,
+    polygon=None,
 ) -> DataFrame:
     """Read the typed store with cell-prefix partition pruning plus the
     doc-bbox row-group predicate (bbox columns are top-level parquet
     columns here, so min/max statistics prune row groups before decode —
     check .explain for PushedFilters on bbox_*). Refuses a store written
-    by an older engine (kernels assume the current flat projection)."""
+    by an older engine (kernels assume the current flat projection).
+
+    ``polygon`` (pieces of degree rings) refines the partition cover from
+    the AOI's envelope to the cells the polygon actually touches — for
+    diagonal/L-shaped AOIs that is a strict subset; exactness is still
+    re-checked per doc in the kernels."""
     import os
 
     ver_file = f"{path}/_manifest/schema_version"
@@ -382,7 +388,7 @@ def read_typed_store(
     df = spark.read.parquet(path)
     if bbox is None:
         return df
-    df = _prefix_pruned(df, bbox, prefix_len)
+    df = _prefix_pruned(df, bbox, prefix_len, polygon)
     b7 = tuple(int(x * 10_000_000) for x in bbox)
     return df.filter(
         (F.col("bbox_min_lon") <= b7[2])
@@ -392,9 +398,17 @@ def read_typed_store(
     )
 
 
-def _prefix_pruned(df: DataFrame, bbox, prefix_len: int) -> DataFrame:
+def _prefix_pruned(df: DataFrame, bbox, prefix_len: int, polygon=None) -> DataFrame:
     bbox7 = tuple(int(b * 10_000_000) for b in bbox)
-    cover = cells.cover_prefixes(bbox7, level=prefix_len, enlarge=True)
+    if polygon is not None:
+        from ..geo import clip as C
+
+        pieces = C.aoi_pieces(polygon)
+        cover = cells.cover_prefixes_polygon(
+            pieces, level=prefix_len, enlarge=True
+        )
+    else:
+        cover = cells.cover_prefixes(bbox7, level=prefix_len, enlarge=True)
     conds = []
     exact = set()
     for tok in cover:
@@ -425,7 +439,8 @@ def read_cell_counts(path: str) -> dict | None:
 
 
 def read_docs_store(
-    spark: SparkSession, path: str, bbox=None, prefix_len: int = 2
+    spark: SparkSession, path: str, bbox=None, prefix_len: int = 2,
+    polygon=None,
 ) -> DataFrame:
     """Read the store with cell-prefix partition pruning for a bbox AOI.
 
@@ -435,8 +450,10 @@ def read_docs_store(
     prefix_len (features spanning several prefix cells) are stored under
     their zero-padded prefix; the cover therefore also includes every
     ancestor-run prefix range. The doc-level exactness re-check happens in
-    the kernels, so over-selection here is only a performance matter."""
+    the kernels, so over-selection here is only a performance matter.
+    ``polygon`` refines the cover to polygon-touching cells (see
+    read_typed_store)."""
     df = spark.read.parquet(path)
     if bbox is None:
         return df
-    return _prefix_pruned(df, bbox, prefix_len)
+    return _prefix_pruned(df, bbox, prefix_len, polygon)

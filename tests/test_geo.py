@@ -412,3 +412,70 @@ class TestArealInterpolation:
             math.sin(math.radians(20)) - math.sin(math.radians(10)))
         assert abs(got["low"] - (100.0 + 200.0 * w_b_low)) < 1e-6
         assert abs(got["high"] - 200.0 * (1 - w_b_low)) < 1e-6
+
+
+class TestPolygonCover:
+    """cover_tokens_polygon: polygon-refined partition covers — strict
+    subset of the bbox cover for diagonal AOIs, never missing a cell the
+    polygon touches, SW-enlarge matching the bbox rule."""
+
+    # a thin diagonal band across a large envelope
+    DIAG = [[np.array(
+        [(-60.0, -60.0), (-50.0, -60.0), (60.0, 60.0), (50.0, 60.0),
+         (-60.0, -60.0)], dtype=np.float64)]]
+
+    def test_subset_of_bbox_cover_and_exact(self):
+        from oshdb_spark.kernels.aoi import bbox_vs_polygon
+
+        level = 5
+        bbox7 = (-60 * 10**7, -60 * 10**7, 60 * 10**7, 60 * 10**7)
+        bb = set(cells.cover_tokens(bbox7, level, enlarge=False))
+        pg = set(cells.cover_tokens_polygon(self.DIAG, level, enlarge=False))
+        assert pg <= bb
+        assert len(pg) < len(bb) / 2  # the diagonal band skips most cells
+
+        # exhaustive: a token is in the cover IFF its cell touches the band
+        n = 1 << level
+        wx, wy = 360.0 / n, 180.0 / n
+        for yi in range(n // 2):
+            for xi in range(n):
+                cell_bb = (
+                    -180.0 + xi * wx, -90.0 + yi * wy,
+                    -180.0 + (xi + 1) * wx, -90.0 + (yi + 1) * wy,
+                )
+                touches = bbox_vs_polygon(cell_bb, self.DIAG[0]) != 0
+                d = cells.hilbert_xy2d(level, np.array([xi]), np.array([yi]))
+                tok = cells._d_to_token(d, level)[0]
+                assert (tok in pg) == touches, (xi, yi)
+
+    def test_enlarge_adds_sw_neighbours(self):
+        level = 4
+        base = set(cells.cover_tokens_polygon(self.DIAG, level, enlarge=False))
+        grown = set(cells.cover_tokens_polygon(self.DIAG, level, enlarge=True))
+        assert base <= grown
+        # every grown-only token is the S/W/SW neighbour of a base token
+        n = 1 << level
+        base_xy = set()
+        for t in base:
+            d = int(t, 4)
+            x, y = cells.hilbert_d2xy(level, d)
+            base_xy.add((x, y))
+        for t in grown - base:
+            x, y = cells.hilbert_d2xy(level, int(t, 4))
+            assert (
+                (x + 1, y) in base_xy
+                or (x, y + 1) in base_xy
+                or (x + 1, y + 1) in base_xy
+            )
+
+    def test_multi_piece(self):
+        pieces = [
+            [np.array([(-10, -10), (0, -10), (0, 0), (-10, 0), (-10, -10)],
+                      dtype=np.float64)],
+            [np.array([(100, 40), (110, 40), (110, 50), (100, 50), (100, 40)],
+                      dtype=np.float64)],
+        ]
+        toks = cells.cover_tokens_polygon(pieces, 4, enlarge=False)
+        assert len(toks) > 0
+        prefixes = cells.cover_prefixes_polygon(pieces, 4, enlarge=False)
+        assert len(prefixes) <= len(toks)

@@ -138,3 +138,35 @@ def test_store_manifest_cell_counts(spark, tmp_path):
     assert sum(m["counts"].values()) == deep
     assert 0 < deep <= docs.count()
     assert all(len(t) == 6 for t in m["counts"])
+
+
+def test_polygon_pruned_store_read(spark, docs, tmp_path):
+    # a diagonal polygon AOI: the polygon cover reads FEWER partitions
+    # than the bbox cover while kernel results stay identical
+    import numpy as np
+
+    from oshdb_spark.kernels.snapshot import snapshots
+
+    path = str(tmp_path / "pstore")
+    write_docs_store(docs, path, prefix_len=2, target_rows=5)
+    poly = [np.array(
+        [(-60.0, -60.0), (-40.0, -60.0), (60.0, 60.0), (40.0, 60.0),
+         (-60.0, -60.0)], dtype=np.float64)]
+    bbox = (-60.0, -60.0, 60.0, 60.0)
+
+    by_bbox = read_docs_store(spark, path, bbox=bbox)
+    by_poly = read_docs_store(spark, path, bbox=bbox, polygon=poly)
+    assert by_poly.count() <= by_bbox.count()
+
+    a = (
+        snapshots(by_poly.select("doc_id", "spans"), SNAPSHOT_TS,
+                  bbox=bbox, polygon=poly)
+        .groupBy("ts").count().orderBy("ts").collect()
+    )
+    b = (
+        snapshots(docs, SNAPSHOT_TS, bbox=bbox, polygon=poly)
+        .groupBy("ts").count().orderBy("ts").collect()
+    )
+    assert [(r.ts, r["count"]) for r in a] == [(r.ts, r["count"]) for r in b]
+    plan = by_poly._jdf.queryExecution().executedPlan().toString()
+    assert "cell_prefix" in plan
