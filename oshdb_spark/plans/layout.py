@@ -243,7 +243,128 @@ def write_typed_store(
         )
     with open(f"{path}/_manifest/schema_version", "w") as f:
         f.write(str(STORE_SCHEMA_VERSION))
+    _reset_snapshots(path)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Snapshot manifests + time travel (the Iceberg-snapshot shape on plain
+# partitioned parquet). The LIVE directory layout is always the latest
+# version — current reads are untouched. Each incremental merge archives
+# the partitions it replaces under `_archive/{new_id}/cell_prefix=XX`
+# (copy-on-write emulation: Iceberg avoids the copy by never deleting;
+# parquet's dynamic partition overwrite deletes, so we copy first), and
+# `read_typed_store(version=v)` reconstructs any retained version by
+# stitching live partitions with the archives of later merges.
+# ---------------------------------------------------------------------------
+
+def _snapshots_file(path: str) -> str:
+    return f"{path}/_manifest/snapshots.json"
+
+
+def store_snapshots(path: str) -> list[dict]:
+    """Snapshot log: [{"id", "op", "affected"}] — id 1 is the full write,
+    each merge appends one entry listing the partitions it replaced."""
+    import json
+    import os
+
+    p = _snapshots_file(path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _reset_snapshots(path: str) -> None:
+    import json
+    import os
+    import shutil
+
+    shutil.rmtree(f"{path}/_archive", ignore_errors=True)
+    os.makedirs(f"{path}/_manifest", exist_ok=True)
+    with open(_snapshots_file(path), "w") as f:
+        json.dump([{"id": 1, "op": "write", "affected": None}], f)
+
+
+def _append_snapshot(path: str, affected: list[str]) -> int:
+    import json
+
+    snaps = store_snapshots(path)
+    nid = (snaps[-1]["id"] + 1) if snaps else 1
+    snaps.append({"id": nid, "op": "merge", "affected": sorted(affected)})
+    with open(_snapshots_file(path), "w") as f:
+        json.dump(snaps, f)
+    return nid
+
+
+def _archive_partitions(path: str, new_id: int, affected: list[str]) -> None:
+    """Copy the current files of the partitions a merge will replace to
+    `_archive/{new_id}` — they ARE the pre-merge state of every version
+    < new_id that no earlier archive already pins."""
+    import os
+    import shutil
+
+    for p in affected:
+        src = f"{path}/cell_prefix={p}"
+        if os.path.isdir(src):
+            shutil.copytree(src, f"{path}/_archive/{new_id}/cell_prefix={p}")
+
+
+def _version_partition_dirs(path: str, version: int) -> list[tuple[str, str]]:
+    """(prefix, directory) pairs reconstructing the store at `version`:
+    per prefix, the FIRST later merge that replaced it pins its bytes in
+    that merge's archive; prefixes never replaced since are live."""
+    import os
+
+    snaps = store_snapshots(path)
+    ids = [s["id"] for s in snaps]
+    if version not in ids:
+        raise ValueError(
+            f"store at {path} has no snapshot {version}; retained: {ids}"
+        )
+    live = [
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("cell_prefix=")
+    ]
+    out = {}
+    for s in snaps:
+        if s["op"] != "merge" or s["id"] <= version:
+            continue
+        for p in s["affected"]:
+            arc = f"{path}/_archive/{s['id']}/cell_prefix={p}"
+            if p not in out:
+                # no archived dir ⇒ the merge CREATED the prefix, so it
+                # did not exist at `version`
+                out[p] = arc if os.path.isdir(arc) else None
+    for p in live:
+        out.setdefault(p, f"{path}/cell_prefix={p}")
+    return [(p, d) for p, d in sorted(out.items()) if d is not None]
+
+
+def vacuum_typed_store(path: str, keep_last: int = 2) -> list[int]:
+    """Expire history: keep the newest `keep_last` versions readable,
+    delete archives only older versions reference. Returns removed
+    archive ids."""
+    import json
+    import shutil
+
+    snaps = store_snapshots(path)
+    if not snaps:
+        return []
+    latest = snaps[-1]["id"]
+    oldest_kept = max(snaps[0]["id"], latest - keep_last + 1)
+    removed = []
+    for s in snaps:
+        # archive {id} serves only versions < id: if even the oldest
+        # retained version is >= id, nothing can reference it
+        if s["op"] == "merge" and s["id"] <= oldest_kept:
+            shutil.rmtree(f"{path}/_archive/{s['id']}", ignore_errors=True)
+            removed.append(s["id"])
+    kept = [s for s in snaps if s["id"] >= oldest_kept]
+    with open(_snapshots_file(path), "w") as f:
+        json.dump(kept, f)
+    return removed
 
 
 def update_typed_store(
@@ -329,12 +450,18 @@ def update_typed_store(
             .repartition(F.col("cell_prefix"), F.col("cell_salt"))
             .sortWithinPartitions("cell")
         )
+        # snapshot isolation: archive the pre-merge bytes of every
+        # partition the dynamic overwrite is about to delete, THEN swap
+        snaps = store_snapshots(path)
+        new_id = (snaps[-1]["id"] + 1) if snaps else 2
+        _archive_partitions(path, new_id, affected)
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        _append_snapshot(path, affected)
 
         counts = (
             merged.filter(F.length("cell") >= manifest_level)
@@ -361,7 +488,7 @@ def update_typed_store(
 
 def read_typed_store(
     spark: SparkSession, path: str, bbox=None, prefix_len: int = 2,
-    polygon=None,
+    polygon=None, version: int | None = None,
 ) -> DataFrame:
     """Read the typed store with cell-prefix partition pruning plus the
     doc-bbox row-group predicate (bbox columns are top-level parquet
@@ -385,7 +512,22 @@ def read_typed_store(
             f"typed store at {path} has schema v{ver}, engine expects "
             f"v{STORE_SCHEMA_VERSION} — re-run write_typed_store"
         )
-    df = spark.read.parquet(path)
+    snaps = store_snapshots(path)
+    if version is not None and snaps and version != snaps[-1]["id"]:
+        # time travel: stitch live partitions with later merges' archives
+        # (each dir loses its partition column — restore it per prefix)
+        parts = []
+        for p, d in _version_partition_dirs(path, version):
+            parts.append(
+                spark.read.parquet(d).withColumn("cell_prefix", F.lit(p))
+            )
+        if not parts:
+            raise ValueError(f"snapshot {version} of {path} is empty")
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+    else:
+        df = spark.read.parquet(path)
     if bbox is None:
         return df
     df = _prefix_pruned(df, bbox, prefix_len, polygon)

@@ -232,3 +232,72 @@ def test_incremental_update_empty_batch_is_noop(spark, tmp_path):
     res = update_typed_store(docs.filter(F.lit(False)), p, target_rows=50)
     assert res["affected_prefixes"] == []
     assert _store_json(spark, p) == before
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    """Snapshot manifests: every retained version reads back exactly the
+    store content as of that version; live reads are untouched; vacuum
+    expires only what no retained version references."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import (
+        read_typed_store,
+        store_snapshots,
+        update_typed_store,
+        vacuum_typed_store,
+        write_typed_store,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v1_docs = docs_from_events(ev.filter(F.col("event_id") % 3 != 0))
+    full = docs_from_events(ev)
+    path = str(tmp_path / "tt_store")
+    write_typed_store(v1_docs, path)
+    assert [s["id"] for s in store_snapshots(path)] == [1]
+
+    def content(df):
+        return sorted(
+            (r["doc_id"], r["n_versions"])
+            for r in df.select(
+                "doc_id", F.size("versions").alias("n_versions")
+            ).collect()
+        )
+
+    v1_content = content(read_typed_store(spark, path))
+
+    # merge 1: docs owning the dropped events get their full history
+    owner = docs_from_events(
+        ev.filter(F.col("event_id") % 3 == 0)
+    ).select("doc_id").distinct()
+    changed = full.join(owner, "doc_id", "left_semi")
+    update_typed_store(changed, path)
+    assert [s["id"] for s in store_snapshots(path)] == [1, 2]
+    v2_content = content(read_typed_store(spark, path))
+    assert v2_content != v1_content
+
+    # merge 2: touch a small disjoint doc subset with extra versions
+    changed2 = full.filter(F.abs(F.xxhash64("doc_id")) % 7 == 0)
+    update_typed_store(changed2, path)
+    assert [s["id"] for s in store_snapshots(path)] == [1, 2, 3]
+
+    # time travel: v1 and v2 reconstruct exactly; v3 == live
+    assert content(read_typed_store(spark, path, version=1)) == v1_content
+    assert content(read_typed_store(spark, path, version=2)) == v2_content
+    assert content(read_typed_store(spark, path, version=3)) == content(
+        read_typed_store(spark, path)
+    )
+    # time-travel read composes with pruning
+    pruned = read_typed_store(
+        spark, path, bbox=(0.0, 0.0, 40.0, 40.0), version=1
+    )
+    assert pruned.count() <= len(v1_content)
+
+    # vacuum to the last 2 versions: v1 gone, v2 + v3 still readable
+    vacuum_typed_store(path, keep_last=2)
+    ids = [s["id"] for s in store_snapshots(path)]
+    assert ids == [2, 3]
+    with pytest.raises(ValueError):
+        read_typed_store(spark, path, version=1)
+    assert content(read_typed_store(spark, path, version=2)) == v2_content
