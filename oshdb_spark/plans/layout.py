@@ -342,6 +342,64 @@ def _version_partition_dirs(path: str, version: int) -> list[tuple[str, str]]:
     return [(p, d) for p, d in sorted(out.items()) if d is not None]
 
 
+def compact_typed_store(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 4,
+    target_rows: int = 100_000,
+) -> list[str]:
+    """Small-file compaction: rewrite only the partitions whose parquet
+    file count exceeds the threshold (repeated incremental merges leave
+    small files behind), as a snapshot-logged copy-on-write operation —
+    content is bit-identical, older versions stay readable, untouched
+    partitions' files are never rewritten. The Iceberg `rewrite_data_files`
+    maintenance shape. Returns the compacted prefixes."""
+    import os
+
+    fat = []
+    for d in os.listdir(path):
+        if not d.startswith("cell_prefix="):
+            continue
+        n = sum(
+            1 for fn in os.listdir(f"{path}/{d}") if fn.endswith(".parquet")
+        )
+        if n > max_files_per_partition:
+            fat.append(d.split("=", 1)[1])
+    if not fat:
+        return []
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="typed_store_compact")
+    try:
+        sub = spark.read.parquet(path).filter(
+            F.col("cell_prefix").isin(fat)
+        ).withColumn(
+            "cell_prefix",
+            F.lpad(F.col("cell_prefix").cast("string"), len(fat[0]), "0"),
+        )
+        plan = salt_plan(sub, target_rows=target_rows)
+        out = (
+            with_salt(sub.drop("cell_salt"), plan)
+            .repartition(F.col("cell_prefix"), F.col("cell_salt"))
+            .sortWithinPartitions("cell")
+        )
+        out.write.partitionBy("cell_prefix").parquet(f"{tmp}/packed")
+
+        snaps = store_snapshots(path)
+        new_id = (snaps[-1]["id"] + 1) if snaps else 2
+        _archive_partitions(path, new_id, fat)
+        for p in fat:
+            shutil.rmtree(f"{path}/cell_prefix={p}")
+            shutil.move(
+                f"{tmp}/packed/cell_prefix={p}", f"{path}/cell_prefix={p}"
+            )
+        _append_snapshot(path, fat)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return sorted(fat)
+
+
 def vacuum_typed_store(path: str, keep_last: int = 2) -> list[int]:
     """Expire history: keep the newest `keep_last` versions readable,
     delete archives only older versions reference. Returns removed

@@ -301,3 +301,78 @@ def test_time_travel_snapshots(spark, tmp_path):
     with pytest.raises(ValueError):
         read_typed_store(spark, path, version=1)
     assert content(read_typed_store(spark, path, version=2)) == v2_content
+
+
+def test_compaction_preserves_content_and_history(spark, tmp_path):
+    """compact_typed_store: file counts drop, logical content is
+    identical, the pre-compaction version stays readable, untouched
+    partitions keep their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.model.history import docs_from_events
+    from oshdb_spark.plans.layout import (
+        compact_typed_store,
+        read_typed_store,
+        store_snapshots,
+        write_typed_store,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs_from_events(ev)
+    path = str(tmp_path / "c_store")
+    write_typed_store(docs, path)
+
+    # simulate the fragmentation repeated small merges leave behind:
+    # split two partitions' rows across 5 tiny files each
+    import shutil
+
+    frag = sorted(
+        d for d in os.listdir(path) if d.startswith("cell_prefix=")
+    )[:2]
+    for d in frag:
+        sub = spark.read.parquet(f"{path}/{d}")
+        stage = str(tmp_path / f"frag_{d}")
+        sub.repartition(5).write.parquet(stage)
+        shutil.rmtree(f"{path}/{d}")
+        os.makedirs(f"{path}/{d}")
+        for fn in os.listdir(stage):
+            if fn.endswith(".parquet"):
+                shutil.move(f"{stage}/{fn}", f"{path}/{d}/{fn}")
+
+    def files_per_part():
+        return {
+            d.split("=", 1)[1]: sorted(
+                fn for fn in os.listdir(f"{path}/{d}")
+                if fn.endswith(".parquet")
+            )
+            for d in os.listdir(path)
+            if d.startswith("cell_prefix=")
+        }
+
+    before = files_per_part()
+    assert any(len(v) > 2 for v in before.values())
+
+    def content(df):
+        return sorted(
+            (r["doc_id"], r["n_versions"])
+            for r in df.select(
+                "doc_id", F.size("versions").alias("n_versions")
+            ).collect()
+        )
+
+    want = content(read_typed_store(spark, path))
+    fat = compact_typed_store(spark, path, max_files_per_partition=2)
+    assert fat
+    after = files_per_part()
+    for p in fat:
+        assert len(after[p]) < len(before[p])
+    for p, fs in before.items():
+        if p not in fat:
+            assert after[p] == fs  # untouched partitions keep their files
+    assert content(read_typed_store(spark, path)) == want
+    # compaction is a snapshot: the pre-compaction version reads back
+    ids = [s["id"] for s in store_snapshots(path)]
+    assert ids == [1, 2]
+    assert content(read_typed_store(spark, path, version=1)) == want
