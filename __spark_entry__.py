@@ -1265,6 +1265,25 @@ def q_sim_pq(spark, sf_dir):
     return pq_ann(emb, qvec, k=10, m=4, n_codes=16).select("vec_id")
 
 
+def q_chunk_windows(spark, sf_dir):
+    """Retrieval chunking: overlapping 32-token windows, stride 24 —
+    codegen 1→N fan-out; reduced per doc (count, token sum, content md5
+    of the concatenated chunks) so the oracle compares every window."""
+    from oshdb_spark.ops.textstats import chunk_windows
+
+    d = _t(spark, sf_dir, "documents")
+    w = chunk_windows(d, window=32, stride=24)
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(win_idx, chunk)))"
+        ", x -> x.chunk), '|')"
+    )
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.md5(ordered).alias("content_md5"),
+    )
+
+
 def q_text_bm25(spark, sf_dir):
     """BM25 keyword relevance over documents (3-term query) — stats in one
     tiny aggregate, scoring as a codegen map, no inverted-index shuffle."""
@@ -1894,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
         "sim_pq": q_sim_pq,
+        "chunk_windows": q_chunk_windows,
         "text_bm25": q_text_bm25,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf": q_sim_ivf,
@@ -3361,6 +3381,27 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_inner_product(f.qv, f.qv))) AS c
               FROM embeddings e JOIN cand USING (vec_id), qfull f)
             ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "chunk_windows": """
+            -- per-doc overlapping windows: starts at 1, 1+24, ... up to
+            -- greatest(1, n-31); window = 32 tokens (remainder shorter);
+            -- win_idx recovers as (start-1)/stride (starts arithmetic)
+            SELECT doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   md5(string_agg(chunk, '|' ORDER BY win_idx))
+                     AS content_md5
+            FROM (
+              SELECT doc_id,
+                     (st - 1) // 24 AS win_idx,
+                     len(w[st : least(len(w), st + 31)]) AS n_tokens,
+                     array_to_string(
+                       w[st : least(len(w), st + 31)], ' ') AS chunk
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+                UNNEST(generate_series(1, greatest(1, len(w) - 31), 24))
+                  AS t(st))
+            GROUP BY 1
         """,
         "text_bm25": """
             -- Lucene-style BM25 (k1=1.2, b=0.75), mirrored term-for-term

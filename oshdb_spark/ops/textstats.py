@@ -265,3 +265,47 @@ def bm25_scores(
         .filter(sum(F.col(f"_tf{i}") for i in range(len(terms))) > 0)
         .select(F.col(id_col), "score")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlapping token windows — the retrieval-indexing
+    chunker (every window embeds/indexes independently), complementing
+    ``chunk_plan`` which packs ACROSS documents for training sequences.
+
+    Emits (id, win_idx, win_start, n_tokens, chunk). Windows start every
+    ``stride`` tokens; the last window is the remainder (shorter, never
+    empty); a doc shorter than one window is a single chunk. Pure
+    Catalyst (sequence → transform → slice → concat_ws): the 1→N fan-out
+    happens inside codegen with bounded output (≤ n_tokens/stride + 1
+    rows per doc), no Python anywhere.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("chunk_windows: window and stride must be positive")
+    toks = f"split({text_col}, ' ')"
+    starts = (
+        f"sequence(1, greatest(1, size({toks}) - {window} + 1), {stride})"
+    )
+    win = F.expr(
+        f"""
+        transform({starts}, s -> named_struct(
+          'win_start', s - 1,
+          'n_tokens', size(slice({toks}, s, {window})),
+          'chunk', concat_ws(' ', slice({toks}, s, {window}))))
+        """
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(win).alias("win_idx", "w"))
+        .select(
+            id_col,
+            "win_idx",
+            F.col("w.win_start").alias("win_start"),
+            F.col("w.n_tokens").alias("n_tokens"),
+            F.col("w.chunk").alias("chunk"),
+        )
+    )

@@ -614,3 +614,32 @@ def test_pq_ann_recall_and_self_match(spark):
     assert len(got) == 10
     assert 0 in got
     assert len(exact & set(got)) >= 2
+
+
+def test_chunk_windows_shapes(spark):
+    from oshdb_spark.ops.textstats import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),  # 80 tokens
+            (2, "a b c"),  # shorter than one window
+            (3, " ".join(f"x{i}" for i in range(32))),  # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0, 24, 48 → windows 32, 32, 32
+    d1 = sorted(by_doc[1], key=lambda r: r.win_idx)
+    assert [(r.win_start, r.n_tokens) for r in d1] == [
+        (0, 32), (24, 32), (48, 32)
+    ]
+    assert d1[0].chunk.startswith("w0 ") and d1[1].chunk.startswith("w24 ")
+    # adjacent windows overlap by window - stride = 8 tokens
+    assert d1[0].chunk.split()[-8:] == d1[1].chunk.split()[:8]
+    # doc 2: single short window
+    assert [(r.win_start, r.n_tokens) for r in by_doc[2]] == [(0, 3)]
+    # doc 3: exactly one full window
+    assert [(r.win_start, r.n_tokens) for r in by_doc[3]] == [(0, 32)]
