@@ -1223,6 +1223,24 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_keep(spark, sf_dir):
+    """keep_canonical end-to-end: LSH pairs → components → one surviving
+    doc per duplicate group (min id), isolated docs untouched; reduced
+    per source for a compact oracle row set."""
+    from oshdb_spark.ops.dedup import minhash_lsh_pairs
+    from oshdb_spark.ops.graph import keep_canonical
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, k=3, n_bands=4, rows_per_band=4, jaccard_threshold=0.5
+    )
+    kept = keep_canonical(corpus, pairs)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — rows-only check; parity is
     covered by tests/test_ops.py asserting each clone pair is found)."""
@@ -1909,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
@@ -2913,6 +2932,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
             SELECT node AS doc_id, min(lab) AS component
             FROM reach GROUP BY 1
+        """,
+        "dedup_keep": """
+            -- survivors of keep_canonical = docs whose component min-id
+            -- is themselves (recursive closure over the same LSH pairs)
+            WITH RECURSIVE dup AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL SELECT doc_id + 1000, text, source FROM documents),
+            words AS (SELECT doc_id, text, string_split(text, ' ') w FROM dup),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(w) < 3 THEN text
+                     ELSE concat_ws(' ', w[i], w[i+1], w[i+2]) END AS s
+              FROM words,
+                UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                       ELSE generate_series(1, len(w) - 2) END) AS t(i)),
+            mh AS (
+              SELECT doc_id, j, min(md5(s || ':' || j)) AS h
+              FROM sh, UNNEST(generate_series(0, 15)) AS u(j)
+              GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY j)) AS sig
+              FROM mh GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            pairs AS (
+              SELECT ida, idb FROM cand
+              WHERE (SELECT count(*) FROM sh x JOIN sh y ON x.s = y.s
+                      WHERE x.doc_id = cand.ida AND y.doc_id = cand.idb)
+                    / CAST((SELECT count(DISTINCT s) FROM sh z
+                            WHERE z.doc_id IN (cand.ida, cand.idb)) AS DOUBLE)
+                    >= 0.5),
+            sym AS (
+              SELECT ida AS a, idb AS b FROM pairs
+              UNION ALL SELECT idb, ida FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM dup
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+            comp AS (
+              SELECT node AS doc_id, min(lab) AS component
+              FROM reach GROUP BY 1)
+            SELECT d.source,
+                   count(*) AS n_kept,
+                   CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+            FROM dup d JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.component = c.doc_id
+            GROUP BY 1
         """,
         "dedup_simhash": """
             -- SimHash mirror of ops/dedup.with_simhash (32-bit token-hash
