@@ -1283,6 +1283,19 @@ def q_sim_pq(spark, sf_dir):
     return pq_ann(emb, qvec, k=10, m=4, n_codes=16).select("vec_id")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Misra–Gries top-10 words over documents. capacity=1024 exceeds the
+    corpus vocabulary, so the sketch is provably EXACT here (max_err=0,
+    layout-invariant) — the oracle compares exact counts; the
+    approximation guarantee under tight capacity is pytest-covered."""
+    from oshdb_spark.ops.sketches import heavy_hitters
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return heavy_hitters(words, "w", k=10, capacity=1024)
+
+
 def q_chunk_windows(spark, sf_dir):
     """Retrieval chunking: overlapping 32-token windows, stride 24 —
     codegen 1→N fan-out; reduced per doc (count, token sum, content md5
@@ -1932,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
         "sim_pq": q_sim_pq,
+        "heavy_hitters": q_heavy_hitters,
         "chunk_windows": q_chunk_windows,
         "text_bm25": q_text_bm25,
         "sim_lsh_ann": q_sim_lsh_ann,
@@ -3450,6 +3464,15 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_inner_product(f.qv, f.qv))) AS c
               FROM embeddings e JOIN cand USING (vec_id), qfull f)
             ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "heavy_hitters": """
+            -- capacity exceeds the vocabulary → the MG sketch is exact:
+            -- top-10 word counts, ties by word, zero error
+            SELECT w AS item, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_err
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10
         """,
         "chunk_windows": """
             -- per-doc overlapping windows: starts at 1, 1+24, ... up to

@@ -154,3 +154,122 @@ def tdigest_quantiles(
         )
 
     return partials.groupBy("grp").applyInPandas(finish, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters — the third mergeable sketch next to the
+# t-digest (quantiles) and HLL++ (countUniq): approximate top-k items
+# with a deterministic error guarantee.
+# ---------------------------------------------------------------------------
+
+def mg_summarize(items: np.ndarray, counts: np.ndarray, k: int):
+    """Compress an exact (item, count) histogram into ≤ k Misra–Gries
+    counters: if more than k distinct items, subtract the (k+1)-th
+    largest count from all and keep the positive ones. Each kept counter
+    underestimates its true count by at most the returned decrement."""
+    if len(items) <= k:
+        return items, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    dec = int(counts[order[k]])
+    kept = order[:k]
+    newc = counts[kept] - dec
+    pos = newc > 0
+    return items[kept][pos], newc[pos], dec
+
+
+def mg_merge(parts, k: int):
+    """Merge MG summaries (item-wise counter sums, decrements add), then
+    re-compress. The error bound adds across merge levels — still
+    ≤ n/(k+1) overall for partials over n rows."""
+    import collections
+
+    acc: dict = collections.defaultdict(int)
+    dec_total = 0
+    for items, counts, dec in parts:
+        dec_total += int(dec)
+        for i, c in zip(items, counts):
+            acc[i] += int(c)
+    items = np.array(list(acc.keys()), dtype=object)
+    counts = np.array(list(acc.values()), dtype=np.int64)
+    items, counts, dec = mg_summarize(items, counts, k)
+    return items, counts, dec_total + dec
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 16,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Approximate top-k items (Misra–Gries): per-partition exact
+    histograms compress to ``capacity`` counters (default 8k — slack
+    tightens the bound), ONE metadata-sized merge over
+    ≤ capacity × partitions counter rows, re-compressed and cut to k.
+
+    Output: (item, est_count, max_err), sorted (est desc, item), with the
+    deterministic guarantee true_count ∈ [est_count, est_count+max_err].
+    Scale shape: the full column reduces map-side to counters; only
+    counters shuffle (a single tiny group)."""
+    cap = capacity or 8 * k
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    part_schema = T.StructType(
+        [
+            T.StructField("pid", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("dec", T.LongType()),
+        ]
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        parts = []
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            parts.append((vc.index.to_numpy(), vc.to_numpy(np.int64), 0))
+        if not parts:
+            return
+        items, counts, dec = mg_merge(parts, cap)
+        pid = TaskContext.get().partitionId()  # partial identity only
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "item": items,
+                "cnt": counts.tolist(),
+                "dec": int(dec),
+            }
+        )
+
+    partials = src.mapInPandas(partial, part_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("max_err", T.LongType()),
+        ]
+    )
+
+    def merge_all(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # terminal merge: item-wise counter sums under-count by at most
+        # the summed partial decrements; cutting to the top k here is a
+        # plain truncation (no future items to absorb), so NO further
+        # compression — capacity ≥ distinct items yields exact counts
+        grp = pdf.groupby("item", sort=False)["cnt"].sum()
+        decs = int(pdf.drop_duplicates(subset=["pid"])["dec"].sum())
+        items = grp.index.to_numpy()
+        counts = grp.to_numpy(np.int64)
+        order = np.lexsort((items.astype(str), -counts))[:k]
+        return pd.DataFrame(
+            {
+                "item": items[order],
+                "est_count": counts[order].tolist(),
+                "max_err": decs,
+            }
+        )
+
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        merge_all, schema=out_schema
+    )

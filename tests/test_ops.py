@@ -643,3 +643,47 @@ def test_chunk_windows_shapes(spark):
     assert [(r.win_start, r.n_tokens) for r in by_doc[2]] == [(0, 3)]
     # doc 3: exactly one full window
     assert [(r.win_start, r.n_tokens) for r in by_doc[3]] == [(0, 32)]
+
+
+def test_heavy_hitters_guarantee_and_exact_mode(spark):
+    import random
+
+    from oshdb_spark.ops.sketches import heavy_hitters
+
+    rng = random.Random(11)
+    # zipf-ish: item i appears ~ N/(i+1) times
+    rows = []
+    for i in range(40):
+        rows += [(f"item{i:02d}",)] * (2000 // (i + 1))
+    rng.shuffle(rows)
+    n = len(rows)
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    true = {}
+    for (w,) in rows:
+        true[w] = true.get(w, 0) + 1
+
+    # approximate mode: tight capacity
+    cap = 12
+    got = heavy_hitters(df, "w", k=8, capacity=cap).collect()
+    assert 0 < len(got) <= 8
+    err = got[0].max_err
+    assert all(r.max_err == err for r in got)
+    for r in got:
+        # MG guarantee: est <= true <= est + max_err
+        assert r.est_count <= true[r.item] <= r.est_count + err
+    # anything truly frequent beyond the error bound must be reported
+    reported = {r.item for r in got}
+    top_est = sorted(true.values(), reverse=True)[7]
+    for w, c in true.items():
+        if c - err > top_est:
+            assert w in reported
+
+    # exact mode: capacity >= distinct items → zero error, exact counts
+    exact = heavy_hitters(df, "w", k=5, capacity=1000).collect()
+    assert [r.max_err for r in exact] == [0] * 5
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.item, r.est_count) for r in exact] == want
+
+    # layout independence in exact mode
+    exact1 = heavy_hitters(df.repartition(1), "w", k=5, capacity=1000).collect()
+    assert [(r.item, r.est_count) for r in exact1] == want
