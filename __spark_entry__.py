@@ -1710,6 +1710,54 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_media_phash_dedup(spark, sf_dir):
+    """Multimodal near-dup: block-mean perceptual hash over the media
+    bytes + exact Hamming blocking (pigeonhole over d+1 hash blocks, no
+    cartesian). The oracle replays the hash bit-for-bit from the ASCII
+    source text and brute-forces the pairs — equal output proves the
+    banding join is exhaustive."""
+    from oshdb_spark.ops.media import attach_media, phash_neardup_pairs
+
+    d = attach_media(
+        _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    pairs = phash_neardup_pairs(d, max_hamming=3, bits=16)
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def q_media_dedup_groups(spark, sf_dir):
+    """Full multimodal dedup-group pipeline: media bytes → block-mean
+    pHash → Hamming banding (d=1) → connected components → group-size
+    histogram (singletons included). One Catalyst plan end-to-end; the
+    CC rounds are O(log n) star-contraction joins."""
+    from oshdb_spark.ops.graph import connected_components
+    from oshdb_spark.ops.media import attach_media, phash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    pairs = phash_neardup_pairs(attach_media(docs), max_hamming=1, bits=16)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    ids = docs.select("doc_id")
+    comp = ids.join(labels, ids.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("component").alias("comp_checksum"),
+        )
+        .orderBy("size")
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """Window-function coverage: per-user session counts (gap > 30 min
     starts a new session) — the lag/valid_to window pattern (§2.9)."""
@@ -1971,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_phash_dedup": q_media_phash_dedup,
+        "media_dedup_groups": q_media_dedup_groups,
         "sessionization": q_sessionization,
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
@@ -3638,6 +3688,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS sum_idx,
                    CAST(sum(k * 16) AS BIGINT) AS sum_len
             FROM (SELECT least(8, strlen(text) // 64) AS k FROM documents)
+        """,
+        "media_phash_dedup": """
+            -- block-mean pHash replayed from the ASCII text (byte value
+            -- == ord of each char); brute-force pair scan — the Spark
+            -- side must find the same pairs via Hamming banding
+            WITH b AS (
+              SELECT doc_id, strlen(text) AS n,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, i, 1))) AS bv
+              FROM documents WHERE strlen(text) > 0
+            ), m AS (
+              SELECT doc_id, n, bv,
+                     CAST(list_aggregate(bv, 'sum') AS DOUBLE) / n AS mu
+              FROM b
+            ), blocks AS (
+              SELECT doc_id, j, mu,
+                     ((j+1)*n)//16 - (j*n)//16 AS cnt,
+                     CASE WHEN ((j+1)*n)//16 > (j*n)//16
+                          THEN list_aggregate(
+                                 list_slice(bv, (j*n)//16 + 1,
+                                            ((j+1)*n)//16), 'sum')
+                          ELSE 0 END AS sm
+              FROM m CROSS JOIN
+                   (SELECT CAST(range AS BIGINT) AS j FROM range(0, 16))
+            ), p AS (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN cnt > 0
+                              AND CAST(sm AS DOUBLE)/cnt > mu
+                              THEN (CAST(1 AS BIGINT) << j)
+                              ELSE 0 END), 0) AS BIGINT) AS phash
+              FROM blocks GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.phash, b.phash)) AS hamming
+              FROM p a JOIN p b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            )
+            SELECT CAST(hamming AS INT) AS hamming,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(id_a + id_b) AS BIGINT) AS id_checksum
+            FROM pairs GROUP BY hamming ORDER BY hamming
+        """,
+        "media_dedup_groups": """
+            -- pHash pairs at d<=1 + recursive reachability closure =
+            -- the Spark side's star-contraction connected components
+            WITH RECURSIVE b AS (
+              SELECT doc_id, strlen(text) AS n,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, i, 1))) AS bv
+              FROM documents WHERE strlen(text) > 0
+            ), m AS (
+              SELECT doc_id, n, bv,
+                     CAST(list_aggregate(bv, 'sum') AS DOUBLE) / n AS mu
+              FROM b
+            ), blocks AS (
+              SELECT doc_id, j, mu,
+                     ((j+1)*n)//16 - (j*n)//16 AS cnt,
+                     CASE WHEN ((j+1)*n)//16 > (j*n)//16
+                          THEN list_aggregate(
+                                 list_slice(bv, (j*n)//16 + 1,
+                                            ((j+1)*n)//16), 'sum')
+                          ELSE 0 END AS sm
+              FROM m CROSS JOIN
+                   (SELECT CAST(range AS BIGINT) AS j FROM range(0, 16))
+            ), p AS (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN cnt > 0
+                              AND CAST(sm AS DOUBLE)/cnt > mu
+                              THEN (CAST(1 AS BIGINT) << j)
+                              ELSE 0 END), 0) AS BIGINT) AS phash
+              FROM blocks GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM p a JOIN p b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 1
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM p
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            ), comp AS (
+              SELECT node AS doc_id, min(lab) AS component
+              FROM reach GROUP BY 1
+            ), sizes AS (
+              SELECT component, count(*) AS size FROM comp GROUP BY 1
+            )
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(component) AS BIGINT) AS comp_checksum
+            FROM sizes GROUP BY size ORDER BY size
         """,
         "sessionization": """
             SELECT user_id,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -177,6 +178,103 @@ def stub_feature_extractor(buf: bytes, dim: int) -> list[float]:
     with a real vision/audio encoder outside this sandbox."""
     n = len(buf)
     return [((n * (j + 13)) % 997) / 997.0 for j in range(dim)]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def with_phash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Block-mean perceptual hash over the raw media bytes.
+
+    The blob is split into ``bits`` near-equal byte blocks (boundary j =
+    ``(j * n) // bits``); bit j is set iff block j's mean byte value
+    strictly exceeds the whole-blob mean. This is the classic block-mean
+    image pHash applied to the opaque payload: byte-local edits flip only
+    the touched blocks' bits, so near-identical blobs land within a small
+    Hamming radius. Runs as a narrow Arrow-batched mapInPandas over a
+    2-column projection (the binary column never shuffles); all block
+    sums come from one cumulative-sum pass per blob.
+
+    Every quantity is an exact integer until the two final float64
+    divisions, so an oracle can replay the hash bit-for-bit in SQL.
+    """
+    js = np.arange(bits, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for k, buf in enumerate(pdf[media_col]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(b, dtype=np.int64, out=cs[1:])
+                mu = cs[n] / n
+                lo = js * n // bits
+                hi = (js + 1) * n // bits
+                cnt = np.maximum(hi - lo, 1)
+                means = (cs[hi] - cs[lo]) / cnt
+                out[k] = int(((means > mu).astype(np.int64) << js).sum())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "phash": out}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Multimodal near-duplicate pairs: block-mean pHash + exact Hamming
+    blocking — a pair within distance d shares at least one of the d+1
+    disjoint hash blocks (pigeonhole), so the (blk, key) equi-join finds
+    every qualifying pair with NO cartesian product; keys are
+    content-derived and near-uniform, so the one shuffle has no skew.
+    Same scale shape as ``dedup.simhash_neardup_pairs`` but the signature
+    comes from the media bytes, not text tokens."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    h = with_phash(df, media_col=media_col, id_col=id_col, bits=bits)
+    blocks = h.select(
+        F.col("doc_id").alias("_id"),
+        F.col("phash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), b -> named_struct("
+                f"'blk', b, 'key', (phash >> (b * {width})) % {1 << width}))"
+            )
+        ).alias("bk"),
+    ).select("_id", "phash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .withColumn("hamming", F.expr("bit_count(l.phash ^ r.phash)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "hamming"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def extract_features(

@@ -687,3 +687,64 @@ def test_heavy_hitters_guarantee_and_exact_mode(spark):
     # layout independence in exact mode
     exact1 = heavy_hitters(df.repartition(1), "w", k=5, capacity=1000).collect()
     assert [(r.item, r.est_count) for r in exact1] == want
+
+
+def _py_phash(buf: bytes, bits: int = 16) -> int:
+    import numpy as np
+
+    b = np.frombuffer(buf, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return 0
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(b, dtype=np.int64, out=cs[1:])
+    mu = cs[n] / n
+    js = np.arange(bits, dtype=np.int64)
+    lo, hi = js * n // bits, (js + 1) * n // bits
+    means = (cs[hi] - cs[lo]) / np.maximum(hi - lo, 1)
+    return int(((means > mu).astype(np.int64) << js).sum())
+
+
+def test_phash_matches_reference_and_is_block_local(spark):
+    """Kernel == pure-python block-mean hash on the real corpus; a
+    byte-local edit flips at most the bits of the touched blocks."""
+    from oshdb_spark.ops.media import attach_media, with_phash
+
+    d = attach_media(_docs(spark))
+    rows = with_phash(d).collect()
+    texts = {r.doc_id: r.text for r in _docs(spark).collect()}
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r.phash == _py_phash(texts[r.doc_id].encode("utf-8"))
+
+    # single-byte edit in the middle: ≤ 2 block-mean bits can flip from
+    # the block term (the global-mean shift can nudge borderline blocks,
+    # so assert a loose-but-meaningful radius)
+    base = ("a" * 37 + "m" + "z" * 26).encode()
+    edit = ("a" * 37 + "n" + "z" * 26).encode()
+    assert bin(_py_phash(base) ^ _py_phash(edit)).count("1") <= 4
+
+
+def test_phash_banding_equals_bruteforce(spark):
+    """Hamming banding (d+1 blocks, pigeonhole) finds EXACTLY the
+    brute-force pair set — and the plan has no cartesian product."""
+    from itertools import combinations
+
+    from oshdb_spark.ops.media import attach_media, phash_neardup_pairs
+
+    docs = _docs(spark).limit(150)
+    pairs_df = phash_neardup_pairs(attach_media(docs), max_hamming=3)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs_df.collect()}
+
+    hashes = {
+        r.doc_id: _py_phash(r.text.encode("utf-8")) for r in docs.collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(hashes), 2):
+        h = bin(hashes[a] ^ hashes[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want and len(want) > 0
