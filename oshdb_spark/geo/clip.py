@@ -512,6 +512,21 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
         t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
         u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
     ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    # bitwise-shared input vertices (canonicalized by _snap_merge) are
+    # boundary contacts by definition: record them DIRECTLY, exactly,
+    # on both chains — relying on the crossing solutions below to land
+    # on them is wrong, because a near-parallel edge pair meeting at a
+    # shared endpoint amplifies roundoff by 1/denom and the computed
+    # point can drift far beyond any fixed snap radius (round-4
+    # counterexample: two stars identical but for a 4e-9 outer-radius
+    # difference — one drifted split at t=0.99999991 opened the chain)
+    va_idx = {(float(x), float(y)): i for i, (x, y) in enumerate(a0)}
+    for j, (x, y) in enumerate(b0):
+        p = (float(x), float(y))
+        i = va_idx.get(p)
+        if i is not None:
+            rec_a.append((float(i), p))
+            rec_b.append((float(j), p))
     # vertex snap radius: crossing solutions of NEAR-parallel edge pairs
     # that truly meet at a shared endpoint amplify roundoff by 1/denom —
     # snap computed points within eps of an input vertex onto it (both
@@ -522,6 +537,15 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
         float(np.abs(b).max(initial=0.0)),
     )
     for i, j in zip(*np.nonzero(ok)):
+        # edges sharing a bitwise endpoint: the unique intersection of a
+        # non-parallel pair IS that endpoint (already recorded above) —
+        # the computed solution is pure 1/denom noise; drop it
+        ea0 = (float(a0[i, 0]), float(a0[i, 1]))
+        ea1 = (float(a1[i, 0]), float(a1[i, 1]))
+        eb0 = (float(b0[j, 0]), float(b0[j, 1]))
+        eb1 = (float(b1[j, 0]), float(b1[j, 1]))
+        if ea0 == eb0 or ea0 == eb1 or ea1 == eb0 or ea1 == eb1:
+            continue
         ti, uj = float(t[i, j]), float(u[i, j])
         px = float(a0[i, 0] + ti * d1[i, 0])
         py = float(a0[i, 1] + ti * d1[i, 1])

@@ -156,11 +156,20 @@ def with_simhash(
     md5-derived bit; the sign vector packs into a BIGINT. Pure Catalyst
     (aggregate + zip_with array folding)."""
     words = f"split({text_col}, ' ')"
-    # token hash: first 8 hex chars → 32-bit int via conv()
+    # token hash: 64 bits from two 32-bit conv() halves. Hex chars 1-8
+    # land in the LOW word so every bit position j < 32 is identical to
+    # the original 32-bit hash (keeps bits<=32 outputs and their oracles
+    # byte-stable); chars 9-16 fill the high word so bits 32-63 carry
+    # real entropy. bit_get() reads bit j sign-safely (an arithmetic
+    # `>> j % 2` misreads bit 63 once the bigint goes negative).
+    tok_hash = (
+        f"(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) | "
+        f"shiftleft(cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint), 32))"
+    )
     tok_bits = (
         f"transform(sequence(0, {bits - 1}), j -> "
-        f"CASE WHEN (cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
-        f" >> j) % 2 = 1 THEN 1 ELSE -1 END)"
+        f"CASE WHEN bit_get({tok_hash}, cast(j as int)) = 1 "
+        f"THEN 1 ELSE -1 END)"
     )
     votes = (
         f"aggregate({words}, "
@@ -183,9 +192,15 @@ def simhash_neardup_pairs(
     bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on half-hash
-    bands (a pair within distance d shares at least one of d+1 bands)."""
+    bands (a pair within distance d shares at least one of d+1 bands).
+
+    Band keys use a bitwise mask, not ``%``: at ``bits=64`` the packed
+    hash can be negative (bit 63), and Spark's sign-carrying remainder
+    would then give equal band bits unequal keys, silently dropping
+    pairs. The mask is exact for every width."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
+    mask = (1 << width) - 1
     h = with_simhash(df.select(id_col, text_col), text_col, bits=bits)
     blocks = h.select(
         F.col(id_col).alias("_id"),
@@ -193,7 +208,7 @@ def simhash_neardup_pairs(
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), b -> named_struct("
-                f"'blk', b, 'key', (simhash >> (b * {width})) % {1 << width}))"
+                f"'blk', b, 'key', (simhash >> (b * {width})) & {mask}))"
             )
         ).alias("bk"),
     ).select("_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))

@@ -246,9 +246,18 @@ def phash_neardup_pairs(
     every qualifying pair with NO cartesian product; keys are
     content-derived and near-uniform, so the one shuffle has no skew.
     Same scale shape as ``dedup.simhash_neardup_pairs`` but the signature
-    comes from the media bytes, not text tokens."""
+    comes from the media bytes, not text tokens.
+
+    Bucket cardinality is 2^(bits // (d+1)) per block: at the 16-bit
+    default that is only 16 keys/block — fine for oracle-replayable test
+    corpora, but at corpus scale use ``bits=64`` (65,536 keys/block at
+    d=3). Band keys are extracted with a bitwise mask, which stays
+    correct when bit 63 makes the packed hash negative (a sign-carrying
+    ``%`` would assign unequal keys to equal band bits and silently drop
+    pairs)."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
+    mask = (1 << width) - 1
     h = with_phash(df, media_col=media_col, id_col=id_col, bits=bits)
     blocks = h.select(
         F.col("doc_id").alias("_id"),
@@ -256,7 +265,7 @@ def phash_neardup_pairs(
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), b -> named_struct("
-                f"'blk', b, 'key', (phash >> (b * {width})) % {1 << width}))"
+                f"'blk', b, 'key', (phash >> (b * {width})) & {mask}))"
             )
         ).alias("bk"),
     ).select("_id", "phash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))

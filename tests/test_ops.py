@@ -748,3 +748,62 @@ def test_phash_banding_equals_bruteforce(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_phash_banding_64bit_sign_safe(spark):
+    """At bits=64 the hash's top bit makes it NEGATIVE as a BIGINT; the
+    mask-based band keys must still find exactly the brute-force pair
+    set (a sign-carrying % would silently drop pairs)."""
+    from itertools import combinations
+
+    from oshdb_spark.ops.media import attach_media, phash_neardup_pairs
+
+    docs = _docs(spark).limit(150)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(
+            attach_media(docs), max_hamming=3, bits=64
+        ).collect()
+    }
+
+    hashes = {
+        r.doc_id: _py_phash(r.text.encode("utf-8"), bits=64)
+        for r in docs.collect()
+    }
+    # the scenario under test requires negative (bit-63-set) hashes
+    neg = [h for h in hashes.values() if h < 0 or h >= 1 << 63]
+    assert len(neg) > 0
+    want = {}
+    for a, b in combinations(sorted(hashes), 2):
+        h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_banding_64bit_sign_safe(spark):
+    """Same sign-safety property for the text SimHash banding at
+    bits=64: banding == brute force over the collected hashes."""
+    from itertools import combinations
+
+    from oshdb_spark.ops.dedup import simhash_neardup_pairs, with_simhash
+
+    docs = _docs(spark).limit(120)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+
+    hashes = {
+        r.doc_id: r.simhash
+        for r in with_simhash(
+            docs.select("doc_id", "text"), bits=64
+        ).collect()
+    }
+    assert any(h < 0 for h in hashes.values())
+    want = {}
+    for a, b in combinations(sorted(hashes), 2):
+        h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want

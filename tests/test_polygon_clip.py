@@ -424,6 +424,15 @@ if HAVE_HYP:
 
     @settings(max_examples=60, deadline=None)
     @given(star_strategy, star_strategy)
+    # round-4 falsifying example: identical stars but for a 4e-9 outer-
+    # radius delta — shared (bitwise) inner vertices with near-parallel
+    # spike edges; a 1/denom-amplified crossing solution drifted 4e-7
+    # from the shared vertex and opened the stitch chain in one
+    # argument order (fixed by recording shared vertices structurally)
+    @example(
+        a_spec=(0.0, 0.0, 5.0, 1.0, 3, 0.0),
+        b_spec=(0.0, 0.0, 5.000000004128768, 1.0, 3, 0.0),
+    )
     def test_ring_intersection_nonconvex_commutative(a_spec, b_spec):
         # alternating-radius stars: simple NON-convex rings — multi-piece
         # intersections, concave pockets, repeated hypothesis values give
