@@ -756,7 +756,11 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     return [_ring_ccw(r) for r in out]
 
 
-def ring_union_pair(a: np.ndarray, b: np.ndarray) -> list[np.ndarray] | None:
+def ring_union_pair(
+    a: np.ndarray,
+    b: np.ndarray,
+    pockets: list[np.ndarray] | None = None,
+) -> list[np.ndarray] | None:
     """Union boundary rings of two simple closed rings, or None when the
     rings are disjoint (callers keep them separate). Same split/classify/
     stitch machinery as ring_intersection with the inside test flipped:
@@ -768,9 +772,13 @@ def ring_union_pair(a: np.ndarray, b: np.ndarray) -> list[np.ndarray] | None:
     Used to merge overlapping hole fragments in clip_polygon_to_polygon
     so their overlap is subtracted once (JTS-intersection parity for
     polygons whose subject and clip holes overlap, Geo.java:185-191).
-    Limitation: a region fully ENCLOSED between two interlocking
-    non-convex rings (a hole of the union) is dropped — the stitch emits
-    it clockwise and we keep counter-clockwise pieces only."""
+
+    A region fully ENCLOSED between two interlocking non-convex rings is
+    a hole of the union: the stitch emits it clockwise. When `pockets`
+    is a list, those rings are appended to it (CCW-normalized) so the
+    caller can account for them — area(a∪b) = Σ returned − Σ pockets;
+    without a collector they are dropped from the returned boundary
+    (the returned CCW rings alone then over-cover by the pocket area)."""
     a, b = _prep_pair(a, b)
     if a is None and b is None:
         return None
@@ -803,11 +811,14 @@ def ring_union_pair(a: np.ndarray, b: np.ndarray) -> list[np.ndarray] | None:
     out = []
     for r in rings:
         for piece in split_self_touching_ring(r):
-            # keep CCW pieces only: CW stitches are enclosed union holes
+            # CCW pieces bound the union; CW stitches are enclosed union
+            # holes (pockets) — collected for the caller when asked
             p = np.asarray(piece, dtype=np.float64)
             area2 = np.sum(p[:-1, 0] * p[1:, 1] - p[1:, 0] * p[:-1, 1])
             if area2 > 0:
                 out.append(p)
+            elif area2 < 0 and pockets is not None:
+                pockets.append(_ring_ccw(p))
     return out if out else None
 
 
@@ -818,17 +829,24 @@ def _ring_abs_area(r: np.ndarray) -> float:
     )
 
 
-def merge_overlapping_rings(pieces: list[np.ndarray]) -> list[np.ndarray]:
+def merge_overlapping_rings(
+    pieces: list[np.ndarray],
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Union-merge a small set of rings pairwise until no two have a
-    positive-area overlap. Touch-only contact (shared corner/edge) is NOT
-    merged — the pieces subtract independently and correctly. Termination
-    is by construction: a pair is only unioned when its intersection has
-    positive area AND the union measurably reduces total area (else the
-    pair is memoized as unmergeable); accepted merges strictly decrease
-    the float total, so both branches are finite. Quadratic in the piece
-    count — callers pass per-document hole fragments (a handful), never a
-    distributed collection."""
+    positive-area overlap. Returns (rings, pockets): the merged CCW
+    boundary rings plus any union pockets — regions ENCLOSED between
+    interlocking non-convex rings, which belong to NEITHER input ring,
+    so the covered region is Σ rings − Σ pockets. Touch-only contact
+    (shared corner/edge) is NOT merged — the pieces subtract
+    independently and correctly. Termination is by construction: a pair
+    is only unioned when its intersection has positive area AND the
+    union measurably reduces the covered total (else the pair is
+    memoized as unmergeable); accepted merges strictly decrease the
+    float total, so both branches are finite. Quadratic in the piece
+    count — callers pass per-document hole fragments (a handful), never
+    a distributed collection."""
     items: list[np.ndarray] = [np.asarray(p, dtype=np.float64) for p in pieces]
+    pockets_out: list[np.ndarray] = []
     graveyard: list[np.ndarray] = []  # keeps replaced arrays alive so
     # id()-keyed no-merge memos can never alias a recycled address
     nomerge: set[frozenset] = set()
@@ -848,13 +866,19 @@ def merge_overlapping_rings(pieces: list[np.ndarray]) -> list[np.ndarray]:
             if pair:
                 break
         if pair is None:
-            return items
+            return items, pockets_out
         i, j, key = pair
         old = _ring_abs_area(items[i]) + _ring_abs_area(items[j])
-        u = ring_union_pair(items[i], items[j])
+        u_pockets: list[np.ndarray] = []
+        u = ring_union_pair(items[i], items[j], pockets=u_pockets)
+        eff = (
+            sum(_ring_abs_area(r) for r in u)
+            - sum(_ring_abs_area(p) for p in u_pockets)
+            if u is not None
+            else 0.0
+        )
         if u is None or (
-            len(u) >= 2
-            and sum(_ring_abs_area(r) for r in u) >= old - 1e-12 * old
+            len(u) >= 2 and eff >= old - 1e-12 * old
         ):
             nomerge.add(key)
             continue
@@ -862,6 +886,7 @@ def merge_overlapping_rings(pieces: list[np.ndarray]) -> list[np.ndarray]:
         graveyard.append(items[j])
         items = [it for k, it in enumerate(items) if k not in (i, j)]
         items.extend(np.asarray(r, dtype=np.float64) for r in u)
+        pockets_out.extend(u_pockets)
 
 
 def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]):
@@ -870,7 +895,10 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
     Geo.java:185-191). Holes of either side are clipped against the other
     side's outer ring, union-merged where they overlap (so the overlap is
     subtracted exactly once), and assigned to the containing output
-    ring."""
+    ring. A region enclosed BETWEEN interlocking holes (a pocket of
+    their union, inside neither hole) still belongs to the intersection:
+    it is emitted as an island polygon of the MultiPolygon result —
+    JTS-parity for the interlocking-hole case."""
     outers = ring_intersection(subject_rings[0], clip_rings[0])
     if not outers:
         return None
@@ -879,8 +907,27 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
         hole_pieces.extend(ring_intersection(hole, clip_rings[0]))
     for hole in list(clip_rings[1:]):
         hole_pieces.extend(ring_intersection(hole, subject_rings[0]))
+    islands: list[np.ndarray] = []
     if len(hole_pieces) > 1:
-        hole_pieces = merge_overlapping_rings(hole_pieces)
+        originals = list(hole_pieces)
+        hole_pieces, pockets = merge_overlapping_rings(hole_pieces)
+        # a pocket's interior is outside BOTH parents by construction
+        # (that is what makes it a pocket), so checking positive-area
+        # overlap against every ORIGINAL hole piece is exact: covered or
+        # partially-covered pockets (a third hole reaching into the
+        # pocket) are dropped — the conservative side of the former
+        # drop-always behavior — and fully-free pockets become islands
+        for p in pockets:
+            pa = _ring_abs_area(p)
+            if pa <= 0.0:
+                continue
+            covered = any(
+                sum(_ring_abs_area(r) for r in ring_intersection(p, h))
+                > 1e-12 * pa
+                for h in originals
+            )
+            if not covered:
+                islands.append(p)
     polys = []
     for outer in outers:
         rings = [outer]
@@ -888,6 +935,13 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
             if points_in_ring(h[:1, 0], h[:1, 1], outer)[0]:
                 rings.append(h)
         polys.append(rings)
+    for p in islands:
+        if any(
+            points_in_ring(p[:1, 0], p[:1, 1], outer)[0]
+            or bool(_on_ring_edge(float(p[0, 0]), float(p[0, 1]), outer, 0.0))
+            for outer in outers
+        ):
+            polys.append([p])
     if len(polys) == 1:
         return ("Polygon", polys[0])
     return ("MultiPolygon", polys)

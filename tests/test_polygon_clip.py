@@ -454,6 +454,74 @@ if HAVE_HYP:
         assert sa == pytest.approx(sb, rel=1e-9, abs=1e-9)
         assert sa <= min(shoelace(a), shoelace(b)) + 1e-9
 
+    def _star(cx, cy, r1, r2, n, rot):
+        pts = []
+        for i in range(2 * n):
+            r = r1 if i % 2 == 0 else r2
+            a = rot + np.pi * i / n
+            pts.append((cx + r * np.cos(a), cy + 0.8 * r * np.sin(a)))
+        pts.append(pts[0])
+        return np.asarray(pts, dtype=np.float64)
+
+    @settings(max_examples=60, deadline=None)
+    @given(star_strategy, star_strategy)
+    # round-4 falsifying example: interlocking 4- and 3-point stars
+    # enclose a pocket (a hole of the union) that belongs to NEITHER
+    # ring — dropping it broke |a|+|b| = |a∪b| + |a∩b| by the pocket
+    # area; ring_union_pair now hands pockets to the caller
+    @example(
+        a_spec=(0.0, 0.0, 5.0, 1.0, 4, 0.0),
+        b_spec=(0.0, 3.0, 5.0, 1.0, 3, 0.0),
+    )
+    def test_union_intersection_inclusion_exclusion(a_spec, b_spec):
+        from oshdb_spark.geo.clip import ring_union_pair
+
+        a = _star(*a_spec)
+        b = _star(*b_spec)
+        inter = rings_area(ring_intersection(a, b))
+        pockets = []
+        u = ring_union_pair(a, b, pockets=pockets)
+        if u is None:
+            assert inter <= 1e-9
+            return
+        union = rings_area(u) - rings_area(pockets)
+        lhs = shoelace(a) + shoelace(b)
+        assert lhs == pytest.approx(union + inter, rel=1e-9, abs=1e-6)
+
+    def test_interlocking_holes_emit_island():
+        # subject and clip: same square outer, interlocking star holes
+        # that enclose a pocket. The pocket is inside neither hole, so
+        # the intersection keeps it — as an island polygon. Expected
+        # area is exact: 1600 − |h1 ∪ h2| with the union measured by
+        # the (independently stress-verified) inclusion-exclusion form.
+        from oshdb_spark.geo.clip import clip_polygon_to_polygon, ring_union_pair
+
+        h1 = _star(0.0, 0.0, 5.0, 1.0, 4, 0.0)
+        h2 = _star(0.0, 3.0, 5.0, 1.0, 3, 0.0)
+        sq = np.array(
+            [(-20.0, -20.0), (20.0, -20.0), (20.0, 20.0), (-20.0, 20.0),
+             (-20.0, -20.0)]
+        )
+        pockets = []
+        union = rings_area(ring_union_pair(h1, h2, pockets=pockets))
+        union -= rings_area(pockets)
+        assert len(pockets) == 1  # the construction really interlocks
+
+        def total(g):
+            polys = [g[1]] if g[0] == "Polygon" else g[1]
+            return sum(
+                shoelace(np.asarray(p[0]))
+                - sum(shoelace(np.asarray(h)) for h in p[1:])
+                for p in polys
+            ), polys
+
+        a1, polys1 = total(clip_polygon_to_polygon([sq, h1], [sq, h2]))
+        a2, polys2 = total(clip_polygon_to_polygon([sq, h2], [sq, h1]))
+        assert a1 == pytest.approx(1600.0 - union, rel=1e-12, abs=1e-6)
+        assert a1 == pytest.approx(a2, rel=1e-12, abs=1e-9)
+        # island present: one polygon beyond the holed square
+        assert len(polys1) == 2 and len(polys2) == 2
+
     @settings(max_examples=30, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
     def test_ring_intersection_containment(spec, scale):
