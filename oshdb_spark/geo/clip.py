@@ -298,9 +298,15 @@ def _ring_ccw(ring: np.ndarray) -> np.ndarray:
     return r if area2 >= 0 else r[::-1].copy()
 
 
-def _stitch(fragments: list[list[tuple]]) -> list[np.ndarray]:
+def _stitch(
+    fragments: list[list[tuple]],
+    dropped: list | None = None,
+) -> list[np.ndarray]:
     """Join fragments end-to-start into closed rings (endpoints are
-    bitwise-shared intersection points, so dict lookup is exact)."""
+    bitwise-shared intersection points, so dict lookup is exact). When
+    `dropped` is a list, a marker is appended for every open chain that
+    had to be discarded — callers use it to detect that classification
+    noise broke closure and retry with swapped ring roles."""
     by_start: dict[tuple, list] = {}
     for f in fragments:
         by_start.setdefault(f[0], []).append(f)
@@ -320,6 +326,8 @@ def _stitch(fragments: list[list[tuple]]) -> list[np.ndarray]:
             chain.extend(nxt[1:])
         if chain[-1] == chain[0] and len(chain) >= 4:
             rings.append(np.asarray(chain, dtype=np.float64))
+        elif dropped is not None:
+            dropped.append(chain)
     return rings
 
 
@@ -511,7 +519,18 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = (dx * (-d2[None, :, 1]) + dy * d2[None, :, 0]) / denom
         u = (d1[:, None, 0] * dy - d1[:, None, 1] * dx) / denom
-    ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    # normalized parallelism: |denom| = |d1||d2| sin(angle). Edge pairs
+    # lying on one carrier line to-the-ulp (shared boundary arcs that
+    # went through independent clips) have denom ~1e-16·|d1||d2| instead
+    # of exact 0 — their in-range (t, u) "solutions" are pure 1/denom
+    # noise that records real contact points at WRONG chain positions.
+    # Such pairs belong to the collinear branch (with matching relaxed
+    # tolerance below); genuinely crossing near-parallel slivers have
+    # sin(angle) orders of magnitude above 1e-12 and stay here.
+    _an = np.hypot(d1[:, 0], d1[:, 1])
+    _bn = np.hypot(d2[:, 0], d2[:, 1])
+    par = np.abs(denom) <= 1e-12 * (_an[:, None] * _bn[None, :])
+    ok = (~par) & (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
     # bitwise-shared input vertices (canonicalized by _snap_merge) are
     # boundary contacts by definition: record them DIRECTLY, exactly,
     # on both chains — relying on the crossing solutions below to land
@@ -574,8 +593,17 @@ def _pair_splits(a: np.ndarray, b: np.ndarray):
                 break
         rec_a.append(((i + ti) % na, (px, py)))
         rec_b.append(((j + uj) % nb, (px, py)))
-    # collinear overlaps: parallel AND b0 on the a-edge's carrier line
-    coll = (denom == 0) & (d1[:, None, 0] * dy - d1[:, None, 1] * dx == 0)
+    # collinear overlaps: parallel AND b0 on the a-edge's carrier line.
+    # Both tests use the same normalized tolerance as `par` above so the
+    # ulp-collinear shared-arc pairs excluded from the crossing branch
+    # land here (their projections are then exact to the ulp); parallel
+    # pairs on DISTINCT carriers match neither branch — their contact is
+    # measure-zero at this precision model.
+    _sep = np.hypot(dx, dy)
+    coll = par & (
+        np.abs(d1[:, None, 0] * dy - d1[:, None, 1] * dx)
+        <= 1e-12 * _an[:, None] * np.maximum(_sep, _bn[None, :])
+    )
     for i, j in zip(*np.nonzero(coll)):
         L2a = float(d1[i, 0] ** 2 + d1[i, 1] ** 2)
         L2b = float(d2[j, 0] ** 2 + d2[j, 1] ** 2)
@@ -732,6 +760,10 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     a, b = _prep_pair(a, b)
     if a is None or b is None:
         return []
+    # canonical argument order (bytewise) makes the result caller-order
+    # independent even where ε-classification is direction-sensitive
+    if a.tobytes() > b.tobytes():
+        a, b = b, a
     (pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b) = _pair_splits(a, b)
     if len(pos_a) == 0 and len(pos_b) == 0:
         if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
@@ -739,15 +771,29 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
         if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
             return [b]
         return []
-    frags_a = _classified_fragments(
-        a, pos_a, pts_a, b, keep_shared=True, shared_ivals=iv_a
-    )
-    frags_b = _classified_fragments(
-        b, pos_b, pts_b, a, keep_shared=False, shared_ivals=iv_b
-    )
+
+    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy):
+        frags_x = _classified_fragments(
+            x, px_, Px_, y, keep_shared=True, shared_ivals=ivx
+        )
+        frags_y = _classified_fragments(
+            y, py_, Py_, x, keep_shared=False, shared_ivals=ivy
+        )
+        drops: list = []
+        return _stitch(frags_x + frags_y, dropped=drops), drops
+
+    rings, drops = attempt(a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b)
+    if drops:
+        # an open chain means an ε-asymmetric on-boundary classification
+        # (micro-fragment exactly on one ring's edge by rounding but not
+        # the reverse) broke closure — the swapped-role pass takes the
+        # other rounding path, which closes in every observed case; keep
+        # whichever stitch is complete
+        rings2, drops2 = attempt(b, pos_b, pts_b, iv_b, a, pos_a, pts_a, iv_a)
+        if not drops2:
+            rings = rings2
     from ..kernels.geometry_builder import split_self_touching_ring
 
-    rings = _stitch(frags_a + frags_b)
     out = []
     for r in rings:
         out.extend(split_self_touching_ring(r))
@@ -786,6 +832,9 @@ def ring_union_pair(
         return [b]
     if b is None:
         return [a]
+    # canonical order + swapped-role retry, as in ring_intersection
+    if a.tobytes() > b.tobytes():
+        a, b = b, a
     (pos_a, pts_a, iv_a), (pos_b, pts_b, iv_b) = _pair_splits(a, b)
     if len(pos_a) == 0 and len(pos_b) == 0:
         if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
@@ -793,21 +842,32 @@ def ring_union_pair(
         if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
             return [a]
         return None
-    frags_a = _classified_fragments(
-        a, pos_a, pts_a, b, keep_shared=True, shared_ivals=iv_a,
-        keep_inside=False,
-    )
-    frags_b = _classified_fragments(
-        b, pos_b, pts_b, a, keep_shared=False, shared_ivals=iv_b,
-        keep_inside=False,
-    )
-    if not frags_a and not frags_b:
+
+    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy):
+        frags_x = _classified_fragments(
+            x, px_, Px_, y, keep_shared=True, shared_ivals=ivx,
+            keep_inside=False,
+        )
+        frags_y = _classified_fragments(
+            y, py_, Py_, x, keep_shared=False, shared_ivals=ivy,
+            keep_inside=False,
+        )
+        if not frags_x and not frags_y:
+            return None, []
+        drops: list = []
+        return _stitch(frags_x + frags_y, dropped=drops), drops
+
+    rings, drops = attempt(a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b)
+    if rings is None:
         # boundary-only contact with no exterior fragments (identical
         # rings): the union is either input
         return [a]
+    if drops:
+        rings2, drops2 = attempt(b, pos_b, pts_b, iv_b, a, pos_a, pts_a, iv_a)
+        if rings2 is not None and not drops2:
+            rings = rings2
     from ..kernels.geometry_builder import split_self_touching_ring
 
-    rings = _stitch(frags_a + frags_b)
     out = []
     for r in rings:
         for piece in split_self_touching_ring(r):
@@ -912,36 +972,48 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
         originals = list(hole_pieces)
         hole_pieces, pockets = merge_overlapping_rings(hole_pieces)
         # a pocket's interior is outside BOTH parents by construction
-        # (that is what makes it a pocket), so checking positive-area
-        # overlap against every ORIGINAL hole piece is exact: covered or
-        # partially-covered pockets (a third hole reaching into the
-        # pocket) are dropped — the conservative side of the former
-        # drop-always behavior — and fully-free pockets become islands
+        # (that is what makes it a pocket) but NOT necessarily inside
+        # the clipped region: the parents are hole pieces whose
+        # boundaries include outer-contact arcs, so a pocket can
+        # straddle or even lie wholly outside the output outers. The
+        # island is the pocket CLIPPED to each output outer; pieces with
+        # positive-area overlap against any ORIGINAL hole piece (a third
+        # hole reaching into the pocket) are dropped — the conservative
+        # side of the former drop-always behavior — and free pieces
+        # become island polygons
         for p in pockets:
-            pa = _ring_abs_area(p)
-            if pa <= 0.0:
-                continue
-            covered = any(
-                sum(_ring_abs_area(r) for r in ring_intersection(p, h))
-                > 1e-12 * pa
-                for h in originals
-            )
-            if not covered:
-                islands.append(p)
-    polys = []
-    for outer in outers:
-        rings = [outer]
-        for h in hole_pieces:
-            if points_in_ring(h[:1, 0], h[:1, 1], outer)[0]:
-                rings.append(h)
-        polys.append(rings)
+            for outer in outers:
+                for piece in ring_intersection(p, outer):
+                    pa = _ring_abs_area(piece)
+                    if pa <= 0.0:
+                        continue
+                    covered = any(
+                        sum(
+                            _ring_abs_area(r)
+                            for r in ring_intersection(piece, h)
+                        )
+                        > 1e-12 * pa
+                        for h in originals
+                    )
+                    if not covered:
+                        islands.append(piece)
+    # a hole ring is clipped against the OTHER side's outer only, so it
+    # can straddle the output outer (the part of sh∩co that lies outside
+    # the subject outer is not in the clipped region at all). Clip each
+    # hole to each output outer and assign the pieces directly: every
+    # emitted hole is then a subset of its outer (OGC-valid), membership
+    # and outer−holes area are both exact, and no vertex-containment
+    # owner heuristic is needed (a boundary-hugging sliver's vertices
+    # can all sit ON the outer, where an exclusive inside test fails).
+    polys = [[outer] for outer in outers]
+    for h in hole_pieces:
+        for oi, outer in enumerate(outers):
+            for piece in ring_intersection(h, outer):
+                if _ring_abs_area(piece) > 0.0:
+                    polys[oi].append(piece)
     for p in islands:
-        if any(
-            points_in_ring(p[:1, 0], p[:1, 1], outer)[0]
-            or bool(_on_ring_edge(float(p[0, 0]), float(p[0, 1]), outer, 0.0))
-            for outer in outers
-        ):
-            polys.append([p])
+        # already clipped to an output outer above — a standalone piece
+        polys.append([p])
     if len(polys) == 1:
         return ("Polygon", polys[0])
     return ("MultiPolygon", polys)

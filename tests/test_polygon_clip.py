@@ -386,6 +386,20 @@ if HAVE_HYP:
         # convex ∩ convex is a single convex piece (or empty)
         assert len(ab) <= 1
 
+    def test_sliver_rings_commutative_after_role_retry():
+        # round-4: two overlapping micro-sliver triangles (heights
+        # ~1e-5). The eps=0 on-boundary fallback rounds asymmetrically
+        # at the tip, so in ONE role order a micro-fragment classifies
+        # "shared" on both sides and the stitch opens, losing the whole
+        # 5.3e-8 region. The canonical order + swapped-role retry keeps
+        # the closing direction.
+        a = convex_ring(0.0, 0.0, 2.0, [0.0, 1.0, 1e-05])
+        b = convex_ring(0.0, 1e-05, 2.0, [0.0, 1.0, 1.192092896e-07])
+        sa = rings_area(ring_intersection(a, b))
+        sb = rings_area(ring_intersection(b, a))
+        assert sa == pytest.approx(sb, rel=1e-9, abs=1e-12)
+        assert sa > 1e-8  # the overlap region survives
+
     rect_strategy = st.tuples(
         st.floats(0.0, 15.0), st.floats(0.0, 15.0),
         st.floats(1.0, 5.0), st.floats(1.0, 5.0),
@@ -521,6 +535,89 @@ if HAVE_HYP:
         assert a1 == pytest.approx(a2, rel=1e-12, abs=1e-9)
         # island present: one polygon beyond the holed square
         assert len(polys1) == 2 and len(polys2) == 2
+
+    _GX, _GY = np.meshgrid(np.linspace(-25, 25, 60), np.linspace(-25, 25, 60))
+    _GX, _GY = _GX.ravel(), _GY.ravel()
+
+    @settings(max_examples=40, deadline=None)
+    @given(star_strategy, star_strategy, star_strategy, star_strategy)
+    # round-4 falsifying examples, in discovery order: (1) hole piece
+    # dropped because its first vertex sits ON the output outer,
+    # (2) pocket island straddling the output outer, (3) assignment of
+    # a boundary-hugging sliver whose vertices are all on/outside the
+    # outer, (4) ulp-collinear shared-arc edge pair emitting a 1/denom
+    # noise crossing that displaced a real contact to a wrong chain
+    # position
+    @example(so=(0.0, 0.0, 5.0, 1.0, 3, 0.0), sh=(0.0, 0.0, 5.0, 1.0, 3, 0.0),
+             co=(0.0, 0.0, 5.0, 1.0, 3, 0.0), ch=(0.0, 7.0, 5.0, 1.0, 3, 0.0))
+    @example(so=(5.0, -6.625, 5.0, 1.0, 3, 2.5), sh=(0.0, 1.0, 5.0, 1.0, 5, 0.0),
+             co=(0.0, 0.0, 5.0, 1.0, 3, 0.0), ch=(0.0, 0.0, 5.0, 1.0, 4, 2.0))
+    @example(so=(0.0, 0.0, 5.0, 1.0, 6, 0.0), sh=(0.0, 7.0, 7.0, 1.0, 3, 0.0),
+             co=(0.0, 0.0, 5.0, 1.0, 7, 0.0), ch=(0.0, 0.0, 5.0, 1.0, 3, 0.0))
+    @example(so=(0.0, 0.0, 5.0, 1.0, 3, 0.0), sh=(0.0, 0.0, 5.0, 1.0, 3, 0.0),
+             co=(0.0, 7.0, 11.0, 1.0, 7, 0.0), ch=(-1.0, 0.0, 7.0, 1.0, 6, 0.0))
+    def test_polygon_clip_membership_differential(so, sh, co, ch):
+        # end-to-end oracle: a grid point is in the clipped result IFF
+        # it is in subject AND clip (boundary-near points excused); area
+        # must be subject/clip commutative
+        from oshdb_spark.geo.clip import clip_polygon_to_polygon, points_in_ring
+
+        def member(rings, px, py):
+            m = points_in_ring(px, py, rings[0])
+            for h in rings[1:]:
+                m &= ~points_in_ring(px, py, h)
+            return m
+
+        def member_geom(g, px, py):
+            if g is None:
+                return np.zeros(len(px), dtype=bool)
+            polys = [g[1]] if g[0] == "Polygon" else g[1]
+            m = np.zeros(len(px), dtype=bool)
+            for p in polys:
+                m |= member(p, px, py)
+            return m
+
+        def geom_area(g):
+            if g is None:
+                return 0.0
+            polys = [g[1]] if g[0] == "Polygon" else g[1]
+            return sum(
+                shoelace(np.asarray(p[0]))
+                - sum(shoelace(np.asarray(h)) for h in p[1:])
+                for p in polys
+            )
+
+        subj = [_star(so[0], so[1], so[2] + 8, so[3] + 6, so[4], so[5]),
+                _star(*sh)]
+        clip = [_star(co[0], co[1], co[2] + 8, co[3] + 6, co[4], co[5]),
+                _star(*ch)]
+        g = clip_polygon_to_polygon(subj, clip)
+        want = member(subj, _GX, _GY) & member(clip, _GX, _GY)
+        got = member_geom(g, _GX, _GY)
+        bad = want != got
+        if bad.any():
+            # excuse only points within float-noise of some input edge
+            d = np.full(int(bad.sum()), np.inf)
+            px, py = _GX[bad], _GY[bad]
+            for r in subj + clip:
+                e0, e1 = r[:-1], r[1:]
+                for k in range(len(e0)):
+                    dx, dy = e1[k, 0] - e0[k, 0], e1[k, 1] - e0[k, 1]
+                    L2 = max(dx * dx + dy * dy, 1e-300)
+                    t = np.clip(
+                        ((px - e0[k, 0]) * dx + (py - e0[k, 1]) * dy) / L2,
+                        0, 1,
+                    )
+                    d = np.minimum(
+                        d,
+                        np.hypot(px - (e0[k, 0] + t * dx),
+                                 py - (e0[k, 1] + t * dy)),
+                    )
+            assert not (d > 1e-6).any()
+        g2 = clip_polygon_to_polygon(clip, subj)
+        assert geom_area(g) == pytest.approx(
+            geom_area(g2), rel=1e-9, abs=1e-6
+        )
 
     @settings(max_examples=30, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
