@@ -949,7 +949,11 @@ def merge_overlapping_rings(
         pockets_out.extend(u_pockets)
 
 
-def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]):
+def clip_polygon_to_polygon(
+    subject_rings: list[np.ndarray],
+    clip_rings: list[np.ndarray],
+    _depth: int = 0,
+):
     """Exact polygon∩polygon for simple polygons with holes (the engine's
     replacement for JTS Geometry.intersection in Geo.clip,
     Geo.java:185-191). Holes of either side are clipped against the other
@@ -967,36 +971,42 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
         hole_pieces.extend(ring_intersection(hole, clip_rings[0]))
     for hole in list(clip_rings[1:]):
         hole_pieces.extend(ring_intersection(hole, subject_rings[0]))
-    islands: list[np.ndarray] = []
+    island_polys: list[list[np.ndarray]] = []
     if len(hole_pieces) > 1:
         originals = list(hole_pieces)
         hole_pieces, pockets = merge_overlapping_rings(hole_pieces)
-        # a pocket's interior is outside BOTH parents by construction
-        # (that is what makes it a pocket) but NOT necessarily inside
-        # the clipped region: the parents are hole pieces whose
-        # boundaries include outer-contact arcs, so a pocket can
-        # straddle or even lie wholly outside the output outers. The
-        # island is the pocket CLIPPED to each output outer; pieces with
-        # positive-area overlap against any ORIGINAL hole piece (a third
-        # hole reaching into the pocket) are dropped — the conservative
-        # side of the former drop-always behavior — and free pieces
-        # become island polygons
+        # a pocket's interior is outside ITS OWN merge's two parents by
+        # construction, but NOT necessarily (a) inside the clipped
+        # region — parents carry outer-contact arcs, so a pocket can
+        # straddle the output outers — or (b) outside EVERY hole: a
+        # pocket minted between two pieces early in the merge chain can
+        # be partially filled by a piece merged later. So each pocket is
+        # clipped to the output outers, then any overlap with the
+        # original hole pieces is SUBTRACTED via a depth-guarded
+        # self-clip (subject = pocket with the overlaps as holes); what
+        # remains joins the result as island polygons.
         for p in pockets:
             for outer in outers:
                 for piece in ring_intersection(p, outer):
                     pa = _ring_abs_area(piece)
                     if pa <= 0.0:
                         continue
-                    covered = any(
-                        sum(
-                            _ring_abs_area(r)
-                            for r in ring_intersection(piece, h)
-                        )
-                        > 1e-12 * pa
+                    overlaps = [
+                        r
                         for h in originals
-                    )
-                    if not covered:
-                        islands.append(piece)
+                        for r in ring_intersection(piece, h)
+                        if _ring_abs_area(r) > 1e-12 * pa
+                    ]
+                    if not overlaps:
+                        island_polys.append([piece])
+                    elif _depth < 2:
+                        sub = clip_polygon_to_polygon(
+                            [piece, *overlaps], [piece], _depth=_depth + 1
+                        )
+                        if sub is not None:
+                            island_polys.extend(
+                                [sub[1]] if sub[0] == "Polygon" else sub[1]
+                            )
     # a hole ring is clipped against the OTHER side's outer only, so it
     # can straddle the output outer (the part of sh∩co that lies outside
     # the subject outer is not in the clipped region at all). Clip each
@@ -1011,9 +1021,9 @@ def clip_polygon_to_polygon(subject_rings: list[np.ndarray], clip_rings: list[np
             for piece in ring_intersection(h, outer):
                 if _ring_abs_area(piece) > 0.0:
                     polys[oi].append(piece)
-    for p in islands:
-        # already clipped to an output outer above — a standalone piece
-        polys.append([p])
+    # island polygons were clipped to an output outer above and carry
+    # their own holes where a later-merged piece reached into a pocket
+    polys.extend(island_polys)
     if len(polys) == 1:
         return ("Polygon", polys[0])
     return ("MultiPolygon", polys)

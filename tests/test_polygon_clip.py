@@ -619,6 +619,64 @@ if HAVE_HYP:
             geom_area(g2), rel=1e-9, abs=1e-6
         )
 
+    _hole_strategy = st.tuples(
+        st.floats(-6, 6), st.floats(-6, 6), st.floats(2, 7),
+        st.floats(0.5, 2), st.integers(3, 6), st.floats(0, 6.28))
+    _outer_strategy = st.tuples(
+        st.floats(-4, 4), st.floats(-4, 4), st.floats(12, 18),
+        st.floats(6, 9), st.integers(3, 7), st.floats(0, 6.28))
+
+    @settings(max_examples=25, deadline=None)
+    @given(_outer_strategy, _hole_strategy, _hole_strategy,
+           _outer_strategy, _hole_strategy, _hole_strategy)
+    # round-4 falsifying example: duplicate subject holes — a pocket
+    # minted between two pieces early in the merge chain was partially
+    # FILLED by a piece merged later; the old all-or-nothing covered
+    # test dropped the whole pocket, losing the genuine island remnant.
+    # Pockets now subtract their original-hole overlaps via a
+    # depth-guarded self-clip.
+    @example(so=(0.0, 0.0, 12.0, 6.0, 3, 0.0), s1=(0.0, 0.0, 2.0, 1.0, 3, 0.0),
+             s2=(0.0, 0.0, 2.0, 1.0, 3, 0.0), co=(0.0, 0.0, 12.0, 6.0, 3, 0.0),
+             c1=(0.0, 0.0, 4.0, 1.0, 5, 0.0), c2=(0.0, 3.0, 3.0, 1.0, 3, 0.0))
+    def test_polygon_clip_two_holes_membership(so, s1, s2, co, c1, c2):
+        # same end-to-end oracle as above, with TWO holes per side so
+        # the merge chain (and its pocket accounting) is exercised
+        from oshdb_spark.geo.clip import clip_polygon_to_polygon, points_in_ring
+
+        def member(rings, px, py):
+            m = points_in_ring(px, py, rings[0])
+            for h in rings[1:]:
+                m &= ~points_in_ring(px, py, h)
+            return m
+
+        subj = [_star(*so), _star(*s1), _star(*s2)]
+        clip = [_star(*co), _star(*c1), _star(*c2)]
+        g = clip_polygon_to_polygon(subj, clip)
+        want = member(subj, _GX, _GY) & member(clip, _GX, _GY)
+        got = np.zeros(len(_GX), dtype=bool)
+        if g is not None:
+            for p in ([g[1]] if g[0] == "Polygon" else g[1]):
+                got |= member(p, _GX, _GY)
+        bad = want != got
+        if bad.any():
+            d = np.full(int(bad.sum()), np.inf)
+            px, py = _GX[bad], _GY[bad]
+            for r in subj + clip:
+                e0, e1 = r[:-1], r[1:]
+                for k in range(len(e0)):
+                    ddx, ddy = e1[k, 0] - e0[k, 0], e1[k, 1] - e0[k, 1]
+                    L2 = max(ddx * ddx + ddy * ddy, 1e-300)
+                    t = np.clip(
+                        ((px - e0[k, 0]) * ddx + (py - e0[k, 1]) * ddy) / L2,
+                        0, 1,
+                    )
+                    d = np.minimum(
+                        d,
+                        np.hypot(px - (e0[k, 0] + t * ddx),
+                                 py - (e0[k, 1] + t * ddy)),
+                    )
+            assert not (d > 1e-6).any()
+
     @settings(max_examples=30, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
     def test_ring_intersection_containment(spec, scale):
