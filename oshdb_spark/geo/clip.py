@@ -895,8 +895,14 @@ def merge_overlapping_rings(
     """Union-merge a small set of rings pairwise until no two have a
     positive-area overlap. Returns (rings, pockets): the merged CCW
     boundary rings plus any union pockets — regions ENCLOSED between
-    interlocking non-convex rings, which belong to NEITHER input ring,
-    so the covered region is Σ rings − Σ pockets. Touch-only contact
+    interlocking non-convex rings, which belong to neither of THAT
+    merge's two operands. NOTE: a pocket minted early in the chain can
+    be partially filled by a piece merged later, so the exact covered
+    region is Σ rings − Σ (pocket − its overlaps with the ORIGINAL
+    pieces); consumers must subtract those overlaps per pocket
+    (clip_polygon_to_polygon does, via a depth-guarded self-clip) —
+    Σ rings − Σ pockets alone under-covers by exactly the stale-filled
+    parts. Touch-only contact
     (shared corner/edge) is NOT merged — the pieces subtract
     independently and correctly. Termination is by construction: a pair
     is only unioned when its intersection has positive area AND the
