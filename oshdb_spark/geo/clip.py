@@ -713,9 +713,23 @@ def _classified_fragments(
             if lo - 1e-9 <= pos_s and end_pos <= hi + 1e-9:
                 shared_dir = codir
                 break
+        # classify by the midpoint of the LONGEST segment: any segment's
+        # midpoint is semantically equivalent (fragment interiors touch
+        # the other boundary only at endpoints), and the longest is
+        # numerically farthest from the endpoint contact degeneracies —
+        # a short first segment's midpoint can underflow onto the other
+        # ring's boundary carrier (denormal halving) where the even-odd
+        # parity test wobbles
+        _best, _bl = 0, -1.0
+        for _k in range(len(coords) - 1):
+            _dx = coords[_k + 1][0] - coords[_k][0]
+            _dy = coords[_k + 1][1] - coords[_k][1]
+            _l = _dx * _dx + _dy * _dy
+            if _l > _bl:
+                _best, _bl = _k, _l
         mid = (
-            (coords[0][0] + coords[1][0]) / 2.0,
-            (coords[0][1] + coords[1][1]) / 2.0,
+            (coords[_best][0] + coords[_best + 1][0]) / 2.0,
+            (coords[_best][1] + coords[_best + 1][1]) / 2.0,
         )
         if shared_dir is None:
             # exact-collinearity fallback (eps=0): catches shared runs
@@ -724,8 +738,8 @@ def _classified_fragments(
             edge_hit = _on_ring_edge(mid[0], mid[1], other, 0.0)
             if edge_hit is not None:
                 fdir = (
-                    coords[1][0] - coords[0][0],
-                    coords[1][1] - coords[0][1],
+                    coords[_best + 1][0] - coords[_best][0],
+                    coords[_best + 1][1] - coords[_best][1],
                 )
                 _, odir = edge_hit
                 shared_dir = fdir[0] * odir[0] + fdir[1] * odir[1] > 0

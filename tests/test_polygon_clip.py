@@ -369,12 +369,13 @@ if HAVE_HYP:
     def test_ring_intersection_properties(a_spec, b_spec):
         a = convex_ring(*a_spec)
         b = convex_ring(*b_spec)
-        if shoelace(a) < 1.0 or shoelace(b) < 1.0:
-            return  # degenerate sliver input (crossing tests lose meaning)
+        if shoelace(a) < 1e-9 or shoelace(b) < 1e-9:
+            return  # below float noise entirely
         # no general-position precondition: shared-vertex / vertex-on-edge
         # inputs (hypothesis reuses values, so identical centers/angles DO
         # occur) are inside the supported class since the degeneracy
-        # handling round
+        # handling round; micro-slivers (areas down to 1e-9) are covered
+        # since the canonical-order + swapped-role-retry round
         ab = ring_intersection(a, b)
         ba = ring_intersection(b, a)
         area_ab = rings_area(ab)
@@ -383,8 +384,12 @@ if HAVE_HYP:
         assert area_ab == pytest.approx(area_ba, rel=1e-9, abs=1e-9)
         # bounded by both inputs
         assert area_ab <= min(shoelace(a), shoelace(b)) + 1e-9
-        # convex ∩ convex is a single convex piece (or empty)
-        assert len(ab) <= 1
+        if shoelace(a) >= 1.0 and shoelace(b) >= 1.0:
+            # convex ∩ convex is a single convex piece (or empty); for
+            # micro-slivers the float boundary can pinch into several
+            # noise-scale pieces, so the structural assert applies to
+            # non-degenerate inputs only
+            assert len(ab) <= 1
 
     def test_sliver_rings_commutative_after_role_retry():
         # round-4: two overlapping micro-sliver triangles (heights
@@ -407,6 +412,10 @@ if HAVE_HYP:
 
     @settings(max_examples=40, deadline=None)
     @given(rect_strategy, rect_strategy)
+    # round-4: bottom edges separated by a DENORMAL (5e-324) — the first
+    # fragment segment's midpoint underflowed onto the other ring's
+    # boundary carrier and mis-classified; longest-segment midpoints fix
+    @example(h1=(0.0, 0.0, 1.25, 1.0), h2=(0.5, 5e-324, 1.0, 1.0))
     def test_clip_holes_area_commutative(h1, h2):
         # polygon-with-holes area commutativity incl. overlapping /
         # nested / touching subject-vs-clip holes (round-4 union merge)
