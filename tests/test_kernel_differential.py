@@ -1,0 +1,242 @@
+"""Independent-replay differential for the node snapshot kernel.
+
+A pure-python reimplementation of the reference's snapshot semantics
+(OSHEntities.getByTimestamps as-of join: latest version with ts <= t;
+skip invisible; tag filter; point-in-bbox AOI — CellIterator.java:181-347)
+is checked against the engine's `_emit_doc_snapshots` on
+hypothesis-random node histories. Unlike `test_fast_paths`' fast-vs-
+general differential (two ENGINE paths sharing the doc model), this
+replay shares no code with the kernel — it derives everything from the
+raw version dicts — so a bug common to both engine paths cannot hide.
+
+Boundary coincidences are excluded by construction: node coordinates sit
+on a 0.1-degree lattice while bbox bounds sit on .05 offsets, so no
+point ever lies exactly on the AOI edge and open/closed conventions
+cannot differ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from oshdb_spark.geo import geom as G
+from oshdb_spark.kernels.aoi import AOI
+from oshdb_spark.kernels.geometry_builder import DefaultTagInterpreter
+from oshdb_spark.kernels.snapshot import _emit_doc_snapshots
+from oshdb_spark.model.synth import make_doc, make_version, typed_row
+
+DECIDER = DefaultTagInterpreter()
+BASE = 946684800  # 2000-01-01
+STEP = 86400 * 31
+
+TAG_POOL = [None, {"amenity": "cafe"}, {"amenity": "bar"}, {"highway": "bus_stop"}]
+
+
+def _iso(ts: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _build_doc(history):
+    versions = []
+    for k, (dt_steps, visible, tag_i, lon_steps, lat_steps) in enumerate(history):
+        versions.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in history[: k + 1]) * STEP),
+                changeset=100 + k,
+                uid=7,
+                tags=TAG_POOL[tag_i],
+                lon=lon_steps * 1_000_000,  # 0.1-degree lattice
+                lat=lat_steps * 1_000_000,
+                visible=visible,
+            )
+        )
+    return typed_row(make_doc("node", 42, versions)), versions
+
+
+def _replay(versions, requested, bbox, key_filter):
+    """Reference semantics, independently: for each requested t, the
+    latest version with ts <= t; row iff visible, tag-matching, and (when
+    a bbox is given) the point is inside it."""
+    from oshdb_spark.model.synth import unix
+
+    out = {}
+    any_match = any(
+        v["visible"] and (key_filter is None or key_filter in (v["tags"] or {}))
+        for v in versions
+    )
+    if not any_match:
+        return out  # CellIterator.java:207-211 pre-filter
+    for t in requested:
+        vs = [v for v in versions if unix(v["ts"]) <= t]
+        if not vs:
+            continue
+        v = max(vs, key=lambda v: (unix(v["ts"]), v["version"]))
+        if not v["visible"]:
+            continue
+        if key_filter is not None and key_filter not in (v["tags"] or {}):
+            continue
+        lon, lat = v["lon"] * 1e-7, v["lat"] * 1e-7
+        if bbox is not None:
+            w, s, e, n = bbox
+            if not (w <= lon <= e and s <= lat <= n):
+                continue
+        out[t] = (v["version"], round(lon, 9), round(lat, 9),
+                  tuple(sorted((v["tags"] or {}).items())))
+    return out
+
+
+if HAVE_HYP:
+    history_strategy = st.lists(
+        st.tuples(
+            st.integers(1, 5),        # ts delta (steps)
+            st.booleans(),            # visible
+            st.integers(0, len(TAG_POOL) - 1),
+            st.integers(-80, 80),     # lon (0.1-deg lattice steps)
+            st.integers(-60, 60),     # lat
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    requested_strategy = st.lists(
+        st.integers(0, 45), min_size=1, max_size=10, unique=True
+    )
+    bbox_strategy = st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(-60, 40), st.integers(-50, 30),
+            st.integers(1, 40), st.integers(1, 40),
+        ),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(history_strategy, requested_strategy, bbox_strategy,
+           st.sampled_from([None, "amenity", "highway"]))
+    def test_node_snapshots_match_independent_replay(
+        history, req_steps, bbox_spec, key_filter
+    ):
+        doc, versions = _build_doc(history)
+        requested = sorted(BASE + r * STEP + 1 for r in req_steps)
+        if bbox_spec is None:
+            aoi, bbox = AOI(), None
+        else:
+            w, s, dw, dh = bbox_spec
+            bbox = (w / 10 + 0.05, s / 10 + 0.05,
+                    (w + dw) / 10 + 0.05, (s + dh) / 10 + 0.05)
+            aoi = AOI(bbox=bbox)
+        flt = None
+        if key_filter is not None:
+            flt = lambda v, et, eid: key_filter in (v.get("tags") or {})  # noqa: E731
+
+        out = []
+        _emit_doc_snapshots(doc, requested, aoi, flt, DECIDER, True, out)
+        got = {}
+        for r in out:
+            t = r[0]
+            assert t not in got, "duplicate snapshot row for one timestamp"
+            g = G.from_wkb(r[8])
+            assert g is not None and g[0] == "Point"
+            got[t] = (r[3], round(g[1][0], 9), round(g[1][1], 9),
+                      tuple(sorted((r[6] or {}).items())))
+
+        want = _replay(versions, requested, bbox, key_filter)
+        assert got == want
+    def _replay_contribs(versions, t1, bbox):
+        """Reference contribution semantics, independently (CellIterator
+        .java:437-712 for the node case, no filter, distinct changesets,
+        interval covering the whole history — interval-boundary
+        suppression corners are pinned by the ported golden suites):
+        contribution state is EVENT-based — `before` carries the version
+        of the last contribution event (a recreation's before is its
+        deleted predecessor because the DELETION was itself an event; a
+        never-active predecessor produced no event, so before is None),
+        and an inactive state emits a DELETION only once per active run."""
+        from oshdb_spark.model.synth import unix
+
+        def active(v):
+            if not v["visible"]:
+                return False
+            if bbox is None:
+                return True
+            w, s, e, n = bbox
+            lon, lat = v["lon"] * 1e-7, v["lat"] * 1e-7
+            return w <= lon <= e and s <= lat <= n
+
+        out = {}
+        ev = None  # (version_dict, types) of the last contribution event
+        for v in sorted(versions, key=lambda v: (unix(v["ts"]), v["version"])):
+            t = unix(v["ts"])
+            if t >= t1:
+                break
+            types = None
+            if not active(v):
+                if ev is not None and "DELETION" not in ev[1]:
+                    types = ["DELETION"]
+                else:
+                    continue  # never active / already deleted: no event
+            elif ev is None or "DELETION" in ev[1]:
+                types = ["CREATION"]
+            else:
+                # every modification of an active entity is a
+                # contribution — the type set can be EMPTY for a version
+                # bump with no observable change (the reference emits
+                # the row; its lazily-computed EnumSet is just empty)
+                types = []
+                pv = ev[0]
+                if (pv.get("tags") or {}) != (v.get("tags") or {}):
+                    types.append("TAG_CHANGE")
+                if (pv["lon"], pv["lat"]) != (v["lon"], v["lat"]):
+                    types.append("GEOMETRY_CHANGE")
+            out[t] = (
+                sorted(types),
+                v["changeset"],
+                ev[0]["version"] if ev else None,
+                v["version"],
+                tuple(sorted((v.get("tags") or {}).items())),
+            )
+            ev = (v, types)
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(history_strategy, bbox_strategy, st.integers(1, 50))
+    def test_node_contributions_match_independent_replay(
+        history, bbox_spec, t1_steps
+    ):
+        from oshdb_spark.kernels.contribution import _emit_doc_contributions
+
+        doc, versions = _build_doc(history)
+        t0 = BASE - 1
+        t1 = BASE + t1_steps * STEP + 1
+        if bbox_spec is None:
+            aoi, bbox = AOI(), None
+        else:
+            w, s, dw, dh = bbox_spec
+            bbox = (w / 10 + 0.05, s / 10 + 0.05,
+                    (w + dw) / 10 + 0.05, (s + dh) / 10 + 0.05)
+            aoi = AOI(bbox=bbox)
+
+        out = []
+        _emit_doc_contributions(doc, t0, t1, aoi, None, DECIDER, True, out)
+        got = {}
+        for r in out:
+            assert r[0] not in got
+            got[r[0]] = (r[3], r[4], r[6], r[7],
+                         tuple(sorted((r[9] or {}).items())))
+
+        want = _replay_contribs(versions, t1, bbox)
+        assert got == want
+else:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
