@@ -1780,6 +1780,150 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def _split_stream_dir(src_path: str, order_col: str, n: int = 3) -> str:
+    """Materialize a parquet table as ``n`` order-contiguous files in a
+    fresh temp dir with strictly increasing mtimes, so FileStreamSource
+    (maxFilesPerTrigger=1) replays them as ordered micro-batches — the
+    shape a time-partitioned log ingestion produces. Lets the streaming
+    driver queries exercise REAL cross-micro-batch state instead of one
+    batch covering the whole bounded input."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="oshdb_stream_src_")
+    tbl = pq.read_table(src_path)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(order_col, "ascending")]))
+    step = max(1, (tbl.num_rows + n - 1) // n)
+    now = _time.time()
+    for i in range(n):
+        part = tbl.slice(i * step, step)
+        if part.num_rows == 0:
+            break
+        p = os.path.join(d, f"{i:03d}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (now + i, now + i))
+    return d
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming: event-time tumbling-window counts per
+    event_type over a bounded file stream (availableNow trigger, complete
+    mode, memory sink) — the streaming analog of aggregateByTimestamp
+    (streaming/incremental.windowed_event_counts), equal to the batch
+    GROUP BY because complete mode emits every window. Session tz pinned
+    UTC so NTZ event times align like DuckDB's naive-as-UTC epoch()."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import (
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    stream = read_event_stream(spark, path, schema)
+    agg = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    out = agg.select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    name = "swc_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Structured Streaming: cross-micro-batch exact dedup
+    (applyInPandasWithState, append mode) — one (fingerprint, keep_id)
+    row per distinct content over the whole stream, emitted at first
+    sight (streaming/incremental.streaming_exact_dedup). On a bounded
+    stream the result equals the batch md5-groupBy-min."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import streaming_exact_dedup
+
+    path = _split_stream_dir(f"{sf_dir}/documents.parquet", "doc_id")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    res = streaming_exact_dedup(stream)
+    name = "sdd_" + uuid.uuid4().hex[:8]
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_contrib_tracker(spark, sf_dir):
+    """Structured Streaming: the custom stateful contribution tracker
+    (applyInPandasWithState, update mode) — per entity, O(1) state
+    carries (visible, tag-state, geometry-epoch) across micro-batches and
+    emits cumulative CREATION/DELETION/TAG_CHANGE/GEOMETRY_CHANGE counts
+    (streaming/incremental.contribution_tracker). The final row per user
+    (greatest n_versions — update mode re-emits per batch) must equal the
+    batch lag-rule replay the oracle runs over the full history."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import contribution_tracker
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    res = contribution_tracker(stream)
+    name = "sct_" + uuid.uuid4().hex[:8]
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = F.max_by(
+        F.struct("creations", "deletions", "tag_changes", "geom_changes"),
+        "n_versions",
+    ).alias("s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final, F.max("n_versions").alias("n_versions"))
+        .select(
+            "user_id",
+            F.col("s.creations").alias("creations"),
+            F.col("s.deletions").alias("deletions"),
+            F.col("s.tag_changes").alias("tag_changes"),
+            F.col("s.geom_changes").alias("geom_changes"),
+            "n_versions",
+        )
+    )
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable t-digest quantiles (estimatedQuantile parity,
     TDigestReducer.java:21-41, compression=1000). The sketch estimate
@@ -2022,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dedup": q_media_phash_dedup,
         "media_dedup_groups": q_media_dedup_groups,
         "sessionization": q_sessionization,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_dedup": q_stream_dedup,
+        "stream_contrib_tracker": q_stream_contrib_tracker,
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
         "topk_orders": q_topk_orders,
@@ -3794,6 +3941,55 @@ def oracle_sql() -> dict[str, str]:
                            CAST(floor(epoch(ts)) AS BIGINT) AS sec
                     FROM events))
             GROUP BY 1
+        """,
+        "stream_windowed_counts": """
+            SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                     AS win_start,
+                   event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT md5(text) AS fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "stream_contrib_tracker": """
+            WITH ded AS (
+              SELECT user_id, event_type, sec FROM (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       row_number() OVER (
+                         PARTITION BY user_id,
+                                      CAST(floor(epoch(ts)) AS BIGINT)
+                         ORDER BY event_id) AS rn
+                FROM events) WHERE rn = 1
+            ),
+            v AS (
+              SELECT user_id, event_type, sec,
+                     (event_type <> 'error') AS vis,
+                     CAST((row_number() OVER (PARTITION BY user_id
+                                              ORDER BY sec) - 1) // 3
+                          AS BIGINT) AS g
+              FROM ded
+            ),
+            l AS (
+              SELECT user_id, vis, event_type, g,
+                     coalesce(lag(vis) OVER w, FALSE) AS lv,
+                     coalesce(lag(event_type) OVER w, '') AS le,
+                     coalesce(lag(g) OVER w, -1) AS lg
+              FROM v WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN vis AND NOT lv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS creations,
+                   CAST(sum(CASE WHEN NOT vis AND lv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS deletions,
+                   CAST(sum(CASE WHEN vis AND lv AND event_type <> le
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tag_changes,
+                   CAST(sum(CASE WHEN vis AND lv AND g <> lg
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS geom_changes,
+                   count(*) AS n_versions
+            FROM l GROUP BY 1
         """,
         "quantiles": """
             SELECT l_returnflag,

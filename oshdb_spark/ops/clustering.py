@@ -72,30 +72,126 @@ def kmeans_train(
     Sizes are the assignment counts of the FINAL iteration's argmin (the
     one that produced the returned centroids), so callers get consistent
     (centroid, population) pairs without an extra pass.
-    """
+
+    Small k × dim iterates on the pure-codegen plan (argmin expression +
+    per-dimension sum aggregates) that bit-reproduces the DuckDB oracle's
+    sequential fold; past _EXPR_ARGMIN_MAX_K centroids or
+    _EXPR_UPDATE_MAX_CELLS k·dim plan cells the iteration switches to the
+    Arrow partial-stats path (see _kmeans_update_arrow) — the expression
+    tree and the agg column count would otherwise grow O(k·dim), blowing
+    plan/codegen limits at the SemDeDup-scale k≈√n the docstring above
+    promises."""
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[0]] for r in init_rows]
     if not cents:
         return [], []
     dim = len(cents[0])
+    big = (
+        len(cents) > _EXPR_ARGMIN_MAX_K
+        or len(cents) * dim > _EXPR_UPDATE_MAX_CELLS
+    )
     v = f"cast({vec_col} as array<double>)"
     sizes = [0] * len(cents)
     for _ in range(n_iter):
-        assigned = df.withColumn("_cl", F.expr(_l2_argmin_expr(v, cents)))
-        agg = assigned.groupBy("_cl").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(F.expr(f"{v}[{i}]")).alias(f"_s{i}") for i in range(dim)],
-        )
-        stats = {int(r["_cl"]): r for r in agg.collect()}
-        sizes = [int(stats[c]["_n"]) if c in stats else 0
-                 for c in range(len(cents))]
+        if big:
+            stats = _kmeans_update_arrow(df, cents, vec_col)
+        else:
+            assigned = df.withColumn("_cl", F.expr(_l2_argmin_expr(v, cents)))
+            agg = assigned.groupBy("_cl").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.expr(f"{v}[{i}]")).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            stats = {
+                int(r["_cl"]): (
+                    int(r["_n"]),
+                    [float(r[f"_s{i}"]) for i in range(dim)],
+                )
+                for r in agg.collect()
+            }
+        sizes = [stats[c][0] if c in stats else 0 for c in range(len(cents))]
         cents = [
-            [_q6(stats[c][f"_s{i}"] / sizes[c]) for i in range(dim)]
+            [_q6(stats[c][1][i] / sizes[c]) for i in range(dim)]
             if sizes[c]
             else cents[c]  # empty cluster keeps its previous centroid
             for c in range(len(cents))
         ]
     return cents, sizes
+
+
+# k·dim ceiling for the codegen update aggregate: dim sum() columns per
+# iteration is fine at the tested k=8 × dim≤64, but a 768-dim corpus
+# already means 768 aggregate expressions — cheap enough — while large-k
+# SemDeDup training (k≈10^4-10^5) must not build k-branch argmin trees
+# NOR collect k×dim cells through a row-per-centroid driver fetch.
+_EXPR_UPDATE_MAX_CELLS = 16_384
+
+
+def _kmeans_update_arrow(
+    df: DataFrame, cents: list[list[float]], vec_col: str
+) -> dict[int, tuple[int, list[float]]]:
+    """One Lloyd iteration's sufficient statistics via Arrow partials.
+
+    Stage 1 (mapInPandas, narrow): each Arrow batch assigns its rows with
+    a (batch × k) GEMM argmin and emits ONE partial row per cluster
+    present — (cluster, n, sum-vector). Stage 2 shuffles only those
+    partials (≤ batches × k rows, each 1+dim numbers — never the data)
+    and merges them per cluster with applyInPandas. Every cluster's merge
+    input is ≤ the batch count, so a 90%-head cluster costs the same as a
+    uniform one — the skew-safe analogue of the map-side combine the
+    codegen path gets from partial HashAggregate."""
+    spark = df.sparkSession
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
+
+    part_schema = T.StructType(
+        [
+            T.StructField("_cl", T.IntegerType()),
+            T.StructField("_n", T.LongType()),
+            T.StructField("_sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            d = -2.0 * (X @ C.T) + c2[None, :]
+            cl = np.argmin(d, axis=1)  # first minimum = lowest index
+            order = np.argsort(cl, kind="stable")
+            uniq, starts = np.unique(cl[order], return_index=True)
+            out_n = np.diff(np.append(starts, len(cl)))
+            sums = np.add.reduceat(X[order], starts, axis=0)
+            yield pd.DataFrame(
+                {
+                    "_cl": uniq.astype(np.int32),
+                    "_n": out_n.astype(np.int64),
+                    "_sums": [row.tolist() for row in sums],
+                }
+            )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(s, dtype=np.float64) for s in pdf["_sums"]])
+        return pd.DataFrame(
+            {
+                "_cl": [int(pdf["_cl"].iloc[0])],
+                "_n": [int(pdf["_n"].sum())],
+                "_sums": [mat.sum(axis=0).tolist()],
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(_partials, schema=part_schema)
+    merged = partials.groupBy("_cl").applyInPandas(_merge, schema=part_schema)
+    return {
+        int(r["_cl"]): (int(r["_n"]), [float(x) for x in r["_sums"]])
+        for r in merged.collect()
+    }
 
 
 # Above this many centroids the unrolled Catalyst argmin expression is

@@ -139,6 +139,45 @@ def test_kmeans_assign_large_k_matches_expression_path(spark):
     assert set(got_matrix.values()) == set(range(k))
 
 
+def test_kmeans_train_arrow_path_matches_codegen_path(spark):
+    """Forcing the large-k/dim Arrow partial-stats update (threshold 0)
+    must reproduce the codegen iteration bitwise on integer-coordinate
+    inputs (float64 integer sums are exact in any association order), so
+    the two training paths are interchangeable wherever sums don't round."""
+    import numpy as np
+
+    import oshdb_spark.ops.clustering as CL
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.integers(-50, 50, size=5)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    base = CL.kmeans_train(df, k=6, n_iter=3)
+    orig = CL._EXPR_UPDATE_MAX_CELLS
+    CL._EXPR_UPDATE_MAX_CELLS = 0  # k*dim=30 > 0 → Arrow path
+    try:
+        arrow = CL.kmeans_train(df, k=6, n_iter=3)
+    finally:
+        CL._EXPR_UPDATE_MAX_CELLS = orig
+    assert arrow == base
+    # empty-cluster carry: duplicate seeds on 2-point data, Arrow path
+    df2 = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    CL._EXPR_UPDATE_MAX_CELLS = 0
+    try:
+        cents, sizes = CL.kmeans_train(df2, k=3, n_iter=2)
+    finally:
+        CL._EXPR_UPDATE_MAX_CELLS = orig
+    assert sizes == [2, 0, 1]
+    assert cents[1] == [0.0, 0.0]
+
+
 def test_kmeans_deterministic_and_empty_cluster_keeps_centroid(spark):
     from oshdb_spark.ops.clustering import kmeans_train
 
