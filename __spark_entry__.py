@@ -1187,6 +1187,27 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring (winnowed fingerprint) duplication stats per doc
+    (ops/dedup.with_dup_span_stats) over a corpus with PLANTED partial
+    duplicates: docs 0-49 reappear under id+2000 as their first 30 words
+    plus a unique tail token, at a different total length — so shared
+    PREFIX runs must be flagged alignment-independently while the unique
+    tails stay clean. The oracle replays winnowing (min over each run of
+    4 consecutive window hashes) via a positional self-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', concat_ws(' ', slice(split(text, ' '), 1, 30)),"
+            " concat('tail', cast(doc_id as string)))"
+        ).alias("text"),
+    )
+    from oshdb_spark.ops.dedup import with_dup_span_stats
+
+    return with_dup_span_stats(docs.unionByName(planted))
+
+
 def q_dedup_exact(spark, sf_dir):
     from oshdb_spark.ops.dedup import exact_dedup
 
@@ -2130,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipolygon_area": q_multipolygon_area,
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
+        "dedup_substring": q_dedup_substring,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
@@ -3064,6 +3086,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
                    count(*) AS dup_count
             FROM dup GROUP BY 1
+        """,
+        "dedup_substring": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000,
+                     array_to_string(string_split(text, ' ')[1:30], ' ')
+                       || ' tail' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id < 50),
+            words AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM corpus),
+            hashes AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(w[p:p+7], ' ')) AS h
+              FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(p)
+              WHERE len(w) >= 8),
+            hn AS (SELECT doc_id, max(p) AS m FROM hashes GROUP BY 1),
+            mwin AS (
+              SELECT h1.doc_id AS doc_id, h1.p AS i, min(h2.h) AS fp
+              FROM hashes h1
+              JOIN hn ON hn.doc_id = h1.doc_id
+              JOIN hashes h2 ON h2.doc_id = h1.doc_id
+                            AND h2.p BETWEEN h1.p AND h1.p + 3
+              WHERE h1.p <= greatest(hn.m - 3, 1)
+              GROUP BY 1, 2),
+            fps AS (SELECT DISTINCT doc_id, fp FROM mwin),
+            dup AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) >= 2),
+            per AS (
+              SELECT f.doc_id, count(*) AS n_fp,
+                     CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_fp
+              FROM fps f LEFT JOIN dup d USING (fp) GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+                   CAST(coalesce(dup_fp, 0) AS BIGINT) AS dup_fp,
+                   round(CASE WHEN coalesce(n_fp, 0) > 0
+                              THEN CAST(dup_fp AS DOUBLE) / n_fp
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM corpus c LEFT JOIN per ON per.doc_id = c.doc_id
         """,
         "dedup_minhash": """
             WITH dup AS (

@@ -411,3 +411,110 @@ def semantic_dedup_keep(
     pairs = semantic_dedup_pairs(df, cents, vec_col, id_col, threshold)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def _winnowed_fingerprints_expr(
+    text_col: str, window: int, winnow: int
+) -> str:
+    """SQL expression: the per-document DISTINCT winnowed fingerprint set
+    of `window`-token runs. Every window position is hashed, then each
+    run of `winnow` consecutive hashes contributes its minimum — the
+    winnowing scheme (Schleimer/Wilkerson/Aiken, MOSS), which guarantees
+    ALIGNMENT-INDEPENDENTLY that any token run of length
+    >= window + winnow - 1 shared by two documents yields at least one
+    common fingerprint (a position-stride sample has no such guarantee:
+    the same run at different offsets samples different windows). Docs
+    shorter than `window` tokens contribute nothing."""
+    words = f"split({text_col}, ' ')"
+    m = f"(size({words}) - {window} + 1)"
+    hashes = (
+        f"transform(sequence(1, {m}),"
+        f" p -> md5(concat_ws(' ', slice({words}, p, {window}))))"
+    )
+    return f"""
+      CASE WHEN {m} < 1 THEN array()
+      WHEN {m} <= {winnow} THEN array(array_min({hashes}))
+      ELSE array_distinct(transform(
+        sequence(1, {m} - {winnow} + 1),
+        i -> array_min(slice({hashes}, i, {winnow}))))
+      END
+    """
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    winnow: int = 4,
+) -> DataFrame:
+    """Exact-substring duplicate spans: every winnowed `window`-token
+    fingerprint that occurs in >= 2 distinct documents.
+
+    The scalable Spark form of suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    instead of a corpus-wide suffix array (a global sort of every token
+    position), each doc emits its winnowed fingerprint set map-side —
+    O(tokens × window) local hashing, ~2/(winnow+1) of windows selected —
+    and one md5-keyed aggregation (uniform keys, skew-free) finds every
+    shared run of >= window + winnow - 1 tokens, at any alignment.
+
+    Columns: span_hash, n_docs, keep_id (min id containing it).
+    """
+    fp = _winnowed_fingerprints_expr(text_col, window, winnow)
+    spans = df.select(F.col(id_col), F.explode(F.expr(fp)).alias("span_hash"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),  # fingerprints are
+            # per-doc distinct, so plain count IS the distinct doc count
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def with_dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    winnow: int = 4,
+) -> DataFrame:
+    """Per-document substring-duplication stats: winnowed fingerprint
+    count, how many of those fingerprints appear in some OTHER document,
+    and the duplicated fraction — the per-doc contamination signal
+    pipelines threshold on before dropping or trimming documents.
+
+    Columns: id_col, n_fp, dup_fp, dup_frac. The join back is keyed by
+    span_hash (uniform md5) and candidate-sized: only duplicated hashes
+    flow into it."""
+    fp = _winnowed_fingerprints_expr(text_col, window, winnow)
+    spans = df.select(F.col(id_col), F.explode(F.expr(fp)).alias("span_hash"))
+    dup = duplicate_spans(df, text_col, id_col, window, winnow).select(
+        "span_hash", F.lit(1).alias("_dup")
+    )
+    per_doc = (
+        spans.join(dup, "span_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_fp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+            F.coalesce("dup_fp", F.lit(0)).alias("dup_fp"),
+            F.round(
+                F.when(
+                    F.coalesce("n_fp", F.lit(0)) > 0,
+                    F.coalesce("dup_fp", F.lit(0)) / F.col("n_fp"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

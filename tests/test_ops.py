@@ -846,3 +846,41 @@ def test_simhash_banding_64bit_sign_safe(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want
+
+
+def test_duplicate_spans_alignment_independent(spark):
+    """The winnowing guarantee: a token run of length >= window+winnow-1
+    (= 11 at defaults 8/4) shared at DIFFERENT offsets must yield at
+    least one common fingerprint; disjoint docs must yield none."""
+    from oshdb_spark.ops.dedup import duplicate_spans, with_dup_span_stats
+
+    run = " ".join(f"r{i}" for i in range(11))  # 11 shared tokens
+    docs = [
+        (0, "a1 a2 a3 " + run + " a4 a5"),         # run at offset 3
+        (1, "b1 " + run + " b2 b3 b4 b5 b6 b7"),   # run at offset 1
+        (2, " ".join(f"c{i}" for i in range(20))),  # disjoint control
+        (3, "short doc"),                           # < window tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dup = duplicate_spans(df).collect()
+    assert len(dup) >= 1
+    assert all(r.n_docs == 2 and r.keep_id == 0 for r in dup)
+    stats = {r.doc_id: r for r in with_dup_span_stats(df).collect()}
+    assert stats[0].dup_fp >= 1 and stats[1].dup_fp >= 1
+    assert stats[2].dup_fp == 0 and stats[2].n_fp > 0
+    assert stats[3].n_fp == 0 and stats[3].dup_frac == 0.0
+    # 10 shared tokens (one below the guarantee) may or may not collide;
+    # 11 must, at EVERY offset pair — sweep offsets to prove alignment
+    # independence rather than one lucky pair
+    for off_a in (0, 1, 2, 3):
+        for off_b in (0, 2, 5):
+            pad_a = " ".join(f"x{i}" for i in range(off_a))
+            pad_b = " ".join(f"y{i}" for i in range(off_b))
+            d2 = spark.createDataFrame(
+                [
+                    (10, (pad_a + " " + run).strip()),
+                    (11, (pad_b + " " + run + " z1 z2").strip()),
+                ],
+                "doc_id long, text string",
+            )
+            assert duplicate_spans(d2).count() >= 1, (off_a, off_b)
