@@ -240,3 +240,202 @@ if HAVE_HYP:
         assert got == want
 else:  # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+
+# ---------------------------------------------------------------------------
+# WAY snapshot kernel vs independent replay (member as-of resolution —
+# the hardest exactness target, SURVEY §2 #20). The replay derives
+# everything from raw version/member dicts: way as-of join, per-ref node
+# as-of join, missing/invisible/coordless member skips, empty-refs skip,
+# tag filter, and (for bbox AOIs) row presence via a separating-axis
+# segment-vs-rect test — a different formulation than the engine's
+# Liang-Barsky clip, so a shared blind spot is impossible. Area tags are
+# excluded (decider parity is pinned by the ported golden suites);
+# geometry bytes are compared UNCLIPPED, presence decides the clip.
+# ---------------------------------------------------------------------------
+
+WAY_TAGS = [None, {"highway": "path"}, {"highway": "track"}, {"note": "x"}]
+
+
+def _build_way_doc(way_hist, member_hists):
+    members = []
+    mdicts = {}
+    for mi, hist in enumerate(member_hists):
+        mid = 101 + mi
+        mvs = []
+        for k, (dt, visible, lon_s, lat_s) in enumerate(hist):
+            mvs.append(
+                make_version(
+                    version=k + 1,
+                    ts=_iso(BASE + sum(h[0] for h in hist[: k + 1]) * STEP),
+                    changeset=500 + k,
+                    lon=None if not visible else lon_s * 1_000_000,
+                    lat=None if not visible else lat_s * 1_000_000,
+                    visible=visible,
+                )
+            )
+        members.append({"entity_type": "node", "id": mid, "versions": mvs})
+        mdicts[mid] = mvs
+    wvs = []
+    for k, (dt, visible, tag_i, ref_ids) in enumerate(way_hist):
+        wvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in way_hist[: k + 1]) * STEP),
+                changeset=100 + k,
+                uid=7,
+                tags=WAY_TAGS[tag_i],
+                refs=[{"type": "node", "ref": r, "role": ""} for r in ref_ids],
+                visible=visible,
+            )
+        )
+    doc = typed_row(make_doc("way", 7, wvs, members=members))
+    return doc, wvs, mdicts
+
+
+def _seg_hits_rect(p0, p1, bbox):
+    """Segment-rect intersection by separating axes (NOT Liang-Barsky):
+    no rect edge has both endpoints strictly outside on the same side,
+    and the segment's carrier line does not separate the rect corners."""
+    w, s, e, n = bbox
+    (x0, y0), (x1, y1) = p0, p1
+    if (x0 < w and x1 < w) or (x0 > e and x1 > e):
+        return False
+    if (y0 < s and y1 < s) or (y0 > n and y1 > n):
+        return False
+    dx, dy = x1 - x0, y1 - y0
+    signs = {
+        (cx - x0) * dy - (cy - y0) * dx > 0
+        for cx, cy in ((w, s), (w, n), (e, s), (e, n))
+    }
+    return len(signs) > 1 or dx == dy == 0
+
+
+def _replay_way(wvs, mdicts, requested, bbox, key_filter):
+    from oshdb_spark.model.synth import unix
+
+    if key_filter is not None and not any(
+        v["visible"] and key_filter in (v["tags"] or {}) for v in wvs
+    ):
+        return {}
+
+    def node_asof(mid, t):
+        vs = [v for v in mdicts.get(mid, []) if unix(v["ts"]) <= t]
+        if not vs:
+            return None
+        v = max(vs, key=lambda v: (unix(v["ts"]), v["version"]))
+        if not v["visible"] or v["lon"] is None:
+            return None
+        return (round(v["lon"] * 1e-7, 9), round(v["lat"] * 1e-7, 9))
+
+    out = {}
+    for t in requested:
+        cand = [v for v in wvs if unix(v["ts"]) <= t]
+        if not cand:
+            continue
+        v = max(cand, key=lambda v: (unix(v["ts"]), v["version"]))
+        if not v["visible"] or not v["refs"]:
+            continue
+        if key_filter is not None and key_filter not in (v["tags"] or {}):
+            continue
+        pts = [p for p in (node_asof(r["ref"], t) for r in v["refs"])
+               if p is not None]
+        if len(pts) >= 2:
+            geom = ("LineString", tuple(pts))
+        elif len(pts) == 1:
+            geom = ("Point", pts[0])
+        else:
+            geom = ("empty",)
+        if bbox is not None:
+            if geom[0] == "empty":
+                continue
+            if geom[0] == "Point":
+                x, y = geom[1]
+                if not (bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]):
+                    continue
+            else:
+                if not any(
+                    _seg_hits_rect(pts[i], pts[i + 1], bbox)
+                    for i in range(len(pts) - 1)
+                ):
+                    continue
+        out[t] = (v["version"], tuple(sorted((v["tags"] or {}).items())), geom)
+    return out
+
+
+def _canon_geom(g):
+    if g is None:
+        return ("empty",)
+    t, p = g
+    if t == "Point":
+        if p is None:
+            return ("empty",)
+        return ("Point", (round(p[0], 9), round(p[1], 9)))
+    assert t == "LineString", t
+    return (
+        "LineString",
+        tuple((round(x, 9), round(y, 9)) for x, y in np.asarray(p)),
+    )
+
+
+if HAVE_HYP:
+    member_hist = st.lists(
+        st.tuples(
+            st.integers(1, 4),      # ts delta (steps)
+            st.booleans(),          # visible (invisible ⇒ coords None)
+            st.integers(-80, 80),   # lon lattice steps
+            st.integers(-60, 60),   # lat
+        ),
+        min_size=1,
+        max_size=3,
+    )
+    way_hist_strategy = st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.booleans(),
+            st.integers(0, len(WAY_TAGS) - 1),
+            # refs drawn from member ids 101-103 plus 104 (NO history —
+            # the incomplete-extract case); repeats allowed, may be empty
+            st.lists(st.integers(101, 104), min_size=0, max_size=5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        way_hist_strategy,
+        st.lists(member_hist, min_size=2, max_size=3),
+        requested_strategy,
+        bbox_strategy,
+        st.sampled_from([None, "highway", "note"]),
+    )
+    def test_way_snapshots_match_independent_replay(
+        way_hist, member_hists, req_steps, bbox_spec, key_filter
+    ):
+        doc, wvs, mdicts = _build_way_doc(way_hist, member_hists)
+        requested = sorted(BASE + r * STEP + 1 for r in req_steps)
+        if bbox_spec is None:
+            aoi, bbox = AOI(), None
+        else:
+            w, s, dw, dh = bbox_spec
+            bbox = (w / 10 + 0.05, s / 10 + 0.05,
+                    (w + dw) / 10 + 0.05, (s + dh) / 10 + 0.05)
+            aoi = AOI(bbox=bbox)
+        flt = None
+        if key_filter is not None:
+            flt = lambda v, et, eid: key_filter in (v.get("tags") or {})  # noqa: E731
+
+        out = []
+        _emit_doc_snapshots(doc, requested, aoi, flt, DECIDER, True, out)
+        got = {}
+        for r in out:
+            assert r[0] not in got, "duplicate snapshot row for one ts"
+            got[r[0]] = (
+                r[3],
+                tuple(sorted((r[6] or {}).items())),
+                _canon_geom(G.from_wkb(r[7])),  # UNclipped geometry
+            )
+
+        want = _replay_way(wvs, mdicts, requested, bbox, key_filter)
+        assert got == want
