@@ -439,3 +439,243 @@ if HAVE_HYP:
 
         want = _replay_way(wvs, mdicts, requested, bbox, key_filter)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RELATION snapshot kernel vs independent replay (geometry-collection
+# path: 2-level member resolution — relation refs → embedded node/way
+# histories → way refs → node histories, all as-of t). Non-area tags
+# keep the decider out of scope (multipolygon assembly is pinned by the
+# ported golden suites); empty components (invisible members) are part
+# of the contract — the reference's GC keeps them (ref :140-185).
+# ---------------------------------------------------------------------------
+
+REL_TAGS = [None, {"kind": "route"}, {"kind": "trail"}, {"note": "x"}]
+
+
+def _build_rel_doc(rel_hist, way_hist, node_hists):
+    members = []
+    node_ids = []
+    for mi, hist in enumerate(node_hists):
+        mid = 101 + mi
+        node_ids.append(mid)
+        mvs = []
+        for k, (dt, visible, lon_s, lat_s) in enumerate(hist):
+            mvs.append(
+                make_version(
+                    version=k + 1,
+                    ts=_iso(BASE + sum(h[0] for h in hist[: k + 1]) * STEP),
+                    changeset=500 + k,
+                    lon=None if not visible else lon_s * 1_000_000,
+                    lat=None if not visible else lat_s * 1_000_000,
+                    visible=visible,
+                )
+            )
+        members.append({"entity_type": "node", "id": mid, "versions": mvs})
+    wvs = []
+    for k, (dt, visible, ref_ids) in enumerate(way_hist):
+        wvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in way_hist[: k + 1]) * STEP),
+                changeset=300 + k,
+                refs=[{"type": "node", "ref": r, "role": ""} for r in ref_ids],
+                visible=visible,
+            )
+        )
+    members.append({"entity_type": "way", "id": 11, "versions": wvs})
+    rvs = []
+    for k, (dt, visible, tag_i, refs) in enumerate(rel_hist):
+        rvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in rel_hist[: k + 1]) * STEP),
+                changeset=100 + k,
+                uid=7,
+                tags=REL_TAGS[tag_i],
+                refs=[{"type": t, "ref": r, "role": ""} for t, r in refs],
+                visible=visible,
+            )
+        )
+    doc = typed_row(make_doc("relation", 8, rvs, members=members))
+    return doc, rvs, {"way": {11: wvs},
+                      "node": {101 + i: h for i, h in
+                               enumerate(m["versions"] for m in members[:-1])}}
+
+
+def _replay_relation(rvs, mem, requested, bbox, key_filter):
+    from oshdb_spark.model.synth import unix
+
+    if key_filter is not None and not any(
+        v["visible"] and key_filter in (v["tags"] or {}) for v in rvs
+    ):
+        return {}
+
+    def asof(versions, t):
+        vs = [v for v in versions if unix(v["ts"]) <= t]
+        if not vs:
+            return None
+        return max(vs, key=lambda v: (unix(v["ts"]), v["version"]))
+
+    def node_geom(nv):
+        if not nv["visible"] or nv["lon"] is None:
+            return ("emptyPoint",)
+        return ("Point", (round(nv["lon"] * 1e-7, 9),
+                          round(nv["lat"] * 1e-7, 9)))
+
+    def way_geom(wv, t):
+        if not wv["visible"]:
+            return ("LineString", ())
+        pts = []
+        for r in wv["refs"]:
+            h = mem["node"].get(r["ref"])
+            if h is None:
+                continue
+            nv = asof(h, t)
+            if nv is None or not nv["visible"] or nv["lon"] is None:
+                continue
+            pts.append((round(nv["lon"] * 1e-7, 9),
+                        round(nv["lat"] * 1e-7, 9)))
+        if len(pts) >= 2:
+            return ("LineString", tuple(pts))
+        if len(pts) == 1:
+            return ("Point", pts[0])
+        return ("emptyPoint",)
+
+    def hits_bbox(comp):
+        if comp[0] == "emptyPoint":
+            return False
+        if comp[0] == "Point":
+            x, y = comp[1]
+            return bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]
+        pts = comp[1]
+        if len(pts) == 0:
+            return False
+        return any(
+            _seg_hits_rect(pts[i], pts[i + 1], bbox)
+            for i in range(len(pts) - 1)
+        )
+
+    out = {}
+    for t in requested:
+        v = asof(rvs, t)
+        if v is None or not v["visible"] or not v["refs"]:
+            continue
+        if key_filter is not None and key_filter not in (v["tags"] or {}):
+            continue
+        comps = []
+        for r in v["refs"]:
+            h = mem.get(r["type"], {}).get(r["ref"])
+            if h is None:
+                continue  # missing member (incomplete extract)
+            mv = asof(h, t)
+            if mv is None:
+                continue  # member not yet born at t
+            comps.append(node_geom(mv) if r["type"] == "node"
+                         else way_geom(mv, t))
+        if bbox is not None and not any(hits_bbox(c) for c in comps):
+            continue
+        out[t] = (v["version"], tuple(sorted((v["tags"] or {}).items())),
+                  ("GC", tuple(comps)))
+    return out
+
+
+def _canon_rel_geom(g):
+    if g is None:
+        return ("GC", ())
+    t, p = g
+    if t != "GeometryCollection":
+        # single-component GC may round-trip as the component itself —
+        # the engine emits GC always; anything else is a real mismatch
+        return _canon_geom(g)
+    out = []
+    for c in p:
+        ct, cp = c
+        if ct == "Point":
+            out.append(("emptyPoint",) if cp is None
+                       else ("Point", (round(cp[0], 9), round(cp[1], 9))))
+        elif ct == "LineString":
+            arr = np.asarray(cp)
+            if len(arr) == 0:
+                out.append(("LineString", ()))
+            elif len(arr) == 1:
+                out.append(("Point", (round(arr[0, 0], 9),
+                                      round(arr[0, 1], 9))))
+            else:
+                out.append((
+                    "LineString",
+                    tuple((round(x, 9), round(y, 9)) for x, y in arr),
+                ))
+        else:
+            out.append((ct, repr(cp)))
+    return ("GC", tuple(out))
+
+
+if HAVE_HYP:
+    rel_hist_strategy = st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.booleans(),
+            st.integers(0, len(REL_TAGS) - 1),
+            # refs: embedded nodes 101-102, embedded way 11, missing way
+            # 22, missing relation 9
+            st.lists(
+                st.sampled_from(
+                    [("node", 101), ("node", 102), ("way", 11),
+                     ("way", 22), ("relation", 9)]
+                ),
+                min_size=0,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+    rel_way_hist = st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.booleans(),
+            st.lists(st.integers(101, 103), min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        rel_hist_strategy,
+        rel_way_hist,
+        st.lists(member_hist, min_size=2, max_size=2),
+        requested_strategy,
+        bbox_strategy,
+        st.sampled_from([None, "kind", "note"]),
+    )
+    def test_relation_snapshots_match_independent_replay(
+        rel_hist, way_hist, node_hists, req_steps, bbox_spec, key_filter
+    ):
+        doc, rvs, mem = _build_rel_doc(rel_hist, way_hist, node_hists)
+        requested = sorted(BASE + r * STEP + 1 for r in req_steps)
+        if bbox_spec is None:
+            aoi, bbox = AOI(), None
+        else:
+            w, s, dw, dh = bbox_spec
+            bbox = (w / 10 + 0.05, s / 10 + 0.05,
+                    (w + dw) / 10 + 0.05, (s + dh) / 10 + 0.05)
+            aoi = AOI(bbox=bbox)
+        flt = None
+        if key_filter is not None:
+            flt = lambda v, et, eid: key_filter in (v.get("tags") or {})  # noqa: E731
+
+        out = []
+        _emit_doc_snapshots(doc, requested, aoi, flt, DECIDER, True, out)
+        got = {}
+        for r in out:
+            assert r[0] not in got
+            got[r[0]] = (
+                r[3],
+                tuple(sorted((r[6] or {}).items())),
+                _canon_rel_geom(G.from_wkb(r[7])),
+            )
+
+        want = _replay_relation(rvs, mem, requested, bbox, key_filter)
+        assert got == want
