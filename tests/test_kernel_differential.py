@@ -679,3 +679,231 @@ if HAVE_HYP:
 
         want = _replay_relation(rvs, mem, requested, bbox, key_filter)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# WAY contribution kernel vs independent replay — the member-validity
+# mod-timestamp derivation (SURVEY §2 #20, "the hardest exactness
+# target") re-derived naively: windows computed per (way-version, node)
+# pair with no merge stack, node-caused timestamps selected by direct
+# interval tests, changeset attribution by way-put/node-setdefault, and
+# squash by a forward scan. Way versions sit on whole STEP lattice
+# points, node versions on half steps, so parent/child timestamp
+# collisions (put-wins corner, golden-pinned) never occur and every
+# remaining rule is exercised on random histories. World AOI only —
+# clipped-geometry classification is covered by the fast-vs-general
+# differential and the ported golden suites.
+# ---------------------------------------------------------------------------
+
+HALF = STEP // 2
+
+
+def _build_way_doc_contrib(way_hist, member_hists):
+    members = []
+    mdicts = {}
+    for mi, hist in enumerate(member_hists):
+        mid = 101 + mi
+        mvs = []
+        for k, (dt, visible, lon_s, lat_s, cs_pick) in enumerate(hist):
+            mvs.append(
+                make_version(
+                    version=k + 1,
+                    ts=_iso(BASE + sum(h[0] for h in hist[: k + 1]) * STEP
+                            + HALF),
+                    changeset=300 + cs_pick,
+                    lon=None if not visible else lon_s * 1_000_000,
+                    lat=None if not visible else lat_s * 1_000_000,
+                    visible=visible,
+                )
+            )
+        members.append({"entity_type": "node", "id": mid, "versions": mvs})
+        mdicts[mid] = mvs
+    wvs = []
+    for k, (dt, visible, tag_i, ref_ids) in enumerate(way_hist):
+        wvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in way_hist[: k + 1]) * STEP),
+                changeset=100 + k,
+                uid=7,
+                tags=WAY_TAGS[tag_i],
+                refs=[{"type": "node", "ref": r, "role": ""} for r in ref_ids],
+                visible=visible,
+            )
+        )
+    doc = typed_row(make_doc("way", 7, wvs, members=members))
+    return doc, wvs, mdicts
+
+
+def _replay_way_contribs(wvs, mdicts, members_order, t1, key_filter):
+    from oshdb_spark.model.synth import unix
+
+    ws = sorted(wvs, key=lambda v: (unix(v["ts"]), v["version"]))
+    wts = [unix(v["ts"]) for v in ws]
+
+    def match(v):
+        return v["visible"] and (
+            key_filter is None or key_filter in (v["tags"] or {})
+        )
+
+    if not any(match(v) for v in ws):
+        return {}
+
+    # own filter-aware mods: matching ts + first ts of each non-match run
+    # that follows a match
+    own = []
+    prev_m = False
+    for v in ws:
+        if match(v):
+            own.append(unix(v["ts"]))
+            prev_m = True
+        elif prev_m:
+            own.append(unix(v["ts"]))
+            prev_m = False
+
+    # node-caused mods: for each matching way version k referencing node
+    # n, the window [ts_k, ts_{k+1}] (inclusive; INF for the last) admits
+    # ALL of n's version timestamps
+    node_mods = set()
+    for k, v in enumerate(ws):
+        if not match(v):
+            continue
+        hi = wts[k + 1] if k + 1 < len(ws) else 2**62
+        for r in v["refs"]:
+            for nv in mdicts.get(r["ref"], []):
+                nt = unix(nv["ts"])
+                if wts[k] <= nt <= hi:
+                    node_mods.add(nt)
+
+    mods = sorted(set(own) | node_mods)
+
+    # changeset attribution: way versions overwrite, nodes setdefault in
+    # member order
+    cs = {}
+    for v in ws:
+        cs[unix(v["ts"])] = v["changeset"]
+    for mid in members_order:
+        for nv in sorted(mdicts[mid], key=lambda v: (unix(v["ts"]), v["version"])):
+            cs.setdefault(unix(nv["ts"]), nv["changeset"])
+
+    # squash: of each consecutive same-changeset run keep the LAST ts
+    squashed = [
+        t for i, t in enumerate(mods)
+        if i + 1 >= len(mods) or cs.get(t) != cs.get(mods[i + 1])
+    ]
+
+    def way_asof(t):
+        cand = [v for v in ws if unix(v["ts"]) <= t]
+        return max(cand, key=lambda v: (unix(v["ts"]), v["version"])) if cand else None
+
+    def node_asof(mid, t):
+        vs = [v for v in mdicts.get(mid, []) if unix(v["ts"]) <= t]
+        if not vs:
+            return None
+        v = max(vs, key=lambda v: (unix(v["ts"]), v["version"]))
+        if not v["visible"] or v["lon"] is None:
+            return None
+        return (v["lon"], v["lat"])  # exact ints — equality-safe
+
+    def geom(v, t):
+        pts = [p for p in (node_asof(r["ref"], t) for r in v["refs"])
+               if p is not None]
+        return tuple(pts)
+
+    out = {}
+    prev = None  # (version_dict, geom_or_None, types)
+    for t in squashed:
+        if t >= t1:
+            break
+        v = way_asof(t)
+        if v is None:
+            continue
+        row = None
+        if not v["visible"] or (
+            key_filter is not None and key_filter not in (v["tags"] or {})
+        ):
+            if prev is not None and "DELETION" not in prev[2]:
+                row = (["DELETION"],
+                       v["changeset"] if not v["visible"] else cs.get(t),
+                       prev[0]["version"], v["version"],
+                       tuple(sorted((v["tags"] or {}).items())))
+                prev = (v, None, {"DELETION"})
+            # an already-deleted / never-active state: prev unchanged,
+            # matching the engine's continue-without-prev-update
+            if row is not None:
+                out[t] = row
+            continue
+        g = geom(v, t)
+        if prev is None or "DELETION" in prev[2]:
+            types = {"CREATION"}
+            bver = prev[0]["version"] if prev else None
+        else:
+            types = set()
+            if (prev[0].get("tags") or {}) != (v.get("tags") or {}):
+                types.add("TAG_CHANGE")
+            if prev[1] != g:
+                types.add("GEOMETRY_CHANGE")
+            bver = prev[0]["version"]
+        out[t] = (sorted(types), cs.get(t), bver, v["version"],
+                  tuple(sorted((v["tags"] or {}).items())))
+        prev = (v, g, types)
+    return out
+
+
+def _canon_pts(wkb):
+    g = G.from_wkb(wkb)
+    if g is None:
+        return None
+    t, p = g
+    if t == "Point":
+        return () if p is None else (
+            (round(p[0], 9), round(p[1], 9)),
+        )
+    assert t == "LineString"
+    return tuple((round(x, 9), round(y, 9)) for x, y in np.asarray(p))
+
+
+if HAVE_HYP:
+    cmember_hist = st.lists(
+        st.tuples(
+            st.integers(1, 4),      # ts delta (steps, half-offset)
+            st.booleans(),
+            st.integers(-80, 80),
+            st.integers(-60, 60),
+            st.integers(0, 1),      # changeset pick {300, 301} → squash runs
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        way_hist_strategy,
+        st.lists(cmember_hist, min_size=2, max_size=3),
+        st.integers(1, 40),
+        st.sampled_from([None, "highway", "note"]),
+    )
+    def test_way_contributions_match_independent_replay(
+        way_hist, member_hists, t1_steps, key_filter
+    ):
+        from oshdb_spark.kernels.contribution import _emit_doc_contributions
+
+        doc, wvs, mdicts = _build_way_doc_contrib(way_hist, member_hists)
+        t0 = BASE - 1
+        t1 = BASE + t1_steps * STEP + 1
+        flt = None
+        if key_filter is not None:
+            flt = lambda v, et, eid: key_filter in (v.get("tags") or {})  # noqa: E731
+
+        out = []
+        _emit_doc_contributions(doc, t0, t1, AOI(), flt, DECIDER, True, out)
+        got = {}
+        for r in out:
+            assert r[0] not in got
+            got[r[0]] = (r[3], r[4], r[6], r[7],
+                         tuple(sorted((r[9] or {}).items())))
+
+        want = _replay_way_contribs(
+            wvs, mdicts, sorted(mdicts.keys()), t1, key_filter
+        )
+        assert got == want
