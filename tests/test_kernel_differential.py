@@ -907,3 +907,270 @@ if HAVE_HYP:
             wvs, mdicts, sorted(mdicts.keys()), t1, key_filter
         )
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RELATION contribution kernel vs independent replay — completes the
+# replay matrix (node/way/relation × snapshot/contribution). The deepest
+# derivation: relation mod timestamps pull member-node timestamps AND
+# member-way recursive timestamps (the way's own filter-free transitions
+# plus ITS node children windowed over the way's visible versions), all
+# re-selected through the relation's membership windows; changeset
+# attribution relation-put / member-setdefault; squash; then the state
+# machine over geometry collections with exact integer equality.
+# Relation ts on whole steps, way ts on half steps, node member i offset
+# by HALF + (i+1) seconds — every parent/child lattice is disjoint, so
+# put-wins / set-order ties (golden-pinned) are excluded by construction.
+# ---------------------------------------------------------------------------
+
+
+def _build_rel_doc_contrib(rel_hist, way_hist, node_hists):
+    members = []
+    node_vs = {}
+    for mi, hist in enumerate(node_hists):
+        mid = 101 + mi
+        mvs = []
+        for k, (dt, visible, lon_s, lat_s, cs_pick) in enumerate(hist):
+            mvs.append(
+                make_version(
+                    version=k + 1,
+                    ts=_iso(BASE + sum(h[0] for h in hist[: k + 1]) * STEP
+                            + HALF + mi + 1),
+                    changeset=300 + cs_pick,
+                    lon=None if not visible else lon_s * 1_000_000,
+                    lat=None if not visible else lat_s * 1_000_000,
+                    visible=visible,
+                )
+            )
+        members.append({"entity_type": "node", "id": mid, "versions": mvs})
+        node_vs[mid] = mvs
+    wvs = []
+    for k, (dt, visible, ref_ids) in enumerate(way_hist):
+        wvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in way_hist[: k + 1]) * STEP
+                        + HALF),
+                changeset=200 + k,
+                refs=[{"type": "node", "ref": r, "role": ""} for r in ref_ids],
+                visible=visible,
+            )
+        )
+    members.append({"entity_type": "way", "id": 11, "versions": wvs})
+    rvs = []
+    for k, (dt, visible, tag_i, refs) in enumerate(rel_hist):
+        rvs.append(
+            make_version(
+                version=k + 1,
+                ts=_iso(BASE + sum(h[0] for h in rel_hist[: k + 1]) * STEP),
+                changeset=100 + k,
+                uid=7,
+                tags=REL_TAGS[tag_i],
+                refs=[{"type": t, "ref": r, "role": ""} for t, r in refs],
+                visible=visible,
+            )
+        )
+    doc = typed_row(make_doc("relation", 8, rvs, members=members))
+    return doc, rvs, wvs, node_vs
+
+
+def _replay_rel_contribs(rvs, wvs, node_vs, t1, key_filter):
+    from oshdb_spark.model.synth import unix
+
+    rs = sorted(rvs, key=lambda v: (unix(v["ts"]), v["version"]))
+    rts = [unix(v["ts"]) for v in rs]
+    ws = sorted(wvs, key=lambda v: (unix(v["ts"]), v["version"]))
+    wts = [unix(v["ts"]) for v in ws]
+
+    def match(v):
+        return v["visible"] and (
+            key_filter is None or key_filter in (v["tags"] or {})
+        )
+
+    if not any(match(v) for v in rs):
+        return {}
+
+    def transitions(versions, pred):
+        outp, prev_m = [], False
+        for v in versions:
+            if pred(v):
+                outp.append(unix(v["ts"]))
+                prev_m = True
+            elif prev_m:
+                outp.append(unix(v["ts"]))
+                prev_m = False
+        return outp
+
+    own = transitions(rs, match)
+
+    # member-way recursive unfiltered mods: its own visibility
+    # transitions + its node children's ALL timestamps windowed over the
+    # way's VISIBLE versions (null filter)
+    way_rec = set(transitions(ws, lambda v: v["visible"]))
+    for k, wv in enumerate(ws):
+        if not wv["visible"]:
+            continue
+        hi = wts[k + 1] if k + 1 < len(ws) else 2**62
+        for r in wv["refs"]:
+            for nv in node_vs.get(r["ref"], []):
+                nt = unix(nv["ts"])
+                if wts[k] <= nt <= hi:
+                    way_rec.add(nt)
+
+    member_mods = {
+        ("node", nid): [unix(v["ts"]) for v in vs]
+        for nid, vs in node_vs.items()
+    }
+    member_mods[("way", 11)] = sorted(way_rec)
+
+    mods = set(own)
+    for k, v in enumerate(rs):
+        if not match(v):
+            continue
+        hi = rts[k + 1] if k + 1 < len(rs) else 2**62
+        for r in v["refs"]:
+            for mt in member_mods.get((r["type"], r["ref"]), []):
+                if rts[k] <= mt <= hi:
+                    mods.add(mt)
+    mods = sorted(mods)
+
+    # changesets: relation put; members setdefault in member-span order
+    # (nodes 101.., then way 11 whose own versions and node children all
+    # sit on already-claimed or distinct lattices)
+    cs = {}
+    for v in rs:
+        cs[unix(v["ts"])] = v["changeset"]
+    for nid in sorted(node_vs):
+        for nv in node_vs[nid]:
+            cs.setdefault(unix(nv["ts"]), nv["changeset"])
+    for wv in ws:
+        cs.setdefault(unix(wv["ts"]), wv["changeset"])
+
+    squashed = [
+        t for i, t in enumerate(mods)
+        if i + 1 >= len(mods) or cs.get(t) != cs.get(mods[i + 1])
+    ]
+
+    def asof(versions, t):
+        cand = [v for v in versions if unix(v["ts"]) <= t]
+        return max(cand, key=lambda v: (unix(v["ts"]), v["version"])) if cand else None
+
+    def node_pt(nid, t):
+        v = asof(node_vs.get(nid, []), t)
+        if v is None:
+            return None  # not yet born: component skipped
+        if not v["visible"] or v["lon"] is None:
+            return ("emptyPoint",)
+        return ("Point", (v["lon"], v["lat"]))
+
+    def way_g(t):
+        v = asof(ws, t)
+        if v is None:
+            return None
+        if not v["visible"]:
+            return ("LineString", ())
+        pts = []
+        for r in v["refs"]:
+            p = node_pt(r["ref"], t)
+            if p is None or p[0] == "emptyPoint":
+                if p == ("emptyPoint",):
+                    continue
+                continue
+            pts.append(p[1])
+        if len(pts) >= 2:
+            return ("LineString", tuple(pts))
+        if len(pts) == 1:
+            return ("Point", pts[0])
+        return ("emptyPoint",)
+
+    def gc(v, t):
+        comps = []
+        for r in v["refs"]:
+            if r["type"] == "node":
+                c = node_pt(r["ref"], t)
+            elif r["type"] == "way" and r["ref"] == 11:
+                c = way_g(t)
+            else:
+                c = None  # missing member
+            if c is not None:
+                comps.append(c)
+        return ("GC", tuple(comps))
+
+    out = {}
+    prev = None
+    for t in squashed:
+        if t >= t1:
+            break
+        v = asof(rs, t)
+        if v is None:
+            continue
+        if not v["visible"] or (
+            key_filter is not None and key_filter not in (v["tags"] or {})
+        ):
+            if prev is not None and "DELETION" not in prev[2]:
+                out[t] = (["DELETION"],
+                          v["changeset"] if not v["visible"] else cs.get(t),
+                          prev[0]["version"], v["version"],
+                          tuple(sorted((v["tags"] or {}).items())))
+                prev = (v, None, {"DELETION"})
+            continue
+        g = gc(v, t)
+        if prev is None or "DELETION" in prev[2]:
+            types = {"CREATION"}
+            bver = prev[0]["version"] if prev else None
+        else:
+            types = set()
+            if (prev[0].get("tags") or {}) != (v.get("tags") or {}):
+                types.add("TAG_CHANGE")
+            if prev[1] != g:
+                types.add("GEOMETRY_CHANGE")
+            bver = prev[0]["version"]
+        out[t] = (sorted(types), cs.get(t), bver, v["version"],
+                  tuple(sorted((v["tags"] or {}).items())))
+        prev = (v, g, types)
+    return out
+
+
+if HAVE_HYP:
+    crel_way_hist = st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.booleans(),
+            st.lists(st.integers(101, 103), min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        rel_hist_strategy,
+        crel_way_hist,
+        st.lists(cmember_hist, min_size=2, max_size=2),
+        st.integers(1, 40),
+        st.sampled_from([None, "kind", "note"]),
+    )
+    def test_relation_contributions_match_independent_replay(
+        rel_hist, way_hist, node_hists, t1_steps, key_filter
+    ):
+        from oshdb_spark.kernels.contribution import _emit_doc_contributions
+
+        doc, rvs, wvs, node_vs = _build_rel_doc_contrib(
+            rel_hist, way_hist, node_hists
+        )
+        t0 = BASE - 1
+        t1 = BASE + t1_steps * STEP + 1
+        flt = None
+        if key_filter is not None:
+            flt = lambda v, et, eid: key_filter in (v.get("tags") or {})  # noqa: E731
+
+        out = []
+        _emit_doc_contributions(doc, t0, t1, AOI(), flt, DECIDER, True, out)
+        got = {}
+        for r in out:
+            assert r[0] not in got
+            got[r[0]] = (r[3], r[4], r[6], r[7],
+                         tuple(sorted((r[9] or {}).items())))
+
+        want = _replay_rel_contribs(rvs, wvs, node_vs, t1, key_filter)
+        assert got == want
