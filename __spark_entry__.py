@@ -1830,6 +1830,28 @@ def _split_stream_dir(src_path: str, order_col: str, n: int = 3) -> str:
     return d
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-zoom tile-count pyramid (zooms 6/4/2) from one scan: finest
+    zoom aggregated directly, coarser zooms cascaded from the previous
+    level's aggregate via the exact power-of-two parent mapping
+    (geo/cells.tile_pyramid). The oracle computes every zoom's ids
+    DIRECTLY from coordinates, so a hash match also proves the cascade
+    identity (parent-of-child == direct assignment at the parent zoom)."""
+    from oshdb_spark.geo.cells import tile_pyramid
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+        - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+        - 850_000_000
+    )
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    return tile_pyramid(pts, "lon7", "lat7", (6, 4, 2))
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming: event-time tumbling-window counts per
     event_type over a bounded file stream (availableNow trigger, complete
@@ -2188,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dedup": q_media_phash_dedup,
         "media_dedup_groups": q_media_dedup_groups,
         "sessionization": q_sessionization,
+        "tile_pyramid": q_tile_pyramid,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup": q_stream_dedup,
         "stream_contrib_tracker": q_stream_contrib_tracker,
@@ -4002,6 +4025,24 @@ def oracle_sql() -> dict[str, str]:
                            CAST(floor(epoch(ts)) AS BIGINT) AS sec
                     FROM events))
             GROUP BY 1
+        """,
+        "tile_pyramid": """
+            WITH pts AS (
+              SELECT ((event_id*1103515245) % 3600000000) - 1800000000
+                       AS lon7,
+                     ((event_id*1234567891) % 1700000000) - 850000000
+                       AS lat7
+              FROM events),
+            zl AS (SELECT * FROM (VALUES (6, 56250000, 64),
+                                         (4, 225000000, 16),
+                                         (2, 900000000, 4))
+                   AS t(zoom, w, nx))
+            SELECT zoom,
+                   CAST(((lat7 + 900000000) // w) * nx
+                        + ((lon7 + 1800000000) // w) AS BIGINT) AS cell,
+                   count(*) AS cnt
+            FROM pts, zl
+            GROUP BY 1, 2
         """,
         "stream_windowed_counts": """
             SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)

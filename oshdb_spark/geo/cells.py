@@ -538,3 +538,50 @@ def ring_tokens(token: str, k: int = 1) -> list[str]:
     ys = np.array([p[1] for p in pts])
     ds = hilbert_xy2d(level, xs, ys)
     return sorted(set(_d_to_token(ds, level).tolist()))
+
+
+def tile_pyramid(df, lon7_col: str, lat7_col: str, zooms=(6, 4, 2)):
+    """Multi-zoom XYGrid tile counts from ONE scan of the input.
+
+    The finest requested zoom is aggregated directly (`xy_id_col`,
+    whole-stage codegen); every coarser level is derived by CASCADING the
+    previous level's aggregate through the exact parent mapping
+    (x >> dz, y >> dz — valid because XYGrid cell widths subdivide by
+    powers of two and the lon-wrap/lat-clamp borders land in the same
+    cells at every zoom). A z-level tile server answers all zooms while
+    the raw table is scanned once; coarser levels aggregate at most
+    |tiles(z_prev)| rows. Returns (zoom, cell, cnt); out-of-range points
+    keep cell -1 at every zoom (XYGrid.java getId border semantics).
+    """
+    from pyspark.sql import functions as F
+
+    zs = sorted({_clamp_zoom(z) for z in zooms}, reverse=True)
+    z0 = zs[0]
+    level = (
+        df.withColumn("cell", xy_id_col(lon7_col, lat7_col, z0))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outs = [level.withColumn("zoom", F.lit(z0))]
+    prev_z = z0
+    for z in zs[1:]:
+        dz = prev_z - z
+        x = F.pmod(F.col("cell"), F.lit(1 << prev_z))
+        y = (F.col("cell") - x) / F.lit(1 << prev_z)
+        parent = (
+            F.floor(y / (1 << dz)) * (1 << z) + F.floor(x / (1 << dz))
+        ).cast("long")
+        level = (
+            level.withColumn(
+                "cell",
+                F.when(F.col("cell") < 0, F.lit(-1)).otherwise(parent),
+            )
+            .groupBy("cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        outs.append(level.withColumn("zoom", F.lit(z)))
+        prev_z = z
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(F.col("zoom").cast("int"), "cell", "cnt")

@@ -479,3 +479,34 @@ class TestPolygonCover:
         assert len(toks) > 0
         prefixes = cells.cover_prefixes_polygon(pieces, 4, enlarge=False)
         assert len(prefixes) <= len(toks)
+
+
+def test_tile_pyramid_cascade_matches_direct_assignment(spark):
+    """Cascaded parent rollup == direct per-zoom assignment, including
+    the XYGrid border cases (lon=180 wraps west, lat=90 clamps north)
+    that real point distributions rarely produce."""
+    import numpy as np
+
+    from oshdb_spark.geo.cells import tile_pyramid, xy_id
+
+    pts = [
+        (1_800_000_000, 900_000_000),    # both borders
+        (-1_800_000_000, -900_000_000),  # west/south corner
+        (1_800_000_000, -123_456_789),
+        (123_456_789, 900_000_000),
+        (0, 0),
+        (-567_890_123, 345_678_901),
+        (2_000_000_000, 0),              # out of range → -1 at all zooms
+    ]
+    df = spark.createDataFrame(pts, "lon7 long, lat7 long")
+    got = {
+        (r.zoom, r.cell): r.cnt
+        for r in tile_pyramid(df, "lon7", "lat7", (6, 4, 2)).collect()
+    }
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    want = {}
+    for z in (6, 4, 2):
+        for c in xy_id(lon, lat, z):
+            want[(z, int(c))] = want.get((z, int(c)), 0) + 1
+    assert got == want
