@@ -1610,6 +1610,82 @@ def q_source_mix(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality bucketing (ops/lm.lm_crossentropy, Wenzek
+    et al. 2020): per-doc cross-entropy under an add-1 word-bigram LM
+    trained on the 'src0' slice, bucketed head/tail by fixed thresholds.
+    Per-doc ce rounds to 6 decimals on BOTH engines before thresholding
+    (the float-membership invariant)."""
+    from oshdb_spark.ops.lm import lm_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    rest = d.filter(F.col("source") != "src0")
+    ce = lm_crossentropy(rest, ref).join(
+        rest.select("doc_id", "lang"), "doc_id"
+    ).withColumn("ce_r", F.round("ce", 6))
+    return ce.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("ce"), 6).alias("avg_ce"),
+        F.sum((F.col("ce_r") < 3.55).cast("long")).alias("head_docs"),
+        F.sum((F.col("ce_r") >= 3.70).cast("long")).alias("tail_docs"),
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (ops/lm.dsir_logweights, Xie et al.
+    2023): hashed-bigram importance of each non-src0 document toward the
+    src0 target slice; per language, mean weight plus deterministic
+    keep-if-positive membership (weights rounded to 6 decimals before
+    the sign test on both engines)."""
+    from oshdb_spark.ops.lm import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    rest = d.filter(F.col("source") != "src0")
+    w = dsir_logweights(rest, ref).join(
+        rest.select("doc_id", "lang"), "doc_id"
+    ).withColumn("w_r", F.round("logw", 6))
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("logw"), 6).alias("avg_logw"),
+        F.sum((F.col("w_r") > 0).cast("long")).alias("kept"),
+        F.sum(
+            F.when(F.col("w_r") > 0, F.col("doc_id")).otherwise(F.lit(0))
+        ).alias("id_sum"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality-classifier filtering (ops/classifier — the
+    DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
+    features, trained in-engine by 2 full-batch GD steps (weights
+    quantized to 6 decimals per update, the k-means determinism rule)
+    with y = (source == 'src0'); per language, mean score and
+    keep-if-score≥0.5 membership. The oracle replays featurize → both
+    GD iterations → scoring term-for-term in SQL."""
+    from oshdb_spark.ops.classifier import (
+        hashed_logreg_score,
+        hashed_logreg_train,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("source") == "src0").cast("int")
+    )
+    w, b = hashed_logreg_train(d, "_y")
+    sc = hashed_logreg_score(d, w, b).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return sc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum((F.col("score") >= 0.5).cast("long")).alias("kept"),
+        F.sum(
+            F.when(F.col("score") >= 0.5, F.col("doc_id")).otherwise(F.lit(0))
+        ).alias("id_sum"),
+    )
+
+
 def q_pipeline_prep(spark, sf_dir):
     """End-to-end training-data prep — the composition the ops layer
     exists for: quality gate → exact dedup (keep lowest id per
@@ -2198,6 +2274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pattern_scan": q_pattern_scan,
         "source_mix": q_source_mix,
+        "lm_quality": q_lm_quality,
+        "dsir_weights": q_dsir_weights,
+        "quality_classifier": q_quality_classifier,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -3479,6 +3558,177 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS kept,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM k GROUP BY lang
+        """,
+        "lm_quality": """
+            -- mirror of ops/lm.lm_crossentropy (add-1 word-bigram LM on
+            -- the src0 slice): p(w2|w1) = (c2+1)/(c1+V+1), c1 = bigram
+            -- marginal, V = src0 vocabulary; ce = mean -ln p per doc,
+            -- rounded to 6 decimals before the head/tail thresholds
+            WITH base AS (
+              SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, lang, source,
+                CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))
+                END AS bgs
+              FROM base),
+            v AS (SELECT count(DISTINCT x) AS v FROM (
+                    SELECT unnest(ws) AS x FROM base WHERE source = 'src0')),
+            c2 AS (
+              SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c2 FROM (
+                SELECT unnest(bgs) AS b FROM bg WHERE source = 'src0')
+              GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+            t AS (
+              SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id, lang, unnest(bgs) AS b FROM bg
+                WHERE source <> 'src0')),
+            nl AS (
+              SELECT t.doc_id, t.lang,
+                     -ln((coalesce(c2.c2, 0) + 1.0)
+                         / (coalesce(c1.c1, 0) + 1.0 * (v.v + 1))) AS nl
+              FROM t LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+              CROSS JOIN v),
+            per AS (SELECT doc_id, lang, avg(nl) AS ce FROM nl GROUP BY 1, 2)
+            SELECT lang, count(*) AS docs, round(avg(ce), 6) AS avg_ce,
+                   CAST(sum(CASE WHEN round(ce, 6) < 3.55 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS head_docs,
+                   CAST(sum(CASE WHEN round(ce, 6) >= 3.70 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tail_docs
+            FROM per GROUP BY lang
+        """,
+        "dsir_weights": """
+            -- mirror of ops/lm.dsir_logweights: word bigrams (whole text
+            -- when <2 tokens) hashed by the first 16 bits of
+            -- md5(gram || 'dsir') mod 256; add-1 bucket models of the
+            -- src0 target vs the non-src0 raw corpus; per-doc weight =
+            -- sum of log-prob ratios, rounded before the sign test
+            WITH base AS (
+              SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang, source,
+                CASE WHEN len(ws) < 2 THEN [text]
+                ELSE list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                END AS gs
+              FROM base),
+            f AS (
+              SELECT doc_id, lang, source,
+                ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+                % 256 AS b
+              FROM (SELECT doc_id, lang, source, md5(x || 'dsir') AS h FROM (
+                      SELECT doc_id, lang, source, unnest(gs) AS x FROM g))),
+            grid AS (SELECT unnest(generate_series(0, 255)) AS b),
+            tm AS (
+              SELECT grid.b,
+                     ln((coalesce(c.n, 0) + 1.0) / (t.tot + 256.0)) AS lp_t
+              FROM grid
+              LEFT JOIN (SELECT b, count(*) AS n FROM f
+                         WHERE source = 'src0' GROUP BY 1) c USING (b)
+              CROSS JOIN (SELECT count(*) AS tot FROM f
+                          WHERE source = 'src0') t),
+            rm AS (
+              SELECT grid.b,
+                     ln((coalesce(c.n, 0) + 1.0) / (t.tot + 256.0)) AS lp_r
+              FROM grid
+              LEFT JOIN (SELECT b, count(*) AS n FROM f
+                         WHERE source <> 'src0' GROUP BY 1) c USING (b)
+              CROSS JOIN (SELECT count(*) AS tot FROM f
+                          WHERE source <> 'src0') t),
+            per AS (
+              SELECT doc_id, lang, sum(tm.lp_t - rm.lp_r) AS w
+              FROM f JOIN tm USING (b) JOIN rm USING (b)
+              WHERE source <> 'src0' GROUP BY 1, 2)
+            SELECT lang, count(*) AS docs, round(avg(w), 6) AS avg_logw,
+                   CAST(sum(CASE WHEN round(w, 6) > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept,
+                   CAST(sum(CASE WHEN round(w, 6) > 0 THEN doc_id ELSE 0 END)
+                        AS BIGINT) AS id_sum
+            FROM per GROUP BY lang
+        """,
+        "quality_classifier": """
+            -- mirror of ops/classifier (hashed_logreg_train iters=2,
+            -- lr=1, + hashed_logreg_score): L1-normalized hashed-bigram
+            -- counts (md5 first 16 bits mod 256, salt 'clf'), full-batch
+            -- GD from w=0/bias=0 with round-6 quantization per update,
+            -- σ scores rounded before the keep threshold
+            WITH base AS (
+              SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) < 2 THEN [text]
+                ELSE list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                END AS gs
+              FROM base),
+            f AS (
+              SELECT doc_id,
+                ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+                % 256 AS b
+              FROM (SELECT doc_id, md5(x || 'clf') AS h FROM (
+                      SELECT doc_id, unnest(gs) AS x FROM g))),
+            cnt AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+            fx AS (
+              SELECT cnt.doc_id, cnt.b, cnt.c / tot.n AS x
+              FROM cnt JOIN tot USING (doc_id)),
+            lab AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+            nn AS (SELECT count(*) AS n FROM documents),
+            grid AS (SELECT unnest(generate_series(0, 255)) AS b),
+            -- iteration 1: w=0, bias=0 => sigma = 0.5 exactly
+            r1 AS (SELECT doc_id, y - 0.5 AS r FROM lab),
+            g1 AS (SELECT fx.b, sum(fx.x * r1.r) AS gs
+                   FROM fx JOIN r1 USING (doc_id) GROUP BY 1),
+            w1 AS (SELECT grid.b,
+                          round(coalesce(g1.gs, 0) / (SELECT n FROM nn), 6)
+                            AS w
+                   FROM grid LEFT JOIN g1 USING (b)),
+            b1 AS (SELECT round(sum(r) / (SELECT n FROM nn), 6) AS v FROM r1),
+            -- iteration 2
+            z2 AS (SELECT fx.doc_id, sum(fx.x * w1.w) AS dz
+                   FROM fx JOIN w1 USING (b) GROUP BY 1),
+            p2 AS (SELECT doc_id,
+                          1.0 / (1.0 + exp(-(dz + (SELECT v FROM b1)))) AS p
+                   FROM z2),
+            r2 AS (SELECT lab.doc_id, lab.y - coalesce(p2.p, 0.5) AS r
+                   FROM lab LEFT JOIN p2 USING (doc_id)),
+            g2 AS (SELECT fx.b, sum(fx.x * r2.r) AS gs
+                   FROM fx JOIN r2 USING (doc_id) GROUP BY 1),
+            w2 AS (SELECT w1.b,
+                          round(w1.w + coalesce(g2.gs, 0)
+                                       / (SELECT n FROM nn), 6) AS w
+                   FROM w1 LEFT JOIN g2 USING (b)),
+            b2 AS (SELECT round((SELECT v FROM b1)
+                                + sum(r) / (SELECT n FROM nn), 6) AS v
+                   FROM r2),
+            -- scoring with the final model
+            zs AS (SELECT fx.doc_id, sum(fx.x * w2.w) AS dz
+                   FROM fx JOIN w2 USING (b) GROUP BY 1),
+            per AS (
+              SELECT zs.doc_id, d.lang,
+                     round(1.0 / (1.0 + exp(-(zs.dz + (SELECT v FROM b2)))),
+                           6) AS score
+              FROM zs JOIN documents d USING (doc_id))
+            SELECT lang, count(*) AS docs,
+                   round(avg(score), 6) AS avg_score,
+                   CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept,
+                   CAST(sum(CASE WHEN score >= 0.5 THEN doc_id ELSE 0 END)
+                        AS BIGINT) AS id_sum
+            FROM per GROUP BY lang
         """,
         "pipeline_prep": """
             -- same pipeline in SQL: dup corpus -> quality gate
