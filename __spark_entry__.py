@@ -1656,6 +1656,56 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_spatial_join_table(spark, sf_dir):
+    """Two-table distributed spatial join (geo/spatial_join.
+    pip_join_regions_table — the PBSM shape for when the region table
+    outgrows the broadcast paths): events-derived points vs 25
+    nation-derived bbox regions, matched by a cell-id equi-join at
+    zoom 6 (with 4-way hot-cell salting) + exact inclusive refinement;
+    per region, point count and value sum. The oracle computes the same
+    pairs by direct predicate join."""
+    from oshdb_spark.geo.spatial_join import pip_join_regions_table
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    pts = ev.select(
+        "value",
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    regs = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("rid"))
+        .select(
+            "rid",
+            (
+                F.pmod(F.col("rid") * 1103515245, F.lit(3_200_000_000))
+                - 1_700_000_000
+            ).alias("w7"),
+            (
+                F.pmod(F.col("rid") * 1234567891, F.lit(1_500_000_000))
+                - 800_000_000
+            ).alias("s7"),
+        )
+        .withColumn(
+            "e7", F.col("w7") + 50_000_000 + (F.col("rid") % 7) * 30_000_000
+        )
+        .withColumn(
+            "n7", F.col("s7") + 40_000_000 + (F.col("rid") % 5) * 20_000_000
+        )
+    )
+    j = pip_join_regions_table(pts, regs, zoom=6, n_salts=4)
+    return j.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -2277,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
+        "spatial_join_table": q_spatial_join_table,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -3651,6 +3702,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN round(w, 6) > 0 THEN doc_id ELSE 0 END)
                         AS BIGINT) AS id_sum
             FROM per GROUP BY lang
+        """,
+        "spatial_join_table": """
+            -- direct predicate join over the same derived points and
+            -- nation-derived regions; the engine's cell-equi-join +
+            -- refine must produce identical pairs
+            WITH pts AS (
+              SELECT value,
+                     (event_id*1103515245) % 3600000000 - 1800000000 AS lon7,
+                     (event_id*1234567891) % 1700000000 - 850000000 AS lat7
+              FROM events),
+            r1 AS (
+              SELECT rid,
+                     (rid*1103515245) % 3200000000 - 1700000000 AS w7,
+                     (rid*1234567891) % 1500000000 - 800000000 AS s7
+              FROM (SELECT CAST(n_nationkey AS BIGINT) AS rid FROM nation)),
+            r2 AS (
+              SELECT rid, w7, s7,
+                     w7 + 50000000 + (rid % 7) * 30000000 AS e7,
+                     s7 + 40000000 + (rid % 5) * 20000000 AS n7
+              FROM r1)
+            SELECT rid, count(*) AS cnt, round(sum(value), 2) AS sum_val
+            FROM pts JOIN r2
+              ON lon7 >= w7 AND lon7 <= e7 AND lat7 >= s7 AND lat7 <= n7
+            GROUP BY rid
         """,
         "quality_classifier": """
             -- mirror of ops/classifier (hashed_logreg_train iters=2,

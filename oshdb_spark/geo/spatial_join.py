@@ -904,3 +904,99 @@ def polygon_aggregate_blocks(
     return both.select(
         *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in partial_cols]
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed two-table spatial join (PBSM)
+# ---------------------------------------------------------------------------
+
+def _floor_cell_expr(coord_expr: str, offset: int, zoom: int) -> str:
+    """SQL expr: exact floor((coord + offset) / cellWidth) at `zoom`,
+    mirroring cells.xy_id_col's two arithmetic forms (integral width up
+    to zoom 10, scaled int64 floor-div for the fractional widths above)."""
+    from .cells import _N
+
+    if zoom <= 10:
+        w = _N << (10 - zoom)
+        return f"floor(({coord_expr} + {offset}) / {w})"
+    d = 1 << (zoom - 10)
+    return f"floor((cast({coord_expr} as bigint) + {offset}) * {d} / {_N})"
+
+
+def pip_join_regions_table(
+    points: DataFrame,
+    regions: DataFrame,
+    zoom: int = 6,
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    w_col: str = "w7",
+    s_col: str = "s7",
+    e_col: str = "e7",
+    n_col: str = "n7",
+    n_salts: int = 1,
+) -> DataFrame:
+    """Distributed point-in-region join where BOTH sides are DataFrames —
+    the partition-based spatial-merge (PBSM) shape that takes over when
+    the region set outgrows the broadcast paths (split_by_regions /
+    zonal_aggregate hold to ~10^5 regions; an admin-boundary or
+    land-parcel table at 10^7+ rows needs a real shuffle join):
+
+    - each region row explodes to the grid cells its bbox covers at
+      ``zoom`` (sequence × sequence, pure codegen);
+    - each point computes its single cell (cells.xy_id_col);
+    - candidates meet in an EQUI-join on the cell id — hash-partitioned
+      both sides, broadcast only if Catalyst decides the exploded region
+      side is small — followed by the exact inclusive bbox refinement.
+
+    A (point, region) pair shares exactly ONE cell (the point's), so the
+    join emits no duplicates and needs no distinct. Coordinates are
+    int64 fixed-point (1e-7°). Regions must not wrap the date line and
+    must satisfy w<=e<180°, s<=n<90° (callers split wrapping regions —
+    the convention of xy_bbox2_cell_id_ranges' date-line handling).
+
+    ``n_salts`` > 1 replicates each region-cell row across that many
+    salt keys and routes each point to one pseudo-random salt — the
+    explicit hot-tile treatment for skewed data (a dense urban cell's
+    points then spread over n_salts reducers instead of one). Results
+    are salt-invariant.
+
+    Returns points' columns + regions' columns (callers disambiguate
+    name clashes before the call). Parity: the per-pair semantics equal
+    split_by_regions' inclusive bbox test; only the execution strategy
+    differs."""
+    from .cells import _LAT_MAX, _LON_MAX, _clamp_zoom, xy_id_col
+
+    zoom = _clamp_zoom(zoom)
+    x0 = _floor_cell_expr(w_col, _LON_MAX, zoom)
+    x1 = _floor_cell_expr(e_col, _LON_MAX, zoom)
+    y0 = _floor_cell_expr(s_col, _LAT_MAX, zoom)
+    y1 = _floor_cell_expr(n_col, _LAT_MAX, zoom)
+    ncols = 1 << zoom
+    cells_expr = (
+        f"flatten(transform(sequence({y0}, {y1}), "
+        f"y -> transform(sequence({x0}, {x1}), x -> y * {ncols} + x)))"
+    )
+    r = regions.withColumn("_cell", F.explode(F.expr(cells_expr)))
+    p = points.withColumn(
+        "_cell", xy_id_col(lon7_col, lat7_col, zoom)
+    ).filter(F.col("_cell") >= 0)
+    keys = ["_cell"]
+    if n_salts > 1:
+        r = r.withColumn(
+            "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+        )
+        p = p.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(lon7_col), F.col(lat7_col)),
+                F.lit(n_salts),
+            ).cast("int"),
+        )
+        keys = ["_cell", "_salt"]
+    joined = p.join(r, keys).filter(
+        (F.col(lon7_col) >= F.col(w_col))
+        & (F.col(lon7_col) <= F.col(e_col))
+        & (F.col(lat7_col) >= F.col(s_col))
+        & (F.col(lat7_col) <= F.col(n_col))
+    )
+    return joined.drop("_cell", "_salt")

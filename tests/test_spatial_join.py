@@ -551,3 +551,82 @@ def test_polygon_aggregate_blocks_disjoint_is_zero(spark):
         df, poly, ["cnt"], [F.count(F.lit(1))], level=4,
     ).collect()[0]
     assert got["cnt"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pip_join_regions_table (PBSM two-table join)
+# ---------------------------------------------------------------------------
+
+def _pbsm_fixtures(spark, n_pts=400, n_reg=23):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lon7 = rng.integers(-1_799_999_999, 1_799_999_999, n_pts)
+    lat7 = rng.integers(-899_999_999, 899_999_999, n_pts)
+    pts = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(lon7, lat7))],
+        "pid long, lon7 long, lat7 long",
+    )
+    w = rng.integers(-1_700_000_000, 1_500_000_000, n_reg)
+    e = w + rng.integers(1_000_000, 300_000_000, n_reg)
+    s = rng.integers(-850_000_000, 700_000_000, n_reg)
+    n = s + rng.integers(1_000_000, 150_000_000, n_reg)
+    regs = spark.createDataFrame(
+        [
+            (int(i), int(a), int(b), int(c), int(d))
+            for i, (a, b, c, d) in enumerate(zip(w, s, e, n))
+        ],
+        "rid long, w7 long, s7 long, e7 long, n7 long",
+    )
+    return pts, regs
+
+
+def _naive_pairs(pts, regs):
+    got = set()
+    for p in pts.collect():
+        for r in regs.collect():
+            if (
+                r["w7"] <= p["lon7"] <= r["e7"]
+                and r["s7"] <= p["lat7"] <= r["n7"]
+            ):
+                got.add((p["pid"], r["rid"]))
+    return got
+
+
+def test_pip_join_matches_naive_cross_join(spark):
+    from oshdb_spark.geo.spatial_join import pip_join_regions_table
+
+    pts, regs = _pbsm_fixtures(spark)
+    exp = _naive_pairs(pts, regs)
+    for zoom in (4, 6, 12):
+        got = {
+            (r["pid"], r["rid"])
+            for r in pip_join_regions_table(pts, regs, zoom=zoom).collect()
+        }
+        assert got == exp, f"zoom={zoom}"
+
+
+def test_pip_join_salt_invariant(spark):
+    from oshdb_spark.geo.spatial_join import pip_join_regions_table
+
+    pts, regs = _pbsm_fixtures(spark, n_pts=200, n_reg=9)
+    base = {
+        (r["pid"], r["rid"])
+        for r in pip_join_regions_table(pts, regs, zoom=5).collect()
+    }
+    salted = {
+        (r["pid"], r["rid"])
+        for r in pip_join_regions_table(
+            pts, regs, zoom=5, n_salts=8
+        ).collect()
+    }
+    assert salted == base
+
+
+def test_pip_join_no_duplicate_pairs(spark):
+    from oshdb_spark.geo.spatial_join import pip_join_regions_table
+
+    pts, regs = _pbsm_fixtures(spark, n_pts=300, n_reg=11)
+    rows = pip_join_regions_table(pts, regs, zoom=3).collect()
+    pairs = [(r["pid"], r["rid"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
