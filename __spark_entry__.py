@@ -1706,6 +1706,92 @@ def q_spatial_join_table(spark, sf_dir):
     )
 
 
+def _pbsm_poly_rings() -> dict[int, list[list[float]]]:
+    """8 deterministic convex pentagons (closed CCW rings, degree
+    coords, vertices offset off the 1e-7 grid) shared by the Spark query
+    and the generated half-plane oracle — the two sides agree by
+    construction."""
+    import math
+
+    out = {}
+    for rid in range(8):
+        cx = ((rid * 1103515245) % 280) - 140 + 0.0000013
+        cy = ((rid * 1234567891) % 100) - 50 + 0.0000017
+        rad = 8 + (rid % 5) * 6
+        ring = [
+            [cx + rad * math.cos(2 * math.pi * j / 5 + 0.3),
+             cy + 0.6 * rad * math.sin(2 * math.pi * j / 5 + 0.3)]
+            for j in range(5)
+        ]
+        ring.append(ring[0])
+        out[rid] = ring
+    return out
+
+
+def q_spatial_join_poly(spark, sf_dir):
+    """Polygon-table distributed spatial join (geo/spatial_join.
+    pip_join_polygons_table): events-derived points vs 8 convex-pentagon
+    regions carried as ring rows, candidate pairs from the cell
+    equi-join over each ring's bbox cover (2-way salted), exact
+    membership by the vectorized ray-cast. The oracle re-tests every
+    point against half-plane predicates generated from the same rings."""
+    from oshdb_spark.geo.spatial_join import pip_join_polygons_table
+
+    pts = _t(spark, sf_dir, "events").select(
+        "value",
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    polys = spark.createDataFrame(
+        [(rid, ring) for rid, ring in _pbsm_poly_rings().items()],
+        "rid long, ring array<array<double>>",
+    )
+    j = pip_join_polygons_table(pts, polys, zoom=6, n_salts=2)
+    return j.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+    )
+
+
+def _spatial_join_poly_oracle() -> str:
+    rings = _pbsm_poly_rings()
+
+    def d(v: float) -> str:
+        # full-precision repr literals overflow DuckDB's DECIMAL parse;
+        # a string->DOUBLE cast round-trips the exact IEEE double
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    blocks = []
+    for rid, ring in rings.items():
+        edges = " AND ".join(
+            f"(({d(x1)} - {d(x0)}) * (lat - {d(y0)})"
+            f" - ({d(y1)} - {d(y0)}) * (lon - {d(x0)})) > 0"
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:])
+        )
+        blocks.append(
+            f"SELECT {rid} AS rid, count(*) AS cnt,"
+            f" round(sum(value), 2) AS sum_val FROM pts"
+            f" WHERE {edges} HAVING count(*) > 0"
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+        WITH pts AS (
+          SELECT value,
+                 (((event_id*1103515245) % 3600000000) - 1800000000) * 1e-7
+                   AS lon,
+                 (((event_id*1234567891) % 1700000000) - 850000000) * 1e-7
+                   AS lat
+          FROM events)
+        {union}
+    """
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -2328,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "spatial_join_table": q_spatial_join_table,
+        "spatial_join_poly": q_spatial_join_poly,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -3727,6 +3814,7 @@ def oracle_sql() -> dict[str, str]:
               ON lon7 >= w7 AND lon7 <= e7 AND lat7 >= s7 AND lat7 <= n7
             GROUP BY rid
         """,
+        "spatial_join_poly": _spatial_join_poly_oracle(),
         "quality_classifier": """
             -- mirror of ops/classifier (hashed_logreg_train iters=2,
             -- lr=1, + hashed_logreg_score): L1-normalized hashed-bigram

@@ -964,6 +964,34 @@ def pip_join_regions_table(
     name clashes before the call). Parity: the per-pair semantics equal
     split_by_regions' inclusive bbox test; only the execution strategy
     differs."""
+    joined = _pbsm_candidates(
+        points, regions, zoom, lon7_col, lat7_col,
+        w_col, s_col, e_col, n_col, n_salts,
+    )
+    return joined.filter(
+        (F.col(lon7_col) >= F.col(w_col))
+        & (F.col(lon7_col) <= F.col(e_col))
+        & (F.col(lat7_col) >= F.col(s_col))
+        & (F.col(lat7_col) <= F.col(n_col))
+    ).drop("_cell", "_salt")
+
+
+def _pbsm_candidates(
+    points: DataFrame,
+    regions: DataFrame,
+    zoom: int,
+    lon7_col: str,
+    lat7_col: str,
+    w_col: str,
+    s_col: str,
+    e_col: str,
+    n_col: str,
+    n_salts: int,
+) -> DataFrame:
+    """Candidate pairs of the PBSM join: regions exploded to their
+    bbox-covering cells, points at their single cell, equi-joined on
+    (_cell[, _salt]). Callers apply the exact refinement and drop the
+    helper columns."""
     from .cells import _LAT_MAX, _LON_MAX, _clamp_zoom, xy_id_col
 
     zoom = _clamp_zoom(zoom)
@@ -993,10 +1021,71 @@ def pip_join_regions_table(
             ).cast("int"),
         )
         keys = ["_cell", "_salt"]
-    joined = p.join(r, keys).filter(
-        (F.col(lon7_col) >= F.col(w_col))
-        & (F.col(lon7_col) <= F.col(e_col))
-        & (F.col(lat7_col) >= F.col(s_col))
-        & (F.col(lat7_col) <= F.col(n_col))
+    return p.join(r, keys)
+
+
+def pip_join_polygons_table(
+    points: DataFrame,
+    polys: DataFrame,
+    zoom: int = 6,
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    rid_col: str = "rid",
+    ring_col: str = "ring",
+    n_salts: int = 1,
+) -> DataFrame:
+    """Polygon variant of pip_join_regions_table: the region table
+    carries one closed outer ring per row (``ring_col``:
+    array<array<double>> of [lon, lat] degree pairs). The candidate
+    stage is identical — the ring's bbox (computed in Catalyst, widened
+    by one fixed-point unit so double rounding can only enlarge it)
+    explodes to covering cells and meets each point's cell in an
+    equi-join — and the refinement is the vectorized ray-cast
+    (clip.points_in_polygon, FastPointInPolygon parity) over an
+    Arrow-batched boolean pandas UDF that groups each batch by region id
+    so every polygon is tested against its batch's points in one numpy
+    call, never per row.
+
+    Same contracts as the bbox variant: no date-line wrap, exactly one
+    shared cell per (point, polygon) pair (no dedup needed),
+    ``n_salts`` for hot cells."""
+
+    def bound(axis: int, agg: str, pad: int) -> Column:
+        return (
+            F.floor(
+                F.expr(
+                    f"{agg}(transform({ring_col}, v -> v[{axis}]))"
+                ) * 1e7
+            ).cast("long") + pad
+        )
+
+    r = (
+        polys.withColumn("_w7", bound(0, "array_min", -1))
+        .withColumn("_e7", bound(0, "array_max", 2))
+        .withColumn("_s7", bound(1, "array_min", -1))
+        .withColumn("_n7", bound(1, "array_max", 2))
     )
-    return joined.drop("_cell", "_salt")
+    cand = _pbsm_candidates(
+        points, r, zoom, lon7_col, lat7_col,
+        "_w7", "_s7", "_e7", "_n7", n_salts,
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(rid: pd.Series, lon7: pd.Series, lat7: pd.Series,
+               ring: pd.Series) -> pd.Series:
+        px = lon7.to_numpy(dtype=np.float64) * 1e-7
+        py = lat7.to_numpy(dtype=np.float64) * 1e-7
+        out = np.zeros(len(px), dtype=bool)
+        rids = rid.to_numpy()
+        for k in np.unique(rids):
+            idx = np.nonzero(rids == k)[0]
+            rg = np.asarray(
+                [list(v) for v in ring.iloc[idx[0]]], dtype=np.float64
+            )
+            out[idx] = points_in_polygon(px[idx], py[idx], [rg])
+        return pd.Series(out)
+
+    return cand.filter(
+        inside(F.col(rid_col), F.col(lon7_col), F.col(lat7_col),
+               F.col(ring_col))
+    ).drop("_cell", "_salt", "_w7", "_s7", "_e7", "_n7")

@@ -630,3 +630,49 @@ def test_pip_join_no_duplicate_pairs(spark):
     rows = pip_join_regions_table(pts, regs, zoom=3).collect()
     pairs = [(r["pid"], r["rid"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_pip_join_polygons_matches_full_scan(spark):
+    import numpy as np
+
+    from oshdb_spark.geo.clip import points_in_polygon
+    from oshdb_spark.geo.spatial_join import pip_join_polygons_table
+
+    rng = np.random.default_rng(11)
+    lon7 = rng.integers(-1_700_000_000, 1_700_000_000, 500)
+    lat7 = rng.integers(-850_000_000, 850_000_000, 500)
+    pts = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(lon7, lat7))],
+        "pid long, lon7 long, lat7 long",
+    )
+    polys = []
+    rings = {}
+    for rid in range(7):
+        cx = float(rng.uniform(-150, 150))
+        cy = float(rng.uniform(-70, 70))
+        rad = float(rng.uniform(3, 25))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        ring = [
+            [float(cx + rad * np.cos(a)), float(cy + 0.7 * rad * np.sin(a))]
+            for a in ang
+        ]
+        ring.append(ring[0])
+        polys.append((rid, ring))
+        rings[rid] = np.asarray(ring, dtype=np.float64)
+    pdf = spark.createDataFrame(
+        polys, "rid long, ring array<array<double>>"
+    )
+    exp = set()
+    px = lon7.astype(np.float64) * 1e-7
+    py = lat7.astype(np.float64) * 1e-7
+    for rid, rg in rings.items():
+        for i in np.nonzero(points_in_polygon(px, py, [rg]))[0]:
+            exp.add((int(i), rid))
+    for zoom, salts in ((4, 1), (7, 4)):
+        got = {
+            (r["pid"], r["rid"])
+            for r in pip_join_polygons_table(
+                pts, pdf, zoom=zoom, n_salts=salts
+            ).collect()
+        }
+        assert got == exp, f"zoom={zoom} salts={salts}"
