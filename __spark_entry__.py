@@ -2100,6 +2100,53 @@ def q_stream_windowed_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_tile_counts(spark, sf_dir):
+    """Structured Streaming: event-time 7-day-windowed per-tile counts
+    (streaming/incremental.windowed_cell_counts — the live tile-heat
+    rollup) over a bounded file stream, zoom-4 XYGrid cells assigned in
+    codegen on the stream. Complete mode emits every (window, cell), so
+    the result equals the batch GROUP BY the oracle runs."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import (
+        read_event_stream,
+        windowed_cell_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    stream = read_event_stream(spark, path, schema).select(
+        "ts",
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    agg = windowed_cell_counts(
+        stream, zoom=4, window="7 days", watermark="2 days"
+    )
+    out = agg.select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start"),
+        "cell",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    name = "stc_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_dedup(spark, sf_dir):
     """Structured Streaming: cross-micro-batch exact dedup
     (applyInPandasWithState, append mode) — one (fingerprint, keep_id)
@@ -2430,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup": q_stream_dedup,
+        "stream_tile_counts": q_stream_tile_counts,
         "stream_contrib_tracker": q_stream_contrib_tracker,
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
@@ -4462,6 +4510,24 @@ def oracle_sql() -> dict[str, str]:
                      AS win_start,
                    event_type, count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "stream_tile_counts": """
+            -- batch replay of the streaming rollup: 7-day tumbling
+            -- windows aligned to epoch 0, zoom-4 XYGrid cells (integral
+            -- width 2.25e8; derived coords never hit the wrap borders)
+            SELECT CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT)
+                     AS win_start,
+                   ((lat7 + 900000000) // 225000000) * 16
+                   + ((lon7 + 1800000000) // 225000000) AS cell,
+                   count(*) AS cnt
+            FROM (
+              SELECT ts,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events)
+            GROUP BY 1, 2
         """,
         "stream_dedup": """
             SELECT md5(text) AS fingerprint,

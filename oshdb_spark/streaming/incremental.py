@@ -201,3 +201,31 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_cell_counts(
+    stream: DataFrame,
+    zoom: int = 4,
+    window: str = "7 days",
+    watermark: str = "2 days",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Event-time windowed per-tile counts — the live tile-heat rollup
+    (streaming analog of cells.tile_pyramid's finest level). Cell
+    assignment is the codegen XYGrid id (cells.xy_id_col, reference
+    border semantics); streaming state is one counter per
+    (window, cell), bounded by the watermark. Out-of-range points
+    (cell -1) are dropped like the batch rollup drops them."""
+    from ..geo.cells import xy_id_col
+
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withColumn("cell", xy_id_col(lon7_col, lat7_col, zoom))
+        .filter(F.col("cell") >= 0)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cell", "cnt")
+    )

@@ -170,3 +170,48 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     # every fingerprint emitted exactly once, and no clone survived
     assert len(got) == len({f for f, _ in got})
     assert all(k < 1000 for _, k in got)
+
+
+def test_windowed_cell_counts_matches_batch(spark, split_source):
+    from oshdb_spark.geo.cells import xy_id_col
+    from oshdb_spark.streaming.incremental import windowed_cell_counts
+
+    src, ev = split_source
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def derived(df):
+        return df.select(
+            "ts",
+            (
+                F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+                - 1_800_000_000
+            ).alias("lon7"),
+            (
+                F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+                - 850_000_000
+            ).alias("lat7"),
+        )
+
+    stream = read_event_stream(spark, src, ev.schema)
+    agg = windowed_cell_counts(derived(stream), zoom=4, window="7 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tile_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.cell, r.cnt)
+        for r in spark.sql("SELECT * FROM tile_stream").collect()
+    }
+    b = derived(ev).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["w"]["start"], r["cell"], r["cnt"])
+        for r in b.withColumn("cell", xy_id_col("lon7", "lat7", 4))
+        .groupBy(F.window("ts", "7 days").alias("w"), "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 10
