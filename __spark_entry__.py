@@ -1792,6 +1792,47 @@ def _spatial_join_poly_oracle() -> str:
     """
 
 
+def q_distance_join(spark, sf_dir):
+    """Distributed distance self-join (geo/spatial_join.distance_join):
+    all event-point pairs within 200 km by the reference's
+    equirectangular metric, matched via neighbor-cell replication (each
+    qualifying pair meets in exactly one cell). Per 10°-latitude band of
+    the first point: pair count and total distance (per-pair distances
+    rounded to mm before summing — the float invariant)."""
+    from oshdb_spark.geo.spatial_join import distance_join
+
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    right = (
+        pts.withColumnRenamed("pid", "qid")
+    )
+    j = distance_join(pts, right, 200_000.0).filter(
+        F.col("pid") < F.col("qid")
+    )
+    return (
+        j.withColumn("dist_r", F.round("dist_m", 3))
+        .withColumn(
+            "band",
+            F.floor((F.col("lat7") + 850_000_000) / F.lit(100_000_000))
+            .cast("long"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.round(F.sum("dist_r"), 0).alias("sum_dist_m"),
+        )
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -2462,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "spatial_join_table": q_spatial_join_table,
         "spatial_join_poly": q_spatial_join_poly,
+        "distance_join": q_distance_join,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -3863,6 +3905,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY rid
         """,
         "spatial_join_poly": _spatial_join_poly_oracle(),
+        "distance_join": """
+            -- brute-force pairs with the IDENTICAL equirect formula
+            -- (degrees computed per point as lat7 * 1e-7 FIRST, then
+            -- differenced — term-for-term with equirect_distance_col);
+            -- the cheap |dlat| prefilter is loose (200 km < 1.82e7
+            -- fixed-point units of latitude) so it cannot drop a pair
+            WITH pts AS (
+              SELECT event_id AS pid,
+                     ((event_id*1103515245) % 3600000000 - 1800000000)
+                       * 1e-7 AS lon,
+                     ((event_id*1234567891) % 1700000000 - 850000000)
+                       * 1e-7 AS lat,
+                     (event_id*1234567891) % 1700000000 - 850000000 AS lat7
+              FROM events),
+            f AS (SELECT * FROM pts WHERE lat7 >= -700000000
+                                      AND lat7 <= 700000000),
+            d AS (
+              SELECT a.lat7 AS la7,
+                     6371000.0 * sqrt(dx*dx + dy*dy) AS dist
+              FROM (
+                SELECT a.pid AS apid, a.lat7, b.pid AS bpid,
+                       radians(b.lat - a.lat) AS dy,
+                       radians(b.lon - a.lon)
+                         * cos(radians((a.lat + b.lat) / 2.0)) AS dx
+                FROM f a JOIN f b
+                  ON a.pid < b.pid
+                 AND b.lat7 - a.lat7 <= 18200000
+                 AND a.lat7 - b.lat7 <= 18200000) a),
+            k AS (SELECT la7, round(dist, 3) AS dist_r FROM d
+                  WHERE dist <= 200000.0)
+            SELECT (la7 + 850000000) // 100000000 AS band,
+                   count(*) AS pairs,
+                   round(sum(dist_r), 0) AS sum_dist_m
+            FROM k GROUP BY 1
+        """,
         "quality_classifier": """
             -- mirror of ops/classifier (hashed_logreg_train iters=2,
             -- lr=1, + hashed_logreg_score): L1-normalized hashed-bigram

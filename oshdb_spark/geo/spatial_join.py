@@ -1089,3 +1089,96 @@ def pip_join_polygons_table(
         inside(F.col(rid_col), F.col(lon7_col), F.col(lat7_col),
                F.col(ring_col))
     ).drop("_cell", "_salt", "_w7", "_s7", "_e7", "_n7")
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    d_meters: float,
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    lat_max: float = 70.0,
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """Distributed distance join: every (left, right) pair within
+    ``d_meters`` by the reference's equirectangular metric
+    (Geo.java:37-45) — the "all pairs within d" primitive behind
+    geo-entity near-duplicate detection and proximity features.
+
+    Strategy (the neighbor-cell replication form of PBSM): a zoom is
+    chosen so one cell is at least as wide as d in degrees even at
+    ``lat_max`` (longitude degrees shrink by cos(lat)), the right side
+    replicates into its cell plus the 8 neighbors, the left side sits in
+    its single cell, so every qualifying pair meets in EXACTLY ONE cell
+    (no dedup) via the equi-join; the exact distance predicate refines.
+    Everything is whole-stage codegen; the only shuffle is the cell
+    hash join.
+
+    Contracts: rows with |lat| > lat_max are dropped from both sides
+    (pick lat_max for your data; 70° already forces zoom ≤ 6 for
+    d = 200 km), no date-line wrap (split inputs crossing it). Right
+    columns must not collide with left's. Output appends ``dist_col``
+    in meters."""
+    import math
+
+    d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
+    need = d_deg / math.cos(math.radians(lat_max))
+    zoom = 0
+    while zoom < 10 and 360.0 / (1 << (zoom + 1)) >= need:
+        zoom += 1
+    from .cells import _LAT_MAX, _LON_MAX, _N, _clamp_zoom
+
+    zoom = _clamp_zoom(zoom)
+    w = _N << (10 - zoom)  # integral cell width (zoom <= 10 by bound)
+    ncols = 1 << zoom
+    nrows = ncols // 2
+    lat7_cap = int(lat_max * 1e7)
+
+    def xy(df: DataFrame, lon_c: str, lat_c: str):
+        return (
+            df.filter(
+                (F.col(lat_c) >= -lat7_cap) & (F.col(lat_c) <= lat7_cap)
+            )
+            .withColumn("_x", F.floor((F.col(lon_c) + _LON_MAX) / w))
+            .withColumn("_y", F.floor((F.col(lat_c) + _LAT_MAX) / w))
+        )
+
+    l2 = xy(left, lon7_col, lat7_col).withColumn(
+        "_cell", F.col("_y") * ncols + F.col("_x")
+    ).drop("_x", "_y")
+    # rename right's coord columns so the joined frame keeps both
+    rlon, rlat = f"_r_{lon7_col}", f"_r_{lat7_col}"
+    r2 = (
+        xy(
+            right.withColumnRenamed(lon7_col, rlon)
+            .withColumnRenamed(lat7_col, rlat),
+            rlon,
+            rlat,
+        )
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.expr(
+                    f"filter(flatten(transform(sequence(-1, 1), "
+                    f"dy -> transform(sequence(-1, 1), "
+                    f"dx -> named_struct('x', _x + dx, 'y', _y + dy)))), "
+                    f"c -> c.x >= 0 AND c.x < {ncols} "
+                    f"AND c.y >= 0 AND c.y < {nrows})"
+                )
+            ),
+        )
+        .withColumn("_cell", F.col("_cell.y") * ncols + F.col("_cell.x"))
+        .drop("_x", "_y")
+    )
+    dist = equirect_distance_col(
+        F.col(lat7_col) * 1e-7,
+        F.col(lon7_col) * 1e-7,
+        F.col(rlat) * 1e-7,
+        F.col(rlon) * 1e-7,
+    )
+    return (
+        l2.join(r2, "_cell")
+        .withColumn(dist_col, dist)
+        .filter(F.col(dist_col) <= d_meters)
+        .drop("_cell")
+    )

@@ -676,3 +676,54 @@ def test_pip_join_polygons_matches_full_scan(spark):
             ).collect()
         }
         assert got == exp, f"zoom={zoom} salts={salts}"
+
+
+def test_distance_join_matches_brute_force(spark):
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import distance_join
+
+    rng = np.random.default_rng(23)
+    n = 800
+    # cluster some points so real pairs exist
+    base_lon = rng.integers(-1_500_000_000, 1_500_000_000, n // 4)
+    base_lat = rng.integers(-680_000_000, 680_000_000, n // 4)
+    lon7 = np.concatenate(
+        [base_lon + rng.integers(-30_000_000, 30_000_000, n // 4)
+         for _ in range(4)]
+    )
+    lat7 = np.concatenate(
+        [base_lat + rng.integers(-30_000_000, 30_000_000, n // 4)
+         for _ in range(4)]
+    )
+    pts = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(lon7, lat7))],
+        "pid long, lon7 long, lat7 long",
+    )
+    right = (
+        pts.withColumnRenamed("pid", "qid")
+    )
+    d = 200_000.0
+    got = {
+        (r["pid"], r["qid"])
+        for r in distance_join(pts, right, d).collect()
+        if r["pid"] < r["qid"]
+    }
+    # brute force with the same equirect metric
+    R = 6_371_000.0
+    la = lat7 * 1e-7
+    lo = lon7 * 1e-7
+    keep = np.abs(la) <= 70.0
+    exp = set()
+    idx = np.nonzero(keep)[0]
+    for ii, i in enumerate(idx):
+        j = idx[ii + 1:]
+        dlat = np.radians(la[j] - la[i])
+        dlng = np.radians(lo[j] - lo[i]) * np.cos(
+            np.radians((la[j] + la[i]) / 2.0)
+        )
+        dist = R * np.sqrt(dlat * dlat + dlng * dlng)
+        for k in j[dist <= d]:
+            exp.add((min(i, int(k)), max(i, int(k))))
+    assert got == exp
+    assert len(exp) > 50
