@@ -1833,6 +1833,33 @@ def q_distance_join(spark, sf_dir):
     )
 
 
+def q_knn_join_table(spark, sf_dir):
+    """Exact distributed kNN join (geo/spatial_join.knn_join — both
+    sides DataFrames): the 5 nearest event points for every 20th event
+    point, phase-1 cell-block candidates with a per-row guaranteed
+    radius, phase-2 ring-expansion residual. The oracle brute-forces all
+    pairs with the identical equirect formula and windows per query."""
+    from oshdb_spark.geo.spatial_join import knn_join
+
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    lefts = pts.filter(F.col("pid") % 20 == 0)
+    right = pts.withColumnRenamed("pid", "nid")
+    j = knn_join(lefts, right, k=5, zoom=6)
+    return j.select(
+        "pid", "nid", F.round("dist_m", 3).alias("dist")
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -2504,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_table": q_spatial_join_table,
         "spatial_join_poly": q_spatial_join_poly,
         "distance_join": q_distance_join,
+        "knn_join_table": q_knn_join_table,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -3939,6 +3967,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS pairs,
                    round(sum(dist_r), 0) AS sum_dist_m
             FROM k GROUP BY 1
+        """,
+        "knn_join_table": """
+            -- brute-force kNN with the IDENTICAL equirect formula and
+            -- tie rule (dist, then nid): window over all pairs
+            WITH pts AS (
+              SELECT event_id AS pid,
+                     ((event_id*1103515245) % 3600000000 - 1800000000)
+                       * 1e-7 AS lon,
+                     ((event_id*1234567891) % 1700000000 - 850000000)
+                       * 1e-7 AS lat
+              FROM events),
+            q AS (SELECT * FROM pts WHERE pid % 20 = 0),
+            d AS (
+              SELECT pid, nid, 6371000.0 * sqrt(dx*dx + dy*dy) AS dist
+              FROM (
+                SELECT q.pid, p.pid AS nid,
+                       radians(p.lat - q.lat) AS dy,
+                       radians(p.lon - q.lon)
+                         * cos(radians((q.lat + p.lat) / 2.0)) AS dx
+                FROM q CROSS JOIN pts p)),
+            r AS (
+              SELECT pid, nid, dist,
+                     row_number() OVER (
+                       PARTITION BY pid ORDER BY dist, nid) AS rn
+              FROM d)
+            SELECT pid, nid, round(dist, 3) AS dist
+            FROM r WHERE rn <= 5
         """,
         "quality_classifier": """
             -- mirror of ops/classifier (hashed_logreg_train iters=2,

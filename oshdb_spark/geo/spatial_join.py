@@ -1182,3 +1182,155 @@ def distance_join(
         .filter(F.col(dist_col) <= d_meters)
         .drop("_cell")
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    zoom: int = 6,
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    left_id: str = "pid",
+    right_id: str = "nid",
+    right_lon7: str | None = None,
+    right_lat7: str | None = None,
+) -> DataFrame:
+    """EXACT distributed kNN join — k nearest right rows for EVERY left
+    row (equirect metric, ties by right id), both sides DataFrames. The
+    all-pairs generalization of knn/knn_batch's cell-ring expansion:
+
+    Phase 1 (fully distributed): right replicates into its 3×3 cell
+    neighborhood at ``zoom``, left sits in its single cell, candidates
+    meet in the cell equi-join, one window takes the per-left top-k. A
+    left row is PROVEN done when it has ≥ k candidates and its k-th
+    distance is ≤ the guaranteed radius r_g — the least distance any
+    point OUTSIDE its 3×3 block can have: outside means crossing the
+    block's lat edge (dist ≥ R·rad(Δlat_min)) or its lon edge while
+    staying within Δlat_min (mean lat then ≤ |lat|+Δlat_min/2, so
+    dist ≥ R·rad(Δlon_min)·cos(that)); r_g = min of the two. Block
+    sides at the grid edge cannot be crossed (no data beyond ±90°/±180°,
+    and the metric itself does not wrap) and count as infinite.
+
+    Phase 2: the unresolved lefts (sparse neighborhoods, high
+    latitudes where the cos factor collapses r_g) collect to the driver
+    — they are the residual, not the corpus — and run through
+    knn_batch's count-map ring expansion, exact by the same proof.
+
+    Skew note: all candidates of one left row meet in ONE task (its
+    cell), so a dense cell inflates that task's window input by its own
+    population — pre-reduce with a coarser zoom or per-cell salting of
+    the WINDOW (not the join) if a city cell dominates; the join itself
+    is already salt-compatible.
+
+    Returns (left_id, right_id, dist_m) with exactly k rows per left
+    row (fewer only if |right| < k)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from .cells import _LAT_MAX, _LON_MAX, _N, _clamp_zoom
+
+    zoom = _clamp_zoom(zoom)
+    if zoom > 10:
+        raise ValueError("knn_join zoom must be <= 10 (integral width)")
+    w = _N << (10 - zoom)
+    ncols = 1 << zoom
+    nrows = ncols // 2
+    cellw_deg = 360.0 / ncols
+    rlon = right_lon7 or f"_r_{lon7_col}"
+    rlat = right_lat7 or f"_r_{lat7_col}"
+    if right_lon7 is None:
+        right = right.withColumnRenamed(lon7_col, rlon).withColumnRenamed(
+            lat7_col, rlat
+        )
+
+    l2 = (
+        left.withColumn("_x", F.floor((F.col(lon7_col) + _LON_MAX) / w))
+        .withColumn("_y", F.floor((F.col(lat7_col) + _LAT_MAX) / w))
+        .withColumn("_cell", F.col("_y") * ncols + F.col("_x"))
+    )
+    r2 = (
+        right.withColumn("_x", F.floor((F.col(rlon) + _LON_MAX) / w))
+        .withColumn("_y", F.floor((F.col(rlat) + _LAT_MAX) / w))
+        .withColumn(
+            "_nb",
+            F.explode(
+                F.expr(
+                    f"filter(flatten(transform(sequence(-1, 1), "
+                    f"dy -> transform(sequence(-1, 1), "
+                    f"dx -> named_struct('x', _x + dx, 'y', _y + dy)))), "
+                    f"c -> c.x >= 0 AND c.x < {ncols} "
+                    f"AND c.y >= 0 AND c.y < {nrows})"
+                )
+            ),
+        )
+        .withColumn("_cell", F.col("_nb.y") * ncols + F.col("_nb.x"))
+        .drop("_x", "_y", "_nb")
+    )
+    lat_deg = F.col(lat7_col) * 1e-7
+    lon_deg = F.col(lon7_col) * 1e-7
+    dist = equirect_distance_col(
+        lat_deg, lon_deg, F.col(rlat) * 1e-7, F.col(rlon) * 1e-7
+    )
+    cand = l2.join(r2, "_cell").withColumn("_dist", dist)
+    win = Window.partitionBy(left_id).orderBy("_dist", right_id)
+    topk = (
+        cand.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+    )
+    # guaranteed radius r_g (codegen): block edges in degrees
+    west = (F.col("_x") - 1) * cellw_deg - 180.0
+    east = (F.col("_x") + 2) * cellw_deg - 180.0
+    south = (F.col("_y") - 1) * cellw_deg - 90.0
+    north = (F.col("_y") + 2) * cellw_deg - 90.0
+    inf = F.lit(1e12)
+    dlat_min = F.least(
+        F.when(F.col("_y") - 1 >= 0, lat_deg - south).otherwise(inf),
+        F.when(F.col("_y") + 2 <= nrows, north - lat_deg).otherwise(inf),
+    )
+    dlon_min = F.least(
+        F.when(F.col("_x") - 1 >= 0, lon_deg - west).otherwise(inf),
+        F.when(F.col("_x") + 2 <= ncols, east - lon_deg).otherwise(inf),
+    )
+    coslat = F.cos(
+        F.radians(
+            F.least(F.abs(lat_deg) + dlat_min / 2.0, F.lit(90.0))
+        )
+    )
+    r_g = F.lit(EARTH_RADIUS) * F.least(
+        F.radians(dlat_min), F.radians(dlon_min) * coslat
+    )
+    stats = topk.groupBy(left_id).agg(
+        F.count(F.lit(1)).alias("_nc"),
+        F.max("_dist").alias("_kth"),
+        F.first(r_g).alias("_rg"),
+    )
+    resolved = stats.filter(
+        (F.col("_nc") >= k) & (F.col("_kth") <= F.col("_rg"))
+    ).select(left_id)
+    phase1 = topk.join(resolved, left_id, "left_semi").select(
+        left_id, right_id, F.col("_dist").alias("dist_m")
+    )
+    # phase 2: residual lefts via the count-map ring expansion
+    pending = (
+        l2.join(resolved, left_id, "left_anti")
+        .select(left_id, lon7_col, lat7_col)
+        .collect()
+    )
+    if not pending:
+        return phase1
+    queries = [
+        (str(r[left_id]), r[lon7_col] * 1e-7, r[lat7_col] * 1e-7)
+        for r in pending
+    ]
+    lid_type = dict(left.dtypes)[left_id]
+    p2 = knn_batch(
+        right, queries, k=k, lon_col=rlon, lat_col=rlat,
+        id_cols=[right_id], level=6,
+    ).select(
+        F.col("qid").cast(lid_type).alias(left_id),
+        right_id,
+        F.col("dist_m"),
+    )
+    return phase1.unionByName(p2)

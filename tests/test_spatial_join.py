@@ -727,3 +727,37 @@ def test_distance_join_matches_brute_force(spark):
             exp.add((min(i, int(k)), max(i, int(k))))
     assert got == exp
     assert len(exp) > 50
+
+
+def test_knn_join_matches_brute_force(spark):
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import knn_join
+
+    rng = np.random.default_rng(31)
+    n = 600
+    lon7 = rng.integers(-1_700_000_000, 1_700_000_000, n)
+    lat7 = rng.integers(-880_000_000, 880_000_000, n)  # incl. high lats
+    pts = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(lon7, lat7))],
+        "pid long, lon7 long, lat7 long",
+    )
+    right = (
+        pts.withColumnRenamed("pid", "nid")
+    )
+    k = 4
+    out = knn_join(pts, right, k=k, zoom=6).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["pid"], []).append((r["nid"], r["dist_m"]))
+    R = 6_371_000.0
+    la = lat7 * 1e-7
+    lo = lon7 * 1e-7
+    for i in range(n):
+        dlat = np.radians(la - la[i])
+        dlng = np.radians(lo - lo[i]) * np.cos(np.radians((la + la[i]) / 2))
+        dist = R * np.sqrt(dlat * dlat + dlng * dlng)
+        order = sorted(range(n), key=lambda j: (dist[j], j))[:k]
+        want = [int(j) for j in order]
+        have = [nid for nid, _ in sorted(got[i], key=lambda t: (t[1], t[0]))]
+        assert have == want, f"pid={i}"
