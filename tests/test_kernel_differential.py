@@ -21,7 +21,7 @@ import numpy as np
 import pytest
 
 try:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     HAVE_HYP = True
@@ -503,6 +503,81 @@ def _build_rel_doc(rel_hist, way_hist, node_hists):
                                enumerate(m["versions"] for m in members[:-1])}}
 
 
+def _naive_rel_mod_ts(rvs, mem, key_filter):
+    """Independent re-derivation of the relation's filtered modification
+    timestamps (OSHEntities.java _getModificationTimestamps(OSHRelation,
+    recurse, filter)): own matched-transition timestamps, plus member
+    child timestamps (nodes: ALL versions; ways: own transitions + their
+    node children in the way's windows) selected inside the membership
+    validity windows of MATCHING relation versions — windows span
+    [version ts, next version ts] INCLUSIVE (the reference's `<= toTs`
+    walk). Geometry snapshots between modifications REUSE the last
+    modification state, so a member state change that produces no mod
+    timestamp (e.g. a never-visible way) is invisible to later
+    snapshots — the corner this replay originally got wrong."""
+    from oshdb_spark.model.synth import unix
+
+    INF = float("inf")
+
+    def trans(versions, pred):
+        out, prev = [], False
+        for v in sorted(versions, key=lambda x: unix(x["ts"])):
+            if pred(v):
+                out.append(unix(v["ts"]))
+                prev = True
+            else:
+                if prev:
+                    out.append(unix(v["ts"]))
+                prev = False
+        return out
+
+    def windows_of(versions, pred, types):
+        wins = {}
+        vs = sorted(versions, key=lambda x: unix(x["ts"]))
+        for i, v in enumerate(vs):
+            if not pred(v):
+                continue
+            frm = unix(v["ts"])
+            to = unix(vs[i + 1]["ts"]) if i + 1 < len(vs) else INF
+            for r in v.get("refs") or []:
+                if r["type"] in types:
+                    wins.setdefault((r["type"], r["ref"]), []).append(
+                        (frm, to)
+                    )
+        return wins
+
+    def match(v):
+        return v["visible"] and (
+            key_filter is None or key_filter in (v["tags"] or {})
+        )
+
+    def node_ts(h):
+        return [unix(v["ts"]) for v in h]
+
+    def way_ts(wvs):
+        out = set(trans(wvs, lambda v: v["visible"]))
+        for (_ty, ref), ws in windows_of(
+            wvs, lambda v: v["visible"], {"node"}
+        ).items():
+            h = mem["node"].get(ref)
+            if h is None:
+                continue
+            out |= {
+                ct for ct in node_ts(h)
+                if any(a <= ct <= b for a, b in ws)
+            }
+        return sorted(out)
+
+    result = set(trans(rvs, match))
+    for (ty, ref), ws in windows_of(rvs, match, {"node", "way"}).items():
+        h = mem.get(ty, {}).get(ref)
+        if h is None:
+            continue
+        cts = node_ts(h) if ty == "node" else way_ts(h)
+        result |= {ct for ct in cts if any(a <= ct <= b for a, b in ws)}
+    return sorted(result)
+
+
 def _replay_relation(rvs, mem, requested, bbox, key_filter):
     from oshdb_spark.model.synth import unix
 
@@ -556,8 +631,46 @@ def _replay_relation(rvs, mem, requested, bbox, key_filter):
             for i in range(len(pts) - 1)
         )
 
+    # group requested timestamps by modification state exactly like the
+    # reference (CellIterator.java:219-243): the first requested ts at or
+    # after each new modification becomes a KEY evaluated for real; the
+    # following requested ts reuse the key's emitted state
+    # entity-bbox fully-inside shortcut (reference: a doc whose full
+    # coordinate history sits inside the query bbox is emitted WITHOUT
+    # per-geometry intersection tests — even when the as-of geometry is
+    # empty, e.g. all members deleted; the engine's 3-state cull models
+    # the same rule at doc granularity)
+    coords = [
+        (round(v["lon"] * 1e-7, 9), round(v["lat"] * 1e-7, 9))
+        for h in mem["node"].values()
+        for v in h
+        if v["visible"] and v["lon"] is not None
+    ]
+    fully = False
+    if bbox is not None and coords:
+        xs = [c[0] for c in coords]
+        ys = [c[1] for c in coords]
+        fully = (
+            min(xs) >= bbox[0] and max(xs) <= bbox[2]
+            and min(ys) >= bbox[1] and max(ys) <= bbox[3]
+        )
+
+    mods = _naive_rel_mod_ts(rvs, mem, key_filter)
+    groups: list[list[int]] = []
+    j = 0
+    for t in sorted(requested):
+        need = False
+        while j < len(mods) and mods[j] <= t:
+            need = True
+            j += 1
+        if need:
+            groups.append([t])
+        elif groups:
+            groups[-1].append(t)
+
     out = {}
-    for t in requested:
+    for ts_group in groups:
+        t = ts_group[0]
         v = asof(rvs, t)
         if v is None or not v["visible"] or not v["refs"]:
             continue
@@ -573,10 +686,14 @@ def _replay_relation(rvs, mem, requested, bbox, key_filter):
                 continue  # member not yet born at t
             comps.append(node_geom(mv) if r["type"] == "node"
                          else way_geom(mv, t))
-        if bbox is not None and not any(hits_bbox(c) for c in comps):
+        if bbox is not None and not fully and not any(
+            hits_bbox(c) for c in comps
+        ):
             continue
-        out[t] = (v["version"], tuple(sorted((v["tags"] or {}).items())),
-                  ("GC", tuple(comps)))
+        row = (v["version"], tuple(sorted((v["tags"] or {}).items())),
+               ("GC", tuple(comps)))
+        for each_t in ts_group:
+            out[each_t] = row
     return out
 
 
@@ -649,6 +766,28 @@ if HAVE_HYP:
         requested_strategy,
         bbox_strategy,
         st.sampled_from([None, "kind", "note"]),
+    )
+    # pinned: a never-visible member way produces NO modification
+    # timestamp, so snapshots after its (deleted) version must REUSE the
+    # geometry of the last modification — the GC does NOT grow an empty
+    # LineString (reference queryTs grouping, CellIterator.java:219-243)
+    @example(
+        rel_hist=[(1, True, 0, [("way", 11)])],
+        way_hist=[(2, False, [])],
+        node_hists=[[(1, False, 0, 0)], [(1, False, 0, 0)]],
+        req_steps=[0, 1, 2],
+        bbox_spec=None,
+        key_filter=None,
+    )
+    # pinned: entity-bbox fully inside the query bbox emits WITHOUT a
+    # per-geometry test — even an all-empty GC (all members deleted)
+    @example(
+        rel_hist=[(1, True, 0, [("node", 101)])],
+        way_hist=[(1, False, [])],
+        node_hists=[[(1, False, 0, 0)], [(1, True, 0, 0)]],
+        req_steps=[1],
+        bbox_spec=(-1, -1, 1, 1),
+        key_filter=None,
     )
     def test_relation_snapshots_match_independent_replay(
         rel_hist, way_hist, node_hists, req_steps, bbox_spec, key_filter
