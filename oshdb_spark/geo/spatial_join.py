@@ -1123,6 +1123,11 @@ def distance_join(
 
     d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
     need = d_deg / math.cos(math.radians(lat_max))
+    if need > 180.0:
+        raise ValueError(
+            "d_meters too large for lat_max: one grid cell cannot span "
+            f"{need:.1f} degrees — lower lat_max or d_meters"
+        )
     zoom = 0
     while zoom < 10 and 360.0 / (1 << (zoom + 1)) >= need:
         zoom += 1
@@ -1232,8 +1237,8 @@ def knn_join(
     from .cells import _LAT_MAX, _LON_MAX, _N, _clamp_zoom
 
     zoom = _clamp_zoom(zoom)
-    if zoom > 10:
-        raise ValueError("knn_join zoom must be <= 10 (integral width)")
+    if not 1 <= zoom <= 10:
+        raise ValueError("knn_join zoom must be in [1, 10]")
     w = _N << (10 - zoom)
     ncols = 1 << zoom
     nrows = ncols // 2
