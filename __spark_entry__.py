@@ -1278,6 +1278,18 @@ def q_sim_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10).select("vec_id")
 
 
+def q_sim_int8(spark, sf_dir):
+    """Int8-quantized ANN baseline (ops/similarity.with_int8/int8_topk —
+    the 4× storage path): cosine top-10 over per-vector symmetric int8
+    codes dequantized on the fly; the oracle replays scale, rounding and
+    dequantization bit-for-bit in DuckDB."""
+    from oshdb_spark.ops.similarity import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return int8_topk(emb, qvec, k=10).select("vec_id")
+
+
 def q_sim_knn_join(spark, sf_dir):
     """Batch kNN join: exact cosine top-10 for each of 8 query vectors —
     one matmul per Arrow batch with per-query local top-k, global rank
@@ -2506,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
+        "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
         "sim_pq": q_sim_pq,
         "heavy_hitters": q_heavy_hitters,
@@ -4286,6 +4299,32 @@ def oracle_sql() -> dict[str, str]:
                                            embedding::DOUBLE[]))
                    * sqrt(list_inner_product(q.qv, q.qv))) AS c
               FROM embeddings, q)
+            ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "sim_int8": """
+            -- int8 mirror of ops.similarity.with_int8 + int8_topk:
+            -- scale = max|x|/127 (0 -> 1.0), codes = round-half-away,
+            -- rank by cosine of the dequantized vectors
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) AS ax
+              FROM embeddings),
+            dqv AS (
+              SELECT vec_id,
+                     list_transform(e, x -> round(x / sc) * sc) AS dq
+              FROM (SELECT vec_id, e,
+                           CASE WHEN ax = 0 THEN 1.0
+                                ELSE ax / 127.0 END AS sc
+                    FROM s))
+            SELECT vec_id FROM (
+              SELECT dqv.vec_id,
+                list_inner_product(dq, q.qv)
+                / (sqrt(list_inner_product(dq, dq))
+                   * sqrt(list_inner_product(q.qv, q.qv))) AS c
+              FROM dqv, q)
             ORDER BY c DESC, vec_id LIMIT 10
         """,
         "sim_pq": """

@@ -370,3 +370,48 @@ def pq_ann(
         .limit(rerank_factor * k)
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def with_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4× storage-compression path next to pq_ann's 16× codes
+    (float32 → 1 byte/dim + one scale): scale = max|x|/127 (zero
+    vectors keep scale 1.0 so dequantization is exact), code_i =
+    round(x_i/scale) as tinyint, dequantization = code·scale with a
+    max abs error of scale/2 per dimension. Pure Catalyst; the rounding
+    is round-half-away-from-zero on both engines, so a DuckDB oracle
+    replays codes bit-for-bit."""
+    v = f"cast({vec_col} as array<double>)"
+    ax = f"aggregate({v}, cast(0 as double), (a, x) -> greatest(a, abs(x)))"
+    out = df.withColumn(
+        scale_col,
+        F.expr(f"CASE WHEN {ax} = 0 THEN cast(1 as double)"
+               f" ELSE {ax} / 127.0 END"),
+    )
+    return out.withColumn(
+        code_col,
+        F.expr(f"transform({v}, x -> cast(round(x / {scale_col})"
+               f" as tinyint))"),
+    )
+
+
+def int8_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k over the DEQUANTIZED int8 codes —
+    what an int8-stored corpus serves: ranking error is bounded by the
+    quantization error (≤ scale/2 per dim), recall vs the float path is
+    measured in tests. Same plan shape as cosine_topk
+    (TakeOrderedAndProject, no shuffle of payloads)."""
+    q = with_int8(df, vec_col, "_q8", "_q8s")
+    deq = q.withColumn("_dq", F.expr("transform(_q8, c -> c * _q8s)"))
+    return cosine_topk(deq, query_vec, k=k, vec_col="_dq", id_col=id_col)

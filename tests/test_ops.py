@@ -884,3 +884,42 @@ def test_duplicate_spans_alignment_independent(spark):
                 "doc_id long, text string",
             )
             assert duplicate_spans(d2).count() >= 1, (off_a, off_b)
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    import numpy as np
+
+    from oshdb_spark.ops.similarity import cosine_topk, int8_topk, with_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = with_int8(emb).select("vec_id", "embedding", "q8", "q8_scale") \
+        .limit(50).collect()
+    for r in rows:
+        e = np.asarray(r["embedding"], dtype=np.float64)
+        q = np.asarray(r["q8"], dtype=np.float64)
+        s = r["q8_scale"]
+        assert np.abs(q).max() <= 127
+        # dequantization error bounded by scale/2 per dimension
+        assert np.abs(q * s - e).max() <= s / 2 + 1e-12
+        # codes replay exactly from the definition
+        expect = np.floor(np.abs(e / s) + 0.5) * np.sign(e)
+        assert np.array_equal(q, expect)
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    quant = [r["vec_id"] for r in int8_topk(emb, qvec, k=10).collect()]
+    # int8 at dim 64 keeps near-perfect ranking
+    assert len(set(exact) & set(quant)) >= 8
+    assert quant[0] == 0  # self-match survives quantization
+
+
+def test_int8_zero_vector_safe(spark):
+    from oshdb_spark.ops.similarity import with_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in with_int8(df).collect()}
+    assert out[1]["q8"] == [0, 0, 0] and out[1]["q8_scale"] == 1.0
+    assert out[2]["q8"][1] == -127
