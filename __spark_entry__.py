@@ -68,6 +68,18 @@ geo AS (
 grid AS (SELECT unnest(""" + _TS_LIST + """) AS ts)
 """
 
+def _hex12_int_sql(hx: str) -> str:
+    """DuckDB SQL for the 48-bit integer value of a 12-char lowercase hex
+    string column — digit-by-digit (DuckDB has no hex→int conv());
+    exact in a double, mirrors Spark's conv(hx, 16, 10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1)"
+        f" * power(16, {11 - i})"
+        for i in range(12)
+    )
+    return f"({terms})"
+
+
 _BBOX = (-90.0, 0.0, 90.0, 85.0)  # (w, s, e, n) degrees
 _BBOX7 = (-900000000, 0, 900000000, 850000000)
 
@@ -1531,6 +1543,98 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (ops/sampling.weighted_sample, Efraimidis–Spirakis A-ES): top-25
+    documents by u^(1/n_chars) priority with u a 48-bit md5 uniform —
+    "sample ∝ length" with zero RNG state. Compiles to
+    TakeOrderedAndProject (per-partition partial top-k). The oracle
+    re-derives u digit-by-digit from the same md5 hex and replays the
+    ln(u)/w ordering."""
+    from oshdb_spark.ops.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = weighted_sample(d, k=25, weight_col="n_chars", id_col="doc_id",
+                        key_out="aes")
+    return s.select("doc_id", "n_chars", F.round("aes", 6).alias("aes_key"))
+
+
+def q_asof_join_events(spark, sf_dir):
+    """Distributed as-of (point-in-time) join (ops/joins.asof_join):
+    every click/purchase event picks its user's latest at-or-before
+    error event (build side pre-aggregated to unique (user, sec)),
+    matches beyond a 2-day tolerance nulled — the state-at-event-time
+    join Spark lacks natively, as one key shuffle + running
+    last(ignorenulls) window (no range explosion). The oracle is
+    DuckDB's native ASOF LEFT JOIN over the identical build table."""
+    from oshdb_spark.ops.joins import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp("ts").cast("long")
+    )
+    probes = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", "sec"
+    )
+    builds = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "sec")
+        .agg(
+            F.max("value").alias("err_value"),
+            F.max("event_id").alias("err_event"),
+        )
+    )
+    j = asof_join(
+        probes, builds, on="user_id", left_ts="sec", right_ts="sec",
+        tolerance=172800,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("r_err_event").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum(F.coalesce("r_err_value", F.lit(0.0))), 2).alias("err_value_sum"),
+        F.sum(F.coalesce("r_err_event", F.lit(0))).alias("err_event_sum"),
+        F.round(F.avg(F.col("sec") - F.col("r_sec")), 4).alias("avg_lag"),
+    )
+
+
+def q_interval_join_cells(spark, sf_dir):
+    """Keyed interval-overlap join (ops/joins.interval_overlap_join):
+    pairs of entities co-located in the same z3 tile whose version
+    validity windows overlap — "concurrent co-located edits". PBSM in
+    time: each window explodes to its 14-day bins, hash equi-join on
+    (cell, bin), every pair emitted exactly once at the later start's
+    bin (no distinct). The oracle brute-forces the inequality join."""
+    from oshdb_spark.geo import cells
+    from oshdb_spark.ops.joins import interval_overlap_join
+
+    HORIZON = 1706745600  # Feb 1 2024: open validity windows close here
+    v = (
+        versions_from_events(_t(spark, sf_dir, "events"))
+        .filter("visible")
+        .withColumn("cell", cells.xy_id_col("lon", "lat", 3))
+        .select(
+            "id", "cell",
+            F.col("valid_from").alias("s"),
+            F.coalesce("valid_to", F.lit(HORIZON)).alias("e"),
+        )
+    )
+    a = v.filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("a_id"), "cell",
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = v.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("b_id"), "cell",
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    j = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bin_width=14 * 86400, on="cell"
+    )
+    return j.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("a_id") + F.col("b_id")).alias("id_sum"),
+    )
+
+
 def q_chunk_plan(spark, sf_dir):
     """Concat-and-chunk sequence packing (ops/textstats.chunk_plan):
     documents in doc_id order, 512-token training sequences; summary per
@@ -2530,6 +2634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "sample_diversity": q_sample_diversity,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
+        "asof_join_events": q_asof_join_events,
+        "interval_join_cells": q_interval_join_cells,
         "areal_interp": q_areal_interp,
         "geoblocks_polygon": q_geoblocks_polygon,
         "chunk_plan": q_chunk_plan,
@@ -4192,6 +4299,69 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'zh' THEN 'c0000000000000000000000000000000'
                             ELSE '80000000000000000000000000000000' END
             GROUP BY lang
+        """,
+        "sample_weighted": f"""
+            -- A-ES replay: u is the first 12 md5 hex chars as a 48-bit
+            -- integer (exact in a double, re-derived digit-by-digit),
+            -- priority ln(u)/n_chars — the same monotone transform of
+            -- u^(1/w) the engine orders by
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hx
+              FROM documents WHERE n_chars > 0
+            ), pri AS (
+              SELECT doc_id, n_chars,
+                     ln(({_hex12_int_sql('hx')} + 1.0) / power(16, 12))
+                       / n_chars AS aes
+              FROM h)
+            SELECT doc_id, n_chars, round(aes, 6) AS aes_key
+            FROM pri ORDER BY aes DESC, doc_id LIMIT 25
+        """,
+        "asof_join_events": """
+            -- native ASOF LEFT JOIN (latest error at-or-before each
+            -- click/purchase per user), 2-day tolerance nulled post-hoc
+            -- exactly like ops/joins.asof_join
+            WITH p AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ), b AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS bsec,
+                     max(value) AS err_value, max(event_id) AS err_event
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2
+            ), m AS (
+              SELECT p.event_type, p.sec,
+                     CASE WHEN p.sec - b.bsec <= 172800 THEN b.bsec END AS r_sec,
+                     CASE WHEN p.sec - b.bsec <= 172800 THEN b.err_value END AS r_err_value,
+                     CASE WHEN p.sec - b.bsec <= 172800 THEN b.err_event END AS r_err_event
+              FROM p ASOF LEFT JOIN b
+                ON p.user_id = b.user_id AND p.sec >= b.bsec
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_probes,
+                   CAST(sum(CASE WHEN r_err_event IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   round(sum(coalesce(r_err_value, 0)), 2) AS err_value_sum,
+                   CAST(sum(coalesce(r_err_event, 0)) AS BIGINT) AS err_event_sum,
+                   round(avg(sec - r_sec), 4) AS avg_lag
+            FROM m GROUP BY 1
+        """,
+        "interval_join_cells": _HIST + """
+            , v AS (
+              SELECT id,
+                     ((lat7 + 900000000) // 450000000) * 8
+                       + ((lon7 + 1800000000) // 450000000) AS cell,
+                     valid_from AS s,
+                     coalesce(valid_to, 1706745600) AS e
+              FROM geo WHERE visible
+            ), va AS (SELECT * FROM v WHERE id % 2 = 0 AND e > s),
+               vb AS (SELECT * FROM v WHERE id % 2 = 1 AND e > s)
+            SELECT va.cell AS cell,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(va.id + vb.id) AS BIGINT) AS id_sum
+            FROM va JOIN vb
+              ON va.cell = vb.cell AND va.s < vb.e AND vb.s < va.e
+            GROUP BY 1
         """,
         "dedup_semantic": f"""
             -- SemDeDup: replay kmeans (same CTE chain as kmeans_centroids),

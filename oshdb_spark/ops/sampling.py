@@ -71,6 +71,43 @@ def deterministic_sample(
     return df.filter(F.md5(key) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    key_out: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k by
+    Efraimidis–Spirakis A-ES priority): row i is kept iff u_i^(1/w_i)
+    is among the k largest, with u_i a hash-derived uniform — the
+    standard way to take "k docs, probability ∝ quality weight" from a
+    corpus with zero RNG state (same determinism contract as
+    `deterministic_sample`: membership depends only on (id, salt, w)).
+
+    u is the first 12 md5 hex chars as a 48-bit integer (exact in a
+    double, exactly re-derivable in DuckDB digit-by-digit), mapped to
+    (0, 1]. The priority is compared as ln(u)/w — a strictly monotone
+    transform of u^(1/w), so the SAME top-k, without pow(). Weights
+    must be > 0 (rows with w <= 0 or NULL are never sampled).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition partial top-k then a k-row merge on the driver; no
+    global sort, no full shuffle. Ties broken by id (never in practice:
+    48-bit priorities)."""
+    hex12 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+    )
+    u = (F.conv(hex12, 16, 10).cast("double") + 1.0) / F.lit(float(16**12))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(F.col(weight_col) > 0).withColumn(
+        key_out or "_aes_key", pri
+    )
+    out = out.orderBy(F.col(key_out or "_aes_key").desc(), F.col(id_col)).limit(k)
+    return out if key_out else out.drop("_aes_key")
+
+
 def diversity_sample(
     df: DataFrame,
     cents: list[list[float]],
