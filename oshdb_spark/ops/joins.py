@@ -45,6 +45,8 @@ def asof_join(
     direction: str = "backward",
     tolerance: int | float | None = None,
     right_prefix: str = "r_",
+    skew: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every `left` row picks the single `right` row
     with the same key and the greatest `right_ts` <= `left_ts`
@@ -59,6 +61,17 @@ def asof_join(
     join NULL semantics). If the right side has duplicate (key, ts)
     rows the winner among them is unspecified — pre-aggregate to unique
     (key, ts) for a deterministic result.
+
+    `skew=False` (default): one hash shuffle on the key + a running
+    window — a single mega-hot key serializes into one task's sort.
+    `skew=True`: range-partition the union on (keys..., ts) so a hot
+    key SPANS partitions, compute the running match per (partition,
+    key) slice, then stitch slices with a per-key carry-in prefix scan
+    over the tiny (partition, key) summary frame — the distributed
+    prefix-scan shape (same trick as textstats.chunk_plan). Costs ~3
+    extra small shuffles + an eager localCheckpoint (partition ids must
+    be frozen, like chunk_plan), so use it only when one key dominates.
+    Identical output to the default path.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -94,13 +107,22 @@ def asof_join(
         if direction == "backward"
         else [F.col("_asof_t").desc(), F.col("_asof_side").asc()]
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if skew:
+        out = _asof_scan_skew(u, keys, order, direction, num_partitions)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_asof_p", ignorenulls=True).over(w)
+        out = u.withColumn("_asof_m", matched)
+    out = out.filter(F.col("_asof_side") == 1).withColumn(
+        # a NULL left timestamp matches nothing (it still sorts somewhere
+        # in the scan, so the running window could hand it a build row)
+        "_asof_m",
+        F.when(F.col("_asof_t").isNotNull(), F.col("_asof_m")),
     )
-    matched = F.last("_asof_p", ignorenulls=True).over(w)
-    out = u.withColumn("_asof_m", matched).filter(F.col("_asof_side") == 1)
 
     if tolerance is not None:
         lag = (
@@ -118,6 +140,62 @@ def asof_join(
             F.col("_asof_m")[c].alias(f"{right_prefix}{c}")
             for c in pay_cols
         ],
+    )
+
+
+def _asof_scan_skew(
+    u: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    direction: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Hot-key-proof running match over the tagged union `u`: slice the
+    global (keys, ts, side) order into range partitions, running-match
+    within each (partition, key) slice (bounded by partition size, not
+    key frequency), carry the last build of each slice forward via a
+    per-key prefix scan over the small (partition, key) summary."""
+    spark = u.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    u2 = (
+        u.repartitionByRange(p, *[F.col(k) for k in keys], *order)
+        .withColumn("_asof_pid", F.spark_partition_id())
+        # pids are only meaningful for the exact layout all the branches
+        # below share — freeze them (chunk_plan's rule)
+        .localCheckpoint(eager=True)
+    )
+    wrun = (
+        Window.partitionBy("_asof_pid", *keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = u2.withColumn("_asof_loc", F.last("_asof_p", ignorenulls=True).over(wrun))
+
+    builds = u2.filter(F.col("_asof_side") == 0)
+    edge = F.max if direction == "backward" else F.min
+    bm = builds.groupBy("_asof_pid", *keys).agg(edge("_asof_t").alias("_asof_bt"))
+    co = (
+        builds.join(bm, ["_asof_pid", *keys])
+        .filter(F.col("_asof_t") == F.col("_asof_bt"))
+        .dropDuplicates(["_asof_pid", *keys])
+        .select("_asof_pid", *keys, F.col("_asof_p").alias("_asof_co"))
+    )
+    # one row per (partition, key) slice; hot keys contribute <= p rows
+    grps = u2.select("_asof_pid", *keys).distinct()
+    wpre = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cin = (
+        grps.join(co, ["_asof_pid", *keys], "left")
+        .withColumn("_asof_cin", F.last("_asof_co", ignorenulls=True).over(wpre))
+        .select("_asof_pid", *keys, "_asof_cin")
+    )
+    return (
+        loc.join(cin, ["_asof_pid", *keys], "left")
+        .withColumn("_asof_m", F.coalesce("_asof_loc", "_asof_cin"))
+        .drop("_asof_pid", "_asof_loc", "_asof_cin")
     )
 
 

@@ -22,6 +22,7 @@ def _probe_rows():
         (4, "b", 100),
         (5, None, 100),
         (6, "c", 100),
+        (7, "a", None),  # null ts: matches nothing in either direction
     ]
 
 
@@ -52,7 +53,9 @@ def _brute_asof(direction="backward", tolerance=None):
         cands = [
             (t, v)
             for bk, t, v in builds
-            if bk == k and (t <= ts if direction == "backward" else t >= ts)
+            if ts is not None
+            and bk == k
+            and (t <= ts if direction == "backward" else t >= ts)
         ]
         if not cands:
             out[pid] = (None, None)
@@ -63,18 +66,55 @@ def _brute_asof(direction="backward", tolerance=None):
     return out
 
 
+@pytest.mark.parametrize("skew", [False, True])
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("tolerance", [None, 20])
-def test_asof_join_matches_brute_force(frames, direction, tolerance):
+def test_asof_join_matches_brute_force(frames, direction, tolerance, skew):
     probes, builds = frames
     got = {
         r["pid"]: (r["r_ts"], r["r_val"])
         for r in asof_join(
             probes, builds, on="k", left_ts="ts", right_ts="ts",
             direction=direction, tolerance=tolerance,
+            skew=skew, num_partitions=3,
         ).collect()
     }
     assert got == _brute_asof(direction, tolerance)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_skew_parity_hot_key(spark, direction):
+    # 90% of probes AND builds on one key, forced across 8 range slices:
+    # the skew path must agree with the default single-window path
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    probes = [
+        (i, "hot" if i % 10 else f"cold{i}", int(rng.integers(0, 10_000)))
+        for i in range(2_000)
+    ]
+    builds = {}
+    for _ in range(500):
+        k = "hot" if rng.random() < 0.9 else f"cold{int(rng.integers(0, 200))}0"
+        builds[(k, int(rng.integers(0, 10_000)))] = float(rng.integers(0, 10**6))
+    p = spark.createDataFrame(probes, "pid long, k string, ts long")
+    b = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in builds.items()], "k string, ts long, val double"
+    )
+    base = {
+        r["pid"]: (r["r_ts"], r["r_val"])
+        for r in asof_join(
+            p, b, on="k", left_ts="ts", right_ts="ts", direction=direction
+        ).collect()
+    }
+    skewed = {
+        r["pid"]: (r["r_ts"], r["r_val"])
+        for r in asof_join(
+            p, b, on="k", left_ts="ts", right_ts="ts", direction=direction,
+            skew=True, num_partitions=8,
+        ).collect()
+    }
+    assert skewed == base
 
 
 def test_asof_join_keeps_all_left_rows(frames):
@@ -154,6 +194,80 @@ def test_interval_overlap_join_rejects_shared_columns(spark):
     a = spark.createDataFrame([(1, 0, 10)], "x long, s long, e long")
     with pytest.raises(ValueError):
         interval_overlap_join(a, a, "s", "e", "s", "e", bin_width=4)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_asof_join_randomized_differential(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_keys = 12
+    probes = [
+        (i, int(rng.integers(0, n_keys)), int(rng.integers(0, 1000)))
+        for i in range(300)
+    ]
+    builds = {}
+    for _ in range(200):  # unique (key, ts) by construction
+        builds[(int(rng.integers(0, n_keys)), int(rng.integers(0, 1000)))] = float(
+            rng.integers(0, 10**6)
+        )
+    build_rows = [(k, t, v) for (k, t), v in builds.items()]
+    p = spark.createDataFrame(probes, "pid long, k long, ts long")
+    b = spark.createDataFrame(build_rows, "k long, ts long, val double")
+    for direction, tol in [("backward", None), ("forward", 100)]:
+        got = {
+            r["pid"]: (r["r_ts"], r["r_val"])
+            for r in asof_join(
+                p, b, on="k", left_ts="ts", right_ts="ts",
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        for pid, k, ts in probes:
+            cands = [
+                (t, v)
+                for (bk, t), v in builds.items()
+                if bk == k and (t <= ts if direction == "backward" else t >= ts)
+            ]
+            if not cands:
+                want = (None, None)
+            else:
+                t, v = max(cands) if direction == "backward" else min(cands)
+                lag = abs(ts - t)
+                want = (None, None) if tol is not None and lag > tol else (t, v)
+            assert got[pid] == want, (pid, direction, tol)
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_interval_overlap_join_randomized_differential(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            s = int(rng.integers(0, 500))
+            # mix of empty, tiny, medium, and span-many-bins intervals
+            e = s + int(rng.choice([0, 1, 2, 13, 64, 300]))
+            rows.append((id0 + i, int(rng.integers(0, 4)), s, e))
+        return rows
+
+    ra, rb = mk(150, 1000), mk(150, 2000)
+    a = spark.createDataFrame(ra, "aid long, k long, a_s long, a_e long")
+    b = spark.createDataFrame(rb, "bid long, k long, b_s long, b_e long")
+    want = {
+        (aid, bid)
+        for aid, ka, s1, e1 in ra
+        for bid, kb, s2, e2 in rb
+        if ka == kb and s1 < e2 and s2 < e1 and e1 > s1 and e2 > s2
+    }
+    for width in (13, 256):
+        j = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bin_width=width, on="k"
+        )
+        rows = j.collect()
+        assert {(r["aid"], r["bid"]) for r in rows} == want
+        assert len(rows) == len(want)  # exactly-once at every width
 
 
 def _aes_priority(doc_id: str, w: int, salt: str = "") -> float:
