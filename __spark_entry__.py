@@ -1597,6 +1597,34 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Skew-safe per-group top-k (ops/topk.group_topk): the 3 highest-
+    price lineitems per returnflag under a total order (price desc,
+    orderkey, linenumber). Two-phase: per-(partition, group) partial
+    top-k, then global top-k over the tiny survivor set — no whole-group
+    single-task sort. The oracle is the textbook row_number window."""
+    from oshdb_spark.ops.topk import group_topk
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    t = group_topk(
+        li,
+        group_cols=["l_returnflag"],
+        order_cols=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        k=3,
+        rank_out="rk",
+    )
+    return t.select(
+        "l_returnflag", "rk", "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
 def q_interval_join_cells(spark, sf_dir):
     """Keyed interval-overlap join (ops/joins.interval_overlap_join):
     pairs of entities co-located in the same z3 tile whose version
@@ -2361,6 +2389,57 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_asof_enrich(spark, sf_dir):
+    """Structured Streaming: stream-static point-in-time enrichment
+    (streaming/incremental.stream_asof_enrich) — every streamed event
+    picks its user's latest at-or-before error reading from a STATIC
+    interval-ized build table via a broadcast equi-join with a validity
+    range predicate (exactly one match per row, append mode, no state).
+    Deterministic under any micro-batch split, so the oracle is DuckDB's
+    native ASOF LEFT JOIN; summarized per event_type."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import stream_asof_enrich
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp("ts").cast("long")
+    )
+    builds = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "sec")
+        .agg(F.max("value").alias("err_value"))
+        .withColumnRenamed("sec", "bsec")
+    )
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("sec", F.unix_timestamp("ts").cast("long"))
+        .select("event_id", "user_id", "event_type", "sec")
+    )
+    enriched = stream_asof_enrich(
+        stream, builds, on="user_id", stream_ts="sec", build_ts="bsec"
+    )
+    name = "sae_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("r_err_value").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum(F.coalesce("r_err_value", F.lit(0.0))), 2).alias("err_sum"),
+        F.round(F.avg(F.col("sec") - F.col("r_bsec")), 4).alias("avg_lag"),
+    )
+
+
 def q_stream_contrib_tracker(spark, sf_dir):
     """Structured Streaming: the custom stateful contribution tracker
     (applyInPandasWithState, update mode) — per entity, O(1) state
@@ -2637,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "asof_join_events": q_asof_join_events,
         "interval_join_cells": q_interval_join_cells,
+        "topk_per_group": q_topk_per_group,
         "areal_interp": q_areal_interp,
         "geoblocks_polygon": q_geoblocks_polygon,
         "chunk_plan": q_chunk_plan,
@@ -2667,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_dedup": q_stream_dedup,
+        "stream_asof_enrich": q_stream_asof_enrich,
         "stream_tile_counts": q_stream_tile_counts,
         "stream_contrib_tracker": q_stream_contrib_tracker,
         "quantiles": q_quantiles,
@@ -4346,6 +4427,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sec - r_sec), 4) AS avg_lag
             FROM m GROUP BY 1
         """,
+        "topk_per_group": """
+            SELECT l_returnflag, rk, l_orderkey, l_linenumber, price
+            FROM (
+              SELECT l_returnflag,
+                     CAST(row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey,
+                                l_linenumber) AS INTEGER) AS rk,
+                     l_orderkey, l_linenumber,
+                     round(l_extendedprice, 2) AS price
+              FROM lineitem)
+            WHERE rk <= 3
+        """,
         "interval_join_cells": _HIST + """
             , v AS (
               SELECT id,
@@ -4874,6 +4968,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint,
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "stream_asof_enrich": """
+            -- batch equivalent of the stream-static point-in-time
+            -- enrichment: native ASOF LEFT JOIN, no tolerance
+            WITH p AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ), b AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS bsec,
+                     max(value) AS err_value
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2
+            ), m AS (
+              SELECT p.event_type, p.sec, b.bsec AS r_bsec,
+                     b.err_value AS r_err_value
+              FROM p ASOF LEFT JOIN b
+                ON p.user_id = b.user_id AND p.sec >= b.bsec
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN r_err_value IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   round(sum(coalesce(r_err_value, 0)), 2) AS err_sum,
+                   round(avg(sec - r_bsec), 4) AS avg_lag
+            FROM m GROUP BY 1
         """,
         "stream_contrib_tracker": """
             WITH ded AS (

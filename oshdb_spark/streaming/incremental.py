@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 TRACKER_OUTPUT = T.StructType(
     [
@@ -201,6 +202,49 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_asof_enrich(
+    stream: DataFrame,
+    builds: DataFrame,
+    on: str | list[str],
+    stream_ts: str,
+    build_ts: str,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-static point-in-time enrichment — the streaming counterpart
+    of ``ops.joins.asof_join`` (backward, inclusive): every stream row
+    picks the STATIC build row with the greatest build_ts at-or-before
+    its own timestamp.
+
+    A window over an unbounded stream can't express "latest earlier row",
+    so the asof is re-shaped to fit stream-static joins: the static side
+    is interval-ized once per key (valid_to = lead(build_ts), open for
+    the newest row) and broadcast; the stream equi-joins on the key with
+    the validity range as an extra join predicate. Validity intervals
+    partition time per key, so each stream row matches EXACTLY one build
+    row (or none) — append-mode safe, no row explosion, no state.
+
+    Scale posture: BroadcastHashJoin on the key (the range test rides the
+    join as a residual predicate); builds must be broadcast-sized —
+    pre-aggregate per (key, ts) like any asof build side. Left-join
+    semantics: unmatched stream rows keep NULLs."""
+    keys = [on] if isinstance(on, str) else list(on)
+    pay = [c for c in builds.columns if c not in keys]
+    iv = builds.withColumn(
+        "_vt", F.lead(build_ts).over(Window.partitionBy(*keys).orderBy(build_ts))
+    )
+    for c in keys + pay:
+        iv = iv.withColumnRenamed(c, f"_b_{c}")
+    cond = (F.col(stream_ts) >= F.col(f"_b_{build_ts}")) & (
+        F.col("_vt").isNull() | (F.col(stream_ts) < F.col("_vt"))
+    )
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_b_{k}"))
+    out = stream.join(F.broadcast(iv), cond, "left")
+    for c in pay:
+        out = out.withColumnRenamed(f"_b_{c}", f"{right_prefix}{c}")
+    return out.drop("_vt", *[f"_b_{k}" for k in keys])
 
 
 def windowed_cell_counts(

@@ -215,3 +215,51 @@ def test_windowed_cell_counts_matches_batch(spark, split_source):
         .collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_stream_asof_enrich_matches_batch_asof(spark, tmp_path, split_source):
+    """Stream-static point-in-time enrichment must equal the batch
+    asof_join row-for-row, regardless of the micro-batch split."""
+    import uuid
+
+    from oshdb_spark.ops.joins import asof_join
+    from oshdb_spark.streaming.incremental import (
+        read_event_stream,
+        stream_asof_enrich,
+    )
+
+    src, ev = split_source
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sec = F.unix_timestamp("ts").cast("long")
+    builds = (
+        ev.withColumn("sec", sec)
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id", "sec")
+        .agg(F.max("value").alias("err_value"))
+        .withColumnRenamed("sec", "bsec")
+    )
+    stream = (
+        read_event_stream(spark, src, ev.schema, max_files_per_trigger=1)
+        .withColumn("sec", F.unix_timestamp("ts").cast("long"))
+        .select("event_id", "user_id", "sec")
+    )
+    name = "sae_t_" + uuid.uuid4().hex[:6]
+    q = (
+        stream_asof_enrich(stream, builds, on="user_id",
+                           stream_ts="sec", build_ts="bsec")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["r_bsec"], r["r_err_value"])
+        for r in spark.table(name).collect()
+    }
+    probes = ev.withColumn("sec", sec).select("event_id", "user_id", "sec")
+    want = {
+        r["event_id"]: (r["r_bsec"], r["r_err_value"])
+        for r in asof_join(
+            probes, builds, on="user_id", left_ts="sec", right_ts="bsec"
+        ).collect()
+    }
+    assert got == want
