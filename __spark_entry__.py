@@ -2276,6 +2276,48 @@ def q_tile_pyramid(spark, sf_dir):
     return tile_pyramid(pts, "lon7", "lat7", (6, 4, 2))
 
 
+def q_tile_quantiles(spark, sf_dir):
+    """Mergeable-sketch tile pyramid (ops/sketches.tdigest_tile_pyramid):
+    per-tile median of event value at zooms 4 and 2 — zoom-2 digests
+    merged from their zoom-4 children's DIGESTS, rows scanned once (the
+    sketch-datacube rollup). Oracle-checked contract: the digest-carried
+    per-tile count n must equal the exact count, the exact interpolated
+    median matches DuckDB's quantile_cont, and a boolean asserts the
+    digest estimate is within 2% (same contract as quantile_sketch)."""
+    from oshdb_spark.geo import cells
+    from oshdb_spark.ops.sketches import tdigest_tile_pyramid
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+        - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+        - 850_000_000
+    )
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    est = tdigest_tile_pyramid(
+        pts, "value", "lon7", "lat7", zooms=(4, 2), qs=(0.5,)
+    )
+    exacts = [
+        pts.groupBy(cells.xy_id_col("lon7", "lat7", z).alias("cell"))
+        .agg(F.expr("percentile(value, 0.5)").alias("exact_p"))
+        .withColumn("zoom", F.lit(z))
+        for z in (4, 2)
+    ]
+    ex = exacts[0].unionByName(exacts[1])
+    j = est.join(ex, ["zoom", "cell"])
+    return j.select(
+        "zoom", "cell", "n",
+        F.round("exact_p", 4).alias("exact_p"),
+        (
+            F.abs(F.col("value") - F.col("exact_p"))
+            <= 0.02 * F.abs(F.col("exact_p"))
+        ).alias("within_2pct"),
+    )
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming: event-time tumbling-window counts per
     event_type over a bounded file stream (availableNow trigger, complete
@@ -2752,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contrib_tracker": q_stream_contrib_tracker,
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
+        "tile_quantiles": q_tile_quantiles,
         "topk_orders": q_topk_orders,
         "store_snapshot_bbox_tag": q_store_snapshot_bbox_tag,
         "store_snapshot_polygon": q_store_snapshot_polygon,
@@ -3869,6 +3912,31 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_p,
                    true AS within_2pct
             FROM ex CROSS JOIN qs
+        """,
+        "tile_quantiles": """
+            -- exact per-tile medians at both zooms computed DIRECTLY from
+            -- coordinates; n pins the digest cascade's weight totals,
+            -- within_2pct pins the estimate accuracy
+            WITH pts AS (
+              SELECT ((event_id*1103515245) % 3600000000) - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000) - 850000000 AS lat7,
+                     value
+              FROM events
+            ), lv AS (
+              SELECT 4 AS zoom,
+                     ((lat7 + 900000000) // 225000000) * 16
+                       + ((lon7 + 1800000000) // 225000000) AS cell,
+                     value FROM pts
+              UNION ALL
+              SELECT 2 AS zoom,
+                     ((lat7 + 900000000) // 900000000) * 4
+                       + ((lon7 + 1800000000) // 900000000) AS cell,
+                     value FROM pts
+            )
+            SELECT zoom, cell, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 4) AS exact_p,
+                   true AS within_2pct
+            FROM lv GROUP BY 1, 2
         """,
         "kmeans_centroids": f"""
             -- mirror of ops.clustering.kmeans_train: init = first 8 by

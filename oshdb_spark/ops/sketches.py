@@ -156,6 +156,132 @@ def tdigest_quantiles(
     return partials.groupBy("grp").applyInPandas(finish, schema=out_schema)
 
 
+_CELL_DIGEST = T.StructType(
+    [
+        T.StructField("cell", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def tdigest_tile_pyramid(
+    df: DataFrame,
+    value_col: str,
+    lon7_col: str,
+    lat7_col: str,
+    zooms=(4, 2),
+    qs=(0.5,),
+    delta: int = 1000,
+) -> DataFrame:
+    """Per-tile quantile estimates at EVERY requested zoom from ONE scan
+    of the rows — the mergeable-sketch datacube rollup. Leaf tiles (the
+    finest zoom) build t-digests from rows (map-side partial digests,
+    per-cell merge); every coarser zoom merges its children's DIGESTS
+    through the exact power-of-two parent mapping (geo/cells.tile_pyramid
+    cascade) without re-reading any row, so level z costs
+    O(|tiles(z_prev)|) — the property that makes sketch cubes viable at
+    100 TB (counts, HLL and t-digests roll up; exact percentiles don't).
+
+    Returns (zoom, cell, q, n, value): n is the exact row count per tile
+    (weights are preserved by merging, so it doubles as a cascade
+    check); out-of-range points keep cell -1 at every zoom."""
+    from ..geo.cells import xy_id_col
+
+    zs = sorted({int(z) for z in zooms}, reverse=True)
+    z0 = zs[0]
+    src = df.select(
+        xy_id_col(lon7_col, lat7_col, z0).alias("cell"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cell, sub in pdf.groupby("cell", sort=False):
+                m, w = digest_of(sub["val"].to_numpy(), delta)
+                rows.append((int(cell), len(sub), m.tolist(), w.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["cell", "n", "means", "weights"]
+            )
+
+    def merge_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            (np.asarray(m, dtype=np.float64), np.asarray(w, dtype=np.float64))
+            for m, w in zip(pdf["means"], pdf["weights"])
+        ]
+        means, weights = merge_digests(parts, delta)
+        return pd.DataFrame(
+            [
+                {
+                    "cell": key[0],
+                    "n": int(pdf["n"].sum()),
+                    "means": means.tolist(),
+                    "weights": weights.tolist(),
+                }
+            ]
+        )
+
+    level = (
+        src.mapInPandas(partial, schema=_CELL_DIGEST)
+        .groupBy("cell")
+        .applyInPandas(merge_cell, schema=_CELL_DIGEST)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("zoom", T.IntegerType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def evaluate(zoom: int):
+        def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for _, r in pdf.iterrows():
+                    m = np.asarray(r["means"], dtype=np.float64)
+                    w = np.asarray(r["weights"], dtype=np.float64)
+                    for q in qs:
+                        out.append(
+                            (zoom, int(r["cell"]), float(q), int(r["n"]),
+                             digest_quantile(m, w, q))
+                        )
+                yield pd.DataFrame(
+                    out, columns=["zoom", "cell", "q", "n", "value"]
+                )
+
+        return rows
+
+    outs = [level.mapInPandas(evaluate(z0), schema=out_schema)]
+    prev_z = z0
+    for z in zs[1:]:
+        dz = prev_z - z
+        x = F.pmod(F.col("cell"), F.lit(1 << prev_z))
+        y = (F.col("cell") - x) / F.lit(1 << prev_z)
+        parent = (
+            F.floor(y / (1 << dz)) * (1 << z) + F.floor(x / (1 << dz))
+        ).cast("long")
+        level = (
+            level.withColumn(
+                "cell",
+                F.when(F.col("cell") < 0, F.lit(-1)).otherwise(parent),
+            )
+            .groupBy("cell")
+            .applyInPandas(merge_cell, schema=_CELL_DIGEST)
+        )
+        outs.append(level.mapInPandas(evaluate(z), schema=out_schema))
+        prev_z = z
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters — the third mergeable sketch next to the
 # t-digest (quantiles) and HLL++ (countUniq): approximate top-k items

@@ -923,3 +923,47 @@ def test_int8_zero_vector_safe(spark):
     out = {r["vec_id"]: r for r in with_int8(df).collect()}
     assert out[1]["q8"] == [0, 0, 0] and out[1]["q8_scale"] == 1.0
     assert out[2]["q8"][1] == -127
+
+
+def test_tdigest_tile_pyramid_cascade(spark):
+    """The zoom-2 digests (merged from zoom-4 children, rows never
+    re-read) must carry exact counts and medians close to the exact
+    per-tile percentile at EVERY level — including under forced
+    compression (delta=50 << rows per tile)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.ops.sketches import tdigest_tile_pyramid
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    rows = [
+        (
+            int(rng.integers(-1_799_000_000, 1_799_000_000)),
+            int(rng.integers(-849_000_000, 849_000_000)),
+            float(rng.lognormal(3.0, 1.0)),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "lon7 long, lat7 long, value double")
+    out = tdigest_tile_pyramid(
+        df, "value", "lon7", "lat7", zooms=(4, 2), qs=(0.5,), delta=50
+    ).collect()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["lon7", "lat7", "value"])
+    for zoom, width in ((4, 225_000_000), (2, 900_000_000)):
+        cols = 1 << zoom
+        pdf[f"c{zoom}"] = (
+            (pdf.lat7 + 900_000_000) // width * cols
+            + (pdf.lon7 + 1_800_000_000) // width
+        )
+    got = {(r["zoom"], r["cell"]): (r["n"], r["value"]) for r in out}
+    assert len(got) == pdf["c4"].nunique() + pdf["c2"].nunique()
+    for zoom in (4, 2):
+        for cell, sub in pdf.groupby(f"c{zoom}"):
+            gn, gv = got[(zoom, int(cell))]
+            assert gn == len(sub)  # weights survive the merge exactly
+            exact = float(np.percentile(sub["value"], 50))
+            assert abs(gv - exact) <= 0.05 * abs(exact) + 1e-9, (zoom, cell)
