@@ -2318,6 +2318,45 @@ def q_tile_quantiles(spark, sf_dir):
     )
 
 
+def q_tile_uniques(spark, sf_dir):
+    """HLL distinct-count tile pyramid (ops/sketches.hll_tile_pyramid):
+    unique contributors per tile at zooms 4 and 2 — zoom-2 sketches are
+    hll_union_agg merges of their zoom-4 children, rows scanned once,
+    everything whole-stage codegen (no Python). Oracle contract: exact
+    per-tile distinct count (computable in both engines) plus a boolean
+    that the sketch estimate is within 5% (it is exact in sparse mode at
+    these cardinalities; a broken cascade flips the boolean)."""
+    from oshdb_spark.geo import cells
+    from oshdb_spark.ops.sketches import hll_tile_pyramid
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+        - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+        - 850_000_000
+    )
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    est = hll_tile_pyramid(pts, "user_id", "lon7", "lat7", zooms=(4, 2))
+    exacts = [
+        pts.groupBy(cells.xy_id_col("lon7", "lat7", z).alias("cell"))
+        .agg(F.countDistinct("user_id").alias("uniq"))
+        .withColumn("zoom", F.lit(z))
+        for z in (4, 2)
+    ]
+    ex = exacts[0].unionByName(exacts[1])
+    j = est.join(ex, ["zoom", "cell"])
+    return j.select(
+        "zoom", "cell", "uniq",
+        (
+            F.abs(F.col("uniq_est") - F.col("uniq"))
+            <= F.greatest(0.05 * F.col("uniq"), F.lit(1.0))
+        ).alias("within_5pct"),
+    )
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming: event-time tumbling-window counts per
     event_type over a bounded file stream (availableNow trigger, complete
@@ -2795,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "quantile_sketch": q_quantile_sketch,
         "tile_quantiles": q_tile_quantiles,
+        "tile_uniques": q_tile_uniques,
         "topk_orders": q_topk_orders,
         "store_snapshot_bbox_tag": q_store_snapshot_bbox_tag,
         "store_snapshot_polygon": q_store_snapshot_polygon,
@@ -3936,6 +3976,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT zoom, cell, CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(value, 0.5), 4) AS exact_p,
                    true AS within_2pct
+            FROM lv GROUP BY 1, 2
+        """,
+        "tile_uniques": """
+            WITH pts AS (
+              SELECT ((event_id*1103515245) % 3600000000) - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000) - 850000000 AS lat7,
+                     user_id
+              FROM events
+            ), lv AS (
+              SELECT 4 AS zoom,
+                     ((lat7 + 900000000) // 225000000) * 16
+                       + ((lon7 + 1800000000) // 225000000) AS cell,
+                     user_id FROM pts
+              UNION ALL
+              SELECT 2 AS zoom,
+                     ((lat7 + 900000000) // 900000000) * 4
+                       + ((lon7 + 1800000000) // 900000000) AS cell,
+                     user_id FROM pts
+            )
+            SELECT zoom, cell,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS uniq,
+                   true AS within_5pct
             FROM lv GROUP BY 1, 2
         """,
         "kmeans_centroids": f"""

@@ -282,6 +282,69 @@ def tdigest_tile_pyramid(
     return out
 
 
+def hll_tile_pyramid(
+    df: DataFrame,
+    item_col: str,
+    lon7_col: str,
+    lat7_col: str,
+    zooms=(4, 2),
+    lgk: int = 12,
+) -> DataFrame:
+    """Distinct-count tile pyramid via DataSketches HLL — the
+    pure-Catalyst sibling of `tdigest_tile_pyramid` (zero Python
+    anywhere, whole-stage codegen): leaf tiles aggregate
+    hll_sketch_agg(item), every coarser zoom hll_union_agg's its
+    CHILDREN'S SKETCHES through the exact power-of-two parent cascade —
+    one scan of the rows, level z costs O(|tiles(z+1)|) fixed-size
+    sketches. The estimate is exact below the sketch's sparse-mode
+    threshold and ~1.04/sqrt(2^lgk) relative error beyond it.
+
+    Returns (zoom, cell, uniq_est)."""
+    from ..geo.cells import xy_id_col
+
+    zs = sorted({int(z) for z in zooms}, reverse=True)
+    z0 = zs[0]
+    level = (
+        df.select(
+            xy_id_col(lon7_col, lat7_col, z0).alias("cell"),
+            F.col(item_col).alias("_it"),
+        )
+        .groupBy("cell")
+        .agg(F.hll_sketch_agg("_it", F.lit(lgk)).alias("sk"))
+    )
+
+    def emit(lv: DataFrame, z: int) -> DataFrame:
+        return lv.select(
+            F.lit(z).cast("int").alias("zoom"),
+            "cell",
+            F.hll_sketch_estimate("sk").alias("uniq_est"),
+        )
+
+    outs = [emit(level, z0)]
+    prev_z = z0
+    for z in zs[1:]:
+        dz = prev_z - z
+        x = F.pmod(F.col("cell"), F.lit(1 << prev_z))
+        y = (F.col("cell") - x) / F.lit(1 << prev_z)
+        parent = (
+            F.floor(y / (1 << dz)) * (1 << z) + F.floor(x / (1 << dz))
+        ).cast("long")
+        level = (
+            level.withColumn(
+                "cell",
+                F.when(F.col("cell") < 0, F.lit(-1)).otherwise(parent),
+            )
+            .groupBy("cell")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+        outs.append(emit(level, z))
+        prev_z = z
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters — the third mergeable sketch next to the
 # t-digest (quantiles) and HLL++ (countUniq): approximate top-k items

@@ -967,3 +967,42 @@ def test_tdigest_tile_pyramid_cascade(spark):
             assert gn == len(sub)  # weights survive the merge exactly
             exact = float(np.percentile(sub["value"], 50))
             assert abs(gv - exact) <= 0.05 * abs(exact) + 1e-9, (zoom, cell)
+
+
+def test_hll_tile_pyramid_cascade(spark):
+    """Union-merged parent sketches must estimate the parent tile's true
+    distinct count within HLL error — exercised ABOVE the sparse-mode
+    threshold so the dense estimator and the union path are both hit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.ops.sketches import hll_tile_pyramid
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    rows = [
+        (
+            int(rng.integers(-1_799_000_000, 1_799_000_000)),
+            int(rng.integers(-849_000_000, 849_000_000)),
+            int(rng.integers(0, 40_000)),  # ~40k distinct overall
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "lon7 long, lat7 long, item long")
+    out = hll_tile_pyramid(df, "item", "lon7", "lat7", zooms=(2, 0)).collect()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["lon7", "lat7", "item"])
+    for zoom, width in ((2, 900_000_000), (0, 3_600_000_000)):
+        cols = 1 << zoom
+        pdf[f"c{zoom}"] = (
+            (pdf.lat7 + 900_000_000) // width * cols
+            + (pdf.lon7 + 1_800_000_000) // width
+        )
+    got = {(r["zoom"], r["cell"]): r["uniq_est"] for r in out}
+    for zoom in (2, 0):
+        for cell, sub in pdf.groupby(f"c{zoom}"):
+            exact = sub["item"].nunique()
+            est = got[(zoom, int(cell))]
+            assert abs(est - exact) <= max(0.05 * exact, 1), (zoom, cell, est, exact)
