@@ -1282,6 +1282,31 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_neardup_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-shard-vs-corpus dedup (the production arrival pattern:
+    new crawl slices checked against what the corpus already holds,
+    never corpus × corpus). Corpus = documents with doc_id % 3 != 0;
+    delta = the remaining docs plus exact clones (id+100000, every
+    corpus doc_id % 5 == 0) and near-duplicate perturbations (two extra
+    trailing words, id+200000, doc_id % 7 == 0). Verdicts per delta doc:
+    exact / near (MinHash-LSH banding + shingle-Jaccard >= 0.5) /
+    unique, with the LOWEST matching corpus id and its jaccard."""
+    from oshdb_spark.ops.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    fresh = d.filter(F.col("doc_id") % 3 == 0)
+    exact_clones = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near_clones = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing probe tokens")).alias("text"),
+    )
+    delta = fresh.unionAll(exact_clones).unionAll(near_clones)
+    return incremental_dedup(delta, corpus, jaccard_threshold=0.5)
+
+
 def q_sim_topk(spark, sf_dir):
     from oshdb_spark.ops.similarity import cosine_topk
 
@@ -2781,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_incremental": q_dedup_incremental,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -3802,6 +3828,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida AS id_a, idb AS id_b,
                    round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
             FROM jac WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+        """,
+        "dedup_incremental": """
+            -- delta-vs-corpus dedup replay: exact fingerprint join plus
+            -- the SAME md5 MinHash/band pipeline as dedup_minhash, but
+            -- candidates come from delta-bands × corpus-bands (never
+            -- corpus × corpus); verdict precedence exact > near; match =
+            -- LOWEST corpus id; jaccard reported for that id
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+            delta AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 200000, text || ' trailing probe tokens'
+              FROM corpus WHERE doc_id % 7 = 0),
+            cw AS (SELECT doc_id, text, string_split(text, ' ') w FROM corpus),
+            dw AS (SELECT doc_id, text, string_split(text, ' ') w FROM delta),
+            csh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(w) < 3 THEN text
+                     ELSE concat_ws(' ', w[i], w[i+1], w[i+2]) END AS s
+              FROM cw,
+                UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                       ELSE generate_series(1, len(w) - 2) END) AS t(i)),
+            dsh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(w) < 3 THEN text
+                     ELSE concat_ws(' ', w[i], w[i+1], w[i+2]) END AS s
+              FROM dw,
+                UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                       ELSE generate_series(1, len(w) - 2) END) AS t(i)),
+            cmh AS (
+              SELECT doc_id, j, min(md5(s || ':' || j)) AS h
+              FROM csh, UNNEST(generate_series(0, 15)) AS u(j)
+              GROUP BY 1, 2),
+            dmh AS (
+              SELECT doc_id, j, min(md5(s || ':' || j)) AS h
+              FROM dsh, UNNEST(generate_series(0, 15)) AS u(j)
+              GROUP BY 1, 2),
+            cbands AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY j)) AS sig
+              FROM cmh GROUP BY 1, 2),
+            dbands AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY j)) AS sig
+              FROM dmh GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+              FROM dbands d JOIN cbands c
+                ON d.band = c.band AND d.sig = c.sig),
+            jac AS (
+              SELECT did, cid,
+                (SELECT count(*) FROM dsh x JOIN csh y ON x.s = y.s
+                  WHERE x.doc_id = cand.did AND y.doc_id = cand.cid) AS inter,
+                (SELECT count(DISTINCT s) FROM dsh WHERE doc_id = cand.did)
+                + (SELECT count(DISTINCT s) FROM csh WHERE doc_id = cand.cid)
+                - (SELECT count(*) FROM dsh x JOIN csh y ON x.s = y.s
+                    WHERE x.doc_id = cand.did AND y.doc_id = cand.cid) AS uni
+              FROM cand),
+            near AS (
+              SELECT did, min(cid) AS near_id,
+                     (array_agg(round(inter / CAST(uni AS DOUBLE), 6)
+                                ORDER BY cid))[1] AS near_jac
+              FROM jac WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+              GROUP BY did),
+            cfp AS (
+              SELECT md5(text) AS fp, min(doc_id) AS exact_id
+              FROM corpus GROUP BY 1),
+            ex AS (
+              SELECT d.doc_id AS did, cfp.exact_id
+              FROM (SELECT doc_id, md5(text) AS fp FROM delta) d
+              LEFT JOIN cfp USING (fp))
+            SELECT d.doc_id,
+                   CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+                        WHEN near.near_id IS NOT NULL THEN 'near'
+                        ELSE 'unique' END AS verdict,
+                   coalesce(ex.exact_id, near.near_id) AS match_id,
+                   CASE WHEN ex.exact_id IS NOT NULL THEN 1.0
+                        ELSE near.near_jac END AS jaccard
+            FROM delta d
+            LEFT JOIN ex ON ex.did = d.doc_id
+            LEFT JOIN near ON near.did = d.doc_id
         """,
         "dedup_components": """
             -- MinHash-LSH pairs (same pipeline as dedup_minhash) closed

@@ -518,3 +518,126 @@ def with_dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Classify a DELTA shard against an existing corpus — the production
+    shape of dedup: new crawl slices arrive continuously and must be
+    checked against what the corpus already holds, never corpus × corpus.
+
+    One row per delta doc: (id_col, verdict, match_id, jaccard) with
+    verdict ∈ {'exact', 'near', 'unique'}:
+    - exact:  identical content exists in the corpus (md5 fingerprint);
+              match_id = lowest such corpus id, jaccard = 1.0;
+    - near:   no exact match, but some corpus doc shares a MinHash-LSH
+              band AND verifies at shingle Jaccard >= threshold;
+              match_id = lowest verified corpus id, jaccard = that
+              match's Jaccard (rounded to 6);
+    - unique: neither; match_id/jaccard null.
+
+    Scale posture (10^12-doc corpus, 10^8-doc delta):
+    - exact pass: corpus side reduces to (fingerprint, min id) — a
+      partial+final hash aggregate — before the equi-join; the join
+      shuffles ids only, and at production scale the fingerprint table
+      is the stored artifact, not recomputed per delta;
+    - near pass: band signatures are computed map-side on both sides
+      (corpus signatures likewise storable); the candidate join keys on
+      (band, sig) — uniform by construction — with IDS-ONLY payloads,
+      exactly like minhash_lsh_pairs; shingles are re-joined only for
+      the candidate pairs;
+    - verdict merge: two left joins keyed by the delta id.
+
+    Determinism contract (what the DuckDB oracle replays): md5-based
+    shingle MinHash identical to minhash_lsh_pairs; ties on jaccard
+    resolve to the LOWEST corpus id (struct-min over (neg jaccard, id)
+    would prefer highest jaccard — instead the contract is simply
+    min(id) among verified matches, so the reported jaccard is the
+    lowest-id match's, not the best match's)."""
+    n_hashes = n_bands * rows_per_band
+    d = delta.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_t"))
+
+    # ---- exact pass: corpus fingerprint dictionary (ids only) ----
+    cfp = (
+        c.select(F.md5("_t").alias("_fp"), "_cid")
+        .groupBy("_fp")
+        .agg(F.min("_cid").alias("_exact_id"))
+    )
+    dfp = d.select("_did", F.md5("_t").alias("_fp"))
+    exact = dfp.join(cfp, "_fp", "left").select("_did", "_exact_id")
+
+    # ---- near pass: delta bands × corpus bands, ids only ----
+    def bands_of(df, idc):
+        base = with_minhash(
+            with_shingles(df, "_t", k), n_hashes=n_hashes
+        )
+        return base.select(
+            F.col(idc),
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {n_bands - 1}), b -> named_struct(
+                      'band', b,
+                      'sig', md5(concat_ws('|',
+                                slice(minhash, b * {rows_per_band} + 1,
+                                      {rows_per_band})))))
+                    """
+                )
+            ).alias("bs"),
+        ).select(idc, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    db = bands_of(d, "_did")
+    cb = bands_of(c, "_cid")
+    cand = (
+        db.join(cb, ["band", "sig"])
+        .select("_did", "_cid")
+        .dropDuplicates(["_did", "_cid"])
+    )
+    dsh = with_shingles(d, "_t", k).select("_did", F.col("shingles").alias("_sha"))
+    csh = with_shingles(c, "_t", k).select("_cid", F.col("shingles").alias("_shb"))
+    verified = (
+        cand.join(dsh, "_did")
+        .join(csh, "_cid")
+        .withColumn(
+            "_jac",
+            F.expr("size(array_intersect(_sha, _shb))"
+                   " / size(array_union(_sha, _shb))"),
+        )
+        .filter(F.col("_jac") >= jaccard_threshold)
+        .groupBy("_did")
+        .agg(
+            F.min("_cid").alias("_near_id"),
+            # the lowest-id match's jaccard: min over (id, jac) structs
+            # orders by id first, so .jac is the min id's value
+            F.min(F.struct(F.col("_cid"), F.col("_jac")))["_jac"].alias(
+                "_near_jac"
+            ),
+        )
+    )
+
+    out = (
+        d.select("_did")
+        .join(exact, "_did", "left")
+        .join(verified, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.when(F.col("_exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("_near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("_exact_id", "_near_id").alias("match_id"),
+            F.when(F.col("_exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.round(F.col("_near_jac"), 6))
+            .alias("jaccard"),
+        )
+    )
+    return out

@@ -29,6 +29,40 @@ def test_exact_dedup_finds_all_clones(spark):
     assert all(r.keep_id < 1000 for r in out)
 
 
+def test_incremental_dedup_verdicts(spark):
+    """Delta-vs-corpus classification: exact clones → 'exact' with the
+    corpus id; trailing-word perturbations of long docs → 'near' with
+    jaccard < 1; fresh content → 'unique' with null match."""
+    from oshdb_spark.ops.dedup import incremental_dedup
+
+    corpus = _docs(spark).select("doc_id", "text").filter("doc_id < 50")
+    # exact clone of corpus doc 3; near-dup of the longest corpus doc;
+    # genuinely new content
+    longest = (
+        corpus.withColumn("_n", F.size(F.split("text", " ")))
+        .orderBy(F.desc("_n"), "doc_id")
+        .head()
+    )
+    delta = corpus.sparkSession.createDataFrame(
+        [
+            (1003, corpus.filter("doc_id = 3").head()["text"]),
+            (1007, longest["text"] + " zz qq"),
+            (1011, "entirely fresh never seen content xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(delta, corpus).collect()}
+    assert len(out) == 3
+    assert out[1003]["verdict"] == "exact"
+    assert out[1003]["match_id"] == 3
+    assert out[1003]["jaccard"] == 1.0
+    assert out[1007]["verdict"] == "near"
+    assert out[1007]["match_id"] == longest["doc_id"]
+    assert 0.5 <= out[1007]["jaccard"] < 1.0
+    assert out[1011]["verdict"] == "unique"
+    assert out[1011]["match_id"] is None and out[1011]["jaccard"] is None
+
+
 def test_minhash_lsh_finds_all_clone_pairs(spark):
     from oshdb_spark.ops.dedup import minhash_lsh_pairs
 

@@ -4,8 +4,15 @@ in Geo.clip (Geo.java:185-191)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+
+# soak multiplier: CLIP_PROP_SCALE=16 runs every hypothesis suite here at
+# 16× its CI example budget (e.g. 60 → 960) for offline robustness soaks;
+# default 1 keeps the committed gate fast
+_PROP_SCALE = int(os.environ.get("CLIP_PROP_SCALE", "1"))
 
 from oshdb_spark.geo.clip import (
     clip_polygon_to_polygon,
@@ -357,7 +364,7 @@ if HAVE_HYP:
         ),
     )
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _PROP_SCALE, deadline=None)
     @given(ring_strategy, ring_strategy)
     # round-4 falsifying example: near-shared-vertex rings (third vertex
     # offset by ~6e-8 rad) — ε-metric shared-edge classification dropped
@@ -410,7 +417,7 @@ if HAVE_HYP:
         st.floats(1.0, 5.0), st.floats(1.0, 5.0),
     )
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=40 * _PROP_SCALE, deadline=None)
     @given(rect_strategy, rect_strategy)
     # round-4: bottom edges separated by a DENORMAL (5e-324) — the first
     # fragment segment's midpoint underflowed onto the other ring's
@@ -445,7 +452,7 @@ if HAVE_HYP:
         st.floats(1, 4), st.integers(3, 7), st.floats(0, 6.28),
     )
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _PROP_SCALE, deadline=None)
     @given(star_strategy, star_strategy)
     # round-4 falsifying example: identical stars but for a 4e-9 outer-
     # radius delta — shared (bitwise) inner vertices with near-parallel
@@ -486,7 +493,7 @@ if HAVE_HYP:
         pts.append(pts[0])
         return np.asarray(pts, dtype=np.float64)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _PROP_SCALE, deadline=None)
     @given(star_strategy, star_strategy)
     # round-4 falsifying example: interlocking 4- and 3-point stars
     # enclose a pocket (a hole of the union) that belongs to NEITHER
@@ -548,7 +555,7 @@ if HAVE_HYP:
     _GX, _GY = np.meshgrid(np.linspace(-25, 25, 60), np.linspace(-25, 25, 60))
     _GX, _GY = _GX.ravel(), _GY.ravel()
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=40 * _PROP_SCALE, deadline=None)
     @given(star_strategy, star_strategy, star_strategy, star_strategy)
     # round-4 falsifying examples, in discovery order: (1) hole piece
     # dropped because its first vertex sits ON the output outer,
@@ -635,7 +642,7 @@ if HAVE_HYP:
         st.floats(-4, 4), st.floats(-4, 4), st.floats(12, 18),
         st.floats(6, 9), st.integers(3, 7), st.floats(0, 6.28))
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25 * _PROP_SCALE, deadline=None)
     @given(_outer_strategy, _hole_strategy, _hole_strategy,
            _outer_strategy, _hole_strategy, _hole_strategy)
     # round-4 falsifying example: duplicate subject holes — a pocket
@@ -686,7 +693,7 @@ if HAVE_HYP:
                     )
             assert not (d > 1e-6).any()
 
-    @settings(max_examples=30, deadline=None)
+    @settings(max_examples=30 * _PROP_SCALE, deadline=None)
     @given(ring_strategy, st.floats(0.1, 0.9))
     def test_ring_intersection_containment(spec, scale):
         cx, cy, r, angles = spec
