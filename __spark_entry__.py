@@ -1307,6 +1307,18 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(delta, corpus, jaccard_threshold=0.5)
 
 
+def q_export_shards(spark, sf_dir):
+    """Deterministic shard-export manifest: documents hashed into 8
+    shards (48-bit md5 of doc_id, reshard-stable), with per-shard doc /
+    token / byte counts and an ORDER-INDEPENDENT bit_xor content
+    checksum — the integrity record a resumable 100 TB export verifies
+    against instead of re-reading data."""
+    from oshdb_spark.ops.export import shard_manifest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_manifest(d, 8)
+
+
 def q_sim_topk(spark, sf_dir):
     from oshdb_spark.ops.similarity import cosine_topk
 
@@ -2807,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_incremental": q_dedup_incremental,
+        "export_shards": q_export_shards,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -3912,6 +3925,28 @@ def oracle_sql() -> dict[str, str]:
             FROM delta d
             LEFT JOIN ex ON ex.did = d.doc_id
             LEFT JOIN near ON near.did = d.doc_id
+        """,
+        "export_shards": f"""
+            -- shard-export manifest replay: shard = 48-bit md5(doc_id ||
+            -- 'shard') mod 8 (digit-by-digit hex→int, exact ≤ 2^48);
+            -- checksum = bit_xor of each doc's 48-bit content hash —
+            -- order-independent, so it matches Spark regardless of row
+            -- order; HUGEINT sums cast back to BIGINT
+            WITH h AS (
+              SELECT doc_id, text,
+                     substr(md5(CAST(doc_id AS VARCHAR) || 'shard'),
+                            1, 12) AS shx,
+                     substr(md5(text), 1, 12) AS chx
+              FROM documents)
+            SELECT CAST({_hex12_int_sql('shx')} AS BIGINT) % 8 AS shard,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS tokens,
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+                   bit_xor(CAST({_hex12_int_sql('chx')} AS BIGINT))
+                     AS checksum,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM h GROUP BY 1
         """,
         "dedup_components": """
             -- MinHash-LSH pairs (same pipeline as dedup_minhash) closed

@@ -63,6 +63,47 @@ def test_incremental_dedup_verdicts(spark):
     assert out[1011]["match_id"] is None and out[1011]["jaccard"] is None
 
 
+def test_shard_manifest_layout_invariant(spark):
+    """The export manifest is a pure function of content: identical under
+    any input partitioning / row order (checksum is bit_xor, shard is an
+    id hash — neither sees layout)."""
+    from oshdb_spark.ops.export import shard_manifest
+
+    d = _docs(spark).select("doc_id", "text")
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    m1 = key(shard_manifest(d.repartition(1), 8))
+    m17 = key(shard_manifest(d.repartition(17, "text"), 8))
+    assert m1 == m17
+    assert len(m1) == 8
+    assert sum(r[1] for r in m1) == d.count()
+    # balanced by construction: no shard holds more than 2× the mean
+    docs = [r[1] for r in m1]
+    assert max(docs) <= 2 * (sum(docs) / len(docs))
+
+
+def test_write_shards_idempotent_resume(spark, tmp_path):
+    """Second write_shards call with identical input matches the stored
+    manifest and skips the rewrite (data files untouched)."""
+    import glob
+    import os
+
+    from oshdb_spark.ops.export import write_shards
+
+    d = _docs(spark).select("doc_id", "text").filter("doc_id < 200")
+    base = str(tmp_path / "export")
+    m1 = sorted(tuple(r) for r in write_shards(d, base, 4).collect())
+    files = sorted(glob.glob(f"{base}/data/**/*.parquet", recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    m2 = sorted(tuple(r) for r in write_shards(d, base, 4).collect())
+    assert m1 == m2
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+    # content drift → rewrite
+    d2 = d.withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    m3 = sorted(tuple(r) for r in write_shards(d2, base, 4).collect())
+    assert m3 != m1
+    assert [r[1] for r in m3] == [r[1] for r in m1]  # same shard sizes
+
+
 def test_minhash_lsh_finds_all_clone_pairs(spark):
     from oshdb_spark.ops.dedup import minhash_lsh_pairs
 
