@@ -240,6 +240,25 @@ def q_cell_count_z6(spark, sf_dir):
     )
 
 
+def q_focal_mean(spark, sf_dir):
+    """Raster map-algebra: 3×3 focal mean/sum over the zoom-6 event-count
+    raster (geo/cells.focal_stats — sparse semantics, lon wrap, no polar
+    reflection). Each present cell emits 9 contributions map-side; one
+    shuffle aggregates by target cell."""
+    from oshdb_spark.geo import cells
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    raster = (
+        pts.withColumn("cell", cells.xy_id_col("lon7", "lat7", 6))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells.focal_stats(raster, 6)
+
+
 # Osmosis .poly query area for poly_aoi_filter: a convex CCW pentagon.
 # Parsed by oshdb_spark.sources.poly (TestPolyFileReader.java parity); the
 # Spark predicate AND the DuckDB oracle are both generated from the parsed
@@ -2820,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_incremental": q_dedup_incremental,
         "export_shards": q_export_shards,
+        "focal_mean": q_focal_mean,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -3196,6 +3216,34 @@ def oracle_sql() -> dict[str, str]:
                      ((event_id*1234567891) % 1700000000) - 850000000 AS lat7
               FROM events)
             GROUP BY 1
+        """,
+        "focal_mean": """
+            -- 3×3 focal stats replay over the zoom-6 raster: ncols=64,
+            -- northernmost row 31; lon wraps mod 64, rows beyond the
+            -- poles dropped; only PRESENT cells contribute (sparse
+            -- semantics, focal_n carries the present-neighbor count)
+            WITH r AS (
+              SELECT ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell,
+                     count(*) AS cnt
+              FROM (
+                SELECT ((event_id*1103515245) % 3600000000) - 1800000000 AS lon7,
+                       ((event_id*1234567891) % 1700000000) - 850000000 AS lat7
+                FROM events)
+              GROUP BY 1),
+            contrib AS (
+              SELECT ((cell // 64) + dy) * 64
+                     + ((cell % 64) + dx + 64) % 64 AS t, cnt
+              FROM r,
+                   (VALUES (-1), (0), (1)) AS dxs(dx),
+                   (VALUES (-1), (0), (1)) AS dys(dy)
+              WHERE (cell // 64) + dy BETWEEN 0 AND 31),
+            agg AS (SELECT t, sum(cnt) AS s, count(*) AS n
+                    FROM contrib GROUP BY 1)
+            SELECT r.cell, r.cnt, CAST(agg.s AS BIGINT) AS focal_sum,
+                   CAST(agg.n AS BIGINT) AS focal_n,
+                   round(CAST(agg.s AS DOUBLE) / agg.n, 6) AS focal_mean
+            FROM r JOIN agg ON agg.t = r.cell
         """,
         "poly_aoi_filter": _poly_aoi_oracle(),
         "geodesic_traj_length": _HIST + """

@@ -585,3 +585,84 @@ def tile_pyramid(df, lon7_col: str, lat7_col: str, zooms=(6, 4, 2)):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select(F.col("zoom").cast("int"), "cell", "cnt")
+
+
+def focal_stats(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    value_col: str = "cnt",
+):
+    """Sparse-raster 3×3 focal (moving-window) statistics over one XYGrid
+    zoom level — the map-algebra neighborhood op (focal mean/sum), the
+    raster-side complement of the zonal ops in geo/spatial_join.py.
+
+    Input: one row per PRESENT cell (a sparse raster, e.g. a tile_pyramid
+    level). Output: the same cells with `focal_sum` / `focal_n` /
+    `focal_mean` over the 3×3 neighborhood, where only PRESENT cells
+    contribute (sparse semantics: absent neighbors are no-data, not 0 —
+    counts are in `focal_n` so callers wanting zero-fill divide by 9).
+
+    Grid topology follows XYGrid exactly: longitude WRAPS across the
+    antimeridian (column -1 ≡ column 2^zoom - 1); latitude rows beyond
+    the poles do not exist (no reflection), so polar cells see 6
+    neighbors. Cell id -1 (out-of-range marker) passes through with null
+    focal columns.
+
+    Plan shape (100 TB raster): each present cell emits 9 (target, value)
+    contributions map-side (explode of a 9-element literal array — stays
+    in whole-stage codegen), ONE shuffle aggregates them by target, and a
+    final equi-join restricts to present cells. No window functions, no
+    Python; neighborhood size is a constant, so the shuffle volume is 9×
+    the raster — independent of the underlying point data volume.
+    """
+    from pyspark.sql import functions as F
+
+    zoom = _clamp_zoom(zoom)
+    ncols = 1 << zoom
+    # northernmost existing row (lat=90 clamps into it): derive from the
+    # same xy_id arithmetic the assignment used
+    y_max = int(
+        xy_id(np.array([0]), np.array([_LAT_MAX]), zoom)[0]
+    ) // ncols
+
+    src = df.select(F.col(cell_col).alias("_c"), F.col(value_col).alias("_v"))
+    valid = src.filter(F.col("_c") >= 0)
+    x = F.pmod(F.col("_c"), F.lit(ncols))
+    y = F.floor(F.col("_c") / F.lit(ncols))
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    contrib = (
+        valid.select("_c", "_v", x.alias("_x"), y.alias("_y"),
+                     offs.alias("_o"))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") <= y_max))
+        .select(
+            (
+                F.col("_ny") * ncols
+                + F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(ncols))
+            ).alias("_t"),
+            "_v",
+        )
+    )
+    agg = contrib.groupBy("_t").agg(
+        F.sum("_v").alias("focal_sum"),
+        F.count(F.lit(1)).alias("focal_n"),
+    )
+    out = src.join(agg, src["_c"] == agg["_t"], "left").select(
+        F.col("_c").alias(cell_col),
+        F.col("_v").alias(value_col),
+        "focal_sum",
+        "focal_n",
+        F.round(
+            F.col("focal_sum") / F.col("focal_n"), 6
+        ).alias("focal_mean"),
+    )
+    return out

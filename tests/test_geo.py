@@ -510,3 +510,51 @@ def test_tile_pyramid_cascade_matches_direct_assignment(spark):
         for c in xy_id(lon, lat, z):
             want[(z, int(c))] = want.get((z, int(c)), 0) + 1
     assert got == want
+
+
+def test_focal_stats_wrap_clamp_and_values(spark):
+    """3×3 focal stats on a hand-built sparse raster: antimeridian wrap
+    (column 0 sees column 63), polar row clamp (row 31 has no row 32),
+    sparse semantics (absent neighbors don't count), and a python
+    brute-force differential over the full output."""
+    from oshdb_spark.geo.cells import focal_stats
+
+    # zoom 6: 64 cols, rows 0..31
+    cells_vals = [
+        (0, 5),            # (x=0,  y=0) — west edge, south edge
+        (63, 7),           # (x=63, y=0) — east edge: wraps to x=0
+        (64, 2),           # (x=0,  y=1)
+        (31 * 64 + 10, 4), # (x=10, y=31) — polar row
+        (30 * 64 + 11, 6), # (x=11, y=30)
+        (1000, 9),         # isolated
+        (-1, 3),           # out-of-range marker passes through
+    ]
+    df = spark.createDataFrame(cells_vals, "cell long, cnt long")
+    out = {r["cell"]: r for r in focal_stats(df, 6).collect()}
+    assert len(out) == len(cells_vals)
+
+    def brute(cell):
+        x, y = cell % 64, cell // 64
+        vals = [
+            v for c, v in cells_vals
+            if c >= 0
+            and 0 <= c // 64 <= 31
+            and abs(c // 64 - y) <= 1
+            and min((c % 64 - x) % 64, (x - c % 64) % 64) <= 1
+        ]
+        return sum(vals), len(vals)
+
+    for c, v in cells_vals:
+        if c < 0:
+            assert out[c]["focal_sum"] is None
+            continue
+        s, n = brute(c)
+        assert out[c]["focal_sum"] == s, f"cell {c}"
+        assert out[c]["focal_n"] == n
+        assert out[c]["focal_mean"] == round(s / n, 6)
+    # wrap: cell 0 and 63 see each other
+    assert out[0]["focal_sum"] == 5 + 7 + 2
+    # polar cell: no phantom row 32; sees its present diagonal neighbor
+    assert out[31 * 64 + 10]["focal_sum"] == 4 + 6
+    # isolated: itself only
+    assert out[1000]["focal_n"] == 1
