@@ -80,6 +80,31 @@ def _hex12_int_sql(hx: str) -> str:
     return f"({terms})"
 
 
+# shard-export manifest replay: shard = 48-bit md5(doc_id || 'shard')
+# mod 8 (digit-by-digit hex→int, exact ≤ 2^48); checksum = bit_xor of
+# each doc's 48-bit content hash — order-independent, so it matches
+# Spark regardless of row order AND merges across streaming micro-batch
+# manifests; HUGEINT sums cast back to BIGINT. Shared by the batch
+# (export_shards) and streaming (stream_export_shards) queries.
+_EXPORT_SHARDS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'shard'),
+                    1, 12) AS shx,
+             substr(md5(text), 1, 12) AS chx
+      FROM documents)
+    SELECT CAST({_hex12_int_sql('shx')} AS BIGINT) % 8 AS shard,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+           bit_xor(CAST({_hex12_int_sql('chx')} AS BIGINT))
+             AS checksum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM h GROUP BY 1
+"""
+
+
 _BBOX = (-90.0, 0.0, 90.0, 85.0)  # (w, s, e, n) degrees
 _BBOX7 = (-900000000, 0, 900000000, 850000000)
 
@@ -1336,6 +1361,34 @@ def q_export_shards(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return shard_manifest(d, 8)
+
+
+def q_stream_export_shards(spark, sf_dir):
+    """Structured Streaming exactly-once shard export: documents arrive
+    as 3 ordered micro-batches; foreachBatch writes each through the
+    idempotent write_shards sink (ops/export.streaming_shard_export);
+    the per-shard MERGE of the batch manifests (sums add, bit_xor
+    checksums XOR) must equal the one-shot batch manifest — which is
+    exactly the export_shards oracle."""
+    import tempfile
+
+    from oshdb_spark.ops.export import (
+        merged_shard_manifest,
+        streaming_shard_export,
+    )
+
+    path = _split_stream_dir(f"{sf_dir}/documents.parquet", "doc_id")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "text")
+    )
+    out = tempfile.mkdtemp(prefix="oshdb_stream_export_")
+    q = streaming_shard_export(stream, out, 8)
+    q.awaitTermination()
+    return merged_shard_manifest(spark, out)
 
 
 def q_sim_topk(spark, sf_dir):
@@ -2840,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "export_shards": q_export_shards,
         "focal_mean": q_focal_mean,
+        "stream_export_shards": q_stream_export_shards,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -3974,28 +4028,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ex ON ex.did = d.doc_id
             LEFT JOIN near ON near.did = d.doc_id
         """,
-        "export_shards": f"""
-            -- shard-export manifest replay: shard = 48-bit md5(doc_id ||
-            -- 'shard') mod 8 (digit-by-digit hex→int, exact ≤ 2^48);
-            -- checksum = bit_xor of each doc's 48-bit content hash —
-            -- order-independent, so it matches Spark regardless of row
-            -- order; HUGEINT sums cast back to BIGINT
-            WITH h AS (
-              SELECT doc_id, text,
-                     substr(md5(CAST(doc_id AS VARCHAR) || 'shard'),
-                            1, 12) AS shx,
-                     substr(md5(text), 1, 12) AS chx
-              FROM documents)
-            SELECT CAST({_hex12_int_sql('shx')} AS BIGINT) % 8 AS shard,
-                   CAST(count(*) AS BIGINT) AS docs,
-                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                     AS tokens,
-                   CAST(sum(strlen(text)) AS BIGINT) AS bytes,
-                   bit_xor(CAST({_hex12_int_sql('chx')} AS BIGINT))
-                     AS checksum,
-                   min(doc_id) AS min_id, max(doc_id) AS max_id
-            FROM h GROUP BY 1
-        """,
+        "export_shards": _EXPORT_SHARDS_ORACLE,
+        # streaming exactly-once export: merged per-batch manifests must
+        # equal the one-shot batch manifest — the SAME oracle
+        "stream_export_shards": _EXPORT_SHARDS_ORACLE,
         "dedup_components": """
             -- MinHash-LSH pairs (same pipeline as dedup_minhash) closed
             -- into components by a recursive min-label closure; the engine

@@ -141,3 +141,62 @@ def write_shards(
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(man_path)
     return spark.read.parquet(man_path)
+
+
+def streaming_shard_export(
+    stream: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Exactly-once streaming shard export: foreachBatch + idempotent
+    per-batch manifests.
+
+    Each micro-batch B writes `<path>/batch=B/` through write_shards —
+    a REPLAYED batch (post-failure reprocessing, the at-least-once
+    delivery Structured Streaming guarantees foreachBatch) finds its
+    stored manifest matching and skips the rewrite, upgrading the sink
+    to exactly-once (the canonical idempotent-sink recipe; batch id is
+    deterministic for a given checkpoint).
+
+    Because the manifest checksum is bit_xor (commutative, associative,
+    mergeable), the per-shard MERGE of all batch manifests equals the
+    batch-mode manifest of the whole input — merged_shard_manifest()
+    rolls it up and the driver oracle checks it against the one-shot
+    batch computation. Returns the started StreamingQuery."""
+
+    def _write(bdf: DataFrame, batch_id: int) -> None:
+        if not len(bdf.take(1)):
+            return
+        write_shards(
+            bdf,
+            os.path.join(path, f"batch={batch_id}"),
+            n_shards,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    w = stream.writeStream.foreachBatch(_write).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def merged_shard_manifest(spark, path: str) -> DataFrame:
+    """Roll the per-batch manifests of a streaming_shard_export run up to
+    one row per shard: counts/sums add, checksums XOR, id ranges min/max.
+    Equals write_shards' manifest over the same total data — the
+    exactly-once evidence a resumed streaming export verifies."""
+    man = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "batch=*", "manifest")
+    )
+    return man.groupBy("shard").agg(
+        F.sum("docs").alias("docs"),
+        F.sum("tokens").alias("tokens"),
+        F.sum("bytes").alias("bytes"),
+        F.expr("bit_xor(checksum)").alias("checksum"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+    )

@@ -17,6 +17,13 @@ cannot differ.
 
 from __future__ import annotations
 
+import os
+
+# soak multiplier: KERNEL_PROP_SCALE=8 runs every differential here at
+# 8x its CI example budget (120-150 -> ~1000) for offline robustness
+# soaks; default 1 keeps the committed gate fast
+_PROP_SCALE = int(os.environ.get("KERNEL_PROP_SCALE", "1"))
+
 import numpy as np
 import pytest
 
@@ -122,7 +129,7 @@ if HAVE_HYP:
         ),
     )
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150 * _PROP_SCALE, deadline=None)
     @given(history_strategy, requested_strategy, bbox_strategy,
            st.sampled_from([None, "amenity", "highway"]))
     def test_node_snapshots_match_independent_replay(
@@ -210,7 +217,7 @@ if HAVE_HYP:
             ev = (v, types)
         return out
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150 * _PROP_SCALE, deadline=None)
     @given(history_strategy, bbox_strategy, st.integers(1, 50))
     def test_node_contributions_match_independent_replay(
         history, bbox_spec, t1_steps
@@ -402,7 +409,7 @@ if HAVE_HYP:
         max_size=4,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120 * _PROP_SCALE, deadline=None)
     @given(
         way_hist_strategy,
         st.lists(member_hist, min_size=2, max_size=3),
@@ -758,7 +765,7 @@ if HAVE_HYP:
         max_size=3,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120 * _PROP_SCALE, deadline=None)
     @given(
         rel_hist_strategy,
         rel_way_hist,
@@ -1015,7 +1022,7 @@ if HAVE_HYP:
         max_size=3,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120 * _PROP_SCALE, deadline=None)
     @given(
         way_hist_strategy,
         st.lists(cmember_hist, min_size=2, max_size=3),
@@ -1281,7 +1288,7 @@ if HAVE_HYP:
         max_size=3,
     )
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120 * _PROP_SCALE, deadline=None)
     @given(
         rel_hist_strategy,
         crel_way_hist,

@@ -263,3 +263,60 @@ def test_stream_asof_enrich_matches_batch_asof(spark, tmp_path, split_source):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_export_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """foreachBatch shard export: merged per-batch manifests equal the
+    one-shot batch manifest (bit_xor merges), and a replayed batch skips
+    the rewrite (exactly-once via idempotent sink)."""
+    import glob
+    import os as _os
+
+    from oshdb_spark.ops.export import (
+        merged_shard_manifest,
+        shard_manifest,
+        streaming_shard_export,
+        write_shards,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 300")
+    )
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    a = docs.filter("doc_id < 150").coalesce(1)
+    b = docs.filter("doc_id >= 150").coalesce(1)
+    for i, part in enumerate([a, b]):
+        d = str(tmp_path / f"_p{i}")
+        part.write.parquet(d)
+        for fn in _os.listdir(d):
+            if fn.endswith(".parquet"):
+                _os.rename(f"{d}/{fn}", f"{src}/{i:03d}.parquet")
+
+    out = str(tmp_path / "export")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_shard_export(stream, out, 4, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    merged = sorted(tuple(r) for r in merged_shard_manifest(spark, out).collect())
+    batch = sorted(tuple(r) for r in shard_manifest(docs, 4).collect())
+    assert merged == batch
+    assert len(merged) == 4
+
+    # replay batch 0 (at-least-once delivery): identical content → the
+    # idempotent sink skips the rewrite, data files untouched
+    b0 = str(tmp_path / "export" / "batch=0")
+    files = sorted(glob.glob(f"{b0}/data/**/*.parquet", recursive=True))
+    assert files
+    mtimes = {f: _os.path.getmtime(f) for f in files}
+    batch0_docs = spark.read.parquet(f"{src}/000.parquet")
+    write_shards(batch0_docs, b0, 4)
+    assert {f: _os.path.getmtime(f) for f in files} == mtimes
