@@ -80,6 +80,45 @@ def _hex12_int_sql(hx: str) -> str:
     return f"({terms})"
 
 
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """DuckDB replay of ops/graph.pagerank with UNROLLED per-iteration
+    CTEs (the kmeans-oracle precedent — no recursive aggregates needed):
+    same dedup, same uniform 1/out_deg contributions, same
+    round((1-0.85)/N + 0.85·Σ, 6) update — (1.0 - 0.85) spelled exactly
+    like the engine's (1.0 - damping) so both engines compute the
+    identical double (≠ a literal 0.15)."""
+    parts = [
+        """e AS (
+          SELECT DISTINCT (event_id % 1000) AS s,
+                 ((event_id * 7919) % 1000) AS t
+          FROM events)""",
+        "nd AS (SELECT s AS node FROM e UNION SELECT t FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        "od AS (SELECT s, count(*) AS d FROM e GROUP BY 1)",
+        "p0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS r FROM nd)",
+    ]
+    prev = "p0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+              SELECT e.t AS node, sum({prev}.r / od.d) AS sm
+              FROM e JOIN od USING (s) JOIN {prev} ON {prev}.node = e.s
+              GROUP BY 1)"""
+        )
+        parts.append(
+            f"""p{i} AS (
+              SELECT nd.node,
+                     round((1.0 - 0.85) / (SELECT n FROM nn)
+                           + 0.85 * coalesce(c{i}.sm, 0), 6) AS r
+              FROM nd LEFT JOIN c{i} USING (node))"""
+        )
+        prev = f"p{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank FROM {prev}"
+    )
+
+
 # shard-export manifest replay: shard = 48-bit md5(doc_id || 'shard')
 # mod 8 (digit-by-digit hex→int, exact ≤ 2^48); checksum = bit_xor of
 # each doc's 48-bit content hash — order-independent, so it matches
@@ -1361,6 +1400,32 @@ def q_export_shards(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return shard_manifest(d, 8)
+
+
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank (ops/graph.pagerank), 3 iterations, damping
+    0.85, per-iteration 6-decimal quantization (the cross-engine float
+    contract), over a deterministic 1000-node interaction graph derived
+    from events — the oracle replays every iteration with unrolled CTEs
+    (the kmeans precedent)."""
+    from oshdb_spark.ops.graph import pagerank
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1000).alias("src"),
+        ((F.col("event_id") * 7919) % 1000).alias("dst"),
+    )
+    return pagerank(e, n_iter=3)
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary profile (ops/textstats.vocab_stats): tokens,
+    distinct types, hapax legomena, type/token ratio. The data-sized
+    shuffle is the (source, token) aggregate — bounded by vocabulary."""
+    from oshdb_spark.ops.textstats import vocab_stats
+
+    return vocab_stats(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    )
 
 
 def q_stream_export_shards(spark, sf_dir):
@@ -2894,6 +2959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "focal_mean": q_focal_mean,
         "stream_export_shards": q_stream_export_shards,
+        "vocab_stats": q_vocab_stats,
+        "pagerank": q_pagerank,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -4032,6 +4099,25 @@ def oracle_sql() -> dict[str, str]:
         # streaming exactly-once export: merged per-batch manifests must
         # equal the one-shot batch manifest — the SAME oracle
         "stream_export_shards": _EXPORT_SHARDS_ORACLE,
+        "pagerank": _pagerank_oracle(3),
+        "vocab_stats": """
+            -- per-source lexical profile: unnest tokens, two-level agg;
+            -- HUGEINT sums cast back to BIGINT
+            WITH t AS (
+              SELECT source, u.tok AS tok
+              FROM documents,
+                   UNNEST(string_split(text, ' ')) AS u(tok)),
+            pt AS (
+              SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS tokens,
+                   CAST(count(*) AS BIGINT) AS types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax,
+                   round(count(*) / CAST(sum(n) AS DOUBLE), 6)
+                     AS type_token_ratio
+            FROM pt GROUP BY 1
+        """,
         "dedup_components": """
             -- MinHash-LSH pairs (same pipeline as dedup_minhash) closed
             -- into components by a recursive min-label closure; the engine

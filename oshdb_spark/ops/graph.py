@@ -125,3 +125,71 @@ def keep_canonical(
         F.col("node").alias("_drop_id")
     )
     return df.join(losers, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    quantize: int = 6,
+) -> DataFrame:
+    """Distributed PageRank over a directed edge table — the canonical
+    iterative join+aggregate (link/citation/interaction centrality in a
+    crawl graph; which pages to keep when a dup cluster collapses).
+
+    Semantics (what the DuckDB oracle replays with unrolled per-iteration
+    CTEs, the kmeans precedent): edges deduped; uniform 1/out_degree
+    contribution; rank := round((1-d)/N + d·Σ_in rank/out_deg, quantize)
+    per iteration; dangling-node mass is NOT redistributed (their rank
+    still receives the teleport term). Quantizing each iteration's ranks
+    pins the cross-engine float contract — only the Σ order can differ,
+    and the quantization absorbs its last-ulp noise (same determinism
+    recipe as ops/clustering.kmeans_train).
+
+    Scale posture per iteration: ONE data-sized shuffle (the groupBy dst
+    of edge contributions); ranks (N rows) join the edge table on src —
+    AQE broadcasts when small, shuffles otherwise; the (edge, out_deg)
+    join is hoisted OUT of the loop and localCheckpoint()ed, so each
+    iteration's lineage is one join + one aggregate deep (no exponential
+    plan growth — connected_components' recipe)."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select("_t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    od = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(od, "_s").localCheckpoint()  # (_s, _t, _d)
+
+    import math
+
+    # half-away-from-zero (= SQL round()); python round() is banker's
+    r0 = math.floor(1.0 / n * 10**quantize + 0.5) / 10**quantize
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(float(r0)).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["_s"] == ranks["node"])
+            .select("_t", (F.col("rank") / F.col("_d")).alias("_c"))
+        )
+        sums = contrib.groupBy("_t").agg(F.sum("_c").alias("_sum"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["_t"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_sum", F.lit(0.0)),
+                    quantize,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -309,3 +309,36 @@ def chunk_windows(
             F.col("w.chunk").alias("chunk"),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Per-group corpus vocabulary statistics: total whitespace tokens,
+    distinct types, hapax legomena (types occurring once in the group),
+    and the type/token ratio — the first-look lexical profile of a crawl
+    slice (vocabulary saturation, boilerplate detection: a low TTR +
+    low hapax share flags template-heavy sources).
+
+    Plan shape: explode → ONE (group, token) partial+final hash
+    aggregate (the only data-sized shuffle), then a group-sized rollup.
+    Token multiplicities aggregate map-side, so the shuffle carries at
+    most |distinct (group, token)| rows — bounded by vocabulary, not
+    corpus size."""
+    toks = df.select(
+        F.col(by),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    per_tok = toks.groupBy(by, "_tok").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_tok.groupBy(by)
+        .agg(
+            F.sum("_n").alias("tokens"),
+            F.count(F.lit(1)).alias("types"),
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("types") / F.col("tokens"), 6),
+        )
+    )

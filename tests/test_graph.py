@@ -111,3 +111,48 @@ class TestKeepCanonical:
             r["doc_id"] for r in keep_canonical(docs, pairs).collect()
         )
         assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+class TestPagerank:
+    def test_matches_reference_iteration(self, spark):
+        """3-node cycle + a dangling sink: replicate the quantized update
+        by hand and check the distributed result exactly."""
+        import math
+
+        from oshdb_spark.ops.graph import pagerank
+
+        # 0→1, 0→2, 1→2, 2→3 ; 3 dangling
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=3).collect()}
+
+        def q6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        n = 4
+        deg = {0: 2, 1: 1, 2: 1}
+        r = {v: q6(1.0 / n) for v in range(4)}
+        base = (1.0 - 0.85) / n
+        for _ in range(3):
+            s = {v: 0.0 for v in range(4)}
+            for (u, v) in [(0, 1), (0, 2), (1, 2), (2, 3)]:
+                s[v] += r[u] / deg[u]
+            r = {v: q6(base + 0.85 * s[v]) for v in range(4)}
+        assert out == r
+        # sink accumulates, sources decay toward teleport
+        assert out[3] > out[2] > out[1] > out[0]
+        assert out[0] == q6(base)
+
+    def test_layout_invariant(self, spark):
+        from oshdb_spark.ops.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i % 37, (i * 7919) % 37) for i in range(500)],
+            "src long, dst long",
+        )
+        a = {r["node"]: r["rank"]
+             for r in pagerank(edges.repartition(1), n_iter=2).collect()}
+        b = {r["node"]: r["rank"]
+             for r in pagerank(edges.repartition(13), n_iter=2).collect()}
+        assert a == b
