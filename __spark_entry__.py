@@ -1402,6 +1402,36 @@ def q_export_shards(spark, sf_dir):
     return shard_manifest(d, 8)
 
 
+def q_snapshot_ratio(spark, sf_dir):
+    """ohsome-style RATIO query (the ratio endpoint the reference's main
+    consumer builds on two MapReducer runs): per timestamp, matched
+    snapshots (tag filter) / all snapshots in the same bbox — two façade
+    aggregations joined on ts; null ratio where the denominator is 0."""
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    base = (
+        OSHDB(docs)
+        .snapshot_view()
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(bbox=_BBOX)
+        .osm_type("node")
+    )
+    denom = base.aggregate_by_timestamp().count(alias="total")
+    num = (
+        base.osm_tag("event_type", "click")
+        .aggregate_by_timestamp()
+        .count(alias="matched")
+    )
+    return denom.join(num, "ts").select(
+        "ts",
+        "matched",
+        "total",
+        F.round(
+            F.when(F.col("total") > 0, F.col("matched") / F.col("total")),
+            6,
+        ).alias("ratio"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Distributed PageRank (ops/graph.pagerank), 3 iterations, damping
     0.85, per-iteration 6-decimal quantization (the cross-engine float
@@ -2961,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
         "pagerank": q_pagerank,
+        "snapshot_ratio": q_snapshot_ratio,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -3151,6 +3182,36 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT grid.ts AS ts, coalesce(m.c, 0) AS cnt
             FROM grid LEFT JOIN m USING (ts)
+        """,
+        "snapshot_ratio": _HIST + f""",
+            d AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM geo v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible
+                AND v.lon7 BETWEEN {_BBOX7[0]} AND {_BBOX7[2]}
+                AND v.lat7 BETWEEN {_BBOX7[1]} AND {_BBOX7[3]}
+              GROUP BY 1),
+            n AS (
+              SELECT grid.ts AS ts, count(*) AS c
+              FROM geo v JOIN grid
+                ON v.valid_from <= grid.ts
+               AND (v.valid_to IS NULL OR grid.ts < v.valid_to)
+              WHERE v.visible AND v.event_type = 'click'
+                AND v.lon7 BETWEEN {_BBOX7[0]} AND {_BBOX7[2]}
+                AND v.lat7 BETWEEN {_BBOX7[1]} AND {_BBOX7[3]}
+              GROUP BY 1)
+            SELECT grid.ts AS ts,
+                   coalesce(n.c, 0) AS matched,
+                   coalesce(d.c, 0) AS total,
+                   CASE WHEN coalesce(d.c, 0) > 0
+                        THEN round(coalesce(n.c, 0)
+                                   / CAST(d.c AS DOUBLE), 6)
+                   END AS ratio
+            FROM grid
+            LEFT JOIN d USING (ts)
+            LEFT JOIN n USING (ts)
         """,
         "contribution_types": _HIST + f""",
             s AS ({contrib_states})
