@@ -2429,6 +2429,55 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Sequence analytics over sessions: within each 30-min-gap session,
+    did a 'click' precede (strictly, in seconds) a 'purchase'? Per user:
+    session count, sessions containing a click, converted sessions.
+    One window pass (session ids = running sum of gap starts) + one
+    aggregate — the funnel shape ANSI SQL needs MATCH_RECOGNIZE for,
+    expressed with plain windows so both engines replay it exactly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = (
+        ev.withColumn("sec", F.unix_timestamp("ts").cast("long"))
+        .withColumn("prev", F.lag("sec").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull() | (F.col("sec") - F.col("prev") > 1800))
+            .cast("long"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_sess = d.groupBy("user_id", "sess").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("sec"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("last_purchase"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).alias("click_sessions"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("last_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+
+
 def _split_stream_dir(src_path: str, order_col: str, n: int = 3) -> str:
     """Materialize a parquet table as ``n`` order-contiguous files in a
     fresh temp dir with strictly increasing mtimes, so FileStreamSource
@@ -2992,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "pagerank": q_pagerank,
         "snapshot_ratio": q_snapshot_ratio,
+        "funnel_conversion": q_funnel_conversion,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -4160,6 +4210,39 @@ def oracle_sql() -> dict[str, str]:
         # streaming exactly-once export: merged per-batch manifests must
         # equal the one-shot batch manifest — the SAME oracle
         "stream_export_shards": _EXPORT_SHARDS_ORACLE,
+        "funnel_conversion": """
+            -- session funnel replay: same (sec, event_id) window order,
+            -- same 30-min gap rule, strict click-before-purchase
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            d AS (
+              SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM (
+                SELECT e.*, lag(sec) OVER (
+                  PARTITION BY user_id ORDER BY sec, event_id) AS prev
+                FROM e)),
+            s AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY sec, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM d),
+            ps AS (
+              SELECT user_id, sess,
+                     min(CASE WHEN event_type = 'click' THEN sec END) AS fc,
+                     max(CASE WHEN event_type = 'purchase' THEN sec END)
+                       AS lp
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS click_sessions,
+                   CAST(sum(CASE WHEN fc IS NOT NULL AND lp > fc
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+            FROM ps GROUP BY 1
+        """,
         "pagerank": _pagerank_oracle(3),
         "vocab_stats": """
             -- per-source lexical profile: unnest tokens, two-level agg;
