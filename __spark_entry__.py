@@ -1486,6 +1486,21 @@ def q_stream_export_shards(spark, sf_dir):
     return merged_shard_manifest(spark, out)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (ops/similarity.hybrid_rrf_topk): BM25 top-50 on
+    documents fused with cosine top-50 on the aligned embeddings by
+    Reciprocal Rank Fusion (1/(60+rank)); both arms rank on
+    round(score, 6) so the fused order replays bit-for-bit in DuckDB."""
+    from oshdb_spark.ops.similarity import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return hybrid_rrf_topk(
+        docs, emb, ["hash", "join", "vector"], qvec, k=10, k_each=50
+    )
+
+
 def q_sim_topk(spark, sf_dir):
     from oshdb_spark.ops.similarity import cosine_topk
 
@@ -3042,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "snapshot_ratio": q_snapshot_ratio,
         "funnel_conversion": q_funnel_conversion,
+        "hybrid_search": q_hybrid_search,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -5141,6 +5157,75 @@ def oracle_sql() -> dict[str, str]:
               FROM routed r, q
               WHERE r.cent IN (SELECT ci FROM probes))
             ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "hybrid_search": """
+            -- RRF fusion replay: BM25 arm = the text_bm25 oracle scored
+            -- and rounded to 6 BEFORE ranking; vector arm = the sim_topk
+            -- cosine rounded to 6; rank = row_number over (score DESC,
+            -- id); rrf = 1/(60+rank) per present arm (rank 0 = absent)
+            WITH base AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'hash')) AS tf0,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'join')) AS tf1,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w = 'vector')) AS tf2
+              FROM documents),
+            st AS (
+              SELECT count(*) AS n, sum(dl) AS sum_dl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM base),
+            bm AS (
+              SELECT doc_id, round(
+                  ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                    * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl
+                                        / (sum_dl / CAST(n AS DOUBLE))))
+                + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                    * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl
+                                        / (sum_dl / CAST(n AS DOUBLE))))
+                + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                    * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl
+                                        / (sum_dl / CAST(n AS DOUBLE))))
+                , 6) AS s
+              FROM base, st
+              WHERE tf0 + tf1 + tf2 > 0),
+            bmt AS (SELECT doc_id, s FROM bm
+                    ORDER BY s DESC, doc_id LIMIT 50),
+            bmr AS (SELECT doc_id AS id,
+                           row_number() OVER (ORDER BY s DESC, doc_id)
+                             AS lex_rank
+                    FROM bmt),
+            q AS (SELECT embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            cs AS (
+              SELECT vec_id, round(
+                list_inner_product(embedding::DOUBLE[], q.qv)
+                / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))
+                   * sqrt(list_inner_product(q.qv, q.qv))), 6) AS c
+              FROM embeddings, q),
+            cst AS (SELECT vec_id, c FROM cs
+                    ORDER BY c DESC, vec_id LIMIT 50),
+            csr AS (SELECT vec_id AS id,
+                           row_number() OVER (ORDER BY c DESC, vec_id)
+                             AS vec_rank
+                    FROM cst),
+            f AS (
+              SELECT coalesce(bmr.id, csr.id) AS doc_id,
+                     CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+                     CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+              FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+            SELECT doc_id, lex_rank, vec_rank,
+                   round(
+                     CASE WHEN lex_rank > 0
+                          THEN 1.0 / (lex_rank + 60) ELSE 0.0 END
+                   + CASE WHEN vec_rank > 0
+                          THEN 1.0 / (vec_rank + 60) ELSE 0.0 END
+                   , 6) AS rrf
+            FROM f ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "sim_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv

@@ -415,3 +415,73 @@ def int8_topk(
     q = with_int8(df, vec_col, "_q8", "_q8s")
     deq = q.withColumn("_dq", F.expr("transform(_q8, c -> c * _q8s)"))
     return cosine_topk(deq, query_vec, k=k, vec_col="_dq", id_col=id_col)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec,
+    k: int = 10,
+    k_each: int = 50,
+    c: int = 60,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion:
+    fuse the BM25 top-k_each (textstats.bm25_scores) with the cosine
+    top-k_each by score 1/(c + rank) summed over the lists a document
+    appears in (RRF, Cormack et al. SIGIR'09) — the standard production
+    retrieval stack (keyword + embedding) as one plan.
+
+    Determinism contract: both rankings order by ROUND(score, 6) DESC,
+    id — the rounding collapses cross-engine last-ulp score noise before
+    it can swap ranks, and 1/(c+rank) on integer ranks is IEEE-exact, so
+    the fused scores replay bit-for-bit in the DuckDB oracle. Absent
+    ranks are 0 (not null — keeps the column int64 through pandas).
+
+    Scale shape: each arm is a TakeOrderedAndProject top-k_each (partial
+    per-partition top-k, no global sort, payloads never shuffled); the
+    row_number windows and the fusion join run over ≤ k_each rows."""
+    from pyspark.sql import Window
+
+    from .textstats import bm25_scores
+
+    bm_top = (
+        bm25_scores(docs, terms, id_col=doc_id)
+        .select(F.col(doc_id).alias("_id"), F.round("score", 6).alias("_s"))
+        .orderBy(F.desc("_s"), F.col("_id"))
+        .limit(k_each)
+    )
+    bm_r = bm_top.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("_s"), F.col("_id"))),
+    ).select("_id", "lex_rank")
+
+    cos_top = (
+        with_cosine(emb, query_vec)
+        .select(F.col(vec_id).alias("_id"), F.round("cosine", 6).alias("_c"))
+        .orderBy(F.desc("_c"), F.col("_id"))
+        .limit(k_each)
+    )
+    cos_r = cos_top.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.desc("_c"), F.col("_id"))),
+    ).select("_id", "vec_rank")
+
+    fused = bm_r.join(cos_r, "_id", "full_outer").select(
+        "_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+    )
+    rrf = F.when(
+        F.col("lex_rank") > 0, 1.0 / (F.col("lex_rank") + F.lit(c))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("vec_rank") > 0, 1.0 / (F.col("vec_rank") + F.lit(c))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("rrf", F.round(rrf, 6))
+        .orderBy(F.desc("rrf"), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(doc_id), "lex_rank", "vec_rank", "rrf")
+    )
