@@ -2444,6 +2444,28 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_contributor_accretion(spark, sf_dir):
+    """Community-analytics shape (ohsome 'users' endpoint extension):
+    per 30-day epoch bucket (calendar-free, tz-proof), active distinct
+    contributors split into first-time (global first event in this
+    bucket) vs returning."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    b = ev.withColumn("bucket", F.floor(F.col("sec") / 2592000))
+    first = b.groupBy("user_id").agg(F.min("bucket").alias("first_bucket"))
+    act = b.select("bucket", "user_id").distinct().join(first, "user_id")
+    return act.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(
+            F.when(F.col("first_bucket") == F.col("bucket"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("first_bucket") < F.col("bucket"), 1).otherwise(0)
+        ).alias("returning"),
+    )
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Sequence analytics over sessions: within each 30-min-gap session,
     did a 'click' precede (strictly, in seconds) a 'purchase'? Per user:
@@ -3058,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_ratio": q_snapshot_ratio,
         "funnel_conversion": q_funnel_conversion,
         "hybrid_search": q_hybrid_search,
+        "contributor_accretion": q_contributor_accretion,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -4226,6 +4249,23 @@ def oracle_sql() -> dict[str, str]:
         # streaming exactly-once export: merged per-batch manifests must
         # equal the one-shot batch manifest — the SAME oracle
         "stream_export_shards": _EXPORT_SHARDS_ORACLE,
+        "contributor_accretion": """
+            -- new-vs-returning contributors per 30-day epoch bucket
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 2592000 AS bucket
+              FROM events),
+            f AS (SELECT user_id, min(bucket) AS fb FROM e GROUP BY 1),
+            a AS (SELECT DISTINCT bucket, user_id FROM e)
+            SELECT a.bucket,
+                   CAST(count(*) AS BIGINT) AS active,
+                   CAST(sum(CASE WHEN f.fb = a.bucket THEN 1 ELSE 0 END)
+                     AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN f.fb < a.bucket THEN 1 ELSE 0 END)
+                     AS BIGINT) AS returning
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1
+        """,
         "funnel_conversion": """
             -- session funnel replay: same (sec, event_id) window order,
             -- same 30-min gap rule, strict click-before-purchase
