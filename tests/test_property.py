@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import os
+
+# soak multiplier: GRID_PROP_SCALE=8 runs these suites at 8x their CI
+# example budgets for offline robustness soaks
+_PROP_SCALE = int(os.environ.get("GRID_PROP_SCALE", "1"))
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -14,7 +20,7 @@ LAT = st.integers(min_value=-900_000_000, max_value=900_000_000)
 LEVEL = st.integers(min_value=1, max_value=15)
 
 
-@settings(max_examples=200, deadline=None, derandomize=True)
+@settings(max_examples=200 * _PROP_SCALE, deadline=None, derandomize=True)
 @given(LON, LAT, LEVEL)
 def test_token_prefix_is_parent(lon7, lat7, level):
     """Hierarchy invariant: the level-(L-1) token is a string prefix of the
@@ -29,7 +35,7 @@ def test_token_prefix_is_parent(lon7, lat7, level):
     assert set(child) <= set("0123")
 
 
-@settings(max_examples=200, deadline=None, derandomize=True)
+@settings(max_examples=200 * _PROP_SCALE, deadline=None, derandomize=True)
 @given(st.integers(min_value=1, max_value=12), st.data())
 def test_hilbert_roundtrip(level, data):
     n = 1 << level
@@ -40,7 +46,7 @@ def test_hilbert_roundtrip(level, data):
     assert cells.hilbert_d2xy(level, d) == (x, y)
 
 
-@settings(max_examples=100, deadline=None, derandomize=True)
+@settings(max_examples=100 * _PROP_SCALE, deadline=None, derandomize=True)
 @given(
     st.integers(min_value=-1_800_000_000, max_value=1_799_999_999),
     st.integers(min_value=-900_000_000, max_value=899_999_999),
@@ -62,7 +68,7 @@ def test_xy_id_within_bbox_cover(lon7, lat7, zoom):
     assert any(a <= cid <= b for a, b in ranges if a >= 0)
 
 
-@settings(max_examples=100, deadline=None, derandomize=True)
+@settings(max_examples=100 * _PROP_SCALE, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(
@@ -80,7 +86,7 @@ def test_wkb_roundtrip_linestring(coords):
     assert np.array_equal(back[1], g[1])
 
 
-@settings(max_examples=150, deadline=None, derandomize=True)
+@settings(max_examples=150 * _PROP_SCALE, deadline=None, derandomize=True)
 @given(LON, LAT)
 def test_insert_token_covers_point_bbox(lon7, lat7):
     """A degenerate (point) bbox inserts at MAXZOOM and its token equals
