@@ -27,6 +27,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -520,19 +522,79 @@ def with_dup_span_stats(
     )
 
 
-def incremental_dedup(
-    delta: DataFrame,
+class CorpusIndex(NamedTuple):
+    """The three storable dedup artifacts of a corpus — at production
+    scale these live as tables (updated when the corpus grows) and every
+    arriving delta joins against them instead of recomputing the corpus
+    side: fingerprints (fingerprint, doc_id = lowest id with that
+    content), band signatures (doc_id, band, sig), and per-doc shingle
+    sets (doc_id, shingles) for the verify stage."""
+
+    fingerprints: DataFrame
+    bands: DataFrame
+    shingles: DataFrame
+
+
+def build_corpus_index(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     n_bands: int = 4,
     rows_per_band: int = 4,
+) -> CorpusIndex:
+    """Compute the CorpusIndex artifacts (all plain DataFrames — write
+    them to parquet to persist; incremental_dedup(index=read_back) is
+    bit-identical to recomputing from the corpus, pytest-pinned)."""
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    fps = (
+        c.select(F.md5("_t").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    bands = _band_signatures(c, "doc_id", k, n_bands, rows_per_band)
+    sh = with_shingles(c, "_t", k).select("doc_id", "shingles")
+    return CorpusIndex(fingerprints=fps, bands=bands, shingles=sh)
+
+
+def _band_signatures(df, idc, k, n_bands, rows_per_band):
+    base = with_minhash(with_shingles(df, "_t", k),
+                        n_hashes=n_bands * rows_per_band)
+    return base.select(
+        F.col(idc),
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {n_bands - 1}), b -> named_struct(
+                  'band', b,
+                  'sig', md5(concat_ws('|',
+                            slice(minhash, b * {rows_per_band} + 1,
+                                  {rows_per_band})))))
+                """
+            )
+        ).alias("bs"),
+    ).select(idc, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
+    index: CorpusIndex | None = None,
 ) -> DataFrame:
     """Classify a DELTA shard against an existing corpus — the production
     shape of dedup: new crawl slices arrive continuously and must be
     checked against what the corpus already holds, never corpus × corpus.
+
+    Pass either `corpus` (raw docs — the index is computed inline) or
+    `index` (a stored CorpusIndex read back from parquet — the 10^12-doc
+    path where the corpus artifacts are maintained incrementally and the
+    raw corpus is never rescanned per delta).
 
     One row per delta doc: (id_col, verdict, match_id, jaccard) with
     verdict ∈ {'exact', 'near', 'unique'}:
@@ -545,15 +607,11 @@ def incremental_dedup(
     - unique: neither; match_id/jaccard null.
 
     Scale posture (10^12-doc corpus, 10^8-doc delta):
-    - exact pass: corpus side reduces to (fingerprint, min id) — a
-      partial+final hash aggregate — before the equi-join; the join
-      shuffles ids only, and at production scale the fingerprint table
-      is the stored artifact, not recomputed per delta;
-    - near pass: band signatures are computed map-side on both sides
-      (corpus signatures likewise storable); the candidate join keys on
-      (band, sig) — uniform by construction — with IDS-ONLY payloads,
-      exactly like minhash_lsh_pairs; shingles are re-joined only for
-      the candidate pairs;
+    - exact pass: the fingerprint dictionary join shuffles ids only;
+    - near pass: delta band signatures are computed map-side; the
+      candidate join keys on (band, sig) — uniform by construction —
+      with IDS-ONLY payloads, exactly like minhash_lsh_pairs; shingles
+      are re-joined only for the candidate pairs;
     - verdict merge: two left joins keyed by the delta id.
 
     Determinism contract (what the DuckDB oracle replays): md5-based
@@ -562,48 +620,35 @@ def incremental_dedup(
     would prefer highest jaccard — instead the contract is simply
     min(id) among verified matches, so the reported jaccard is the
     lowest-id match's, not the best match's)."""
-    n_hashes = n_bands * rows_per_band
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of `corpus` or `index`")
+    if index is None:
+        index = build_corpus_index(
+            corpus, text_col, id_col, k, n_bands, rows_per_band
+        )
     d = delta.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
-    c = corpus.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_t"))
 
     # ---- exact pass: corpus fingerprint dictionary (ids only) ----
-    cfp = (
-        c.select(F.md5("_t").alias("_fp"), "_cid")
-        .groupBy("_fp")
-        .agg(F.min("_cid").alias("_exact_id"))
+    cfp = index.fingerprints.select(
+        F.col("fingerprint").alias("_fp"), F.col("doc_id").alias("_exact_id")
     )
     dfp = d.select("_did", F.md5("_t").alias("_fp"))
     exact = dfp.join(cfp, "_fp", "left").select("_did", "_exact_id")
 
     # ---- near pass: delta bands × corpus bands, ids only ----
-    def bands_of(df, idc):
-        base = with_minhash(
-            with_shingles(df, "_t", k), n_hashes=n_hashes
-        )
-        return base.select(
-            F.col(idc),
-            F.explode(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {n_bands - 1}), b -> named_struct(
-                      'band', b,
-                      'sig', md5(concat_ws('|',
-                                slice(minhash, b * {rows_per_band} + 1,
-                                      {rows_per_band})))))
-                    """
-                )
-            ).alias("bs"),
-        ).select(idc, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
-    db = bands_of(d, "_did")
-    cb = bands_of(c, "_cid")
+    db = _band_signatures(d, "_did", k, n_bands, rows_per_band)
+    cb = index.bands.select(
+        F.col("doc_id").alias("_cid"), "band", "sig"
+    )
     cand = (
         db.join(cb, ["band", "sig"])
         .select("_did", "_cid")
         .dropDuplicates(["_did", "_cid"])
     )
     dsh = with_shingles(d, "_t", k).select("_did", F.col("shingles").alias("_sha"))
-    csh = with_shingles(c, "_t", k).select("_cid", F.col("shingles").alias("_shb"))
+    csh = index.shingles.select(
+        F.col("doc_id").alias("_cid"), F.col("shingles").alias("_shb")
+    )
     verified = (
         cand.join(dsh, "_did")
         .join(csh, "_cid")

@@ -1081,3 +1081,47 @@ def test_hll_tile_pyramid_cascade(spark):
             exact = sub["item"].nunique()
             est = got[(zoom, int(cell))]
             assert abs(est - exact) <= max(0.05 * exact, 1), (zoom, cell, est, exact)
+
+
+def test_incremental_dedup_stored_index_parity(spark, tmp_path):
+    """The production path: build the CorpusIndex once, persist it to
+    parquet, and classify the delta against the READ-BACK artifacts —
+    output identical to recomputing from the raw corpus."""
+    from oshdb_spark.ops.dedup import (
+        CorpusIndex,
+        build_corpus_index,
+        incremental_dedup,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    corpus = docs.filter("doc_id % 2 = 0")
+    delta = docs.filter("doc_id % 2 = 1").unionAll(
+        corpus.filter("doc_id % 4 = 0").selectExpr(
+            "doc_id + 5000 AS doc_id", "text"
+        )
+    )
+    live = sorted(
+        tuple(r) for r in incremental_dedup(delta, corpus).collect()
+    )
+
+    idx = build_corpus_index(corpus)
+    base = str(tmp_path / "index")
+    idx.fingerprints.write.parquet(f"{base}/fp")
+    idx.bands.write.parquet(f"{base}/bands")
+    idx.shingles.write.parquet(f"{base}/shingles")
+    stored = CorpusIndex(
+        fingerprints=spark.read.parquet(f"{base}/fp"),
+        bands=spark.read.parquet(f"{base}/bands"),
+        shingles=spark.read.parquet(f"{base}/shingles"),
+    )
+    replay = sorted(
+        tuple(r)
+        for r in incremental_dedup(delta, index=stored).collect()
+    )
+    assert replay == live
+    assert any(r[1] == "exact" for r in live)
+
+    with pytest.raises(ValueError):
+        incremental_dedup(delta)
+    with pytest.raises(ValueError):
+        incremental_dedup(delta, corpus, index=stored)
