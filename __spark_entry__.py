@@ -1390,6 +1390,38 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(delta, corpus, jaccard_threshold=0.5)
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Broadcast Bloom prefilter (ops/bloom.py): the corpus fingerprint
+    set compressed to a 4096-bit literal bitmap tested map-side per
+    delta row — no shuffle touches the delta; bloom_candidate ⊇
+    exact_match (false positives possible, false negatives never). The
+    oracle replays the double-hash positions as set logic."""
+    from oshdb_spark.ops.bloom import bloom_prefilter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    delta = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .unionAll(
+            d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0))
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .withColumn("fp", F.md5("text"))
+    )
+    tagged = bloom_prefilter(delta, corpus, "fp", n_bits=4096, n_hashes=3)
+    exact = corpus.distinct().withColumn("_hit", F.lit(True))
+    return (
+        tagged.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_candidate",
+            F.coalesce("_hit", F.lit(False)).alias("exact_match"),
+        )
+    )
+
+
 def q_export_shards(spark, sf_dir):
     """Deterministic shard-export manifest: documents hashed into 8
     shards (48-bit md5 of doc_id, reshard-stable), with per-shard doc /
@@ -3081,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "hybrid_search": q_hybrid_search,
         "contributor_accretion": q_contributor_accretion,
+        "bloom_prefilter": q_bloom_prefilter,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -4249,6 +4282,49 @@ def oracle_sql() -> dict[str, str]:
         # streaming exactly-once export: merged per-batch manifests must
         # equal the one-shot batch manifest — the SAME oracle
         "stream_export_shards": _EXPORT_SHARDS_ORACLE,
+        "bloom_prefilter": f"""
+            -- Bloom membership replay as position-set logic: a delta key
+            -- is a candidate iff ALL of its k=3 double-hash positions
+            -- (h1 + i*h2 mod 4096, 48-bit md5 halves) appear among the
+            -- corpus's set positions — exactly the bitmap test, FPs and
+            -- all, without bit twiddling
+            WITH corpus AS (
+              SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+            delta AS (
+              SELECT doc_id, md5(text) AS fp
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, md5(text)
+              FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+            ch AS (
+              SELECT DISTINCT fp,
+                CAST({_hex12_int_sql("substr(md5(fp || ':b1'), 1, 12)")}
+                  AS BIGINT) AS h1,
+                CAST({_hex12_int_sql("substr(md5(fp || ':b2'), 1, 12)")}
+                  AS BIGINT) AS h2
+              FROM corpus),
+            cp AS (
+              SELECT DISTINCT (h1 + i * h2) % 4096 AS pos
+              FROM ch, UNNEST([0, 1, 2]) AS t(i)),
+            dh AS (
+              SELECT doc_id, fp,
+                CAST({_hex12_int_sql("substr(md5(fp || ':b1'), 1, 12)")}
+                  AS BIGINT) AS h1,
+                CAST({_hex12_int_sql("substr(md5(fp || ':b2'), 1, 12)")}
+                  AS BIGINT) AS h2
+              FROM delta),
+            dp AS (
+              SELECT doc_id, fp, (h1 + i * h2) % 4096 AS pos
+              FROM dh, UNNEST([0, 1, 2]) AS t(i)),
+            cand AS (
+              SELECT doc_id, fp,
+                     bool_and(pos IN (SELECT pos FROM cp))
+                       AS bloom_candidate
+              FROM dp GROUP BY 1, 2)
+            SELECT doc_id, bloom_candidate,
+                   fp IN (SELECT fp FROM corpus) AS exact_match
+            FROM cand
+        """,
         "contributor_accretion": """
             -- new-vs-returning contributors per 30-day epoch bucket
             WITH e AS (

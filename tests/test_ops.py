@@ -1125,3 +1125,32 @@ def test_incremental_dedup_stored_index_parity(spark, tmp_path):
         incremental_dedup(delta)
     with pytest.raises(ValueError):
         incremental_dedup(delta, corpus, index=stored)
+
+
+def test_bloom_prefilter_contract(spark):
+    """Bloom guarantee: NO false negatives (every corpus member is a
+    candidate); false positives exist but stay far below the pass-all
+    degenerate case at this load factor."""
+    from oshdb_spark.ops.bloom import bloom_bitmap, bloom_member
+
+    d = _docs(spark).select("doc_id", "text")
+    corpus = d.filter("doc_id % 2 = 0").selectExpr("md5(text) AS fp")
+    n_corpus = corpus.count()
+    bm = bloom_bitmap(corpus, "fp", n_bits=4096, n_hashes=3)
+    assert len(bm) == 64 and any(bm)
+
+    members = corpus.withColumn("c", bloom_member("fp", bm, 3))
+    assert members.filter("NOT c").count() == 0  # no false negatives
+
+    absent = d.filter("doc_id % 2 = 1").selectExpr(
+        "md5(concat(text, ' definitely-not-in-corpus')) AS fp"
+    )
+    fp_rate = (
+        absent.withColumn("c", bloom_member("fp", bm, 3))
+        .selectExpr("avg(CASE WHEN c THEN 1.0 ELSE 0.0 END) r")
+        .head()["r"]
+    )
+    # theoretical (1 - e^{-kn/m})^k at n≈250, m=4096, k=3 is ~0.5%; allow
+    # generous slack — the contract under test is "a useful prefilter",
+    # not an exact rate
+    assert fp_rate < 0.2, (fp_rate, n_corpus)
