@@ -761,3 +761,12 @@ def test_knn_join_matches_brute_force(spark):
         want = [int(j) for j in order]
         have = [nid for nid, _ in sorted(got[i], key=lambda t: (t[1], t[0]))]
         assert have == want, f"pid={i}"
+
+    # distributed escalation branch (local_escalation_max=0 disables the
+    # driver ring-expansion): identical rows — both branches are exact
+    out2 = knn_join(
+        pts, right, k=k, zoom=6, local_escalation_max=0
+    ).collect()
+    a = sorted((r["pid"], r["nid"], round(r["dist_m"], 6)) for r in out)
+    b = sorted((r["pid"], r["nid"], round(r["dist_m"], 6)) for r in out2)
+    assert a == b
