@@ -2476,6 +2476,21 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min sketch (ops/sketches.cms_table/cms_estimate): per-user
+    event-frequency estimates from a fixed k×m=3×256 mergeable counter
+    table vs the exact counts — est ≥ exact always; overshoot bounded by
+    collisions. The oracle replays the double-hash positions, the
+    counter table, and the min-probe exactly."""
+    from oshdb_spark.ops.sketches import cms_estimate, cms_table
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_table(ev, "user_id", m=256, k=3)
+    est = cms_estimate(ev.distinct(), sketch, "user_id", m=256, k=3)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "user_id").select("user_id", "est", "exact")
+
+
 def q_contributor_accretion(spark, sf_dir):
     """Community-analytics shape (ohsome 'users' endpoint extension):
     per 30-day epoch bucket (calendar-free, tz-proof), active distinct
@@ -3114,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "contributor_accretion": q_contributor_accretion,
         "bloom_prefilter": q_bloom_prefilter,
+        "cms_user_counts": q_cms_user_counts,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
         "sim_knn_join": q_sim_knn_join,
@@ -4282,6 +4298,37 @@ def oracle_sql() -> dict[str, str]:
         # streaming exactly-once export: merged per-batch manifests must
         # equal the one-shot batch manifest — the SAME oracle
         "stream_export_shards": _EXPORT_SHARDS_ORACLE,
+        "cms_user_counts": f"""
+            -- Count-Min replay: same double-hash positions (h1 + j*h2
+            -- mod 256, 48-bit md5 halves of the user_id string), same
+            -- k*m counter table, same min-probe
+            WITH e AS (
+              SELECT user_id, CAST(user_id AS VARCHAR) AS key FROM events),
+            h AS (
+              SELECT user_id,
+                CAST({_hex12_int_sql("substr(md5(key || ':c1'), 1, 12)")}
+                  AS BIGINT) AS h1,
+                CAST({_hex12_int_sql("substr(md5(key || ':c2'), 1, 12)")}
+                  AS BIGINT) AS h2
+              FROM (SELECT DISTINCT user_id, key FROM e)),
+            ep AS (
+              SELECT j AS row, (h.h1 + j * h.h2) % 256 AS pos
+              FROM e JOIN h USING (user_id), UNNEST([0, 1, 2]) AS t(j)),
+            tab AS (
+              SELECT row, pos, count(*) AS cnt FROM ep GROUP BY 1, 2),
+            dp AS (
+              SELECT user_id, j AS row, (h1 + j * h2) % 256 AS pos
+              FROM h, UNNEST([0, 1, 2]) AS t(j)),
+            est AS (
+              SELECT dp.user_id, min(coalesce(tab.cnt, 0)) AS est
+              FROM dp LEFT JOIN tab USING (row, pos)
+              GROUP BY 1),
+            ex AS (
+              SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+            SELECT user_id, CAST(est AS BIGINT) AS est,
+                   CAST(exact AS BIGINT) AS exact
+            FROM est JOIN ex USING (user_id)
+        """,
         "bloom_prefilter": f"""
             -- Bloom membership replay as position-set logic: a delta key
             -- is a candidate iff ALL of its k=3 double-hash positions

@@ -462,3 +462,87 @@ def heavy_hitters(
     return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
         merge_all, schema=out_schema
     )
+
+
+def cms_table(
+    df,
+    key_col: str,
+    m: int = 256,
+    k: int = 3,
+) -> "DataFrame":
+    """Count-Min sketch of a key column as a (row, pos, cnt) table —
+    k·m mergeable counters regardless of corpus size (the frequency
+    sibling of the HLL/t-digest sketches here; sketches of two corpora
+    ADD cell-wise). Positions use the same Kirsch-Mitzenmacher double
+    hashing as ops/bloom.py: pos_j(key) = (h1 + j·h2) mod m with 48-bit
+    md5 halves — a pure function of the key, so DuckDB replays the
+    whole sketch. Build shape: map-side k-row fan-out per key + ONE
+    k·m-row hash aggregate."""
+    from pyspark.sql import functions as F
+
+    key_sql = f"cast({key_col} as string)"
+    h1 = (
+        f"cast(conv(substr(md5(concat({key_sql}, ':c1')), 1, 12), 16, 10)"
+        f" as bigint)"
+    )
+    h2 = (
+        f"cast(conv(substr(md5(concat({key_sql}, ':c2')), 1, 12), 16, 10)"
+        f" as bigint)"
+    )
+    rows = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}),"
+                f" j -> named_struct('row', j,"
+                f" 'pos', pmod({h1} + j * {h2}, {m})))"
+            )
+        ).alias("_rp")
+    )
+    return (
+        rows.select(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys,
+    sketch,
+    key_col: str,
+    m: int = 256,
+    k: int = 3,
+    out: str = "est",
+) -> "DataFrame":
+    """Frequency estimate per key row: min over the k counters at the
+    key's positions (CMS guarantee: est ≥ true count; overshoot bounded
+    by collisions). The probe joins k rows per key against the k·m-row
+    sketch — broadcast-sized by construction."""
+    from pyspark.sql import functions as F
+
+    key_sql = f"cast({key_col} as string)"
+    h1 = (
+        f"cast(conv(substr(md5(concat({key_sql}, ':c1')), 1, 12), 16, 10)"
+        f" as bigint)"
+    )
+    h2 = (
+        f"cast(conv(substr(md5(concat({key_sql}, ':c2')), 1, 12), 16, 10)"
+        f" as bigint)"
+    )
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}),"
+                f" j -> named_struct('row', j,"
+                f" 'pos', pmod({h1} + j * {h2}, {m})))"
+            )
+        ).alias("_rp"),
+    ).select(
+        key_col,
+        F.col("_rp.row").alias("row"),
+        F.col("_rp.pos").alias("pos"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias(out)
+    )

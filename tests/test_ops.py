@@ -1154,3 +1154,30 @@ def test_bloom_prefilter_contract(spark):
     # generous slack — the contract under test is "a useful prefilter",
     # not an exact rate
     assert fp_rate < 0.2, (fp_rate, n_corpus)
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS guarantee: est >= exact for every key; with m=256 and few
+    hundred keys the overshoot stays small; sketches of two halves ADD
+    to the sketch of the whole (mergeability)."""
+    from oshdb_spark.ops.sketches import cms_estimate, cms_table
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+    sk = cms_table(ev, "user_id", m=256, k=3)
+    est = cms_estimate(ev.distinct(), sk, "user_id", m=256, k=3)
+    exact = ev.groupBy("user_id").count()
+    rows = est.join(exact, "user_id").collect()
+    assert rows and all(r["est"] >= r["count"] for r in rows)
+    assert sum(r["est"] - r["count"] for r in rows) <= 3 * len(rows)
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = cms_table(ev.filter("user_id % 2 = 0"), "user_id", m=256, k=3)
+    h2 = cms_table(ev.filter("user_id % 2 = 1"), "user_id", m=256, k=3)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in sk.collect())
+    assert a == b
