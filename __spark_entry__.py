@@ -1147,6 +1147,112 @@ def q_zonal_rect(spark, sf_dir):
     )
 
 
+# deterministic dissolve corpus: integer-valued rectangles derived from
+# event ids (float-exact on every engine) plus a hand-built frame group
+# that forces the union-pocket machinery (4 overlapping walls enclose a
+# hole; one filler reaches through a wall into it, one sits disjoint
+# inside it)
+_DISSOLVE_FRAME = [
+    (100, 0.0, 0.0, 2.0, 10.0),
+    (100, 0.0, 0.0, 10.0, 2.0),
+    (100, 8.0, 0.0, 10.0, 10.0),
+    (100, 0.0, 8.0, 10.0, 10.0),
+    (100, 1.0, 4.0, 6.0, 6.0),
+    (100, 6.0, 6.0, 7.0, 7.0),
+]
+
+_DISSOLVE_RECTS_SQL = """
+    SELECT CAST(event_id % 10 AS BIGINT) AS grp,
+           CAST((event_id*7919) % 50 AS DOUBLE) AS x1,
+           CAST((event_id*104729) % 50 AS DOUBLE) AS y1,
+           CAST((event_id*7919) % 50 + 2 + (event_id % 9) AS DOUBLE) AS x2,
+           CAST((event_id*104729) % 50 + 2 + ((event_id*31) % 9) AS DOUBLE) AS y2
+    FROM events WHERE event_id % 37 = 0
+    UNION ALL
+    SELECT CAST(grp AS BIGINT), x1, y1, x2, y2
+    FROM (VALUES {frame}) AS f(grp, x1, y1, x2, y2)
+""".format(frame=", ".join(str(t) for t in _DISSOLVE_FRAME))
+
+_DISSOLVE_SWEEP_SQL = """
+    WITH rects AS ({rects}),
+    xs AS (
+      SELECT DISTINCT grp, x FROM (
+        SELECT grp, x1 AS x FROM rects
+        UNION ALL SELECT grp, x2 FROM rects)),
+    slabs AS (
+      SELECT grp, x AS xa,
+             lead(x) OVER (PARTITION BY grp ORDER BY x) AS xb
+      FROM xs),
+    cov AS (
+      SELECT s.grp, s.xa, s.xb, r.y1, r.y2
+      FROM slabs s JOIN rects r
+        ON r.grp = s.grp AND r.x1 <= s.xa AND r.x2 >= s.xb
+      WHERE s.xb IS NOT NULL),
+    m AS (
+      SELECT grp, xa, xb, y1, y2,
+             max(y2) OVER (PARTITION BY grp, xa ORDER BY y1, y2
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS rm
+      FROM cov),
+    i AS (
+      SELECT grp, xa, xb, y1, y2,
+             sum(CASE WHEN rm IS NULL OR y1 > rm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY grp, xa ORDER BY y1, y2
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM m),
+    seg AS (
+      SELECT grp, xa, xb, iid, max(y2) - min(y1) AS len
+      FROM i GROUP BY grp, xa, xb, iid)
+    SELECT grp, round(sum(len * (xb - xa)), 6) AS union_area
+    FROM seg GROUP BY grp
+""".format(rects=_DISSOLVE_RECTS_SQL)
+
+
+def _dissolve_rects(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id").filter(
+        F.col("event_id") % 37 == 0
+    )
+    base = ev.select(
+        (F.col("event_id") % 10).alias("grp"),
+        ((F.col("event_id") * 7919) % 50).cast("double").alias("x1"),
+        ((F.col("event_id") * 104729) % 50).cast("double").alias("y1"),
+        ((F.col("event_id") * 7919) % 50 + 2 + F.col("event_id") % 9)
+        .cast("double").alias("x2"),
+        ((F.col("event_id") * 104729) % 50 + 2 + (F.col("event_id") * 31) % 9)
+        .cast("double").alias("y2"),
+    )
+    frame = spark.createDataFrame(
+        _DISSOLVE_FRAME, schema="grp long, x1 double, y1 double, x2 double, y2 double"
+    )
+    return base.unionByName(frame)
+
+
+def q_dissolve_rect(spark, sf_dir):
+    """Distributed dissolve (rect form): exact union area per group via
+    the pure-Catalyst slab sweep (geo/dissolve.rect_union_area) — the
+    declarative replacement for JTS UnaryUnionOp+area (Geo.java area
+    path over a caller-unioned geometry)."""
+    from oshdb_spark.geo.dissolve import rect_union_area
+
+    return rect_union_area(_dissolve_rects(spark, sf_dir))
+
+
+def q_dissolve_rings(spark, sf_dir):
+    """Dissolve through the engine's ring-union machinery
+    (merge_overlapping_rings + exact pocket correction) over the same
+    rectangles — the oracle replays an independent slab-sweep algorithm,
+    so agreement is a cross-algorithm differential on the union code."""
+    from oshdb_spark.geo.dissolve import rings_union_area
+
+    rects = _dissolve_rects(spark, sf_dir)
+    rings = rects.select(
+        "grp",
+        F.array("x1", "y1", "x2", "y1", "x2", "y2", "x1", "y2").alias("ring"),
+    )
+    return rings_union_area(rings)
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data pipeline ops (dedup / similarity / text / media)
 # ---------------------------------------------------------------------------
@@ -1986,6 +2092,45 @@ def q_pattern_scan(spark, sf_dir):
         F.sum("num_n").alias("num_hits"),
         F.sum("email_n").alias("email_hits"),
         F.max("kw_n").alias("kw_max"),
+    )
+
+
+def q_redact(spark, sf_dir):
+    """PII redaction (ops/curation.redact — rewrites text, not just
+    counts): deterministic synthetic PII (an email and a phone derived
+    from doc_id) is appended to every document, redacted, and verified
+    byte-exactly via per-source md5 digests — DuckDB replays the same
+    injection, the same RE2∩Java-portable regexes (regexp_replace 'g'),
+    and the same sorted-name replacement order."""
+    from oshdb_spark.ops.curation import redact
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".net ph "),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 31) % 9000 + 1000).cast("string"),
+        ),
+    )
+    r = redact(
+        d,
+        {
+            "email": ("[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "phone": ("[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        },
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("email_n").alias("emails"),
+        F.sum("phone_n").alias("phones"),
+        F.sum(F.length("text_redacted")).alias("red_chars"),
+        F.max(F.md5(F.col("text_redacted").cast("binary"))).alias("digest"),
     )
 
 
@@ -3110,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_events": q_knn_events,
         "knn_batch_events": q_knn_batch_events,
         "zonal_rect": q_zonal_rect,
+        "dissolve_rect": q_dissolve_rect,
+        "dissolve_rings": q_dissolve_rings,
         "multipolygon_area": q_multipolygon_area,
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
@@ -3154,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prep": q_pipeline_prep,
         "contamination": q_contamination,
         "pattern_scan": q_pattern_scan,
+        "redact": q_redact,
         "source_mix": q_source_mix,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
@@ -4068,6 +4216,8 @@ def oracle_sql() -> dict[str, str]:
               FROM deg CROSS JOIN qs)
             SELECT qid, event_id FROM d WHERE rn <= 25
         """,
+        "dissolve_rect": _DISSOLVE_SWEEP_SQL,
+        "dissolve_rings": _DISSOLVE_SWEEP_SQL,
         "zonal_rect": """
             WITH deg AS (
               SELECT (((event_id*1103515245) % 3600000000) - 1800000000)
@@ -4754,6 +4904,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(max(len(regexp_extract_all(text, '(key|table|scan)')))
                 AS BIGINT) AS kw_max
             FROM documents GROUP BY source
+        """,
+        "redact": """
+            -- same deterministic PII injection, same portable regexes;
+            -- counts on the original text, replacements sequential in
+            -- sorted pattern-name order (email, then phone), 'g' = Java
+            -- replaceAll semantics
+            WITH pii AS (
+              SELECT source,
+                     text || ' u' || CAST(doc_id AS VARCHAR) || '@ex'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.net ph '
+                       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                       || CAST((doc_id*31) % 9000 + 1000 AS VARCHAR) AS text
+              FROM documents),
+            red AS (
+              SELECT source,
+                     len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                       AS email_n,
+                     len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))
+                       AS phone_n,
+                     regexp_replace(
+                       regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+',
+                                      '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
+              FROM pii)
+            SELECT source, count(*) AS docs,
+                   CAST(sum(email_n) AS BIGINT) AS emails,
+                   CAST(sum(phone_n) AS BIGINT) AS phones,
+                   CAST(sum(length(text_redacted)) AS BIGINT) AS red_chars,
+                   max(md5(text_redacted)) AS digest
+            FROM red GROUP BY source
         """,
         "source_mix": """
             -- temperature-0.5 mixing: rate_s = round(min(1, 300*n^0.5 /

@@ -969,6 +969,48 @@ def merge_overlapping_rings(
         pockets_out.extend(u_pockets)
 
 
+def union_covered_area(pieces: list[np.ndarray]) -> float:
+    """Exact planar area covered by the union of simple CCW rings (the
+    dissolve primitive — JTS UnaryUnionOp + getArea in one step, without
+    materializing the union geometry). Merge the rings pairwise
+    (merge_overlapping_rings absorbs contained rings too, so the final
+    ring set has disjoint interiors), then correct each union pocket:
+    a pocket region is uncovered EXCEPT where an original piece reached
+    into it, so subtract area(pocket − ⋃ pocket∩originals), computed
+    with the same depth-guarded self-clip clip_polygon_to_polygon uses
+    for its hole-merge pockets (subject = pocket with the overlaps as
+    holes — the overlaps may themselves overlap, the hole-merge unions
+    them exactly once)."""
+    originals = [np.asarray(p, dtype=np.float64) for p in pieces]
+    if not originals:
+        return 0.0
+    rings, pockets = merge_overlapping_rings(list(originals))
+    total = sum(_ring_abs_area(r) for r in rings)
+    for p in pockets:
+        pa = _ring_abs_area(p)
+        if pa <= 0.0:
+            continue
+        overlaps = [
+            r
+            for h in originals
+            for r in ring_intersection(p, h)
+            if _ring_abs_area(r) > 1e-12 * pa
+        ]
+        if not overlaps:
+            total -= pa
+            continue
+        sub = clip_polygon_to_polygon([p, *overlaps], [p])
+        unfilled = 0.0
+        if sub is not None:
+            polys = [sub[1]] if sub[0] == "Polygon" else sub[1]
+            for poly in polys:
+                unfilled += _ring_abs_area(poly[0]) - sum(
+                    _ring_abs_area(h) for h in poly[1:]
+                )
+        total -= max(unfilled, 0.0)
+    return total
+
+
 def clip_polygon_to_polygon(
     subject_rings: list[np.ndarray],
     clip_rings: list[np.ndarray],

@@ -97,6 +97,32 @@ def pattern_scan(
     return out
 
 
+def redact(
+    df: DataFrame,
+    patterns: dict[str, tuple[str, str]],
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII scrubbing: pattern_scan's sibling that actually rewrites the
+    text. For each named pattern (regex, replacement): append a
+    ``<name>_n`` match count measured on the ORIGINAL text (independent
+    scans — counts don't depend on replacement order), then emit the
+    redacted text with all replacements applied sequentially in sorted
+    name order (the one deterministic contract when patterns interact;
+    callers choose replacements that don't re-match later patterns).
+    Pure Catalyst (regexp_count + regexp_replace, whole-stage codegen);
+    patterns must stay in the RE2 ⋂ Java portable subset so external
+    engines replay identical counts and bytes."""
+    out = df
+    red = F.col(text_col)
+    for name, (pat, repl) in sorted(patterns.items()):
+        out = out.withColumn(
+            f"{name}_n", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col or f"{text_col}_redacted", red)
+
+
 def source_mix_rates(
     counts: dict[str, int], alpha: float, target: int
 ) -> dict[str, float]:

@@ -585,6 +585,39 @@ def test_pattern_scan_counts(spark):
     assert r["num_n"] == 3  # 12, 3, 4
 
 
+def test_redact_counts_and_bytes(spark):
+    """Counts come from the ORIGINAL text (so a replacement that would
+    re-match a later pattern doesn't inflate it), replacements apply in
+    sorted pattern-name order, and the output bytes equal Python re's
+    sequential replace."""
+    import re
+
+    from oshdb_spark.ops.curation import redact
+
+    rows = [
+        (1, "mail a.b@x.io and c@y.org ph 555-1234"),
+        (2, "no pii here 42"),
+        (3, "z@z.zz z@z.zz"),
+    ]
+    pats = {
+        "email": ("[a-z.]+@[a-z.]+", "<EMAIL>"),
+        "phone": ("[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    }
+    got = {
+        r["doc_id"]: r
+        for r in redact(
+            spark.createDataFrame(rows, "doc_id long, text string"), pats
+        ).collect()
+    }
+    for doc_id, text in rows:
+        exp = text
+        for _, (p, rep) in sorted(pats.items()):
+            exp = re.sub(p, rep, exp)
+        assert got[doc_id]["text_redacted"] == exp
+        assert got[doc_id]["email_n"] == len(re.findall(pats["email"][0], text))
+        assert got[doc_id]["phone_n"] == len(re.findall(pats["phone"][0], text))
+
+
 def test_source_mix_rates_properties():
     """α<1 flattens: dominant sources downsample harder; tiny sources
     cap at rate 1; rates are 6-decimal quantized."""
