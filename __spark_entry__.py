@@ -1782,6 +1782,34 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed d×d embedding covariance (ops/stats.covariance_df):
+    embeddings quantized to fixed-point int64 (half away from zero), so
+    the heavy Σqqᵀ pass is EXACT and partition-layout-invariant — one
+    narrow Arrow GEMM per batch, one tiny positional shuffle, broadcast
+    derivation joins. The oracle computes the identical integers and the
+    identical IEEE float expression."""
+    from oshdb_spark.ops.stats import covariance_df
+
+    return covariance_df(_t(spark, sf_dir, "embeddings"))
+
+
+def q_pca_loadings(spark, sf_dir):
+    """Top principal component (ops/stats.power_iteration over the
+    collected quantized covariance — d² doubles of metadata, never row
+    data): 12 power-iteration steps with 6-decimal quantization per
+    iterate and strict sequential folds; the DuckDB oracle replays the
+    whole trajectory in a recursive CTE over LIST lambdas, bit-for-bit."""
+    from oshdb_spark.ops.stats import collect_covariance, power_iteration
+
+    cov = collect_covariance(_t(spark, sf_dir, "embeddings"))
+    v, eig = power_iteration(cov, iters=12)
+    return spark.createDataFrame(
+        [(i, v[i], eig) for i in range(len(v))],
+        "i long, loading double, eigval double",
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): cosine near-duplicate pairs scoped to
     deterministic k-means clusters — candidate generation is the cluster
@@ -3288,6 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "sim_ivf_trained": q_sim_ivf_trained,
         "kmeans_centroids": q_kmeans_centroids,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_loadings": q_pca_loadings,
         "sample_diversity": q_sample_diversity,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
@@ -3433,6 +3463,34 @@ _KMEANS_CTES = """emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
               FROM cents1 LEFT JOIN (
                 SELECT cl AS c, list(m ORDER BY i) AS ce
                 FROM u2 GROUP BY cl) nn USING (c))"""
+
+
+# integer-exact covariance CTEs shared by embedding_covariance and
+# pca_loadings: quantization (half away from zero), exact BIGINT sums,
+# and the IEEE derivation expression mirror ops/stats.py term-for-term;
+# `+ 0.0` normalizes the sign of zero on both engines
+_PCA_COV_CTES = """q AS (
+              SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(CASE WHEN x >= 0
+                                      THEN floor(x*1000000.0 + 0.5)
+                                      ELSE -floor(-x*1000000.0 + 0.5)
+                                 END AS BIGINT)) AS qv
+              FROM embeddings),
+            idx AS (SELECT unnest(range(64)) AS i),
+            nn AS (SELECT count(*) AS n FROM q),
+            ms AS (SELECT i.i, CAST(sum(qv[i.i+1]) AS BIGINT) AS m
+                   FROM q, idx i GROUP BY 1),
+            ss AS (SELECT i.i, j.i AS j,
+                          CAST(sum(qv[i.i+1]*qv[j.i+1]) AS BIGINT) AS s
+                   FROM q, idx i, idx j GROUP BY 1, 2),
+            cov AS (
+              SELECT s.i, s.j,
+                     round(CAST(s.s AS DOUBLE)/nn.n/1000000000000.0
+                           - (CAST(mi.m AS DOUBLE)/nn.n/1000000.0)
+                             * (CAST(mj.m AS DOUBLE)/nn.n/1000000.0), 6)
+                       + 0.0 AS cov
+              FROM ss s JOIN ms mi ON mi.i = s.i
+                        JOIN ms mj ON mj.i = s.j, nn)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4787,6 +4845,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS uniq,
                    true AS within_5pct
             FROM lv GROUP BY 1, 2
+        """,
+        "embedding_covariance": f"""
+            -- integer-exact quantized covariance: identical int64 sums
+            -- in any summation order, identical IEEE derivation
+            WITH RECURSIVE {_PCA_COV_CTES}
+            SELECT i, j, cov FROM cov
+        """,
+        "pca_loadings": f"""
+            -- full replay of ops/stats.power_iteration: 12 steps of
+            -- C·v / ||C·v|| with round(·, 6) + 0.0 per element, strict
+            -- sequential folds (list_reduce over list_zip products =
+            -- _dot_seq), then eigval = round(vᵀCv, 6)
+            WITH RECURSIVE {_PCA_COV_CTES},
+            covm AS (
+              SELECT list(cl ORDER BY i) AS m FROM (
+                SELECT i, list(cov ORDER BY j) AS cl FROM cov GROUP BY i) t),
+            pi(t, v) AS (
+              SELECT 0, list_transform(range(64),
+                          i -> CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END
+                                    AS DOUBLE))
+              UNION ALL
+              SELECT t+1,
+                (SELECT list_transform(w, x -> round(x / sqrt(
+                     list_reduce(list_transform(w, y -> y*y),
+                                 (a,b) -> a+b)), 6) + 0.0)
+                 FROM (SELECT list_transform(covm.m, r ->
+                         list_reduce(list_transform(list_zip(r, pi.v),
+                                                    p -> p[1]*p[2]),
+                                     (a,b) -> a+b)) AS w) s)
+              FROM pi, covm WHERE t < 12),
+            fin AS (SELECT v FROM pi WHERE t = 12),
+            cv AS (SELECT list_transform(covm.m, r ->
+                     list_reduce(list_transform(list_zip(r, fin.v),
+                                                p -> p[1]*p[2]),
+                                 (a,b) -> a+b)) AS cv
+                   FROM covm, fin),
+            eig AS (SELECT round(list_reduce(
+                       list_transform(list_zip(fin.v, cv.cv),
+                                      p -> p[1]*p[2]),
+                       (a,b) -> a+b), 6) + 0.0 AS eigval FROM fin, cv)
+            SELECT i.i AS i, fin.v[i.i+1] AS loading, eig.eigval AS eigval
+            FROM idx i, fin, eig
         """,
         "kmeans_centroids": f"""
             -- mirror of ops.clustering.kmeans_train: init = first 8 by

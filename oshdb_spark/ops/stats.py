@@ -1,0 +1,172 @@
+"""Distributed embedding statistics: integer-exact covariance and PCA.
+
+Covariance (the O(n·d²) heavy pass) is layout-invariant by
+construction: each embedding is quantized to fixed-point int64
+(``sign(x)·floor(|x|·scale + 0.5)`` — half away from zero, the exact
+rule the DuckDB oracle applies), so every partial sum is an exact
+integer and the grand totals do not depend on partition count or
+summation order. Per Arrow batch, numpy produces the sufficient
+statistics (n, Σq, Σqqᵀ — one int64 GEMM) as ONE combined flat array;
+a map-side partial aggregate then reduces the posexploded positions,
+so the only shuffle is O(#batches · (d²+d+1)) rows regardless of n.
+The float covariance is derived per (i, j) with an IEEE expression
+written term-for-term identically in the oracle (``+ 0.0`` normalizes
+the sign of zero on both sides).
+
+PCA runs power iteration on the COLLECTED covariance — d² doubles,
+metadata-sized, never row data — with strict sequential folds and
+per-iteration 6-decimal quantization so the DuckDB recursive-CTE
+oracle replays the whole trajectory bit-for-bit (the same technique as
+ops/clustering.kmeans_train and ops/classifier: determinism through
+quantized updates, not through float-sum luck).
+
+At 10^12 rows the covariance pass is a single narrow mapInPandas over
+the embedding column (no shuffle of row data at all); d stays the
+model dimension, so the collect and the iteration are O(d²) driver
+work independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+_TOTALS_SCHEMA = StructType(
+    [StructField("pos", LongType()), StructField("tot", LongType())]
+)
+
+
+def _q6(x: float) -> float:
+    """Quantize to 6 decimals, half away from zero (= SQL round())."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _dot_seq(a: list[float], b: list[float]) -> float:
+    """Strict left fold over the elementwise products — the exact
+    operation order of DuckDB's list_reduce(list_transform(list_zip))
+    so both engines walk the same IEEE trajectory."""
+    acc = a[0] * b[0]
+    for i in range(1, len(a)):
+        acc += a[i] * b[i]
+    return acc
+
+
+def second_moment_totals(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact int64 sufficient statistics of the quantized embeddings as
+    (pos, tot) rows: pos 0 = n, pos 1..d = Σq_i, pos d+1.. = Σ q_i·q_j
+    row-major. One narrow Arrow pass + one tiny positional shuffle."""
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
+                np.int64
+            )
+            combined = np.concatenate(
+                ([len(q)], q.sum(axis=0), (q.T @ q).ravel())
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(combined.size, dtype=np.int64),
+                    "tot": combined,
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(_partials, schema=_TOTALS_SCHEMA)
+    return parts.groupBy("pos").agg(F.sum("tot").alias("tot"))
+
+
+def covariance_df(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Distributed (i, j, cov) covariance rows: cov = S_ij/(n·scale²)
+    − (M_i/(n·scale))·(M_j/(n·scale)), rounded to 6 decimals, zero-sign
+    normalized — the arithmetic is written with the same association as
+    the oracle so the doubles agree bitwise. All joins broadcast
+    (d- and 1-row sides)."""
+    tot = second_moment_totals(df, vec_col, dim, scale)
+    n_df = tot.filter(F.col("pos") == 0).select(F.col("tot").alias("n"))
+    m_df = tot.filter((F.col("pos") >= 1) & (F.col("pos") <= dim)).select(
+        (F.col("pos") - 1).alias("mi_idx"), F.col("tot").alias("m")
+    )
+    s_df = tot.filter(F.col("pos") > dim).select(
+        F.expr(f"(pos - 1 - {dim}) DIV {dim}").alias("i"),
+        F.expr(f"(pos - 1 - {dim}) % {dim}").alias("j"),
+        F.col("tot").alias("s"),
+    )
+    sc2 = float(scale) * float(scale)
+    return (
+        s_df.join(
+            F.broadcast(m_df.withColumnRenamed("m", "m_i")),
+            s_df.i == F.col("mi_idx"),
+        )
+        .drop("mi_idx")
+        .join(
+            F.broadcast(
+                m_df.withColumnRenamed("m", "m_j").withColumnRenamed(
+                    "mi_idx", "mj_idx"
+                )
+            ),
+            F.col("j") == F.col("mj_idx"),
+        )
+        .drop("mj_idx")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("s").cast("double") / F.col("n") / F.lit(sc2)
+                    - (F.col("m_i").cast("double") / F.col("n") / F.lit(float(scale)))
+                    * (F.col("m_j").cast("double") / F.col("n") / F.lit(float(scale))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def collect_covariance(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    scale: int = 10**6,
+) -> list[list[float]]:
+    """The d×d quantized covariance as a driver-side matrix (d² doubles
+    of metadata, never row data)."""
+    mat = [[0.0] * dim for _ in range(dim)]
+    for r in covariance_df(df, vec_col, dim, scale).collect():
+        mat[r["i"]][r["j"]] = float(r["cov"])
+    return mat
+
+
+def power_iteration(
+    cov: list[list[float]], iters: int = 12
+) -> tuple[list[float], float]:
+    """Top eigenvector by fixed-step power iteration with 6-decimal
+    per-iteration quantization (convergence is NOT assumed — both
+    engines replay the same finite trajectory, so the result is
+    deterministic whatever the spectrum). Returns (loadings, eigval =
+    vᵀCv of the final iterate)."""
+    d = len(cov)
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(iters):
+        w = [_dot_seq(row, v) for row in cov]
+        nrm = math.sqrt(_dot_seq(w, w))
+        if nrm == 0.0:
+            return v, 0.0
+        v = [_q6(w[i] / nrm) + 0.0 for i in range(d)]
+    cv = [_dot_seq(row, v) for row in cov]
+    return v, _q6(_dot_seq(v, cv)) + 0.0

@@ -272,6 +272,51 @@ def test_kmeans_deterministic_and_empty_cluster_keeps_centroid(spark):
     assert again == cents
 
 
+def test_covariance_matches_numpy_and_is_layout_invariant(spark):
+    """Quantized covariance ≈ numpy's population covariance (within the
+    1e-6 quantization), and the exact-int path returns IDENTICAL bytes
+    at any partition layout."""
+    import numpy as np
+
+    from oshdb_spark.ops.stats import covariance_df
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(120, 5).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_df(df, dim=5).collect()
+    }
+    ref = np.cov(x.astype(np.float64).T, bias=True)
+    for i in range(5):
+        for j in range(5):
+            assert abs(got[(i, j)] - ref[i][j]) < 5e-6, (i, j)
+    re = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_df(df.repartition(13), dim=5).collect()
+    }
+    assert re == got
+
+
+def test_power_iteration_finds_top_component():
+    import numpy as np
+
+    from oshdb_spark.ops.stats import power_iteration
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(6, 6)
+    c = (a @ a.T).tolist()  # symmetric PSD with a clear top eigenvalue
+    v, eig = power_iteration(c, iters=40)
+    w, vecs = np.linalg.eigh(np.asarray(c))
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(v, top)) / np.linalg.norm(v))
+    assert cos > 0.9999
+    assert abs(eig - w[-1]) < 1e-3 * max(1.0, abs(w[-1]))
+
+
 def test_ivf_trained_returns_k(spark):
     from oshdb_spark.ops.similarity import ivf_ann
 
