@@ -419,6 +419,37 @@ def q_geodesic_traj_length(spark, sf_dir):
     )
 
 
+def q_stay_points(spark, sf_dir):
+    """Trajectory stay-point (dwell) detection (geo/trajectory.stay_points):
+    per-user dwell segments via gaps-and-islands windows — a hop whose
+    equirectangular distance to the previous point exceeds 5,000 km
+    starts a new segment; stays span ≥1 h and ≥3 points. Centroids are
+    exact integer averages of the fixed-point coordinates. Pure Catalyst,
+    one shuffle on the entity key."""
+    from oshdb_spark.geo.trajectory import stay_points
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        (
+            F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    return stay_points(
+        ev,
+        order_cols=("event_id",),
+        dist_m=5_000_000.0,
+        min_dwell_s=3600,
+        min_pts=3,
+    )
+
+
 def q_zonal_sum_latband(spark, sf_dir):
     """Zonal aggregation: 10° latitude bands as zones, sum of event value."""
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
@@ -3261,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count_z6": q_cell_count_z6,
         "poly_aoi_filter": q_poly_aoi_filter,
         "geodesic_traj_length": q_geodesic_traj_length,
+        "stay_points": q_stay_points,
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
         "way_polygon_clip": q_way_polygon_clip,
@@ -3786,6 +3818,43 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY id ORDER BY version))
               WHERE plon7 IS NOT NULL)
             GROUP BY 1
+        """,
+        "stay_points": """
+            -- same equirectangular hop distance (explicit products, not
+            -- pow), same (sec, event_id) window order, exact integer
+            -- centroid averages
+            WITH pts AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     ((event_id*1103515245) % 3600000000) - 1800000000
+                       AS lon7,
+                     ((event_id*1234567891) % 1700000000) - 850000000
+                       AS lat7
+              FROM events),
+            lagd AS (
+              SELECT *, lag(lon7 * 1e-7) OVER w AS plon,
+                        lag(lat7 * 1e-7) OVER w AS plat
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+            segd AS (
+              SELECT *, CAST(sum(CASE WHEN plon IS NULL OR
+                  6371000.0 * sqrt(
+                    (radians((lon7 * 1e-7) - plon)
+                       * cos(radians(((lat7 * 1e-7) + plat) / 2.0)))
+                    * (radians((lon7 * 1e-7) - plon)
+                       * cos(radians(((lat7 * 1e-7) + plat) / 2.0)))
+                    + radians((lat7 * 1e-7) - plat)
+                      * radians((lat7 * 1e-7) - plat)) > 5000000.0
+                  THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY sec, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+              FROM lagd)
+            SELECT user_id, seg, count(*) AS n_pts,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS dwell_s,
+                   round(avg(lon7)/10000000.0, 4) AS clon,
+                   round(avg(lat7)/10000000.0, 4) AS clat
+            FROM segd GROUP BY 1, 2
+            HAVING max(sec) - min(sec) >= 3600 AND count(*) >= 3
         """,
         "zonal_sum_latband": """
             SELECT (lat7 + 850000000) // 100000000 AS zone,

@@ -558,3 +558,37 @@ def test_focal_stats_wrap_clamp_and_values(spark):
     assert out[31 * 64 + 10]["focal_sum"] == 4 + 6
     # isolated: itself only
     assert out[1000]["focal_n"] == 1
+
+
+def test_stay_points_detects_dwell_and_splits_on_hop(spark):
+    """A user idles near the origin (4 close points over 2 h), hops
+    2,000 km, idles again with only 2 points (below min_pts), and a
+    second user never dwells long enough."""
+    from oshdb_spark.geo.trajectory import stay_points
+
+    rows = [
+        # user 1: dwell A — ~100 m steps, 4 pts spanning 7200 s
+        (1, 0, 0, 0, 0),
+        (1, 1, 2400, 10000, 0),       # 1e-3 deg ≈ 111 m... within 500 m
+        (1, 2, 4800, 20000, 10000),
+        (1, 3, 7200, 10000, 20000),
+        # hop: ~20 deg ≈ 2,200 km → new segment
+        (1, 4, 9600, 200000000, 0),
+        (1, 5, 12000, 200010000, 0),  # only 2 pts: below min_pts
+        # user 2: 3 close points but only 60 s span: below min_dwell
+        (2, 6, 0, 0, 0),
+        (2, 7, 30, 10000, 0),
+        (2, 8, 60, 0, 10000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, lon7 long, lat7 long"
+    )
+    got = stay_points(
+        df, order_cols=("event_id",), dist_m=500.0,
+        min_dwell_s=3600, min_pts=3,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["seg"], r["n_pts"], r["dwell_s"]) == (1, 1, 4, 7200)
+    assert r["clon"] == round((0 + 10000 + 20000 + 10000) / 4 / 1e7, 4)
+    assert r["clat"] == round((0 + 0 + 10000 + 20000) / 4 / 1e7, 4)
