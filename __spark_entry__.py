@@ -2391,6 +2391,241 @@ def _spatial_join_poly_oracle() -> str:
     """
 
 
+# rectangle derivations shared by q_overlay_rect and its oracle: side A
+# from supplier keys, side B from every-7th customer key; fixed-point
+# 1e-7-degree integers so both engines compute from identical doubles
+_OVL_A = (
+    "(((CAST(s_suppkey AS BIGINT) * 1103515245) % 3000000000)"
+    " - 1500000000)",  # w7
+    "(((CAST(s_suppkey AS BIGINT) * 1234567891) % 1400000000)"
+    " - 700000000)",  # s7
+    "(50000000 + ((CAST(s_suppkey AS BIGINT) * 2654435761)"
+    " % 250000000))",  # width7
+    "(50000000 + ((CAST(s_suppkey AS BIGINT) * 97781173)"
+    " % 150000000))",  # height7
+)
+_OVL_B = (
+    "(((CAST(c_custkey AS BIGINT) * 1103515245) % 3000000000)"
+    " - 1500000000)",
+    "(((CAST(c_custkey AS BIGINT) * 1234567891) % 1400000000)"
+    " - 700000000)",
+    "(50000000 + ((CAST(c_custkey AS BIGINT) * 2654435761)"
+    " % 250000000))",
+    "(50000000 + ((CAST(c_custkey AS BIGINT) * 97781173)"
+    " % 150000000))",
+)
+
+
+def q_overlay_rect(spark, sf_dir):
+    """Distributed polygon-overlay intersection join (geo/spatial_join.
+    overlay_join): supplier-derived rectangles x customer-derived
+    rectangles (every 7th key), carried as general closed rings through
+    the FULL overlay machinery — bbox cell cover, PBSM reference-point
+    dedup, clip.ring_intersection + Chamberlain-Duquette area refine
+    (Geo.java:94-179 semantics). The oracle recomputes each pair's
+    intersection rectangle closed-form: CD area of an axis-aligned
+    rectangle telescopes to (e-w)(sin n - sin s) R^2 exactly, so the
+    two sides agree to ~1e-13 relative and the km^2 round(2) hashes
+    stably."""
+    from oshdb_spark.geo.spatial_join import overlay_join
+
+    def rects(tbl, key, consts, out_id, thin=None):
+        w7, s7, dw7, dh7 = consts  # expressions over `key`'s column name
+        d = _t(spark, sf_dir, tbl)
+        if thin is not None:
+            d = d.filter(F.col(key) % thin == 0)
+        d = d.select(
+            F.col(key).cast("long").alias(out_id),
+            F.expr(w7).alias("w7"),
+            F.expr(s7).alias("s7"),
+            F.expr(dw7).alias("dw7"),
+            F.expr(dh7).alias("dh7"),
+        )
+        deg = lambda c: (F.col(c).cast("double") * F.lit(1e-7))  # noqa: E731
+        w, s = deg("w7"), deg("s7")
+        e = (F.col("w7") + F.col("dw7")).cast("double") * F.lit(1e-7)
+        n = (F.col("s7") + F.col("dh7")).cast("double") * F.lit(1e-7)
+        pt = lambda x, y: F.array(x, y)  # noqa: E731
+        ring = "ring_a" if out_id == "ida" else "ring_b"
+        return d.select(
+            out_id,
+            F.array(
+                pt(w, s), pt(e, s), pt(e, n), pt(w, n), pt(w, s)
+            ).alias(ring),
+        )
+
+    a = rects("supplier", "s_suppkey", _OVL_A, "ida")
+    b = rects("customer", "c_custkey", _OVL_B, "idb", thin=7)
+    j = overlay_join(a, b, zoom=6, n_salts=2)
+    return j.select(
+        "ida",
+        "idb",
+        F.round(F.col("area_m2") / F.lit(1e6), 2).alias("area_km2"),
+    )
+
+
+def _overlay_rect_oracle() -> str:
+    aw, as_, adw, adh = _OVL_A
+    bw, bs, bdw, bdh = _OVL_B
+    return f"""
+        WITH a AS (
+          SELECT s_suppkey AS ida,
+                 {aw} AS w7, {as_} AS s7,
+                 {aw} + {adw} AS e7, {as_} + {adh} AS n7
+          FROM supplier),
+        b AS (
+          SELECT c_custkey AS idb,
+                 {bw} AS w7, {bs} AS s7,
+                 {bw} + {bdw} AS e7, {bs} + {bdh} AS n7
+          FROM customer WHERE c_custkey % 7 = 0),
+        p AS (
+          SELECT ida, idb,
+                 greatest(a.w7, b.w7) AS gw, least(a.e7, b.e7) AS ge,
+                 greatest(a.s7, b.s7) AS gs, least(a.n7, b.n7) AS gn
+          FROM a JOIN b
+            ON a.w7 <= b.e7 AND b.w7 <= a.e7
+           AND a.s7 <= b.n7 AND b.s7 <= a.n7)
+        SELECT ida, idb,
+               round(radians((ge - gw) * 1e-7)
+                     * (sin(radians(gn * 1e-7)) - sin(radians(gs * 1e-7)))
+                     * 6371000.0 * 6371000.0 / 1e6, 2) AS area_km2
+        FROM p WHERE ge > gw AND gn > gs
+    """
+
+
+def q_overlay_clip_lines(spark, sf_dir):
+    """Distributed line-clip overlay join (geo/spatial_join.
+    clip_join_segments): event-derived segments (~2-degree strokes) x
+    nation-derived rectangles, Liang-Barsky clipping expressed entirely
+    in Catalyst (zero Python). Per region: pair count + clipped km
+    (per-pair lengths rounded to mm first — the float invariant; the
+    t-parameter hit decision uses only -, /, greatest/least over
+    identical doubles, so the pair SET is bit-reproducible vs DuckDB)."""
+    from oshdb_spark.geo.spatial_join import clip_join_segments
+
+    segs = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("ax7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("ay7"),
+    )
+    segs = segs.select(
+        "sid",
+        "ax7",
+        "ay7",
+        (
+            F.col("ax7")
+            + F.pmod(F.col("sid") * 2654435761, F.lit(40_000_001))
+            - 20_000_000
+        ).alias("bx7"),
+        (
+            F.col("ay7")
+            + F.pmod(F.col("sid") * 97781173, F.lit(40_000_001))
+            - 20_000_000
+        ).alias("by7"),
+    )
+    regs = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("rid"))
+        .select(
+            "rid",
+            (
+                F.pmod(F.col("rid") * 1103515245, F.lit(3_200_000_000))
+                - 1_700_000_000
+            ).alias("w7"),
+            (
+                F.pmod(F.col("rid") * 1234567891, F.lit(1_500_000_000))
+                - 800_000_000
+            ).alias("s7"),
+        )
+        .withColumn(
+            "e7", F.col("w7") + 50_000_000 + (F.col("rid") % 7) * 30_000_000
+        )
+        .withColumn(
+            "n7", F.col("s7") + 40_000_000 + (F.col("rid") % 5) * 20_000_000
+        )
+    )
+    j = clip_join_segments(segs, regs, zoom=6, n_salts=2)
+    return j.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(
+            F.sum(F.round(F.col("clip_len_m"), 3)) / F.lit(1000.0), 6
+        ).alias("len_km"),
+    )
+
+
+_OVERLAY_CLIP_LINES_ORACLE = """
+    -- identical Liang-Barsky slab parameters (only -, /, least/greatest
+    -- over doubles derived as fixed_point * 1e-7 -> the t1 > t0 hit set
+    -- is bit-equal to the engine's); per-pair meters rounded to mm
+    WITH segs0 AS (
+      SELECT event_id AS sid,
+             (event_id*1103515245) % 3600000000 - 1800000000 AS ax7,
+             (event_id*1234567891) % 1700000000 - 850000000 AS ay7
+      FROM events),
+    segs AS (
+      SELECT sid, ax7, ay7,
+             ax7 + (sid*2654435761) % 40000001 - 20000000 AS bx7,
+             ay7 + (sid*97781173) % 40000001 - 20000000 AS by7
+      FROM segs0),
+    regs AS (
+      SELECT rid, w7, s7,
+             w7 + 50000000 + (rid % 7) * 30000000 AS e7,
+             s7 + 40000000 + (rid % 5) * 20000000 AS n7
+      FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS rid,
+               (CAST(n_nationkey AS BIGINT)*1103515245) % 3200000000
+                 - 1700000000 AS w7,
+               (CAST(n_nationkey AS BIGINT)*1234567891) % 1500000000
+                 - 800000000 AS s7
+        FROM nation)),
+    deg AS (
+      SELECT rid, sid,
+             ax7*1e-7 AS ax, ay7*1e-7 AS ay,
+             bx7*1e-7 - ax7*1e-7 AS dx, by7*1e-7 - ay7*1e-7 AS dy,
+             w7*1e-7 AS w, s7*1e-7 AS s, e7*1e-7 AS e, n7*1e-7 AS n
+      FROM segs, regs),
+    slabs AS (
+      SELECT rid, sid, ax, ay, dx, dy,
+        CASE WHEN dx = 0
+             THEN CASE WHEN ax >= w AND ax <= e THEN 0.0 ELSE 2.0 END
+             ELSE least((w-ax)/dx, (e-ax)/dx) END AS tx0,
+        CASE WHEN dx = 0
+             THEN CASE WHEN ax >= w AND ax <= e THEN 1.0 ELSE -1.0 END
+             ELSE greatest((w-ax)/dx, (e-ax)/dx) END AS tx1,
+        CASE WHEN dy = 0
+             THEN CASE WHEN ay >= s AND ay <= n THEN 0.0 ELSE 2.0 END
+             ELSE least((s-ay)/dy, (n-ay)/dy) END AS ty0,
+        CASE WHEN dy = 0
+             THEN CASE WHEN ay >= s AND ay <= n THEN 1.0 ELSE -1.0 END
+             ELSE greatest((s-ay)/dy, (n-ay)/dy) END AS ty1
+      FROM deg),
+    hits AS (
+      SELECT rid, sid, ay, dx, dy,
+             greatest(0.0, tx0, ty0) AS t0, least(1.0, tx1, ty1) AS t1
+      FROM slabs WHERE least(1.0, tx1, ty1) > greatest(0.0, tx0, ty0)),
+    lens AS (
+      SELECT rid, round(len_raw, 3) AS len_m
+      FROM (
+        SELECT rid, 6371000.0 * sqrt(dla*dla + dln*dln) AS len_raw
+        FROM (
+          SELECT rid,
+                 radians(dy*(t1-t0)) AS dla,
+                 radians(dx*(t1-t0))
+                   * cos(radians(ay + dy*(t0+t1)/2.0)) AS dln
+          FROM hits))
+      WHERE len_raw > 0)
+    SELECT rid, count(*) AS cnt,
+           round(sum(len_m) / 1000.0, 6) AS len_km
+    FROM lens GROUP BY rid
+"""
+
+
 def q_distance_join(spark, sf_dir):
     """Distributed distance self-join (geo/spatial_join.distance_join):
     all event-point pairs within 200 km by the reference's
@@ -3370,6 +3605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "spatial_join_table": q_spatial_join_table,
         "spatial_join_poly": q_spatial_join_poly,
+        "overlay_rect": q_overlay_rect,
+        "overlay_clip_lines": q_overlay_clip_lines,
         "distance_join": q_distance_join,
         "knn_join_table": q_knn_join_table,
         "dedup_semantic": q_dedup_semantic,
@@ -5251,6 +5488,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY rid
         """,
         "spatial_join_poly": _spatial_join_poly_oracle(),
+        "overlay_rect": _overlay_rect_oracle(),
+        "overlay_clip_lines": _OVERLAY_CLIP_LINES_ORACLE,
         "distance_join": """
             -- brute-force pairs with the IDENTICAL equirect formula
             -- (degrees computed per point as lat7 * 1e-7 FIRST, then

@@ -1406,3 +1406,264 @@ def knn_join(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# polygon-overlay intersection join (two polygon TABLES)
+# ---------------------------------------------------------------------------
+
+def _bbox_pair_candidates(
+    a: DataFrame,
+    b: DataFrame,
+    zoom: int,
+    n_salts: int,
+    salt_key,
+) -> DataFrame:
+    """Shared PBSM pair-candidate stage: both inputs already carry padded
+    fixed-point bboxes (``_aw7/_ae7/_as7/_an7`` resp. ``_b*``). Explodes
+    each side to its bbox's covering cells, equi-joins on the cell id,
+    keeps bbox-overlapping pairs exactly once via the reference-point
+    rule (the cell holding the intersection bbox's SW corner — pure
+    codegen, no distinct). ``salt_key`` is a Column hashed to route B
+    rows when ``n_salts`` > 1 (A replicates)."""
+    from .cells import _LAT_MAX, _LON_MAX, _clamp_zoom
+
+    zoom = _clamp_zoom(zoom)
+    ncols = 1 << zoom
+
+    def with_cells(df: DataFrame, p: str) -> DataFrame:
+        x0 = _floor_cell_expr(f"_{p}w7", _LON_MAX, zoom)
+        x1 = _floor_cell_expr(f"_{p}e7", _LON_MAX, zoom)
+        y0 = _floor_cell_expr(f"_{p}s7", _LAT_MAX, zoom)
+        y1 = _floor_cell_expr(f"_{p}n7", _LAT_MAX, zoom)
+        d = (
+            df.withColumn(f"_{p}x0", F.expr(x0).cast("long"))
+            .withColumn(f"_{p}y0", F.expr(y0).cast("long"))
+            .withColumn(f"_{p}x1", F.expr(x1).cast("long"))
+            .withColumn(f"_{p}y1", F.expr(y1).cast("long"))
+        )
+        return d.withColumn(
+            "_cell",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(_{p}y0, _{p}y1), "
+                    f"y -> transform(sequence(_{p}x0, _{p}x1), "
+                    f"x -> y * {ncols} + x)))"
+                )
+            ),
+        )
+
+    a = with_cells(a, "a")
+    b = with_cells(b, "b")
+    keys = ["_cell"]
+    if n_salts > 1:
+        a = a.withColumn(
+            "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+        )
+        b = b.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(salt_key), F.lit(n_salts)).cast("int"),
+        )
+        keys = ["_cell", "_salt"]
+    return a.join(b, keys).filter(
+        # bbox overlap (padded fixed point) ...
+        (F.col("_aw7") <= F.col("_be7"))
+        & (F.col("_bw7") <= F.col("_ae7"))
+        & (F.col("_as7") <= F.col("_bn7"))
+        & (F.col("_bs7") <= F.col("_an7"))
+        # ... counted once: only in the cell holding the intersection
+        # bbox's SW corner (reference-point dedup, pure codegen)
+        & (
+            F.col("_cell")
+            == F.greatest("_ay0", "_by0") * ncols
+            + F.greatest("_ax0", "_bx0")
+        )
+    )
+
+
+def overlay_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    zoom: int = 6,
+    ring_a_col: str = "ring_a",
+    ring_b_col: str = "ring_b",
+    n_salts: int = 1,
+) -> DataFrame:
+    """Distributed polygon-overlay intersection join: every pair of rows
+    (one ring from each table) whose interiors overlap, with the
+    Chamberlain-Duquette spherical area of the intersection region — the
+    PBSM analog of a JTS ``a.intersection(b).getArea()`` overlay
+    (Geo.java:94-179 area semantics over clip.ring_intersection pieces),
+    for region tables too large to broadcast (land-use x admin overlay).
+
+    Each side carries one simple closed ring per row (``ring_*_col``:
+    array<array<double>> of [lon, lat] degree pairs, first == last, no
+    date-line wrap). Plan shape:
+
+    - both sides compute their ring's bbox in Catalyst (floor to 1e-7
+      fixed point, pads -1/+2 so double rounding only enlarges) and
+      explode to the grid cells the bbox covers at ``zoom``;
+    - candidates meet in an EQUI-join on the cell id. A pair whose
+      bboxes overlap shares a RECTANGLE of cells, so duplicates are
+      culled by the PBSM reference-point rule — the pair survives only
+      in the cell containing the intersection bbox's SW corner
+      (``greatest`` of the per-side floor-cell coordinates, pure
+      codegen) — no distinct pass, no second shuffle;
+    - surviving pairs refine through clip.ring_intersection +
+      geodesy.ring_area_signed in one Arrow-batched pandas UDF (pairs
+      are independent rows, so the refine is a narrow map; no Python in
+      the candidate path). Pairs with measure-zero contact (shared
+      edge/corner) yield no intersection piece and are dropped with the
+      disjoint ones by the ``area > 0`` filter.
+
+    ``n_salts`` > 1 replicates side A's cell rows and routes each B row
+    to one hash-chosen salt (hot-cell treatment; results salt-invariant
+    because the reference-point rule is salt-independent). Dense single
+    cells otherwise rely on AQE skew-join splitting.
+
+    Returns polys_a columns + polys_b columns (disambiguate clashes
+    before the call) + ``area_m2``. Scale: shuffle volume is the
+    exploded cell covers (bounded by bbox size / cell size per row);
+    the Python term touches only bbox-overlapping candidates."""
+    from .clip import ring_intersection
+    from .geodesy import ring_area_signed
+
+    def with_bbox(df: DataFrame, ring_col: str, p: str) -> DataFrame:
+        def bound(axis: int, agg: str, pad: int) -> Column:
+            return (
+                F.floor(
+                    F.expr(
+                        f"{agg}(transform({ring_col}, v -> v[{axis}]))"
+                    ) * 1e7
+                ).cast("long") + pad
+            )
+
+        return (
+            df.withColumn(f"_{p}w7", bound(0, "array_min", -1))
+            .withColumn(f"_{p}e7", bound(0, "array_max", 2))
+            .withColumn(f"_{p}s7", bound(1, "array_min", -1))
+            .withColumn(f"_{p}n7", bound(1, "array_max", 2))
+        )
+
+    cand = _bbox_pair_candidates(
+        with_bbox(polys_a, ring_a_col, "a"),
+        with_bbox(polys_b, ring_b_col, "b"),
+        zoom,
+        n_salts,
+        F.col(ring_b_col),
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _ixn_area(ra: pd.Series, rb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ra))
+        for i, (va, vb) in enumerate(zip(ra, rb)):
+            pa = np.asarray([list(v) for v in va], dtype=np.float64)
+            pb = np.asarray([list(v) for v in vb], dtype=np.float64)
+            out[i] = sum(
+                abs(ring_area_signed(p)) for p in ring_intersection(pa, pb)
+            )
+        return pd.Series(out)
+
+    helper = [c for c in cand.columns if c.startswith("_")]
+    return (
+        cand.withColumn(
+            "area_m2", _ixn_area(F.col(ring_a_col), F.col(ring_b_col))
+        )
+        .filter(F.col("area_m2") > 0)
+        .drop(*helper)
+    )
+
+
+def clip_join_segments(
+    segs: DataFrame,
+    regions: DataFrame,
+    zoom: int = 6,
+    ax_col: str = "ax7",
+    ay_col: str = "ay7",
+    bx_col: str = "bx7",
+    by_col: str = "by7",
+    w_col: str = "w7",
+    s_col: str = "s7",
+    e_col: str = "e7",
+    n_col: str = "n7",
+    n_salts: int = 1,
+) -> DataFrame:
+    """Distributed line-clip overlay join: every (segment, rectangle)
+    pair whose clipped portion has positive length, with the clipped
+    equirectangular length in meters — the line sibling of overlay_join
+    (points: pip_join_*; polygons: overlay_join; lines: this), e.g.
+    "road length per admin cell" when the region table is itself too
+    large to broadcast.
+
+    Both sides carry int64 1e-7-degree fixed point: segments as
+    (ax7, ay7, bx7, by7) endpoint rows, regions as (w7, s7, e7, n7)
+    rects (no date-line wrap). Candidates use _bbox_pair_candidates
+    (cell-cover equi-join + reference-point dedup); the refinement is
+    Liang–Barsky clipping EXPRESSED ENTIRELY IN CATALYST — slab entry/
+    exit parameters from greatest/least of the parametric boundary hits,
+    clipped length by the reference equirect formula (Geo.java:37-45)
+    over the t-interval — so the whole operator is one equi-join between
+    two codegen spans with zero Python anywhere.
+
+    The t-parameters use only subtraction/division/greatest/least over
+    doubles derived as ``fixed_point * 1e-7``, so the hit decision
+    (t1 > t0) is bit-reproducible across engines; only the final
+    meters term touches radians/cos (callers round, mm is plenty).
+    Axis-parallel segments (zero extent) hit iff the constant coordinate
+    lies inside the slab — the CASE guards the 0-division. Output:
+    segs columns + regions columns + ``clip_len_m`` (> 0 strictly;
+    measure-zero grazes where the clipped interval collapses to a
+    point are excluded on both engines by the bit-stable t1 > t0)."""
+    deg = lambda c: F.col(c).cast("double") * F.lit(1e-7)  # noqa: E731
+    a = (
+        segs.withColumn("_aw7", F.least(ax_col, bx_col))
+        .withColumn("_ae7", F.greatest(ax_col, bx_col))
+        .withColumn("_as7", F.least(ay_col, by_col))
+        .withColumn("_an7", F.greatest(ay_col, by_col))
+    )
+    b = (
+        regions.withColumn("_bw7", F.col(w_col))
+        .withColumn("_be7", F.col(e_col))
+        .withColumn("_bs7", F.col(s_col))
+        .withColumn("_bn7", F.col(n_col))
+    )
+    cand = _bbox_pair_candidates(
+        a, b, zoom, n_salts,
+        F.struct(F.col(w_col), F.col(s_col), F.col(e_col), F.col(n_col)),
+    )
+    ax, ay = deg(ax_col), deg(ay_col)
+    dx, dy = deg(bx_col) - ax, deg(by_col) - ay
+    w, s = deg(w_col), deg(s_col)
+    e, n = deg(e_col), deg(n_col)
+
+    def slab(pos, d, lo, hi):
+        t_in = F.least((lo - pos) / d, (hi - pos) / d)
+        t_out = F.greatest((lo - pos) / d, (hi - pos) / d)
+        inside = (pos >= lo) & (pos <= hi)
+        return (
+            F.when(d == 0, F.when(inside, F.lit(0.0)).otherwise(F.lit(2.0)))
+            .otherwise(t_in),
+            F.when(d == 0, F.when(inside, F.lit(1.0)).otherwise(F.lit(-1.0)))
+            .otherwise(t_out),
+        )
+
+    tx0, tx1 = slab(ax, dx, w, e)
+    ty0, ty1 = slab(ay, dy, s, n)
+    t0c, t1c = F.col("_t0"), F.col("_t1")
+    dt = t1c - t0c
+    mid_lat = ay + dy * (t0c + t1c) / F.lit(2.0)
+    d_lat = F.radians(dy * dt)
+    d_lng = F.radians(dx * dt) * F.cos(F.radians(mid_lat))
+    length = F.lit(EARTH_RADIUS) * F.sqrt(d_lat * d_lat + d_lng * d_lng)
+    out = (
+        cand.withColumn("_t0", F.greatest(F.lit(0.0), tx0, ty0))
+        .withColumn("_t1", F.least(F.lit(1.0), tx1, ty1))
+        .filter(F.col("_t1") > F.col("_t0"))
+        .withColumn("clip_len_m", length)
+        # a point-degenerate segment inside the rect passes t1 > t0 with
+        # an exactly-zero length (radians(0) == 0, sqrt(0) == 0 — no
+        # float-noise boundary); the > 0 contract filters it bit-stably
+        .filter(F.col("clip_len_m") > 0)
+    )
+    helper = [c for c in out.columns if c.startswith("_")]
+    return out.drop(*helper)

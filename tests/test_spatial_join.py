@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from oshdb_spark.geo import spatial_join as SJ
@@ -770,3 +771,234 @@ def test_knn_join_matches_brute_force(spark):
     a = sorted((r["pid"], r["nid"], round(r["dist_m"], 6)) for r in out)
     b = sorted((r["pid"], r["nid"], round(r["dist_m"], 6)) for r in out2)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# overlay_join (polygon-overlay intersection join)
+# ---------------------------------------------------------------------------
+
+def _overlay_fixtures(n_a=60, n_b=60, seed=42):
+    from oshdb_spark.geo.clip import ring_intersection
+    from oshdb_spark.geo.geodesy import ring_area_signed
+
+    rng = np.random.default_rng(seed)
+
+    def convex(cx, cy, r, k):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        pts = np.stack(
+            [cx + r * np.cos(ang), cy + 0.7 * r * np.sin(ang)], axis=1
+        )
+        return np.vstack([pts, pts[:1]])
+
+    A = [
+        (i, convex(rng.uniform(-60, 60), rng.uniform(-50, 50),
+                   rng.uniform(1, 6), rng.integers(3, 8)))
+        for i in range(n_a)
+    ]
+    B = [
+        (j, convex(rng.uniform(-60, 60), rng.uniform(-50, 50),
+                   rng.uniform(1, 6), rng.integers(3, 8)))
+        for j in range(n_b)
+    ]
+    exp = {}
+    for i, ra in A:
+        for j, rb in B:
+            area = sum(
+                abs(ring_area_signed(p)) for p in ring_intersection(ra, rb)
+            )
+            if area > 0:
+                exp[(i, j)] = area
+    return A, B, exp
+
+
+def test_overlay_join_matches_brute_force(spark):
+    """PBSM plumbing differential: candidate cover + reference-point
+    dedup + Arrow refine reproduce the all-pairs driver loop exactly
+    (same pair set, same areas), on irregular convex rings — the
+    ring_intersection semantics themselves carry their own hypothesis
+    suite in test_polygon_clip."""
+    A, B, exp = _overlay_fixtures()
+    dfa = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in A],
+        "ida long, ring_a array<array<double>>",
+    )
+    dfb = spark.createDataFrame(
+        [(j, r.tolist()) for j, r in B],
+        "idb long, ring_b array<array<double>>",
+    )
+    got = {
+        (r.ida, r.idb): r.area_m2
+        for r in SJ.overlay_join(dfa, dfb, zoom=5).collect()
+    }
+    assert set(got) == set(exp)
+    for k_, v in exp.items():
+        assert got[k_] == v  # identical float path (same kernel fns)
+
+    # each surviving pair appears exactly ONCE even when the bbox covers
+    # share many cells (reference-point rule) -> dict size == row count
+    rows = SJ.overlay_join(dfa, dfb, zoom=5).count()
+    assert rows == len(got)
+
+    # zoom- and salt-invariance of the result set
+    got8 = {
+        (r.ida, r.idb): r.area_m2
+        for r in SJ.overlay_join(dfa, dfb, zoom=8).collect()
+    }
+    gots = {
+        (r.ida, r.idb): r.area_m2
+        for r in SJ.overlay_join(dfa, dfb, zoom=5, n_salts=3).collect()
+    }
+    assert got8 == got
+    assert gots == got
+
+
+def test_overlay_join_measure_zero_contacts_excluded(spark):
+    """Shared-edge and shared-corner rectangle pairs intersect with
+    measure zero -> no output row (JTS polygon-area-of-LineString == 0
+    parity); a genuinely overlapping pair survives."""
+    def rect(w, s, e, n):
+        return [[w, s], [e, s], [e, n], [w, n], [w, s]]
+
+    dfa = spark.createDataFrame(
+        [(0, rect(0.0, 0.0, 1.0, 1.0))],
+        "ida long, ring_a array<array<double>>",
+    )
+    dfb = spark.createDataFrame(
+        [
+            (0, rect(1.0, 0.0, 2.0, 1.0)),   # shared edge
+            (1, rect(1.0, 1.0, 2.0, 2.0)),   # shared corner
+            (2, rect(0.5, 0.5, 1.5, 1.5)),   # real overlap
+            (3, rect(5.0, 5.0, 6.0, 6.0)),   # disjoint
+        ],
+        "idb long, ring_b array<array<double>>",
+    )
+    rows = SJ.overlay_join(dfa, dfb, zoom=6).collect()
+    assert [(r.ida, r.idb) for r in rows] == [(0, 2)]
+    from oshdb_spark.geo.geodesy import EARTH_RADIUS
+
+    cf = (
+        np.radians(0.5)
+        * (np.sin(np.radians(1.0)) - np.sin(np.radians(0.5)))
+        * EARTH_RADIUS ** 2
+    )
+    assert rows[0].area_m2 == pytest.approx(cf, rel=1e-12)
+
+
+def test_clip_join_segments_matches_brute_force(spark):
+    """Liang-Barsky line-clip overlay join vs an all-pairs driver loop:
+    identical pair set and clipped lengths (the t-parameters are pure
+    -, /, greatest/least arithmetic, so equality is exact), plus salt-
+    and zoom-invariance."""
+    from oshdb_spark.geo.geodesy import EARTH_RADIUS
+
+    rng = np.random.default_rng(3)
+    segs = []
+    for i in range(300):
+        ax = int(rng.integers(-1_600_000_000, 1_600_000_000))
+        ay = int(rng.integers(-750_000_000, 750_000_000))
+        segs.append((
+            i, ax, ay,
+            ax + int(rng.integers(-80_000_000, 80_000_000)),
+            ay + int(rng.integers(-80_000_000, 80_000_000)),
+        ))
+    regs = []
+    for j in range(40):
+        w = int(rng.integers(-1_600_000_000, 1_500_000_000))
+        s = int(rng.integers(-750_000_000, 700_000_000))
+        regs.append((
+            j, w, s,
+            w + int(rng.integers(10_000_000, 200_000_000)),
+            s + int(rng.integers(10_000_000, 150_000_000)),
+        ))
+    dfs = spark.createDataFrame(
+        segs, "sid long, ax7 long, ay7 long, bx7 long, by7 long"
+    )
+    dfr = spark.createDataFrame(
+        regs, "rid long, w7 long, s7 long, e7 long, n7 long"
+    )
+    got = {
+        (r.sid, r.rid): r.clip_len_m
+        for r in SJ.clip_join_segments(dfs, dfr, zoom=6).collect()
+    }
+
+    def clip_len(ax7, ay7, bx7, by7, w7, s7, e7, n7):
+        ax, ay, bx, by, w, s, e, n = (
+            v * 1e-7 for v in (ax7, ay7, bx7, by7, w7, s7, e7, n7)
+        )
+        dx, dy = bx - ax, by - ay
+
+        def slab(pos, d, lo, hi):
+            if d == 0:
+                return (0.0, 1.0) if lo <= pos <= hi else (2.0, -1.0)
+            t1, t2 = (lo - pos) / d, (hi - pos) / d
+            return min(t1, t2), max(t1, t2)
+
+        tx0, tx1 = slab(ax, dx, w, e)
+        ty0, ty1 = slab(ay, dy, s, n)
+        t0, t1 = max(0.0, tx0, ty0), min(1.0, tx1, ty1)
+        if not t1 > t0:
+            return None
+        dt = t1 - t0
+        mid = ay + dy * (t0 + t1) / 2.0
+        dla = np.radians(dy * dt)
+        dln = np.radians(dx * dt) * np.cos(np.radians(mid))
+        ln = EARTH_RADIUS * np.sqrt(dla * dla + dln * dln)
+        return ln if ln > 0 else None
+
+    exp = {}
+    for sid, ax7, ay7, bx7, by7 in segs:
+        for rid, w7, s7, e7, n7 in regs:
+            ln = clip_len(ax7, ay7, bx7, by7, w7, s7, e7, n7)
+            if ln is not None:
+                exp[(sid, rid)] = ln
+    assert set(got) == set(exp)
+    for k_, v in exp.items():
+        assert got[k_] == pytest.approx(v, rel=1e-12)
+
+    gots = {
+        (r.sid, r.rid): r.clip_len_m
+        for r in SJ.clip_join_segments(dfs, dfr, zoom=6, n_salts=3).collect()
+    }
+    got9 = {
+        (r.sid, r.rid): r.clip_len_m
+        for r in SJ.clip_join_segments(dfs, dfr, zoom=9).collect()
+    }
+    assert gots == got
+    assert got9 == got
+
+
+def test_clip_join_segments_degenerate_cases(spark):
+    """Axis-parallel and point-degenerate segments: vertical/horizontal
+    strokes clip by the slab-membership CASE; grazes along a boundary
+    edge count (positive length ON the closed rect); a segment
+    collapsing to a point, or touching only at a corner, yields
+    nothing."""
+    F7 = 10_000_000
+    segs = [
+        (0, 1 * F7, -1 * F7, 1 * F7, 3 * F7),    # vertical, crosses
+        (1, -1 * F7, 1 * F7, 3 * F7, 1 * F7),    # horizontal, crosses
+        (2, 0, 0, 0, 2 * F7),                    # along the w edge
+        (3, 2 * F7, 2 * F7, 4 * F7, 4 * F7),     # corner touch (NE)
+        (4, 1 * F7, 1 * F7, 1 * F7, 1 * F7),     # degenerate point
+        (5, 5 * F7, 5 * F7, 6 * F7, 6 * F7),     # disjoint
+    ]
+    dfs = spark.createDataFrame(
+        segs, "sid long, ax7 long, ay7 long, bx7 long, by7 long"
+    )
+    dfr = spark.createDataFrame(
+        [(0, 0, 0, 2 * F7, 2 * F7)],
+        "rid long, w7 long, s7 long, e7 long, n7 long",
+    )
+    got = {
+        r.sid: r.clip_len_m
+        for r in SJ.clip_join_segments(dfs, dfr, zoom=6).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    from oshdb_spark.geo.geodesy import EARTH_RADIUS
+
+    two_deg_lat = EARTH_RADIUS * np.radians(2.0)
+    assert got[0] == pytest.approx(two_deg_lat, rel=1e-12)
+    assert got[2] == pytest.approx(two_deg_lat, rel=1e-12)
+    assert got[1] == pytest.approx(
+        EARTH_RADIUS * np.radians(2.0) * np.cos(np.radians(1.0)), rel=1e-12
+    )
