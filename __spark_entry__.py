@@ -323,6 +323,168 @@ def q_focal_mean(spark, sf_dir):
     return cells.focal_stats(raster, 6)
 
 
+def _event_cell_raster(spark, sf_dir, zoom=6):
+    from oshdb_spark.geo import cells
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    lon7 = F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000)) - 1_800_000_000
+    lat7 = F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000)) - 850_000_000
+    pts = ev.withColumn("lon7", lon7).withColumn("lat7", lat7)
+    return (
+        pts.withColumn("cell", cells.xy_id_col("lon7", "lat7", zoom))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold-spot z-scores (geo/cells.hotspot_gi_star)
+    over the zoom-6 event-count raster — queen 3x3 incl. self, sparse
+    semantics. Integer-exact formulation (N cancels), so the oracle's
+    replay is bit-identical before round(6)."""
+    from oshdb_spark.geo.cells import hotspot_gi_star
+
+    return hotspot_gi_star(_event_cell_raster(spark, sf_dir), 6)
+
+
+def q_moran_events(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
+    the zoom-6 event-count raster — queen 3x3 excl. self. One output
+    row; all aggregates exact int64 on both engines."""
+    from oshdb_spark.geo.cells import moran_i
+
+    return moran_i(_event_cell_raster(spark, sf_dir), 6)
+
+
+# shared focal-raster replay for the spatial-autocorrelation oracles
+_FOCAL_CTE = """
+    WITH r AS (
+      SELECT ((lat7 + 900000000) // 56250000) * 64
+             + ((lon7 + 1800000000) // 56250000) AS cell,
+             count(*) AS cnt
+      FROM (
+        SELECT ((event_id*1103515245) % 3600000000) - 1800000000 AS lon7,
+               ((event_id*1234567891) % 1700000000) - 850000000 AS lat7
+        FROM events)
+      GROUP BY 1),
+    contrib AS (
+      SELECT ((cell // 64) + dy) * 64
+             + ((cell % 64) + dx + 64) % 64 AS t, cnt
+      FROM r,
+           (VALUES (-1), (0), (1)) AS dxs(dx),
+           (VALUES (-1), (0), (1)) AS dys(dy)
+      WHERE (cell // 64) + dy BETWEEN 0 AND 31),
+    agg AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS s_f,
+                   CAST(count(*) AS BIGINT) AS n_f
+            FROM contrib GROUP BY 1)
+"""
+
+_HOTSPOT_GI_ORACLE = _FOCAL_CTE + """,
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cnt) AS BIGINT) AS s,
+                 CAST(sum(cnt*cnt) AS BIGINT) AS s2 FROM r)
+    SELECT r.cell, r.cnt,
+           round(CAST(g.n*a.s_f - g.s*a.n_f AS DOUBLE)
+                 / (sqrt(CAST(g.n*g.s2 - g.s*g.s AS DOUBLE))
+                    * sqrt(CAST(g.n*a.n_f - a.n_f*a.n_f AS DOUBLE)
+                           / CAST(g.n - 1 AS DOUBLE))), 6) AS gi_star
+    FROM r JOIN agg a ON a.t = r.cell CROSS JOIN g
+"""
+
+_MORAN_EVENTS_ORACLE = _FOCAL_CTE + """,
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cnt) AS BIGINT) AS s FROM r),
+    t AS (
+      SELECT g.n AS n,
+             g.n*r.cnt - g.s AS z,
+             g.n*(a.s_f - r.cnt) - (a.n_f - 1)*g.s AS y,
+             a.n_f - 1 AS w
+      FROM r JOIN agg a ON a.t = r.cell CROSS JOIN g)
+    SELECT n AS n_cells,
+           CAST(sum(w) AS BIGINT) AS w_pairs,
+           round((CAST(n AS DOUBLE)
+                  * CAST(CAST(sum(z*y) AS BIGINT) AS DOUBLE))
+                 / (CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(sum(z*z) AS BIGINT) AS DOUBLE)), 9)
+             AS moran_i
+    FROM t GROUP BY n
+"""
+
+
+# named geofences shared by the Spark query, the streaming tracker test
+# and the generated oracle (int64 fixed-point, INCLUSIVE edges)
+_GEOFENCES = {
+    "eq_band": (-500_000_000, -100_000_000, 500_000_000, 100_000_000),
+    "west": (-1_500_000_000, 100_000_000, -800_000_000, 600_000_000),
+    "east": (300_000_000, -700_000_000, 1_200_000_000, 0),
+    "pacific": (1_400_000_000, -300_000_000, 1_750_000_000, 400_000_000),
+}
+
+
+def _geofence_points(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        (
+            F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+
+
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection (geo/trajectory.
+    geofence_transitions): per-user event trajectories against 4 named
+    bbox fences — first observation inside emits 'enter', the next
+    observation outside emits 'exit'. Inside-ness is an INCLUSIVE int64
+    compare (exact on every engine); the plan is a codegen fence fan-out
+    + one window shuffle on (user, fence), no joins, no Python. The
+    streaming sibling (geofence_tracker) emits identical rows
+    incrementally (parity pinned in tests/test_streaming.py)."""
+    from oshdb_spark.geo.trajectory import geofence_transitions
+
+    return geofence_transitions(
+        _geofence_points(spark, sf_dir),
+        _GEOFENCES,
+        order_cols=("event_id",),
+    )
+
+
+def _geofence_oracle() -> str:
+    vals = ", ".join(
+        f"('{name}', {w}, {s}, {e}, {n})"
+        for name, (w, s, e, n) in sorted(_GEOFENCES.items())
+    )
+    return f"""
+        WITH pts AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 ((event_id*1103515245) % 3600000000) - 1800000000 AS lon7,
+                 ((event_id*1234567891) % 1700000000) - 850000000 AS lat7
+          FROM events),
+        fx AS (SELECT * FROM (VALUES {vals}) AS f(fence, w, s, e, n)),
+        m AS (
+          SELECT user_id, fence, sec, event_id,
+                 (lon7 >= w AND lon7 <= e AND lat7 >= s AND lat7 <= n)
+                   AS inn
+          FROM pts CROSS JOIN fx),
+        lagd AS (
+          SELECT user_id, fence, sec, inn,
+                 lag(inn) OVER (PARTITION BY user_id, fence
+                                ORDER BY sec, event_id) AS pin
+          FROM m)
+        SELECT user_id, fence,
+               CASE WHEN inn THEN 'enter' ELSE 'exit' END AS kind, sec
+        FROM lagd
+        WHERE (inn AND (pin IS NULL OR NOT pin)) OR (NOT inn AND pin)
+    """
+
+
 # Osmosis .poly query area for poly_aoi_filter: a convex CCW pentagon.
 # Parsed by oshdb_spark.sources.poly (TestPolyFileReader.java parity); the
 # Spark predicate AND the DuckDB oracle are both generated from the parsed
@@ -3528,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_aoi_filter": q_poly_aoi_filter,
         "geodesic_traj_length": q_geodesic_traj_length,
         "stay_points": q_stay_points,
+        "geofence_transitions": q_geofence_transitions,
         "zonal_sum_latband": q_zonal_sum_latband,
         "way_snapshot_length": q_way_snapshot_length,
         "way_polygon_clip": q_way_polygon_clip,
@@ -3563,6 +3726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "export_shards": q_export_shards,
         "focal_mean": q_focal_mean,
+        "hotspot_gi": q_hotspot_gi,
+        "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
         "pagerank": q_pagerank,
@@ -4012,6 +4177,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY 1
         """,
+        "hotspot_gi": _HOTSPOT_GI_ORACLE,
+        "moran_events": _MORAN_EVENTS_ORACLE,
         "focal_mean": """
             -- 3×3 focal stats replay over the zoom-6 raster: ncols=64,
             -- northernmost row 31; lon wraps mod 64, rows beyond the
@@ -4056,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE plon7 IS NOT NULL)
             GROUP BY 1
         """,
+        "geofence_transitions": _geofence_oracle(),
         "stay_points": """
             -- same equirectangular hop distance (explicit products, not
             -- pow), same (sec, event_id) window order, exact integer

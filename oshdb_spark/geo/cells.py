@@ -666,3 +666,119 @@ def focal_stats(
         ).alias("focal_mean"),
     )
     return out
+
+
+def hotspot_gi_star(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    value_col: str = "cnt",
+):
+    """Getis-Ord Gi* hot/cold-spot z-scores over a sparse cell raster —
+    the classic local spatial-autocorrelation statistic (queen 3x3
+    neighborhood INCLUDING self, binary weights), computed on top of
+    focal_stats' sparse semantics (absent cells are no-data; global
+    moments run over PRESENT cells only).
+
+    Formulated so every aggregate is an exact int64 (the N in
+    numerator/denominator cancels):
+
+        gi* = (N*focal_sum - S*n_i)
+              / ( sqrt(N*S2 - S^2) * sqrt((N*n_i - n_i^2)/(N-1)) )
+
+    with S = sum(v), S2 = sum(v^2), n_i = present 3x3 neighbor count.
+    All float ops (two sqrt, one mult, one div) consume identical
+    integers, so the statistic is bit-reproducible across engines
+    before the final round(6).
+
+    Plan shape: focal_stats' one 9x shuffle + ONE broadcast 1-row
+    global-moment join + codegen arithmetic. Degenerate rasters
+    (constant value -> sd 0, or n_i == N on a fully-connected toy grid)
+    yield null/inf — callers filter. Returns (cell, value, gi_star)."""
+    from pyspark.sql import functions as F
+
+    foc = focal_stats(df, zoom, cell_col, value_col)
+    src = df.select(
+        F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
+    ).filter(F.col("_c") >= 0)
+    g = src.agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum("_v").alias("_gs"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_gs2"),
+    )
+    out = foc.crossJoin(F.broadcast(g))
+    num = (
+        F.col("_gn") * F.col("focal_sum") - F.col("_gs") * F.col("focal_n")
+    ).cast("double")
+    b = F.sqrt(
+        (F.col("_gn") * F.col("_gs2") - F.col("_gs") * F.col("_gs"))
+        .cast("double")
+    )
+    c = F.sqrt(
+        (
+            F.col("_gn") * F.col("focal_n")
+            - F.col("focal_n") * F.col("focal_n")
+        ).cast("double")
+        / (F.col("_gn") - F.lit(1)).cast("double")
+    )
+    return out.select(
+        cell_col,
+        value_col,
+        F.round(num / (b * c), 6).alias("gi_star"),
+    )
+
+
+def moran_i(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    value_col: str = "cnt",
+):
+    """Global Moran's I spatial autocorrelation over a sparse cell
+    raster (queen 3x3 neighborhood EXCLUDING self, binary weights,
+    sparse/no-data semantics like focal_stats).
+
+    Integer-exact formulation (multiply z-scores through by N so every
+    aggregate is an int64; the N^2 cancels):
+
+        Z_i = N*v_i - S
+        Y_i = N*(focal_sum_i - v_i) - (focal_n_i - 1)*S
+        I   = N * sum(Z*Y) / ( W * sum(Z*Z) ),   W = sum(focal_n - 1)
+
+    The three sums are exact int64 on both engines (DuckDB HUGEINT sums
+    cast back), so I is bit-reproducible before the final round(9).
+    Returns ONE row: (n_cells, w_pairs, moran_i)."""
+    from pyspark.sql import functions as F
+
+    foc = focal_stats(df, zoom, cell_col, value_col)
+    src = df.select(
+        F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
+    ).filter(F.col("_c") >= 0)
+    g = src.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum("_v").alias("_gs")
+    )
+    j = foc.crossJoin(F.broadcast(g))
+    z = F.col("_gn") * F.col(value_col) - F.col("_gs")
+    y = (
+        F.col("_gn") * (F.col("focal_sum") - F.col(value_col))
+        - (F.col("focal_n") - F.lit(1)) * F.col("_gs")
+    )
+    agg = j.select(
+        (z * y).alias("_zy"),
+        (z * z).alias("_zz"),
+        (F.col("focal_n") - F.lit(1)).alias("_w"),
+        "_gn",
+    ).groupBy("_gn").agg(
+        F.sum("_zy").alias("_szy"),
+        F.sum("_zz").alias("_szz"),
+        F.sum("_w").alias("_sw"),
+    )
+    return agg.select(
+        F.col("_gn").alias("n_cells"),
+        F.col("_sw").alias("w_pairs"),
+        F.round(
+            (F.col("_gn").cast("double") * F.col("_szy").cast("double"))
+            / (F.col("_sw").cast("double") * F.col("_szz").cast("double")),
+            9,
+        ).alias("moran_i"),
+    )

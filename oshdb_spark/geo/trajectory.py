@@ -80,3 +80,61 @@ def stay_points(
             & (F.col("n_pts") >= F.lit(int(min_pts)))
         )
     )
+
+
+def geofence_transitions(
+    df: DataFrame,
+    fences: dict[str, tuple[int, int, int, int]],
+    id_col: str = "user_id",
+    sec_col: str = "sec",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Geofence enter/exit detection: one row per transition of an
+    entity's trajectory across a named bbox fence — (id, fence, kind
+    'enter'|'exit', sec). ``fences``: name -> (w7, s7, e7, n7) int64
+    fixed-point bboxes (INCLUSIVE edges — integer compares, so the
+    in/out decision is exact on every engine; no float boundary).
+
+    Semantics: observations sort by (sec, *order_cols) per entity; the
+    first observation inside a fence emits 'enter' at its sec; a later
+    observation outside after being inside emits 'exit'. An entity never
+    seen inside emits nothing for that fence. Transitions are
+    level-triggered on OBSERVATIONS (sampling a fence crossing between
+    two points is attributed to the later point — the standard telemetry
+    contract).
+
+    Plan: the fence list fans out map-side as a literal array (codegen
+    explode, |fences| small), inside-ness is an integer range predicate,
+    and ONE window per (entity, fence) computes the lag — a single
+    shuffle on the composite key, no joins, no Python. The streaming
+    sibling (streaming.incremental.geofence_tracker) carries (last_in)
+    per key across micro-batches and emits the identical rows."""
+    items = ", ".join(
+        f"named_struct('fence', '{name}', 'w', {w}L, 's', {s}L, "
+        f"'e', {e}L, 'n', {n}L)"
+        for name, (w, s, e, n) in sorted(fences.items())
+    )
+    d = df.withColumn("_f", F.explode(F.expr(f"array({items})")))
+    inside = (
+        (F.col(lon7_col) >= F.col("_f.w"))
+        & (F.col(lon7_col) <= F.col("_f.e"))
+        & (F.col(lat7_col) >= F.col("_f.s"))
+        & (F.col(lat7_col) <= F.col("_f.n"))
+    )
+    w = Window.partitionBy(id_col, "_f.fence").orderBy(sec_col, *order_cols)
+    d = d.withColumn("_in", inside).withColumn(
+        "_pin", F.lag("_in").over(w)
+    )
+    trans = d.filter(
+        (F.col("_in") & (F.col("_pin").isNull() | ~F.col("_pin")))
+        | (~F.col("_in") & F.col("_pin"))
+    )
+    return trans.select(
+        F.col(id_col),
+        F.col("_f.fence").alias("fence"),
+        F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit"))
+        .alias("kind"),
+        F.col(sec_col).alias("sec"),
+    )

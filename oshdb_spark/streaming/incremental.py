@@ -273,3 +273,82 @@ def windowed_cell_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "cell", "cnt")
     )
+
+
+def geofence_tracker(
+    stream: DataFrame,
+    fences: dict[str, tuple[int, int, int, int]],
+    id_col: str = "user_id",
+    sec_col: str = "sec",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming geofence enter/exit alerts — the incremental sibling of
+    geo.trajectory.geofence_transitions (identical rows, emitted as the
+    micro-batches arrive; parity pinned in tests/test_streaming.py).
+
+    State per entity: one int8 per fence (-1 never observed, 0 last
+    outside, 1 last inside), carried across micro-batches so a crossing
+    that straddles a batch boundary still emits exactly one transition.
+    Requires per-entity event-time monotone micro-batches (the replay
+    harness guarantees it; a production feed would sort-within-watermark
+    first). Inside-ness is the same INCLUSIVE int64 bbox compare as the
+    batch operator — integer-exact, no float boundary."""
+    import numpy as np
+
+    names = sorted(fences)
+    bounds = np.array([fences[k] for k in names], dtype=np.int64)
+
+    def track(key, pdfs, state: GroupState):
+        if state.exists:
+            (last, last_sec) = state.get
+            last = np.asarray(list(last), dtype=np.int8)
+        else:
+            last = np.full(len(names), -1, dtype=np.int8)
+            last_sec = -1
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([sec_col, order_col])
+            lon = pdf[lon7_col].to_numpy(dtype=np.int64)
+            lat = pdf[lat7_col].to_numpy(dtype=np.int64)
+            secs = pdf[sec_col].to_numpy(dtype=np.int64)
+            for fi, name in enumerate(names):
+                w, s, e, n = bounds[fi]
+                ins = (
+                    (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n)
+                ).astype(np.int8)
+                prevs = np.concatenate(([last[fi]], ins[:-1]))
+                for i in np.nonzero(
+                    ((ins == 1) & (prevs != 1))
+                    | ((ins == 0) & (prevs == 1))
+                )[0]:
+                    out_rows.append(
+                        {
+                            id_col: key[0],
+                            "fence": name,
+                            "kind": "enter" if ins[i] else "exit",
+                            sec_col: int(secs[i]),
+                        }
+                    )
+                if len(ins):
+                    last[fi] = ins[-1]
+            if len(secs):
+                last_sec = int(secs[-1])
+        state.update(([int(v) for v in last], last_sec))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[id_col, "fence", "kind", sec_col]
+            )
+
+    out_schema = (
+        f"{id_col} long, fence string, kind string, {sec_col} long"
+    )
+    state_schema = "ins array<int>, last_sec long"
+    return stream.groupBy(id_col).applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

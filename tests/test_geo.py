@@ -592,3 +592,112 @@ def test_stay_points_detects_dwell_and_splits_on_hop(spark):
     assert (r["user_id"], r["seg"], r["n_pts"], r["dwell_s"]) == (1, 1, 4, 7200)
     assert r["clon"] == round((0 + 10000 + 20000 + 10000) / 4 / 1e7, 4)
     assert r["clat"] == round((0 + 0 + 10000 + 20000) / 4 / 1e7, 4)
+
+
+def _autocorr_reference(cells_vals, ncols=64, y_max=31):
+    """Textbook Gi*/Moran reference over a sparse raster dict
+    {cell: value}: queen 3x3, lon wrap, no polar reflection, sparse
+    (present-cell) semantics — an INDEPENDENT float formulation (plain
+    z-scores), not the engine's integer-exact rearrangement."""
+    import numpy as np
+
+    cs = sorted(cells_vals)
+    vals = np.array([cells_vals[c] for c in cs], dtype=np.float64)
+    n = len(cs)
+    xbar = vals.mean()
+    s = np.sqrt((vals**2).mean() - xbar**2)
+
+    def neigh(c, include_self):
+        x, y = c % ncols, c // ncols
+        out = []
+        for dy in (-1, 0, 1):
+            ny = y + dy
+            if ny < 0 or ny > y_max:
+                continue
+            for dx in (-1, 0, 1):
+                t = ny * ncols + (x + dx) % ncols
+                if t == c and not include_self:
+                    continue
+                if t in cells_vals:
+                    out.append(t)
+        return out
+
+    gi = {}
+    for c in cs:
+        nb = neigh(c, True)
+        wi = len(nb)
+        fs = sum(cells_vals[t] for t in nb)
+        den = s * np.sqrt((n * wi - wi * wi) / (n - 1.0))
+        gi[c] = (fs - xbar * wi) / den
+    z = {c: cells_vals[c] - xbar for c in cs}
+    szz = sum(v * v for v in z.values())
+    szy = 0.0
+    w_pairs = 0
+    for c in cs:
+        nb = neigh(c, False)
+        w_pairs += len(nb)
+        szy += z[c] * sum(z[t] for t in nb)
+    moran = (n / w_pairs) * szy / szz
+    return gi, moran, w_pairs
+
+
+def test_gi_star_and_moran_vs_reference(spark):
+    """Integer-exact engine formulations vs the plain textbook float
+    formulas, on a raster with a wrap pair (x=0 / x=63 same row), a
+    polar-row cell, and an isolated cell."""
+    raster = {
+        (5 * 64 + 0): 9,
+        (5 * 64 + 63): 7,      # wrap neighbor of the cell above
+        (5 * 64 + 1): 3,
+        (6 * 64 + 0): 4,
+        (31 * 64 + 10): 2,     # northernmost row (clamped top)
+        (31 * 64 + 11): 6,
+        (20 * 64 + 40): 5,     # isolated: only self in the 3x3
+        (12 * 64 + 20): 1,
+        (12 * 64 + 21): 8,
+        (13 * 64 + 20): 2,
+    }
+    df = spark.createDataFrame(
+        [(c, v) for c, v in raster.items()], "cell long, cnt long"
+    )
+    gi_ref, moran_ref, w_ref = _autocorr_reference(raster)
+
+    got_gi = {
+        r.cell: r.gi_star
+        for r in cells.hotspot_gi_star(df, 6).collect()
+    }
+    assert set(got_gi) == set(gi_ref)
+    for c, v in gi_ref.items():
+        assert got_gi[c] == pytest.approx(round(v, 6), abs=2e-6), c
+
+    row = cells.moran_i(df, 6).collect()
+    assert len(row) == 1
+    assert row[0].n_cells == len(raster)
+    assert row[0].w_pairs == w_ref
+    assert row[0].moran_i == pytest.approx(moran_ref, abs=1e-8)
+
+
+def test_gi_star_flags_planted_hotspot(spark):
+    """A dense 3x3 block of high counts in a field of 1s must carry the
+    max Gi* at its center; a matching cold block the min."""
+    raster = {}
+    for y in range(10, 20):
+        for x in range(10, 20):
+            raster[y * 64 + x] = 10
+    for y in range(12, 15):
+        for x in range(12, 15):
+            raster[y * 64 + x] = 100   # hot block
+    for y in range(16, 19):
+        for x in range(16, 19):
+            raster[y * 64 + x] = 1     # cold block
+    df = spark.createDataFrame(
+        [(c, v) for c, v in raster.items()], "cell long, cnt long"
+    )
+    got = {r.cell: r.gi_star for r in cells.hotspot_gi_star(df, 6).collect()}
+    hot_center = 13 * 64 + 13
+    cold_center = 17 * 64 + 17
+    assert got[hot_center] == max(got.values())
+    assert got[cold_center] == min(got.values())
+    # and global Moran's I is strongly positive (clustered field)
+    mi = cells.moran_i(df, 6).collect()[0].moran_i
+    assert mi > 0.3
