@@ -2856,6 +2856,77 @@ def q_knn_join_table(spark, sf_dir):
     )
 
 
+def q_snap_segments(spark, sf_dir):
+    """Map-matching snap join (geo/spatial_join.nearest_segment_join):
+    every 37th event point snaps to the nearest of 10k short synthetic
+    road segments within 200 km — cell-cover PBSM candidates, exact
+    clamped point-to-segment distance in the probe-anchored equirect
+    plane, mm-rounded before the (dist, sid) argmin. The oracle
+    brute-forces all (probe, segment) pairs with the identical formula
+    and windows per probe."""
+    from oshdb_spark.geo.spatial_join import nearest_segment_join
+
+    ev = _t(spark, sf_dir, "events")
+    segs = ev.select(
+        F.col("event_id").alias("sid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_590_000_000))
+            - 1_795_000_000
+        ).alias("ax7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_690_000_000))
+            - 845_000_000
+        ).alias("ay7"),
+    )
+    segs = segs.select(
+        "sid",
+        "ax7",
+        "ay7",
+        (
+            F.col("ax7")
+            + F.pmod(F.col("sid") * 69069, F.lit(2_000_001))
+            - 1_000_000
+        ).alias("bx7"),
+        (
+            F.col("ay7")
+            + F.pmod(F.col("sid") * 48271, F.lit(2_000_001))
+            - 1_000_000
+        ).alias("by7"),
+    )
+    pts = ev.filter(F.col("event_id") % 37 == 0).select(
+        F.col("event_id").alias("pid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    return nearest_segment_join(pts, segs, 200_000.0, zoom=6)
+
+
+def q_kde_events(spark, sf_dir):
+    """Gaussian KDE heatmap (geo/cells.kde_heatmap): event points →
+    smoothed zoom-5 density raster, σ = 0.75 cells, 5×5 truncation,
+    per-contribution integer micro-quantization so per-cell sums are
+    exact BIGINTs on both engines."""
+    from oshdb_spark.geo.cells import kde_heatmap
+
+    pts = _t(spark, sf_dir, "events").select(
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    return kde_heatmap(pts, 5, sigma_cells=0.75, radius_cells=2)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -3774,6 +3845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clip_lines": q_overlay_clip_lines,
         "distance_join": q_distance_join,
         "knn_join_table": q_knn_join_table,
+        "snap_segments": q_snap_segments,
+        "kde_events": q_kde_events,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -5719,6 +5792,109 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT pid, nid, round(dist, 3) AS dist
             FROM r WHERE rn <= 5
+        """,
+        "snap_segments": """
+            -- brute-force snap with the IDENTICAL probe-anchored
+            -- clamped point-to-segment formula: per-pair meters are
+            -- mm-rounded BEFORE the <= d filter and the (dist, sid)
+            -- argmin, term-for-term with nearest_segment_join
+            WITH seg0 AS (
+              SELECT event_id AS sid,
+                     ((event_id*1103515245) % 3590000000)
+                       - 1795000000 AS ax7,
+                     ((event_id*1234567891) % 1690000000)
+                       - 845000000 AS ay7
+              FROM events),
+            seg AS (
+              SELECT sid, ax7, ay7,
+                     ax7 + ((sid*69069) % 2000001) - 1000000 AS bx7,
+                     ay7 + ((sid*48271) % 2000001) - 1000000 AS by7
+              FROM seg0),
+            segf AS (
+              SELECT * FROM seg
+              WHERE least(ay7, by7) >= -700000000
+                AND greatest(ay7, by7) <= 700000000),
+            pts AS (
+              SELECT event_id AS pid,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events WHERE event_id % 37 = 0),
+            ptf AS (SELECT * FROM pts WHERE lat7 >= -700000000
+                                        AND lat7 <= 700000000),
+            t0 AS (
+              SELECT pid, lon7, lat7, sid,
+                     radians(ax7*1e-7 - lon7*1e-7)
+                       * cos(radians(lat7*1e-7)) AS dxa,
+                     radians(ay7*1e-7 - lat7*1e-7) AS dya,
+                     radians(bx7*1e-7 - lon7*1e-7)
+                       * cos(radians(lat7*1e-7)) AS dxb,
+                     radians(by7*1e-7 - lat7*1e-7) AS dyb
+              FROM ptf CROSS JOIN segf),
+            t1 AS (
+              SELECT pid, lon7, lat7, sid, dxa, dya,
+                     dxb - dxa AS vx, dyb - dya AS vy
+              FROM t0),
+            t2 AS (
+              SELECT pid, lon7, lat7, sid, dxa, dya, vx, vy,
+                     CASE WHEN vx*vx + vy*vy = 0 THEN 0.0
+                          ELSE least(1.0, greatest(0.0,
+                               -(dxa*vx + dya*vy) / (vx*vx + vy*vy)))
+                     END AS t
+              FROM t1),
+            d AS (
+              SELECT pid, lon7, lat7, sid,
+                     CAST(round(6371000.0 * sqrt(
+                       (dxa + t*vx)*(dxa + t*vx)
+                       + (dya + t*vy)*(dya + t*vy)) * 1000.0, 0)
+                       AS BIGINT) AS mm
+              FROM t2),
+            r AS (
+              SELECT pid, lon7, lat7, sid, mm,
+                     row_number() OVER (
+                       PARTITION BY pid ORDER BY mm, sid) AS rn
+              FROM d WHERE mm <= 200000000)
+            SELECT pid, lon7, lat7, sid,
+                   CAST(mm AS DOUBLE) / 1000.0 AS dist_m
+            FROM r WHERE rn = 1
+        """,
+        "kde_events": """
+            -- replay of kde_heatmap zoom=5 sigma=0.75 R=2: continuous
+            -- grid position, 5x5 offset fan-out, per-contribution
+            -- micro-quantization BEFORE the sum (exact BIGINT totals)
+            WITH p AS (
+              SELECT ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events),
+            c AS (
+              SELECT (CAST(lon7 AS DOUBLE) + 1800000000.0)
+                       / 112500000.0 AS px,
+                     (CAST(lat7 AS DOUBLE) + 900000000.0)
+                       / 112500000.0 AS py
+              FROM p),
+            f AS (
+              SELECT CAST(floor(px) AS BIGINT) + dx AS nx,
+                     CAST(floor(py) AS BIGINT) + dy AS ny, px, py
+              FROM c,
+                   (VALUES (-2),(-1),(0),(1),(2)) AS dxs(dx),
+                   (VALUES (-2),(-1),(0),(1),(2)) AS dys(dy)),
+            m AS (
+              SELECT nx, ny,
+                     CAST(round(1.0 * exp(-(
+                       (px - (CAST(nx AS DOUBLE) + 0.5))
+                         * (px - (CAST(nx AS DOUBLE) + 0.5))
+                       + (py - (CAST(ny AS DOUBLE) + 0.5))
+                         * (py - (CAST(ny AS DOUBLE) + 0.5))) / 1.125)
+                       * 1e6, 0) AS BIGINT) AS m
+              FROM f
+              WHERE nx >= 0 AND nx < 32 AND ny >= 0 AND ny < 16)
+            SELECT nx AS cell_x, ny AS cell_y,
+                   CAST(sum(m) AS BIGINT) AS density_micro,
+                   CAST(count(*) AS BIGINT) AS contribs
+            FROM m GROUP BY 1, 2
         """,
         "quality_classifier": """
             -- mirror of ops/classifier (hashed_logreg_train iters=2,

@@ -1667,3 +1667,151 @@ def clip_join_segments(
     )
     helper = [c for c in out.columns if c.startswith("_")]
     return out.drop(*helper)
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segments: DataFrame,
+    d_meters: float,
+    zoom: int = 6,
+    lat_max: float = 70.0,
+    n_salts: int = 1,
+    pid_col: str = "pid",
+    sid_col: str = "sid",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    ax_col: str = "ax7",
+    ay_col: str = "ay7",
+    bx_col: str = "bx7",
+    by_col: str = "by7",
+) -> DataFrame:
+    """Map-matching primitive: snap every probe point to its nearest
+    line SEGMENT within ``d_meters`` — the point→line sibling of
+    knn_join (point→point) and the building block of "assign each GPS
+    fix to a road". The reference has no line-snap operator; this fills
+    the gap the north rule's spatial-join layer implies (point-in-
+    polygon / kNN / raster↔vector / snap-to-network).
+
+    Distance model: the probe-anchored equirectangular plane — both
+    segment endpoints project to x = radians(lon - plon) * cos(radians
+    (plat)), y = radians(lat - plat); the snap point clamps the
+    perpendicular foot to t ∈ [0, 1]; meters = R * sqrt(x² + y²). The
+    anchor makes the projection exact AT the probe (where the distance
+    is measured), consistent with the reference's two-point equirect
+    metric (Geo.java:37-45) to O((d/R)²).
+
+    Plan shape (100 TB posture): probe bboxes pad by d (lon by
+    d / cos(lat_max) — conservative for every kept row), segments carry
+    their raw bbox; `_bbox_pair_candidates` explodes both to cell
+    covers, equi-joins on the cell id and keeps each overlapping pair
+    exactly once (reference-point rule, pure codegen) — so the argmin
+    below needs NO distinct. Refinement + clamp + argmin all stay in
+    whole-stage codegen; the only shuffles are the cell-id hash join
+    and one partial+final agg on ``pid``. ``n_salts`` > 1 routes hot
+    cells (dense urban tiles) exactly like the other PBSM joins.
+
+    Determinism contract: per-pair meters are quantized to integer
+    MILLIMETERS before both the ≤ d filter and the argmin, and ties
+    break on the lowest ``sid`` by packing (mm << 33 | sid) into ONE
+    BIGINT whose min is the lexicographic (dist, sid) min — a primitive
+    agg buffer, so the argmin stays in whole-stage codegen
+    (min(struct(...)) would fall back to SortAggregate). Identical
+    candidate sets and identical picks on any engine evaluating the
+    same IEEE formula. Requires 0 ≤ sid < 2^33 (caller contract,
+    enforced per row by assert_true) and d_meters ≤ 10^6 (mm * 2^33
+    must fit int64 — raised here).
+
+    Rows with |lat| > lat_max (either endpoint) are dropped from both
+    sides; no date-line wrap. Output: pid, lon7, lat7, sid, dist_m
+    (mm-rounded meters); probes with no segment within d are absent
+    (inner semantics)."""
+    import math
+
+    if d_meters > 1_000_000.0:
+        raise ValueError("nearest_segment_join: d_meters > 1000 km "
+                         "overflows the packed (mm, sid) argmin")
+    d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
+    pad_lat7 = int(math.ceil(d_deg * 1e7))
+    pad_lon7 = int(math.ceil(d_deg / math.cos(math.radians(lat_max)) * 1e7))
+    lat7_cap = int(lat_max * 1e7)
+
+    a = (
+        points.filter(
+            (F.col(lat7_col) >= -lat7_cap) & (F.col(lat7_col) <= lat7_cap)
+        )
+        .withColumn("_aw7", F.col(lon7_col) - pad_lon7)
+        .withColumn("_ae7", F.col(lon7_col) + pad_lon7)
+        .withColumn("_as7", F.col(lat7_col) - pad_lat7)
+        .withColumn("_an7", F.col(lat7_col) + pad_lat7)
+    )
+    b = (
+        segments.filter(
+            (F.least(ay_col, by_col) >= -lat7_cap)
+            & (F.greatest(ay_col, by_col) <= lat7_cap)
+        )
+        .withColumn("_bw7", F.least(ax_col, bx_col))
+        .withColumn("_be7", F.greatest(ax_col, bx_col))
+        .withColumn("_bs7", F.least(ay_col, by_col))
+        .withColumn("_bn7", F.greatest(ay_col, by_col))
+    )
+    cand = _bbox_pair_candidates(
+        a, b, zoom, n_salts, F.struct(F.col(sid_col))
+    )
+    deg = lambda c: F.col(c).cast("double") * F.lit(1e-7)  # noqa: E731
+    plon, plat = deg(lon7_col), deg(lat7_col)
+    k = F.cos(F.radians(plat))
+    dxa = F.radians(deg(ax_col) - plon) * k
+    dya = F.radians(deg(ay_col) - plat)
+    dxb = F.radians(deg(bx_col) - plon) * k
+    dyb = F.radians(deg(by_col) - plat)
+    vx, vy = dxb - dxa, dyb - dya
+    den = vx * vx + vy * vy
+    t_raw = -(dxa * vx + dya * vy) / den
+    t = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    )
+    mm_cap = int(round(d_meters * 1000.0))
+    out = (
+        cand.withColumn("_t", t)
+        .withColumn("_cx", dxa + F.col("_t") * vx)
+        .withColumn("_cy", dya + F.col("_t") * vy)
+        .withColumn(
+            "_mm",
+            F.round(
+                F.lit(EARTH_RADIUS)
+                * F.sqrt(
+                    F.col("_cx") * F.col("_cx") + F.col("_cy") * F.col("_cy")
+                )
+                * F.lit(1000.0),
+                0,
+            ).cast("long"),
+        )
+        .filter(F.col("_mm") <= mm_cap)
+        .withColumn(
+            "_packed",
+            F.when(
+                F.assert_true(
+                    (F.col(sid_col) >= 0)
+                    & (F.col(sid_col) < F.lit(1 << 33)),
+                    f"{sid_col} outside packed range [0, 2^33)",
+                ).isNull(),
+                F.shiftleft(F.col("_mm"), 33) + F.col(sid_col),
+            ),
+        )
+        .groupBy(pid_col, lon7_col, lat7_col)
+        .agg(F.min("_packed").alias("_best"))
+        .select(
+            pid_col,
+            lon7_col,
+            lat7_col,
+            (
+                F.col("_best")
+                - F.shiftleft(F.shiftright(F.col("_best"), 33), 33)
+            ).alias(sid_col),
+            (
+                F.shiftright(F.col("_best"), 33).cast("double")
+                / F.lit(1000.0)
+            ).alias("dist_m"),
+        )
+    )
+    return out

@@ -701,3 +701,61 @@ def test_gi_star_flags_planted_hotspot(spark):
     # and global Moran's I is strongly positive (clustered field)
     mi = cells.moran_i(df, 6).collect()[0].moran_i
     assert mi > 0.3
+
+
+def test_kde_heatmap_matches_brute_force(spark):
+    """Gaussian KDE raster vs a numpy replay of the quantized kernel:
+    identical integer micro-sums per cell, boundary contributions
+    dropped (not wrapped), weighted variant scales contributions."""
+    import numpy as np
+
+    from oshdb_spark.geo.cells import kde_heatmap
+
+    rng = np.random.default_rng(59)
+    n = 400
+    lon7 = rng.integers(-1_799_999_999, 1_800_000_000, n)
+    lat7 = rng.integers(-899_999_999, 900_000_000, n)
+    w = np.round(rng.uniform(0.5, 2.0, n), 3)
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(c)) for a, b, c in zip(lon7, lat7, w)],
+        "lon7 long, lat7 long, wt double",
+    )
+    zoom, sigma, R = 5, 0.75, 2
+    ncols, nrows = 32, 16
+    wd = 3_600_000_000.0 / ncols
+    got = {
+        (r["cell_x"], r["cell_y"]): (r["density_micro"], r["contribs"])
+        for r in kde_heatmap(
+            df, zoom, weight_col="wt", sigma_cells=sigma, radius_cells=R
+        ).collect()
+    }
+    exp: dict = {}
+    px = (lon7.astype(np.float64) + 1_800_000_000.0) / wd
+    py = (lat7.astype(np.float64) + 900_000_000.0) / wd
+    cx0 = np.floor(px).astype(np.int64)
+    cy0 = np.floor(py).astype(np.int64)
+    for i in range(n):
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                nx, ny = int(cx0[i] + dx), int(cy0[i] + dy)
+                if not (0 <= nx < ncols and 0 <= ny < nrows):
+                    continue
+                ddx = px[i] - (nx + 0.5)
+                ddy = py[i] - (ny + 0.5)
+                m = int(np.round(
+                    w[i] * np.exp(-(ddx * ddx + ddy * ddy)
+                                  / (2 * sigma * sigma)) * 1e6
+                ))
+                s, c = exp.get((nx, ny), (0, 0))
+                exp[(nx, ny)] = (s + m, c + 1)
+    assert got == exp
+    assert len(got) > 100  # non-vacuous coverage of the grid
+
+    # unweighted: every contribution ≤ 1e6 micro-units, counts match
+    got1 = {
+        (r["cell_x"], r["cell_y"]): (r["density_micro"], r["contribs"])
+        for r in kde_heatmap(df, zoom, sigma_cells=sigma,
+                             radius_cells=R).collect()
+    }
+    for (x, y), (dm, c) in got1.items():
+        assert 0 <= dm <= c * 1_000_000

@@ -1002,3 +1002,104 @@ def test_clip_join_segments_degenerate_cases(spark):
     assert got[1] == pytest.approx(
         EARTH_RADIUS * np.radians(2.0) * np.cos(np.radians(1.0)), rel=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest_segment_join (snap-to-line / map-matching primitive)
+# ---------------------------------------------------------------------------
+
+def _brute_snap(plon7, plat7, segs, d):
+    """numpy replay of the probe-anchored clamped point-segment metric."""
+    R = 6_371_000.0
+    plon, plat = plon7 * 1e-7, plat7 * 1e-7
+    k = np.cos(np.radians(plat))
+    ax = np.radians(segs[:, 1] * 1e-7 - plon) * k
+    ay = np.radians(segs[:, 2] * 1e-7 - plat)
+    bx = np.radians(segs[:, 3] * 1e-7 - plon) * k
+    by = np.radians(segs[:, 4] * 1e-7 - plat)
+    vx, vy = bx - ax, by - ay
+    den = vx * vx + vy * vy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(
+            den == 0, 0.0, np.clip(-(ax * vx + ay * vy) / den, 0.0, 1.0)
+        )
+    cx, cy = ax + t * vx, ay + t * vy
+    mm = np.rint(R * np.sqrt(cx * cx + cy * cy) * 1000.0).astype(np.int64)
+    ok = mm <= int(round(d * 1000.0))
+    if not ok.any():
+        return None
+    # min (mm, sid) — the op's packed tie-break contract
+    cand = sorted(
+        (int(mm[i]), int(segs[i, 0])) for i in np.nonzero(ok)[0]
+    )
+    return (cand[0][0] / 1000.0, cand[0][1])
+
+
+def test_nearest_segment_join_matches_brute_force(spark):
+    from oshdb_spark.geo.spatial_join import nearest_segment_join
+
+    rng = np.random.default_rng(47)
+    ns, npb = 1500, 200
+    ax = rng.integers(-1_700_000_000, 1_700_000_000, ns)
+    ay = rng.integers(-800_000_000, 800_000_000, ns)
+    bx = ax + rng.integers(-2_000_000, 2_000_001, ns)  # ~±0.2° segments
+    by = ay + rng.integers(-2_000_000, 2_000_001, ns)
+    segs = np.stack([np.arange(ns), ax, ay, bx, by], axis=1)
+    plon = rng.integers(-1_750_000_000, 1_750_000_000, npb)
+    plat = rng.integers(-840_000_000, 840_000_000, npb)  # incl. |lat|>70
+
+    seg_df = spark.createDataFrame(
+        [tuple(int(v) for v in row) for row in segs],
+        "sid long, ax7 long, ay7 long, bx7 long, by7 long",
+    )
+    pts_df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in
+         enumerate(zip(plon, plat))],
+        "pid long, lon7 long, lat7 long",
+    )
+    d = 300_000.0
+    out = {
+        r["pid"]: (r["dist_m"], r["sid"])
+        for r in nearest_segment_join(pts_df, seg_df, d, zoom=6).collect()
+    }
+    lat_ok = np.abs(segs[:, 2] * 1e-7) <= 70.0
+    lat_ok &= np.abs(segs[:, 4] * 1e-7) <= 70.0
+    segs_kept = segs[lat_ok]
+    n_hits = 0
+    for i in range(npb):
+        if abs(plat[i] * 1e-7) > 70.0:
+            assert i not in out
+            continue
+        want = _brute_snap(float(plon[i]), float(plat[i]), segs_kept, d)
+        if want is None:
+            assert i not in out
+        else:
+            n_hits += 1
+            assert i in out, f"pid={i} missing (want {want})"
+            assert out[i] == (want[0], want[1]), f"pid={i}"
+    assert n_hits > 30  # non-vacuous
+
+
+def test_nearest_segment_join_tie_breaks_on_sid(spark):
+    from oshdb_spark.geo.spatial_join import nearest_segment_join
+
+    # two segments sharing the vertex nearest to the probe: identical
+    # mm-rounded distances, contract picks the LOWER sid
+    seg_df = spark.createDataFrame(
+        [
+            (7, 10_000_000, 10_000_000, 30_000_000, 10_000_000),
+            (3, 10_000_000, 10_000_000, 10_000_000, 30_000_000),
+        ],
+        "sid long, ax7 long, ay7 long, bx7 long, by7 long",
+    )
+    pts_df = spark.createDataFrame(
+        [(1, 0, 0)], "pid long, lon7 long, lat7 long"
+    )
+    rows = nearest_segment_join(pts_df, seg_df, 500_000.0).collect()
+    assert len(rows) == 1 and rows[0]["sid"] == 3
+
+    # a salted run returns the identical row
+    rows2 = nearest_segment_join(
+        pts_df, seg_df, 500_000.0, n_salts=4
+    ).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
