@@ -2927,6 +2927,27 @@ def q_kde_events(spark, sf_dir):
     return kde_heatmap(pts, 5, sigma_cells=0.75, radius_cells=2)
 
 
+def q_idw_surface(spark, sf_dir):
+    """Inverse-distance-weighted interpolation (geo/cells.idw_surface):
+    event values -> estimated zoom-5 surface, smoothed-IDW weights
+    1/(d²+1e-6), integer micro-quantized num/den sums, one round-6
+    division per output cell."""
+    from oshdb_spark.geo.cells import idw_surface
+
+    pts = _t(spark, sf_dir, "events").select(
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+        F.col("value"),
+    )
+    return idw_surface(pts, 5, "value", radius_cells=2)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Learned quality-classifier filtering (ops/classifier — the
     DCLM/FineWeb-Edu stage): logistic regression over hashed-bigram
@@ -3847,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_table": q_knn_join_table,
         "snap_segments": q_snap_segments,
         "kde_events": q_kde_events,
+        "idw_surface": q_idw_surface,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -5894,6 +5916,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT nx AS cell_x, ny AS cell_y,
                    CAST(sum(m) AS BIGINT) AS density_micro,
                    CAST(count(*) AS BIGINT) AS contribs
+            FROM m GROUP BY 1, 2
+        """,
+        "idw_surface": """
+            -- replay of idw_surface zoom=5 R=2 eps=1e-6: per-term
+            -- micro-quantized weight and value*weight BEFORE the sums
+            -- (exact BIGINT num/den), ONE round-6 division per cell
+            WITH p AS (
+              SELECT ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7,
+                     value AS v
+              FROM events),
+            c AS (
+              SELECT (CAST(lon7 AS DOUBLE) + 1800000000.0)
+                       / 112500000.0 AS px,
+                     (CAST(lat7 AS DOUBLE) + 900000000.0)
+                       / 112500000.0 AS py,
+                     v
+              FROM p),
+            f AS (
+              SELECT CAST(floor(px) AS BIGINT) + dx AS nx,
+                     CAST(floor(py) AS BIGINT) + dy AS ny, px, py, v
+              FROM c,
+                   (VALUES (-2),(-1),(0),(1),(2)) AS dxs(dx),
+                   (VALUES (-2),(-1),(0),(1),(2)) AS dys(dy)),
+            w AS (
+              SELECT nx, ny, v,
+                     1.0 / ((px - (CAST(nx AS DOUBLE) + 0.5))
+                              * (px - (CAST(nx AS DOUBLE) + 0.5))
+                            + (py - (CAST(ny AS DOUBLE) + 0.5))
+                              * (py - (CAST(ny AS DOUBLE) + 0.5))
+                            + 1e-6) AS wt
+              FROM f
+              WHERE nx >= 0 AND nx < 32 AND ny >= 0 AND ny < 16),
+            m AS (
+              SELECT nx, ny,
+                     CAST(round(wt * 1e6, 0) AS BIGINT) AS wq,
+                     CAST(round(v * wt * 1e6, 0) AS BIGINT) AS vwq
+              FROM w)
+            SELECT nx AS cell_x, ny AS cell_y,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   round(CAST(CAST(sum(vwq) AS BIGINT) AS DOUBLE)
+                         / CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE), 6)
+                     AS idw_value
             FROM m GROUP BY 1, 2
         """,
         "quality_classifier": """

@@ -759,3 +759,63 @@ def test_kde_heatmap_matches_brute_force(spark):
     }
     for (x, y), (dm, c) in got1.items():
         assert 0 <= dm <= c * 1_000_000
+
+
+def test_idw_surface_matches_brute_force(spark):
+    """Smoothed-IDW surface vs a numpy replay: exact integer num/den
+    micro-sums per cell, single round-6 division per output cell."""
+    import numpy as np
+
+    from oshdb_spark.geo.cells import idw_surface
+
+    rng = np.random.default_rng(71)
+    n = 300
+    lon7 = rng.integers(-1_799_999_999, 1_800_000_000, n)
+    lat7 = rng.integers(-899_999_999, 900_000_000, n)
+    v = np.round(rng.uniform(-50.0, 100.0, n), 2)
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(c)) for a, b, c in zip(lon7, lat7, v)],
+        "lon7 long, lat7 long, val double",
+    )
+    zoom, R = 5, 2
+    ncols, nrows = 32, 16
+    wd = 3_600_000_000.0 / ncols
+    got = {
+        (r["cell_x"], r["cell_y"]): (r["n_samples"], r["idw_value"])
+        for r in idw_surface(df, zoom, "val", radius_cells=R).collect()
+    }
+    px = (lon7.astype(np.float64) + 1_800_000_000.0) / wd
+    py = (lat7.astype(np.float64) + 900_000_000.0) / wd
+    cx0 = np.floor(px).astype(np.int64)
+    cy0 = np.floor(py).astype(np.int64)
+    acc: dict = {}
+    for i in range(n):
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                nx, ny = int(cx0[i] + dx), int(cy0[i] + dy)
+                if not (0 <= nx < ncols and 0 <= ny < nrows):
+                    continue
+                ddx = px[i] - (nx + 0.5)
+                ddy = py[i] - (ny + 0.5)
+                w = 1.0 / (ddx * ddx + ddy * ddy + 1e-6)
+                wq = int(np.rint(w * 1e6))
+                vwq = int(np.rint(v[i] * w * 1e6))
+                c, num, den = acc.get((nx, ny), (0, 0, 0))
+                acc[(nx, ny)] = (c + 1, num + vwq, den + wq)
+    exp = {
+        k: (c, float(np.round(num / den, 6)))
+        for k, (c, num, den) in acc.items()
+    }
+    assert got == exp
+    assert len(got) > 100
+    # a sample sitting ~at a cell center dominates that cell's estimate
+    one = spark.createDataFrame(
+        [(int(-1_800_000_000 + 0.5 * wd), int(-900_000_000 + 0.5 * wd),
+          42.0)],
+        "lon7 long, lat7 long, val double",
+    )
+    rows = {
+        (r["cell_x"], r["cell_y"]): r["idw_value"]
+        for r in idw_surface(one, zoom, "val", radius_cells=1).collect()
+    }
+    assert abs(rows[(0, 0)] - 42.0) < 1e-3
