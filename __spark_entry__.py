@@ -2927,6 +2927,57 @@ def q_kde_events(spark, sf_dir):
     return kde_heatmap(pts, 5, sigma_cells=0.75, radius_cells=2)
 
 
+def q_hmm_match(spark, sf_dir):
+    """Viterbi map matching (geo/matching.hmm_map_match): every 10th
+    user's event-fix sequence matched to the synthetic segment table
+    under integer-mm emission (snap distance) + 20 km switch-penalty
+    transitions, top-3 candidates per fix. The oracle replays the exact
+    candidate pruning and the forward/backward DP with two recursive
+    CTEs (min() in the recursive term), then picks the lowest-sid state
+    on an optimal path per fix — term-for-term with the kernel."""
+    from oshdb_spark.geo.matching import hmm_map_match
+
+    ev = _t(spark, sf_dir, "events")
+    segs = ev.select(
+        F.col("event_id").alias("sid"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_590_000_000))
+            - 1_795_000_000
+        ).alias("ax7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_690_000_000))
+            - 845_000_000
+        ).alias("ay7"),
+    )
+    segs = segs.select(
+        "sid", "ax7", "ay7",
+        (
+            F.col("ax7") + F.pmod(F.col("sid") * 69069, F.lit(2_000_001))
+            - 1_000_000
+        ).alias("bx7"),
+        (
+            F.col("ay7") + F.pmod(F.col("sid") * 48271, F.lit(2_000_001))
+            - 1_000_000
+        ).alias("by7"),
+    )
+    fixes = ev.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    return hmm_map_match(
+        fixes, segs, 200_000.0, switch_cost_mm=20_000_000, n_cand=3,
+        zoom=6,
+    )
+
+
 def q_idw_surface(spark, sf_dir):
     """Inverse-distance-weighted interpolation (geo/cells.idw_surface):
     event values -> estimated zoom-5 surface, smoothed-IDW weights
@@ -3869,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segments": q_snap_segments,
         "kde_events": q_kde_events,
         "idw_surface": q_idw_surface,
+        "hmm_match": q_hmm_match,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -5917,6 +5969,120 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(m) AS BIGINT) AS density_micro,
                    CAST(count(*) AS BIGINT) AS contribs
             FROM m GROUP BY 1, 2
+        """,
+        "hmm_match": """
+            -- Viterbi replay: identical candidate stage (mm-quantized
+            -- snap metric, loose |dlat| prefilter cannot drop a true
+            -- candidate: 200 km = 1.8e7 lat units + 1e6 segment extent
+            -- < 2e7), top-3 prune by (mm, sid), dense re-index of
+            -- surviving fixes, forward+backward integer DP via two
+            -- recursive CTEs with min() in the recursive term, per-fix
+            -- pick = lowest sid among optimal-path states
+            WITH RECURSIVE
+            seg0 AS (
+              SELECT event_id AS sid,
+                     ((event_id*1103515245) % 3590000000)
+                       - 1795000000 AS ax7,
+                     ((event_id*1234567891) % 1690000000)
+                       - 845000000 AS ay7
+              FROM events),
+            seg AS (
+              SELECT sid, ax7, ay7,
+                     ax7 + ((sid*69069) % 2000001) - 1000000 AS bx7,
+                     ay7 + ((sid*48271) % 2000001) - 1000000 AS by7
+              FROM seg0),
+            segf AS (
+              SELECT * FROM seg
+              WHERE least(ay7, by7) >= -700000000
+                AND greatest(ay7, by7) <= 700000000),
+            pts AS (
+              SELECT user_id AS ent, event_id AS ordk,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events WHERE user_id % 10 = 0),
+            ptf AS (SELECT * FROM pts WHERE lat7 >= -700000000
+                                        AND lat7 <= 700000000),
+            t0 AS (
+              SELECT ent, ordk, sid,
+                     radians(ax7*1e-7 - lon7*1e-7)
+                       * cos(radians(lat7*1e-7)) AS dxa,
+                     radians(ay7*1e-7 - lat7*1e-7) AS dya,
+                     radians(bx7*1e-7 - lon7*1e-7)
+                       * cos(radians(lat7*1e-7)) AS dxb,
+                     radians(by7*1e-7 - lat7*1e-7) AS dyb
+              FROM ptf JOIN segf
+                ON ay7 - lat7 <= 20000000 AND lat7 - ay7 <= 20000000),
+            t1 AS (
+              SELECT ent, ordk, sid, dxa, dya,
+                     dxb - dxa AS vx, dyb - dya AS vy
+              FROM t0),
+            t2 AS (
+              SELECT ent, ordk, sid, dxa, dya, vx, vy,
+                     CASE WHEN vx*vx + vy*vy = 0 THEN 0.0
+                          ELSE least(1.0, greatest(0.0,
+                               -(dxa*vx + dya*vy) / (vx*vx + vy*vy)))
+                     END AS t
+              FROM t1),
+            d AS MATERIALIZED (
+              -- MATERIALIZED: the recursive terms below re-reference
+              -- states every iteration; without it DuckDB re-evaluates
+              -- the whole candidate pipeline per DP step (400x slower)
+              SELECT ent, ordk, sid,
+                     CAST(round(6371000.0 * sqrt(
+                       (dxa + t*vx)*(dxa + t*vx)
+                       + (dya + t*vy)*(dya + t*vy)) * 1000.0, 0)
+                       AS BIGINT) AS mm
+              FROM t2),
+            cand AS (
+              SELECT ent, ordk, sid, mm,
+                     row_number() OVER (
+                       PARTITION BY ent, ordk ORDER BY mm, sid) AS rn
+              FROM d WHERE mm <= 200000000),
+            states AS MATERIALIZED (
+              SELECT ent, ordk, sid, mm,
+                     dense_rank() OVER (
+                       PARTITION BY ent ORDER BY ordk) - 1 AS seq
+              FROM cand WHERE rn <= 3),
+            maxseq AS (SELECT ent, max(seq) AS ms FROM states GROUP BY ent),
+            fwd AS (
+              SELECT ent, seq, sid, mm, mm AS f FROM states WHERE seq = 0
+              UNION ALL
+              SELECT s.ent, s.seq, s.sid, s.mm,
+                     s.mm + min(p.f + CASE WHEN p.sid = s.sid
+                                           THEN 0 ELSE 20000000 END)
+              FROM fwd p JOIN states s
+                ON s.ent = p.ent AND s.seq = p.seq + 1
+              GROUP BY s.ent, s.seq, s.sid, s.mm),
+            bwd AS (
+              SELECT st.ent, st.seq, st.sid, st.mm, st.mm AS b
+              FROM states st JOIN maxseq m
+                ON m.ent = st.ent AND st.seq = m.ms
+              UNION ALL
+              SELECT s.ent, s.seq, s.sid, s.mm,
+                     s.mm + min(p.b + CASE WHEN p.sid = s.sid
+                                           THEN 0 ELSE 20000000 END)
+              FROM bwd p JOIN states s
+                ON s.ent = p.ent AND s.seq = p.seq - 1
+              GROUP BY s.ent, s.seq, s.sid, s.mm),
+            tot AS (
+              SELECT f.ent, f.seq, f.sid, f.mm, f.f + b.b - f.mm AS t
+              FROM fwd f JOIN bwd b
+                ON b.ent = f.ent AND b.seq = f.seq AND b.sid = f.sid),
+            pick AS (
+              SELECT ent, seq, sid, mm, t,
+                     row_number() OVER (
+                       PARTITION BY ent, seq ORDER BY t, sid) AS rn
+              FROM tot),
+            ords AS (SELECT DISTINCT ent, seq, ordk FROM states)
+            SELECT p.ent AS entity, CAST(p.seq AS BIGINT) AS seq,
+                   o.ordk AS ord_key, p.sid AS sid,
+                   CAST(p.mm AS DOUBLE) / 1000.0 AS dist_m,
+                   CAST(p.t AS BIGINT) AS path_cost_mm
+            FROM pick p JOIN ords o
+              ON o.ent = p.ent AND o.seq = p.seq
+            WHERE p.rn = 1
         """,
         "idw_surface": """
             -- replay of idw_surface zoom=5 R=2 eps=1e-6: per-term

@@ -1669,14 +1669,13 @@ def clip_join_segments(
     return out.drop(*helper)
 
 
-def nearest_segment_join(
+def segment_snap_candidates(
     points: DataFrame,
     segments: DataFrame,
     d_meters: float,
     zoom: int = 6,
     lat_max: float = 70.0,
     n_salts: int = 1,
-    pid_col: str = "pid",
     sid_col: str = "sid",
     lon7_col: str = "lon7",
     lat7_col: str = "lat7",
@@ -1685,51 +1684,16 @@ def nearest_segment_join(
     bx_col: str = "bx7",
     by_col: str = "by7",
 ) -> DataFrame:
-    """Map-matching primitive: snap every probe point to its nearest
-    line SEGMENT within ``d_meters`` — the point→line sibling of
-    knn_join (point→point) and the building block of "assign each GPS
-    fix to a road". The reference has no line-snap operator; this fills
-    the gap the north rule's spatial-join layer implies (point-in-
-    polygon / kNN / raster↔vector / snap-to-network).
-
-    Distance model: the probe-anchored equirectangular plane — both
-    segment endpoints project to x = radians(lon - plon) * cos(radians
-    (plat)), y = radians(lat - plat); the snap point clamps the
-    perpendicular foot to t ∈ [0, 1]; meters = R * sqrt(x² + y²). The
-    anchor makes the projection exact AT the probe (where the distance
-    is measured), consistent with the reference's two-point equirect
-    metric (Geo.java:37-45) to O((d/R)²).
-
-    Plan shape (100 TB posture): probe bboxes pad by d (lon by
-    d / cos(lat_max) — conservative for every kept row), segments carry
-    their raw bbox; `_bbox_pair_candidates` explodes both to cell
-    covers, equi-joins on the cell id and keeps each overlapping pair
-    exactly once (reference-point rule, pure codegen) — so the argmin
-    below needs NO distinct. Refinement + clamp + argmin all stay in
-    whole-stage codegen; the only shuffles are the cell-id hash join
-    and one partial+final agg on ``pid``. ``n_salts`` > 1 routes hot
-    cells (dense urban tiles) exactly like the other PBSM joins.
-
-    Determinism contract: per-pair meters are quantized to integer
-    MILLIMETERS before both the ≤ d filter and the argmin, and ties
-    break on the lowest ``sid`` by packing (mm << 33 | sid) into ONE
-    BIGINT whose min is the lexicographic (dist, sid) min — a primitive
-    agg buffer, so the argmin stays in whole-stage codegen
-    (min(struct(...)) would fall back to SortAggregate). Identical
-    candidate sets and identical picks on any engine evaluating the
-    same IEEE formula. Requires 0 ≤ sid < 2^33 (caller contract,
-    enforced per row by assert_true) and d_meters ≤ 10^6 (mm * 2^33
-    must fit int64 — raised here).
-
-    Rows with |lat| > lat_max (either endpoint) are dropped from both
-    sides; no date-line wrap. Output: pid, lon7, lat7, sid, dist_m
-    (mm-rounded meters); probes with no segment within d are absent
-    (inner semantics)."""
+    """Shared candidate stage of the snap-to-segment family
+    (nearest_segment_join, hmm_map_match): every (probe, segment) pair
+    within ``d_meters`` by the probe-anchored clamped point-to-segment
+    equirect metric, exactly once (PBSM cell-cover equi-join +
+    reference-point dedup), with the distance quantized to integer
+    millimeters in ``_mm``. Pure whole-stage codegen; see
+    nearest_segment_join for the metric and padding derivation. Output:
+    all point columns + all segment columns + ``_mm`` (long)."""
     import math
 
-    if d_meters > 1_000_000.0:
-        raise ValueError("nearest_segment_join: d_meters > 1000 km "
-                         "overflows the packed (mm, sid) argmin")
     d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
     pad_lat7 = int(math.ceil(d_deg * 1e7))
     pad_lon7 = int(math.ceil(d_deg / math.cos(math.radians(lat_max)) * 1e7))
@@ -1787,7 +1751,77 @@ def nearest_segment_join(
             ).cast("long"),
         )
         .filter(F.col("_mm") <= mm_cap)
-        .withColumn(
+    )
+    helper = [c for c in out.columns if c.startswith("_") and c != "_mm"]
+    return out.drop(*helper)
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segments: DataFrame,
+    d_meters: float,
+    zoom: int = 6,
+    lat_max: float = 70.0,
+    n_salts: int = 1,
+    pid_col: str = "pid",
+    sid_col: str = "sid",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    ax_col: str = "ax7",
+    ay_col: str = "ay7",
+    bx_col: str = "bx7",
+    by_col: str = "by7",
+) -> DataFrame:
+    """Map-matching primitive: snap every probe point to its nearest
+    line SEGMENT within ``d_meters`` — the point→line sibling of
+    knn_join (point→point) and the building block of "assign each GPS
+    fix to a road". The reference has no line-snap operator; this fills
+    the gap the north rule's spatial-join layer implies (point-in-
+    polygon / kNN / raster↔vector / snap-to-network).
+
+    Distance model: the probe-anchored equirectangular plane — both
+    segment endpoints project to x = radians(lon - plon) * cos(radians
+    (plat)), y = radians(lat - plat); the snap point clamps the
+    perpendicular foot to t ∈ [0, 1]; meters = R * sqrt(x² + y²). The
+    anchor makes the projection exact AT the probe (where the distance
+    is measured), consistent with the reference's two-point equirect
+    metric (Geo.java:37-45) to O((d/R)²).
+
+    Plan shape (100 TB posture): probe bboxes pad by d (lon by
+    d / cos(lat_max) — conservative for every kept row), segments carry
+    their raw bbox; `_bbox_pair_candidates` explodes both to cell
+    covers, equi-joins on the cell id and keeps each overlapping pair
+    exactly once (reference-point rule, pure codegen) — so the argmin
+    below needs NO distinct. Refinement + clamp + argmin all stay in
+    whole-stage codegen; the only shuffles are the cell-id hash join
+    and one partial+final agg on ``pid``. ``n_salts`` > 1 routes hot
+    cells (dense urban tiles) exactly like the other PBSM joins.
+
+    Determinism contract: per-pair meters are quantized to integer
+    MILLIMETERS before both the ≤ d filter and the argmin, and ties
+    break on the lowest ``sid`` by packing (mm << 33 | sid) into ONE
+    BIGINT whose min is the lexicographic (dist, sid) min — a primitive
+    agg buffer, so the argmin stays in whole-stage codegen
+    (min(struct(...)) would fall back to SortAggregate). Identical
+    candidate sets and identical picks on any engine evaluating the
+    same IEEE formula. Requires 0 ≤ sid < 2^33 (caller contract,
+    enforced per row by assert_true) and d_meters ≤ 10^6 (mm * 2^33
+    must fit int64 — raised here).
+
+    Rows with |lat| > lat_max (either endpoint) are dropped from both
+    sides; no date-line wrap. Output: pid, lon7, lat7, sid, dist_m
+    (mm-rounded meters); probes with no segment within d are absent
+    (inner semantics)."""
+    if d_meters > 1_000_000.0:
+        raise ValueError("nearest_segment_join: d_meters > 1000 km "
+                         "overflows the packed (mm, sid) argmin")
+    cand = segment_snap_candidates(
+        points, segments, d_meters, zoom, lat_max, n_salts,
+        sid_col=sid_col, lon7_col=lon7_col, lat7_col=lat7_col,
+        ax_col=ax_col, ay_col=ay_col, bx_col=bx_col, by_col=by_col,
+    )
+    out = (
+        cand.withColumn(
             "_packed",
             F.when(
                 F.assert_true(

@@ -1103,3 +1103,157 @@ def test_nearest_segment_join_tie_breaks_on_sid(spark):
         pts_df, seg_df, 500_000.0, n_salts=4
     ).collect()
     assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# hmm_map_match (Viterbi map matching)
+# ---------------------------------------------------------------------------
+
+def _brute_cands(plon7, plat7, segs, d, n_cand):
+    """All (mm, sid) candidates ≤ d for one fix, pruned to top n_cand by
+    (mm, sid) — the same metric replay as _brute_snap."""
+    R = 6_371_000.0
+    plon, plat = plon7 * 1e-7, plat7 * 1e-7
+    k = np.cos(np.radians(plat))
+    ax = np.radians(segs[:, 1] * 1e-7 - plon) * k
+    ay = np.radians(segs[:, 2] * 1e-7 - plat)
+    bx = np.radians(segs[:, 3] * 1e-7 - plon) * k
+    by = np.radians(segs[:, 4] * 1e-7 - plat)
+    vx, vy = bx - ax, by - ay
+    den = vx * vx + vy * vy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(
+            den == 0, 0.0, np.clip(-(ax * vx + ay * vy) / den, 0.0, 1.0)
+        )
+    cx, cy = ax + t * vx, ay + t * vy
+    mm = np.rint(R * np.sqrt(cx * cx + cy * cy) * 1000.0).astype(np.int64)
+    ok = np.nonzero(mm <= int(round(d * 1000.0)))[0]
+    cand = sorted((int(mm[i]), int(segs[i, 0])) for i in ok)
+    return cand[:n_cand]
+
+
+def test_hmm_map_match_matches_path_enumeration(spark):
+    """Viterbi output vs EXHAUSTIVE path enumeration (not a second DP):
+    per entity the engine's per-fix picks must equal the lowest-sid
+    state on an optimal full path, and path_cost_mm must equal the
+    enumerated optimum."""
+    import itertools
+
+    from oshdb_spark.geo.matching import hmm_map_match
+
+    rng = np.random.default_rng(83)
+    ns = 250
+    ax = rng.integers(-400_000_000, 400_000_000, ns)
+    ay = rng.integers(-300_000_000, 300_000_000, ns)
+    bx = ax + rng.integers(-2_000_000, 2_000_001, ns)
+    by = ay + rng.integers(-2_000_000, 2_000_001, ns)
+    segs = np.stack([np.arange(ns), ax, ay, bx, by], axis=1)
+    seg_df = spark.createDataFrame(
+        [tuple(int(v) for v in r) for r in segs],
+        "sid long, ax7 long, ay7 long, bx7 long, by7 long",
+    )
+    n_ent, n_fix = 5, 7
+    fixes = []
+    for e in range(n_ent):
+        lon = rng.integers(-400_000_000, 400_000_000)
+        lat = rng.integers(-300_000_000, 300_000_000)
+        for i in range(n_fix):
+            lon += rng.integers(-40_000_000, 40_000_001)
+            lat += rng.integers(-40_000_000, 40_000_001)
+            fixes.append((e, i, int(lon), int(lat)))
+    fix_df = spark.createDataFrame(
+        fixes, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    d, P, C = 500_000.0, 7_000_000, 3
+    out = hmm_map_match(
+        fix_df, seg_df, d, switch_cost_mm=P, n_cand=C
+    ).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["entity"], {})[r["seq"]] = (
+            r["ord_key"], r["sid"], r["dist_m"], r["path_cost_mm"]
+        )
+
+    n_checked = 0
+    for e in range(n_ent):
+        layers = []
+        for (ent, i, lon, lat) in fixes:
+            if ent != e:
+                continue
+            c = _brute_cands(float(lon), float(lat), segs, d, C)
+            if c:
+                layers.append((i, c))
+        if not layers:
+            assert e not in got
+            continue
+        # exhaustive enumeration over all candidate combinations
+        best = None
+        for combo in itertools.product(*[c for _, c in layers]):
+            cost = sum(mm for mm, _ in combo)
+            cost += sum(
+                P
+                for a, b in zip(combo, combo[1:])
+                if a[1] != b[1]
+            )
+            if best is None or cost < best:
+                best = cost
+        # per fix: lowest sid among states on ANY optimal path
+        want_sids = [set() for _ in layers]
+        for combo in itertools.product(*[c for _, c in layers]):
+            cost = sum(mm for mm, _ in combo)
+            cost += sum(
+                P for a, b in zip(combo, combo[1:]) if a[1] != b[1]
+            )
+            if cost == best:
+                for i, (_, sid) in enumerate(combo):
+                    want_sids[i].add(sid)
+        assert e in got, f"entity {e} missing"
+        assert len(got[e]) == len(layers)
+        for i, (ordv, cands) in enumerate(layers):
+            g_ord, g_sid, g_dist, g_cost = got[e][i]
+            assert g_ord == ordv
+            assert g_cost == best
+            assert g_sid == min(want_sids[i]), f"entity {e} fix {i}"
+            mm = dict((s, m) for m, s in cands)[g_sid]
+            assert g_dist == mm / 1000.0
+            n_checked += 1
+    assert n_checked >= 20  # non-vacuous
+
+
+def test_hmm_map_match_stickiness(spark):
+    """A large switch penalty holds the path on one segment even when a
+    rival segment is closer at one fix; P=0 degenerates to the per-fix
+    nearest pick."""
+    from oshdb_spark.geo.matching import hmm_map_match
+
+    # segment 1 ~ lat 0; segment 2 ~ lat 0.01 deg north; fixes hug
+    # segment 1 except fix#1 which sits right on segment 2
+    seg_df = spark.createDataFrame(
+        [
+            (1, -10_000_000, 0, 30_000_000, 0),
+            (2, -10_000_000, 100_000, 30_000_000, 100_000),
+        ],
+        "sid long, ax7 long, ay7 long, bx7 long, by7 long",
+    )
+    fix_df = spark.createDataFrame(
+        [
+            (9, 0, 0, 10_000),
+            (9, 1, 10_000_000, 100_000),
+            (9, 2, 20_000_000, 10_000),
+        ],
+        "entity long, ord_key long, lon7 long, lat7 long",
+    )
+    sticky = {
+        r["seq"]: r["sid"]
+        for r in hmm_map_match(
+            fix_df, seg_df, 50_000.0, switch_cost_mm=10_000_000, n_cand=2
+        ).collect()
+    }
+    assert sticky == {0: 1, 1: 1, 2: 1}
+    greedy = {
+        r["seq"]: r["sid"]
+        for r in hmm_map_match(
+            fix_df, seg_df, 50_000.0, switch_cost_mm=0, n_cand=2
+        ).collect()
+    }
+    assert greedy == {0: 1, 1: 2, 2: 1}
