@@ -2978,6 +2978,39 @@ def q_hmm_match(spark, sf_dir):
     )
 
 
+def q_traj_hausdorff(spark, sf_dir):
+    """Trajectory-similarity self-join (geo/trajectory.hausdorff_join):
+    consecutive user pairs (slot = user_id // 2) walk inside shared
+    ±3° clusters on a 24×8 15°-grid, so same-position pairs sit within
+    the 400 km symmetric Hausdorff threshold at EVERY sf while
+    cross-position pairs (≥ 9° apart) never do. Every pairwise
+    distance quantizes to integer mm before the min/max folds; the
+    oracle brute-forces candidate entity pairs (safe bbox prefilter)
+    point-by-point."""
+    from oshdb_spark.geo.trajectory import hausdorff_join
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("user_id").alias("entity"),
+            (
+                (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+                + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+                - 30_000_000
+            ).alias("lon7"),
+            (
+                ((slot / 24).cast("long") % 8) * 150_000_000
+                - 600_000_000 + 75_000_000
+                + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+                - 30_000_000
+            ).alias("lat7"),
+        )
+    )
+    return hausdorff_join(pts, 400_000.0, zoom=6)
+
+
 def q_idw_surface(spark, sf_dir):
     """Inverse-distance-weighted interpolation (geo/cells.idw_surface):
     event values -> estimated zoom-5 surface, smoothed-IDW weights
@@ -3921,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_events": q_kde_events,
         "idw_surface": q_idw_surface,
         "hmm_match": q_hmm_match,
+        "traj_hausdorff": q_traj_hausdorff,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -6083,6 +6117,61 @@ def oracle_sql() -> dict[str, str]:
             FROM pick p JOIN ords o
               ON o.ent = p.ent AND o.seq = p.seq
             WHERE p.rn = 1
+        """,
+        "traj_hausdorff": """
+            -- brute-force symmetric Hausdorff per candidate entity
+            -- pair: the bbox prefilter is LOOSER than the engine's
+            -- padding (lat 3.7e7 > ceil(d_deg*1e7), lon 1.1e8 >
+            -- pad/cos70) so it cannot drop a true pair; per point-pair
+            -- mm quantization BEFORE the min/max folds, identical to
+            -- the kernel
+            WITH p AS (
+              SELECT user_id AS e,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + ((event_id*1103515245) % 60000001)
+                       - 30000000 AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + ((event_id*1234567891) % 60000001)
+                       - 30000000 AS lat7
+              FROM events WHERE event_id % 7 = 0),
+            pf AS (SELECT * FROM p WHERE lat7 >= -700000000
+                                     AND lat7 <= 700000000),
+            bb AS (
+              SELECT e, min(lon7) AS w, max(lon7) AS x,
+                     min(lat7) AS s, max(lat7) AS n
+              FROM pf GROUP BY e),
+            ep AS (
+              SELECT a.e AS ea, b.e AS eb
+              FROM bb a JOIN bb b ON a.e < b.e
+               AND a.w - 110000000 <= b.x AND b.w <= a.x + 110000000
+               AND a.s - 37000000 <= b.n AND b.s <= a.n + 37000000),
+            d AS (
+              SELECT ep.ea, ep.eb, pa.lon7 AS alon, pa.lat7 AS alat,
+                     pb.lon7 AS blon, pb.lat7 AS blat,
+                     CAST(round(6371000.0 * sqrt(
+                       (radians(blon*1e-7 - alon*1e-7)
+                        * cos(radians((alat*1e-7 + blat*1e-7) / 2.0)))
+                       * (radians(blon*1e-7 - alon*1e-7)
+                          * cos(radians((alat*1e-7 + blat*1e-7) / 2.0)))
+                       + radians(blat*1e-7 - alat*1e-7)
+                         * radians(blat*1e-7 - alat*1e-7)) * 1000.0, 0)
+                       AS BIGINT) AS mm
+              FROM ep JOIN pf pa ON pa.e = ep.ea
+                      JOIN pf pb ON pb.e = ep.eb),
+            da AS (SELECT ea, eb, alon, alat, min(mm) AS m
+                   FROM d GROUP BY 1, 2, 3, 4),
+            h1 AS (SELECT ea, eb, CAST(max(m) AS BIGINT) AS h
+                   FROM da GROUP BY 1, 2),
+            db AS (SELECT ea, eb, blon, blat, min(mm) AS m
+                   FROM d GROUP BY 1, 2, 3, 4),
+            h2 AS (SELECT ea, eb, CAST(max(m) AS BIGINT) AS h
+                   FROM db GROUP BY 1, 2)
+            SELECT h1.ea, h1.eb,
+                   CAST(greatest(h1.h, h2.h) AS DOUBLE) / 1000.0 AS haus_m
+            FROM h1 JOIN h2 ON h2.ea = h1.ea AND h2.eb = h1.eb
+            WHERE greatest(h1.h, h2.h) <= 400000000
         """,
         "idw_surface": """
             -- replay of idw_surface zoom=5 R=2 eps=1e-6: per-term

@@ -1257,3 +1257,55 @@ def test_hmm_map_match_stickiness(spark):
         ).collect()
     }
     assert greedy == {0: 1, 1: 2, 2: 1}
+
+
+def test_hausdorff_join_matches_brute_force(spark):
+    """Pairwise symmetric Hausdorff self-join vs a numpy brute force
+    over ALL entity pairs (no candidate pruning)."""
+    from oshdb_spark.geo.trajectory import hausdorff_join
+
+    rng = np.random.default_rng(97)
+    n_ent, n_fix = 24, 15
+    pts = []
+    for e in range(n_ent):
+        # clustered walks so near pairs exist
+        lon = rng.integers(-200_000_000, 200_000_000)
+        lat = rng.integers(-150_000_000, 150_000_000)
+        if e % 3 == 0 and e > 0:
+            # shadow a previous entity's start for guaranteed near pairs
+            lon, lat = pts[(e - 3) * n_fix][2] + 500_000, \
+                pts[(e - 3) * n_fix][3] - 300_000
+        for i in range(n_fix):
+            lon += rng.integers(-5_000_000, 5_000_001)
+            lat += rng.integers(-5_000_000, 5_000_001)
+            pts.append((e, i, int(lon), int(lat)))
+    df = spark.createDataFrame(
+        pts, "entity long, seq long, lon7 long, lat7 long"
+    )
+    d = 400_000.0
+    got = {
+        (r["ea"], r["eb"]): r["haus_m"]
+        for r in hausdorff_join(df, d).collect()
+    }
+    R = 6_371_000.0
+    arr = {}
+    for e, i, lon, lat in pts:
+        arr.setdefault(e, []).append((lon, lat))
+    exp = {}
+    for ea in range(n_ent):
+        for eb in range(ea + 1, n_ent):
+            A = np.array(arr[ea], dtype=np.float64)
+            B = np.array(arr[eb], dtype=np.float64)
+            la, lb = A[:, 1] * 1e-7, B[:, 1] * 1e-7
+            lo, lp = A[:, 0] * 1e-7, B[:, 0] * 1e-7
+            dlat = np.radians(lb[None, :] - la[:, None])
+            dlng = np.radians(lp[None, :] - lo[:, None]) * np.cos(
+                np.radians((la[:, None] + lb[None, :]) / 2.0)
+            )
+            mm = np.rint(R * np.sqrt(dlng * dlng + dlat * dlat)
+                         * 1000.0).astype(np.int64)
+            h = max(int(mm.min(axis=1).max()), int(mm.min(axis=0).max()))
+            if h <= d * 1000.0:
+                exp[(ea, eb)] = h / 1000.0
+    assert got == exp
+    assert len(exp) >= 3  # non-vacuous: shadowed walks produce pairs
