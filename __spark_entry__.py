@@ -347,6 +347,36 @@ def q_hotspot_gi(spark, sf_dir):
     return hotspot_gi_star(_event_cell_raster(spark, sf_dir), 6)
 
 
+def q_spacetime_hotspots(spark, sf_dir):
+    """Space-time Gi* emerging-hotspot cube (geo/cells.spacetime_gi_star):
+    zoom-6 cell × calendar-week bins of event counts, 3×3×3
+    neighborhood incl. self. Integer-exact like the 2-D variant, so
+    the oracle replay is bit-identical before round(6)."""
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.geo.cells import spacetime_gi_star
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+        - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+        - 850_000_000
+    )
+    bins = (
+        ev.withColumn("lon7", lon7)
+        .withColumn("lat7", lat7)
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+        .withColumn("wk", F.floor(F.col("sec") / 604800).cast("long"))
+        .groupBy("cell", "wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spacetime_gi_star(bins, 6, t_col="wk")
+
+
 def q_moran_events(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
     the zoom-6 event-count raster — queen 3x3 excl. self. One output
@@ -3903,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "focal_mean": q_focal_mean,
         "hotspot_gi": q_hotspot_gi,
+        "spacetime_hotspots": q_spacetime_hotspots,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
@@ -4359,6 +4390,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "hotspot_gi": _HOTSPOT_GI_ORACLE,
+        "spacetime_hotspots": """
+            -- 3x3x3 space-time Gi* replay: same integer-exact focal
+            -- cube (lon wrap, lat clamp, time no wrap) and the same
+            -- N-cancelling formulation as the 2-D hotspot oracle
+            WITH r AS (
+              SELECT ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell,
+                     sec // 604800 AS wk,
+                     count(*) AS cnt
+              FROM (
+                SELECT ((event_id*1103515245) % 3600000000)
+                         - 1800000000 AS lon7,
+                       ((event_id*1234567891) % 1700000000)
+                         - 850000000 AS lat7,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events)
+              GROUP BY 1, 2),
+            contrib AS (
+              SELECT ((cell // 64) + dy) * 64
+                     + ((cell % 64) + dx + 64) % 64 AS tc,
+                     wk + dt AS tw, cnt
+              FROM r,
+                   (VALUES (-1), (0), (1)) AS dxs(dx),
+                   (VALUES (-1), (0), (1)) AS dys(dy),
+                   (VALUES (-1), (0), (1)) AS dts(dt)
+              WHERE (cell // 64) + dy BETWEEN 0 AND 31),
+            agg AS (SELECT tc, tw, CAST(sum(cnt) AS BIGINT) AS s_f,
+                           CAST(count(*) AS BIGINT) AS n_f
+                    FROM contrib GROUP BY 1, 2),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS s,
+                         CAST(sum(cnt*cnt) AS BIGINT) AS s2 FROM r)
+            SELECT r.cell, r.wk, r.cnt,
+                   round(CAST(g.n*a.s_f - g.s*a.n_f AS DOUBLE)
+                         / (sqrt(CAST(g.n*g.s2 - g.s*g.s AS DOUBLE))
+                            * sqrt(CAST(g.n*a.n_f - a.n_f*a.n_f AS DOUBLE)
+                                   / CAST(g.n - 1 AS DOUBLE))), 6)
+                     AS gi_star
+            FROM r JOIN agg a ON a.tc = r.cell AND a.tw = r.wk
+            CROSS JOIN g
+        """,
         "moran_events": _MORAN_EVENTS_ORACLE,
         "focal_mean": """
             -- 3×3 focal stats replay over the zoom-6 raster: ncols=64,

@@ -969,3 +969,106 @@ def idw_surface(
             ).alias("idw_value"),
         )
     )
+
+
+def spacetime_gi_star(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    t_col: str = "t",
+    value_col: str = "cnt",
+):
+    """Space-time Getis-Ord Gi* over a sparse (cell, time-bin) CUBE —
+    the "emerging hot spot" analytic: the 2-D hotspot_gi_star
+    neighborhood extended to 3×3×3 (queen spatial ring × {t-1, t, t+1},
+    INCLUDING self, binary weights), sparse semantics throughout
+    (absent bins are no-data, not zero; global moments run over PRESENT
+    bins only). Longitude wraps, latitude rows clamp at the poles, time
+    does not wrap.
+
+    Same integer-exact formulation as hotspot_gi_star — every aggregate
+    (focal sum/count per bin, global N/S/S2) is an exact int64, so the
+    z-score is bit-reproducible across engines before the final
+    round(6).
+
+    Plan shape (100 TB): each present bin emits 27 contributions via a
+    literal-offset codegen explode, ONE partial+final agg on the target
+    bin, one inner join back to present bins (both sides already
+    hash-partitioned on the bin key), ONE broadcast 1-row global-moment
+    join. Shuffle volume is 27× the CUBE (bins, not raw points) —
+    independent of the underlying event volume.
+
+    Returns (cell, t, value, gi_star)."""
+    from pyspark.sql import functions as F
+
+    zoom = _clamp_zoom(zoom)
+    ncols = 1 << zoom
+    y_max = int(
+        xy_id(np.array([0]), np.array([_LAT_MAX]), zoom)[0]
+    ) // ncols
+
+    src = df.select(
+        F.col(cell_col).alias("_c"),
+        F.col(t_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+    ).filter(F.col("_c") >= 0)
+    x = F.pmod(F.col("_c"), F.lit(ncols))
+    y = F.floor(F.col("_c") / F.lit(ncols))
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy}, 'dt', {dt})"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)
+        )
+        + "))"
+    )
+    contrib = (
+        src.select("_c", "_t", "_v", x.alias("_x"), y.alias("_y"),
+                   offs.alias("_o"))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") <= y_max))
+        .select(
+            (
+                F.col("_ny") * ncols
+                + F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(ncols))
+            ).alias("_tc"),
+            (F.col("_t") + F.col("_o.dt")).alias("_tt"),
+            "_v",
+        )
+    )
+    agg = contrib.groupBy("_tc", "_tt").agg(
+        F.sum("_v").alias("_sf"),
+        F.count(F.lit(1)).alias("_nf"),
+    )
+    g = src.agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum("_v").alias("_gs"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_gs2"),
+    )
+    out = (
+        src.join(
+            agg,
+            (src["_c"] == agg["_tc"]) & (src["_t"] == agg["_tt"]),
+        )
+        .crossJoin(F.broadcast(g))
+    )
+    num = (F.col("_gn") * F.col("_sf") - F.col("_gs") * F.col("_nf")).cast(
+        "double"
+    )
+    b = F.sqrt(
+        (F.col("_gn") * F.col("_gs2") - F.col("_gs") * F.col("_gs"))
+        .cast("double")
+    )
+    c = F.sqrt(
+        (F.col("_gn") * F.col("_nf") - F.col("_nf") * F.col("_nf"))
+        .cast("double")
+        / (F.col("_gn") - F.lit(1)).cast("double")
+    )
+    return out.select(
+        F.col("_c").alias(cell_col),
+        F.col("_t").alias(t_col),
+        F.col("_v").alias(value_col),
+        F.round(num / (b * c), 6).alias("gi_star"),
+    )

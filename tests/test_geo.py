@@ -819,3 +819,59 @@ def test_idw_surface_matches_brute_force(spark):
         for r in idw_surface(one, zoom, "val", radius_cells=1).collect()
     }
     assert abs(rows[(0, 0)] - 42.0) < 1e-3
+
+
+def test_spacetime_gi_star_matches_replay(spark):
+    """3×3×3 space-time Gi* vs a python replay on a sparse cube:
+    lon wrap, lat clamp, time NO wrap, sparse no-data semantics."""
+    import math
+
+    from oshdb_spark.geo.cells import spacetime_gi_star
+
+    zoom, ncols, y_max = 6, 64, 31
+    rng = np.random.default_rng(103)
+    bins = {}
+    # sparse cube incl. antimeridian columns, top/bottom rows, and
+    # time edges
+    cells = [0, 1, 63, 64, 1000, 1001, 1064, 31 * 64, 31 * 64 + 63]
+    for c in cells:
+        for t in (0, 1, 2, 5):
+            if rng.random() < 0.75:
+                bins[(c, t)] = int(rng.integers(1, 9))
+    df = spark.createDataFrame(
+        [(c, t, v) for (c, t), v in bins.items()],
+        "cell long, t long, cnt long",
+    )
+    got = {
+        (r["cell"], r["t"]): (r["cnt"], r["gi_star"])
+        for r in spacetime_gi_star(df, zoom).collect()
+    }
+    N = len(bins)
+    S = sum(bins.values())
+    S2 = sum(v * v for v in bins.values())
+    exp = {}
+    for (c, t), v in bins.items():
+        x, y = c % ncols, c // ncols
+        sf = nf = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dt in (-1, 0, 1):
+                    ny = y + dy
+                    if not (0 <= ny <= y_max):
+                        continue
+                    nc = ny * ncols + (x + dx) % ncols
+                    w = bins.get((nc, t + dt))
+                    if w is not None:
+                        sf += w
+                        nf += 1
+        num = float(N * sf - S * nf)
+        den = math.sqrt(float(N * S2 - S * S)) * math.sqrt(
+            float(N * nf - nf * nf) / float(N - 1)
+        )
+        gi = num / den
+        exp[(c, t)] = (v, float(np.format_float_positional(
+            np.round(gi, 6), trim='-')) if gi == gi else None)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-9), k
