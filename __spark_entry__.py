@@ -377,6 +377,61 @@ def q_spacetime_hotspots(spark, sf_dir):
     return spacetime_gi_star(bins, 6, t_col="wk")
 
 
+def q_travel_cost(spark, sf_dir):
+    """Travel-cost field (ops/graph.sssp): cheapest observed path cost
+    from the first three events' cells to every reachable zoom-6 cell
+    of the movement network (edges = consecutive same-user fixes,
+    weight = integer-mm hop distance). Exact int64 min-plus — no
+    floats in the DP; the oracle replays the bounded Bellman-Ford as
+    exactly-k-edge walk layers in one recursive CTE."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.ops.graph import sssp
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = (
+        ev.withColumn(
+            "lon7",
+            F.pmod(F.col("event_id") * F.lit(1103515245),
+                   F.lit(3_600_000_000)) - 1_800_000_000,
+        )
+        .withColumn(
+            "lat7",
+            F.pmod(F.col("event_id") * F.lit(1234567891),
+                   F.lit(1_700_000_000)) - 850_000_000,
+        )
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lon, lat = F.col("lon7") * 1e-7, F.col("lat7") * 1e-7
+    hop = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .withColumn("plon", F.lag(lon).over(w))
+        .withColumn("plat", F.lag(lat).over(w))
+        .filter(F.col("pcell").isNotNull())
+    )
+    dlat = F.radians(lat - F.col("plat"))
+    dlng = F.radians(lon - F.col("plon")) * F.cos(
+        F.radians((F.col("plat") + lat) / 2.0)
+    )
+    edges = hop.select(
+        F.col("pcell").alias("src"),
+        F.col("cell").alias("dst"),
+        F.round(
+            F.lit(6371000.0) * F.sqrt(dlng * dlng + dlat * dlat)
+            * F.lit(1000.0),
+            0,
+        ).cast("long").alias("w"),
+    )
+    srcs = [
+        r["cell"]
+        for r in pts.filter(F.col("event_id") <= 2)
+        .select("cell").collect()
+    ]  # 3-row driver collect (manifest-sized, rule-derived on both sides)
+    return sssp(edges, srcs, n_iter=8)
+
+
 def q_moran_events(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
     the zoom-6 event-count raster — queen 3x3 excl. self. One output
@@ -3934,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "hotspot_gi": q_hotspot_gi,
         "spacetime_hotspots": q_spacetime_hotspots,
+        "travel_cost": q_travel_cost,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
@@ -4390,6 +4446,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "hotspot_gi": _HOTSPOT_GI_ORACLE,
+        "travel_cost": """
+            -- bounded Bellman-Ford replay: layer k of the recursion is
+            -- the best cost over walks of EXACTLY k edges from any
+            -- source; min across layers 0..8 = the engine's answer
+            -- (min-over-walks = min-over-paths, weights >= 0). Edges
+            -- MATERIALIZED: the recursive term re-references them
+            -- every iteration
+            WITH RECURSIVE
+            pts AS (
+              SELECT event_id, user_id,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events),
+            cp AS (
+              SELECT event_id, user_id, lon7, lat7,
+                     ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell
+              FROM pts),
+            hop AS (
+              SELECT user_id, cell,
+                     lag(cell) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pcell,
+                     lag(lon7*1e-7) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS plon,
+                     lag(lat7*1e-7) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS plat,
+                     lon7*1e-7 AS lon, lat7*1e-7 AS lat
+              FROM cp),
+            ed AS MATERIALIZED (
+              SELECT pcell AS s, cell AS t,
+                     min(CAST(round(6371000.0 * sqrt(
+                       (radians(lon - plon)
+                        * cos(radians((plat + lat) / 2.0)))
+                       * (radians(lon - plon)
+                          * cos(radians((plat + lat) / 2.0)))
+                       + radians(lat - plat) * radians(lat - plat))
+                       * 1000.0, 0) AS BIGINT)) AS w
+              FROM hop WHERE pcell IS NOT NULL
+              GROUP BY 1, 2),
+            srcs AS MATERIALIZED (
+              SELECT DISTINCT cell AS node FROM cp WHERE event_id <= 2),
+            dp AS (
+              SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS k FROM srcs
+              UNION ALL
+              SELECT e.t AS node, min(p.dist + e.w) AS dist,
+                     p.k + 1 AS k
+              FROM dp p JOIN ed e ON e.s = p.node
+              WHERE p.k < 8
+              GROUP BY e.t, p.k + 1)
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM dp GROUP BY node
+        """,
         "spacetime_hotspots": """
             -- 3x3x3 space-time Gi* replay: same integer-exact focal
             -- cube (lon wrap, lat clamp, time no wrap) and the same

@@ -193,3 +193,77 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def sssp(
+    edges: DataFrame,
+    sources: list[int],
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Multi-source weighted shortest paths: bounded-hop Bellman-Ford
+    over the min-plus semiring with EXACT int64 weights — the routing /
+    travel-cost-field primitive (e.g. cheapest observed path cost from
+    depot cells to every reachable cell of a movement network).
+
+    Semantics (what the DuckDB oracle replays with one recursive CTE):
+    parallel edges collapse to their min weight; layer k holds the best
+    cost over walks of EXACTLY k edges from any source; the answer per
+    node is the min across layers 0..n_iter. With non-negative weights
+    min-over-walks = min-over-paths, so distances are EXACT for every
+    node whose shortest path uses ≤ n_iter edges (callers size n_iter
+    to the graph's hop diameter; unreached nodes are absent). All
+    arithmetic is int64 min/+ — no floats, no quantization, identical
+    on any engine and any partitioning.
+
+    Scale posture per iteration: ONE data-sized shuffle (groupBy dst of
+    relaxations) plus one join of the frontier against the edge table
+    (AQE broadcasts small frontiers); a best-so-far anti-prune drops
+    frontier entries that cannot improve, so frontiers shrink as the
+    wave settles; localCheckpoint truncates lineage per round
+    (pagerank's recipe — iteration k costs the same as iteration 1)."""
+    e = (
+        edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+        .agg(F.min(w).alias("_w"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    best = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(sources))], "node long, dist long"
+    )
+    frontier = best
+    for _ in range(n_iter):
+        relax = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(
+                F.col("_t").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # anti-prune: a relaxation that does not beat best-so-far can
+        # never contribute a better downstream walk either (weights >= 0)
+        frontier = (
+            relax.join(
+                best.select(
+                    F.col("node").alias("_bn"), F.col("dist").alias("_bd")
+                ),
+                relax["node"] == F.col("_bn"),
+                "left",
+            )
+            .filter(F.col("_bd").isNull() | (F.col("dist") < F.col("_bd")))
+            .select("node", "dist")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        best = (
+            best.union(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return best

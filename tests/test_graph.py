@@ -156,3 +156,62 @@ class TestPagerank:
         b = {r["node"]: r["rank"]
              for r in pagerank(edges.repartition(13), n_iter=2).collect()}
         assert a == b
+
+
+def test_sssp_matches_dijkstra(spark):
+    """Bounded-hop Bellman-Ford vs a pure-python Dijkstra on a random
+    weighted digraph (n_iter >= hop diameter => exact everywhere)."""
+    import heapq
+
+    import numpy as np
+
+    rng = np.random.default_rng(113)
+    n, m = 60, 400
+    es = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n)),
+         int(rng.integers(1, 1000)))
+        for _ in range(m)
+    ]
+    edges = spark.createDataFrame(es, "src long, dst long, w long")
+    sources = [0, 7]
+    from oshdb_spark.ops.graph import sssp
+
+    got = {r["node"]: r["dist"] for r in
+           sssp(edges, sources, n_iter=n).collect()}
+
+    adj: dict = {}
+    for s, d, ww in es:
+        adj.setdefault(s, {})
+        adj[s][d] = min(adj[s].get(d, 1 << 60), ww)
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    heapq.heapify(pq)
+    seen = set()
+    while pq:
+        du, u = heapq.heappop(pq)
+        if u in seen:
+            continue
+        seen.add(u)
+        for v, ww in adj.get(u, {}).items():
+            nd = du + ww
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+    assert len(got) > 10
+
+
+def test_sssp_hop_bound_and_early_stop(spark):
+    """A strict hop bound truncates distant nodes; the wave also stops
+    early on a settled chain (frontier empties)."""
+    from oshdb_spark.ops.graph import sssp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 5) for i in range(6)], "src long, dst long, w long"
+    )
+    two = {r["node"]: r["dist"] for r in
+           sssp(chain, [0], n_iter=2).collect()}
+    assert two == {0: 0, 1: 5, 2: 10}
+    full = {r["node"]: r["dist"] for r in
+            sssp(chain, [0], n_iter=50).collect()}
+    assert full == {i: 5 * i for i in range(7)}
