@@ -432,6 +432,75 @@ def q_travel_cost(spark, sf_dir):
     return sssp(edges, srcs, n_iter=8)
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix: consecutive same-user fixes
+    become (from_cell -> to_cell) movements, bucketed by calendar week
+    of the ARRIVING fix; per (week, from, to): flow count, distinct
+    movers, exact mm-rounded total hop distance. Pure Catalyst: one
+    window on the entity key, one aggregate — the standard mobility
+    analytic over the same movement network travel_cost routes on."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    pts = (
+        ev.withColumn(
+            "lon7",
+            F.pmod(F.col("event_id") * F.lit(1103515245),
+                   F.lit(3_600_000_000)) - 1_800_000_000,
+        )
+        .withColumn(
+            "lat7",
+            F.pmod(F.col("event_id") * F.lit(1234567891),
+                   F.lit(1_700_000_000)) - 850_000_000,
+        )
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 4))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lon, lat = F.col("lon7") * 1e-7, F.col("lat7") * 1e-7
+    hop = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .withColumn("plon", F.lag(lon).over(w))
+        .withColumn("plat", F.lag(lat).over(w))
+        .filter(F.col("pcell").isNotNull())
+    )
+    dlat = F.radians(lat - F.col("plat"))
+    dlng = F.radians(lon - F.col("plon")) * F.cos(
+        F.radians((F.col("plat") + lat) / 2.0)
+    )
+    return (
+        hop.withColumn("wk", F.floor(F.col("sec") / 604800).cast("long"))
+        .withColumn(
+            "hop_mm",
+            F.round(
+                F.lit(6371000.0) * F.sqrt(dlng * dlng + dlat * dlat)
+                * F.lit(1000.0),
+                0,
+            ).cast("long"),
+        )
+        .groupBy("wk", F.col("pcell").alias("from_cell"),
+                 F.col("cell").alias("to_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("flows"),
+            F.countDistinct("user_id").alias("movers"),
+            F.sum("hop_mm").alias("dist_mm"),
+        )
+    )
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (ops/textstats.
+    tfidf_keywords): top-3 characteristic tokens per document with
+    smoothed IDF; round-6 score, ties broken by binary token order."""
+    from oshdb_spark.ops.textstats import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_moran_events(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
     the zoom-6 event-count raster — queen 3x3 excl. self. One output
@@ -3990,6 +4059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "spacetime_hotspots": q_spacetime_hotspots,
         "travel_cost": q_travel_cost,
+        "od_matrix": q_od_matrix,
+        "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
@@ -4446,6 +4517,76 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "hotspot_gi": _HOTSPOT_GI_ORACLE,
+        "tfidf_keywords": """
+            -- replay: whitespace tokens, smoothed IDF, round-6 score,
+            -- per-doc top-3 with binary token tie order
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+                    FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT doc_id, tok, tf, doc_freq,
+                     round(tf * ln(CAST(n + 1 AS DOUBLE)
+                                   / CAST(doc_freq + 1 AS DOUBLE)), 6)
+                       AS score
+              FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+            r AS (
+              SELECT doc_id, tok, tf, doc_freq, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, tok) AS rnk
+              FROM sc)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rank, tok AS token,
+                   tf, doc_freq, score
+            FROM r WHERE rnk <= 3
+        """,
+        "od_matrix": """
+            -- replay: same movement hops (lag per user), zoom-4 cells,
+            -- week of the arriving fix, mm-exact hop sums (CAST —
+            -- DuckDB sum(BIGINT) is HUGEINT)
+            WITH pts AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events),
+            cp AS (
+              SELECT event_id, user_id, sec, lon7, lat7,
+                     ((lat7 + 900000000) // 225000000) * 16
+                     + ((lon7 + 1800000000) // 225000000) AS cell
+              FROM pts),
+            hop AS (
+              SELECT user_id, sec, cell,
+                     lag(cell) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pcell,
+                     lag(lon7*1e-7) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS plon,
+                     lag(lat7*1e-7) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS plat,
+                     lon7*1e-7 AS lon, lat7*1e-7 AS lat
+              FROM cp),
+            h2 AS (
+              SELECT user_id, sec // 604800 AS wk, pcell, cell,
+                     CAST(round(6371000.0 * sqrt(
+                       (radians(lon - plon)
+                        * cos(radians((plat + lat) / 2.0)))
+                       * (radians(lon - plon)
+                          * cos(radians((plat + lat) / 2.0)))
+                       + radians(lat - plat) * radians(lat - plat))
+                       * 1000.0, 0) AS BIGINT) AS hop_mm
+              FROM hop WHERE pcell IS NOT NULL)
+            SELECT wk, pcell AS from_cell, cell AS to_cell,
+                   CAST(count(*) AS BIGINT) AS flows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS movers,
+                   CAST(sum(hop_mm) AS BIGINT) AS dist_mm
+            FROM h2 GROUP BY 1, 2, 3
+        """,
         "travel_cost": """
             -- bounded Bellman-Ford replay: layer k of the recursion is
             -- the best cost over walks of EXACTLY k edges from any

@@ -342,3 +342,67 @@ def vocab_stats(
             F.round(F.col("types") / F.col("tokens"), 6),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-k most
+    characteristic whitespace tokens of every document — topical tags
+    for corpus exploration / stratification (the per-doc complement of
+    vocab_stats' per-group profile and bm25_scores' fixed-query arm).
+
+    score = round(tf * ln((N+1) / (df+1)), 6) with tf the in-doc count,
+    df the number of documents containing the token, N the corpus size
+    (smoothed IDF — never negative, never /0). The round-6 pins the
+    cross-engine float contract (one ln + one multiply on identical
+    integers); rank ties break on the token's binary string order.
+
+    Plan shape (100 TB): explode → ONE (doc, token) partial+final agg
+    (the only data-sized shuffle; multiplicities combine map-side), a
+    vocabulary-sized doc-frequency aggregate joined back on the token
+    key (AQE broadcasts small vocabularies), a 1-row broadcast N, and a
+    per-doc top-k window whose partitions are bounded by per-doc
+    vocabulary — never by corpus size."""
+    toks = df.select(
+        F.col(doc_col).alias("_d"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    tf = toks.groupBy("_d", "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "_tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("_n") + 1).cast("double")
+                    / (F.col("doc_freq") + 1).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_d").orderBy(
+        F.col("score").desc(), F.col("_tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_d").alias(doc_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_tok").alias("token"),
+            "tf",
+            "doc_freq",
+            "score",
+        )
+    )

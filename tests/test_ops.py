@@ -1259,3 +1259,47 @@ def test_cms_overestimates_never_under(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in sk.collect())
     assert a == b
+
+
+def test_tfidf_keywords_matches_replay(spark):
+    """TF-IDF top-k vs a pure-python replay incl. smoothed IDF, round-6
+    score ties broken by binary token order."""
+    import math
+
+    from oshdb_spark.ops.textstats import tfidf_keywords
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "apple date date date fig"),
+        (3, "fig fig fig fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["token"], r["tf"], r["doc_freq"],
+         r["score"])
+        for r in tfidf_keywords(df, k=2).collect()
+    ]
+    # replay
+    tf: dict = {}
+    for d, t in docs:
+        for tok in t.split(" "):
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    dfreq: dict = {}
+    for (d, tok) in tf:
+        dfreq[tok] = dfreq.get(tok, 0) + 1
+    N = len(docs)
+    exp = []
+    for d in range(N):
+        rows = [
+            (tok, c, dfreq[tok],
+             round(c * math.log((N + 1) / (dfreq[tok] + 1)), 6))
+            for (dd, tok), c in tf.items() if dd == d
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        for i, (tok, c, dfq, sc) in enumerate(rows[:2]):
+            exp.append((d, i + 1, tok, c, dfq, sc))
+    assert sorted(got) == sorted(exp)
+    # fig is unique to docs 2/3 and must headline doc 3
+    top3 = [r for r in got if r[0] == 3 and r[1] == 1][0]
+    assert top3[2] == "fig"
