@@ -501,6 +501,33 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_simplify_tracks(spark, sf_dir):
+    """Radial-distance trajectory simplification (geo/trajectory.
+    simplify_radial): each user's clustered-walk fixes downsampled to
+    ≥ 400 km spacing from the last KEPT fix — the sequential fold the
+    oracle replays with a recursive CTE stepping arg_min to the next
+    kept fix."""
+    from oshdb_spark.geo.trajectory import simplify_radial
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return simplify_radial(pts, 400_000.0)
+
+
 def q_moran_events(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
     the zoom-6 event-count raster — queen 3x3 excl. self. One output
@@ -4060,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_hotspots": q_spacetime_hotspots,
         "travel_cost": q_travel_cost,
         "od_matrix": q_od_matrix,
+        "simplify_tracks": q_simplify_tracks,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4543,6 +4571,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk AS BIGINT) AS rank, tok AS token,
                    tf, doc_freq, score
             FROM r WHERE rnk <= 3
+        """,
+        "simplify_tracks": """
+            -- sequential-fold replay: the recursion's layer k holds
+            -- each entity's k-th KEPT fix; the step joins to all later
+            -- fixes >= 400 km (mm-quantized, identical formula) and
+            -- arg_min picks the earliest — exactly the engine's fold.
+            -- Points MATERIALIZED (re-referenced every iteration)
+            WITH RECURSIVE
+            p AS MATERIALIZED (
+              SELECT user_id AS ent, event_id AS ordk,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + ((event_id*1103515245) % 60000001)
+                       - 30000000 AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + ((event_id*1234567891) % 60000001)
+                       - 30000000 AS lat7
+              FROM events),
+            f0 AS (SELECT ent, min(ordk) AS ordk FROM p GROUP BY ent),
+            dp AS (
+              SELECT p.ent, 0 AS k, p.ordk, p.lon7, p.lat7
+              FROM p JOIN f0 ON f0.ent = p.ent AND f0.ordk = p.ordk
+              UNION ALL
+              SELECT d.ent, d.k + 1 AS k,
+                     min(n.ordk) AS ordk,
+                     arg_min(n.lon7, n.ordk) AS lon7,
+                     arg_min(n.lat7, n.ordk) AS lat7
+              FROM dp d JOIN p n
+                ON n.ent = d.ent AND n.ordk > d.ordk
+              WHERE CAST(round(6371000.0 * sqrt(
+                  (radians(n.lon7*1e-7 - d.lon7*1e-7)
+                   * cos(radians((d.lat7*1e-7 + n.lat7*1e-7) / 2.0)))
+                  * (radians(n.lon7*1e-7 - d.lon7*1e-7)
+                     * cos(radians((d.lat7*1e-7 + n.lat7*1e-7) / 2.0)))
+                  + radians(n.lat7*1e-7 - d.lat7*1e-7)
+                    * radians(n.lat7*1e-7 - d.lat7*1e-7)) * 1000.0, 0)
+                  AS BIGINT) >= 400000000
+              GROUP BY d.ent, d.k + 1)
+            SELECT ent AS entity, CAST(k AS BIGINT) AS kept_seq,
+                   ordk AS ord_key, lon7, lat7
+            FROM dp
         """,
         "od_matrix": """
             -- replay: same movement hops (lag per user), zoom-4 cells,

@@ -263,3 +263,89 @@ def hausdorff_join(
                 )
 
     return cand.mapInPandas(refine, schema=out_schema)
+
+
+def simplify_radial(
+    points: DataFrame,
+    d_meters: float,
+    entity_col: str = "entity",
+    order_col: str = "ord_key",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Radial-distance trajectory simplification: per entity, walk the
+    fix sequence in order and KEEP a fix iff its distance from the LAST
+    KEPT fix is ≥ ``d_meters`` (the first fix is always kept) — the
+    standard GPS downsampling pass before storage / map matching
+    (bounds points per unit path length while preserving shape to d).
+
+    This is an order-dependent SEQUENTIAL FOLD (each decision depends
+    on the last KEPT point, not the previous raw point), so it cannot
+    be a window function; it runs as one grouped-Arrow kernel per
+    entity — the inherently-sequential-per-entity shape map matching
+    also has; cross-entity it is embarrassingly parallel and the only
+    shuffle is the entity groupBy. Distances quantize to integer mm
+    before the ≥ comparison (engine-exact; the oracle replays the fold
+    with a recursive CTE stepping arg_min to the next kept fix).
+
+    ``order_col`` must be unique per entity. Output: entity, kept_seq
+    (0-based), ord_key, lon7, lat7."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geodesy import EARTH_RADIUS
+
+    dmm = int(round(d_meters * 1000.0))
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.LongType()),
+            T.StructField("kept_seq", T.LongType()),
+            T.StructField("ord_key", T.LongType()),
+            T.StructField("lon7", T.LongType()),
+            T.StructField("lat7", T.LongType()),
+        ]
+    )
+    sel = points.select(
+        F.col(entity_col).cast("long").alias("_ent"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.col(lon7_col).cast("long").alias("_lon"),
+        F.col(lat7_col).cast("long").alias("_lat"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object)
+                 for c in ["entity", "kept_seq", "ord_key", "lon7",
+                           "lat7"]}
+            )
+        ent = int(pdf["_ent"].iloc[0])
+        pdf = pdf.sort_values("_ord", kind="mergesort")
+        ords = pdf["_ord"].to_numpy(np.int64)
+        lon = pdf["_lon"].to_numpy(np.int64)
+        lat = pdf["_lat"].to_numpy(np.int64)
+        lod = lon * 1e-7
+        lad = lat * 1e-7
+        rows = []
+        i = 0
+        while i is not None and i < len(ords):
+            rows.append(
+                (ent, len(rows), int(ords[i]), int(lon[i]), int(lat[i]))
+            )
+            rest = slice(i + 1, len(ords))
+            dlat = np.radians(lad[rest] - lad[i])
+            dlng = np.radians(lod[rest] - lod[i]) * np.cos(
+                np.radians((lad[i] + lad[rest]) / 2.0)
+            )
+            mm = np.rint(
+                EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat) * 1000.0
+            ).astype(np.int64)
+            far = np.nonzero(mm >= dmm)[0]
+            i = (i + 1 + int(far[0])) if len(far) else None
+        return pd.DataFrame(
+            rows, columns=["entity", "kept_seq", "ord_key", "lon7",
+                           "lat7"]
+        )
+
+    return sel.groupBy("_ent").applyInPandas(kernel, schema)

@@ -875,3 +875,55 @@ def test_spacetime_gi_star_matches_replay(spark):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert got[k][1] == pytest.approx(exp[k][1], abs=1e-9), k
+
+
+def test_simplify_radial_matches_fold(spark):
+    """Radial simplification vs a pure-python sequential fold; the
+    first fix always survives, consecutive kept fixes are >= d apart,
+    and every dropped fix is < d from its governing kept fix."""
+    import numpy as np
+
+    from oshdb_spark.geo.trajectory import simplify_radial
+
+    rng = np.random.default_rng(127)
+    R = 6_371_000.0
+    pts = []
+    for e in range(8):
+        lon = int(rng.integers(-1_000_000_000, 1_000_000_000))
+        lat = int(rng.integers(-600_000_000, 600_000_000))
+        for i in range(40):
+            lon += int(rng.integers(-3_000_000, 3_000_001))
+            lat += int(rng.integers(-3_000_000, 3_000_001))
+            pts.append((e, i, lon, lat))
+    df = spark.createDataFrame(
+        pts, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    d = 80_000.0
+    got = {}
+    for r in simplify_radial(df, d).collect():
+        got.setdefault(r["entity"], []).append(
+            (r["kept_seq"], r["ord_key"], r["lon7"], r["lat7"])
+        )
+
+    totals = []
+
+    def mm(a, b):
+        la, lb = a[1] * 1e-7, b[1] * 1e-7
+        lo, lp = a[0] * 1e-7, b[0] * 1e-7
+        dlat = np.radians(lb - la)
+        dlng = np.radians(lp - lo) * np.cos(np.radians((la + lb) / 2.0))
+        return int(np.rint(R * np.sqrt(dlng * dlng + dlat * dlat)
+                           * 1000.0))
+
+    for e in range(8):
+        seq = [(lon, lat, i) for (ee, i, lon, lat) in pts if ee == e]
+        kept = [seq[0]]
+        for p in seq[1:]:
+            if mm((kept[-1][0], kept[-1][1]), (p[0], p[1])) >= d * 1000:
+                kept.append(p)
+        want = [(k, p[2], p[0], p[1]) for k, p in enumerate(kept)]
+        assert sorted(got[e]) == want, f"entity {e}"
+        totals.append(len(kept))
+    # non-vacuous across the fixture: drops AND multi-keeps both occur
+    assert all(t < 40 for t in totals)
+    assert sum(totals) > 8
