@@ -528,6 +528,83 @@ def q_simplify_tracks(spark, sf_dir):
     return simplify_radial(pts, 400_000.0)
 
 
+def q_colocation_pairs(spark, sf_dir):
+    """Spatio-temporal co-location join (geo/spatial_join.
+    colocation_join): fix pairs of DIFFERENT users within 500 km and
+    1 hour over the clustered-walk positions (adjacent user ids share a
+    slot, so real contacts exist at every sf). Each qualifying fix pair
+    meets in exactly one (cell, time-bucket) key — no dedup. Per ordered
+    user pair: contact count, min and total mm-quantized distance (all
+    BIGINT — fully hash-stable)."""
+    from oshdb_spark.geo.spatial_join import colocation_join
+
+    slot = (F.col("user_id") / 2).cast("long")
+    fixes = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    right = fixes.withColumnRenamed("uid", "vid")
+    j = colocation_join(fixes, right, 500_000.0, 3600).filter(
+        F.col("uid") < F.col("vid")
+    )
+    mm = F.round(F.col("dist_m") * 1000.0, 0).cast("long")
+    return (
+        j.withColumn("dist_mm", mm)
+        .groupBy(
+            F.col("uid").alias("uid_a"), F.col("vid").alias("uid_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("contacts"),
+            F.min("dist_mm").alias("min_dist_mm"),
+            F.sum("dist_mm").alias("sum_dist_mm"),
+        )
+    )
+
+
+def q_dbscan_fixes(spark, sf_dir):
+    """Distributed DBSCAN (ops/clustering.dbscan_points) over the
+    clustered-walk fixes: ε = 60 km, min_pts = 4. ε-pairs via the PBSM
+    neighbor-cell join, cores by exact ε-degree, clusters = connected
+    components of the core-core ε-graph (labels = component-min core
+    id), borders attach to their minimum core-neighbor label. Per
+    cluster: core/border counts and the member-id checksum — all
+    BIGINT."""
+    from oshdb_spark.ops.clustering import dbscan_points
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    lab = dbscan_points(pts, 60_000.0, 4)
+    return lab.groupBy("cluster").agg(
+        F.sum("is_core").alias("n_core"),
+        F.sum(1 - F.col("is_core")).alias("n_border"),
+        F.sum("pid").alias("pid_sum"),
+    )
+
+
 def q_moran_events(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (geo/cells.moran_i) of
     the zoom-6 event-count raster — queen 3x3 excl. self. One output
@@ -4088,6 +4165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "travel_cost": q_travel_cost,
         "od_matrix": q_od_matrix,
         "simplify_tracks": q_simplify_tracks,
+        "colocation_pairs": q_colocation_pairs,
+        "dbscan_fixes": q_dbscan_fixes,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4571,6 +4650,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk AS BIGINT) AS rank, tok AS token,
                    tf, doc_freq, score
             FROM r WHERE rnk <= 3
+        """,
+        "dbscan_fixes": """
+            -- full DBSCAN replay: brute ε-pairs with the IDENTICAL
+            -- equirect formula behind loose-but-sound |Δlat|/|Δlon|
+            -- prefilters (dist >= R|dlat| and >= R|dlon|cos(mid),
+            -- |lat| <= 70° so 60 km bounds Δlat7 by 5.4e6 and Δlon7 by
+            -- 1.58e7 — no qualifying pair can be dropped); cores by
+            -- exact degree; cluster labels by recursive min-label
+            -- closure over the core-core graph (pruned to lab < node —
+            -- the component minimum still reaches every node); borders
+            -- take the min core-neighbor label. MATERIALIZED states so
+            -- the recursion does not re-run the pair join per layer.
+            WITH RECURSIVE pts AS MATERIALIZED (
+              SELECT event_id AS pid,
+                     ((user_id // 2) % 24) * 150000000 - 1800000000
+                       + 75000000
+                       + (event_id*1103515245) % 60000001 - 30000000
+                       AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001 - 30000000
+                       AS lat7
+              FROM events),
+            f AS MATERIALIZED (
+              SELECT pid, lon7, lat7,
+                     lon7 * 1e-7 AS lon, lat7 * 1e-7 AS lat
+              FROM pts
+              WHERE lat7 >= -700000000 AND lat7 <= 700000000),
+            prs AS MATERIALIZED (
+              SELECT ua, ub FROM (
+                SELECT a.pid AS ua, b.pid AS ub,
+                       radians(b.lat - a.lat) AS dy,
+                       radians(b.lon - a.lon)
+                         * cos(radians((a.lat + b.lat) / 2.0)) AS dx
+                FROM f a JOIN f b
+                  ON a.pid <> b.pid
+                 AND b.lat7 - a.lat7 BETWEEN -5500000 AND 5500000
+                 AND b.lon7 - a.lon7 BETWEEN -16000000 AND 16000000)
+              WHERE 6371000.0 * sqrt(dx*dx + dy*dy) <= 60000.0),
+            deg AS MATERIALIZED (
+              SELECT ua AS pid, count(*) AS nn FROM prs GROUP BY 1),
+            core AS MATERIALIZED (
+              SELECT pid FROM deg WHERE nn >= 3),
+            ce AS MATERIALIZED (
+              SELECT ua, ub FROM prs
+              WHERE ua IN (SELECT pid FROM core)
+                AND ub IN (SELECT pid FROM core)),
+            reach(node, lab) AS (
+              SELECT pid, pid FROM core
+              UNION
+              SELECT ce.ub, r.lab FROM reach r JOIN ce ON ce.ua = r.node
+              WHERE r.lab < ce.ub),
+            clab AS MATERIALIZED (
+              SELECT node AS pid, min(lab) AS cluster
+              FROM reach GROUP BY 1),
+            bord AS MATERIALIZED (
+              SELECT p.ua AS pid, min(c.cluster) AS cluster
+              FROM prs p JOIN clab c ON p.ub = c.pid
+              WHERE p.ua NOT IN (SELECT pid FROM core)
+              GROUP BY 1),
+            allpts AS (
+              SELECT pid, cluster, 1 AS is_core FROM clab
+              UNION ALL SELECT pid, cluster, 0 AS is_core FROM bord)
+            SELECT cluster,
+                   CAST(sum(is_core) AS BIGINT) AS n_core,
+                   CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+                   CAST(sum(pid) AS BIGINT) AS pid_sum
+            FROM allpts GROUP BY cluster
+        """,
+        "colocation_pairs": """
+            -- brute-force pairs with the IDENTICAL equirect formula
+            -- (degrees from fixed-point FIRST via * 1e-7, then
+            -- differenced — term-for-term with equirect_distance_col);
+            -- the <= 500 km filter applies to the UNROUNDED distance,
+            -- quantization to integer mm happens before aggregation so
+            -- every aggregate is an order-invariant BIGINT
+            WITH pts AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     ((user_id // 2) % 24) * 150000000 - 1800000000
+                       + 75000000
+                       + (event_id*1103515245) % 60000001 - 30000000
+                       AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001 - 30000000
+                       AS lat7
+              FROM events),
+            f AS (
+              SELECT uid, sec, lon7 * 1e-7 AS lon, lat7 * 1e-7 AS lat
+              FROM pts
+              WHERE lat7 >= -700000000 AND lat7 <= 700000000),
+            d AS (
+              SELECT ua, ub, 6371000.0 * sqrt(dx*dx + dy*dy) AS dist
+              FROM (
+                SELECT a.uid AS ua, b.uid AS ub,
+                       radians(b.lat - a.lat) AS dy,
+                       radians(b.lon - a.lon)
+                         * cos(radians((a.lat + b.lat) / 2.0)) AS dx
+                FROM f a JOIN f b
+                  ON a.uid < b.uid
+                 AND abs(a.sec - b.sec) <= 3600)),
+            k AS (
+              SELECT ua, ub,
+                     CAST(round(dist * 1000.0, 0) AS BIGINT) AS dist_mm
+              FROM d WHERE dist <= 500000.0)
+            SELECT ua AS uid_a, ub AS uid_b,
+                   count(*) AS contacts,
+                   min(dist_mm) AS min_dist_mm,
+                   CAST(sum(dist_mm) AS BIGINT) AS sum_dist_mm
+            FROM k GROUP BY ua, ub
         """,
         "simplify_tracks": """
             -- sequential-fold replay: the recursion's layer k holds

@@ -1189,6 +1189,123 @@ def distance_join(
     )
 
 
+def colocation_join(
+    left: DataFrame,
+    right: DataFrame,
+    d_meters: float,
+    t_seconds: int,
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    sec_col: str = "sec",
+    lat_max: float = 70.0,
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """Spatio-temporal co-location join: every (left, right) fix pair
+    within ``d_meters`` (reference equirectangular metric, Geo.java:37-45)
+    AND within ``t_seconds`` — the contact/co-movement primitive behind
+    encounter detection, transfer inference, and co-traveler analytics.
+
+    Strategy extends :func:`distance_join`'s neighbor-cell replication
+    with a time dimension: space is gridded so one cell spans ≥ d even at
+    ``lat_max`` and time is bucketed at width t, the right side replicates
+    into its 9 spatial neighbors × 3 temporal buckets (27×), the left
+    side keeps its single (cell, bucket), so every qualifying pair —
+    |Δcell| ≤ 1 and |Δbucket| ≤ 1 by construction — meets in EXACTLY ONE
+    (cell, bucket) key (no dedup, no distinct); the exact distance and
+    |Δsec| predicates refine. The whole plan is one hash equi-join between
+    whole-stage-codegen spans — no cartesian, no Python.
+
+    At 100 TB the 27× build-side fan-out is the explicit price for a
+    dedup-free single shuffle; it ships ids+coords only, and AQE handles
+    residual hot (cell, bucket) keys. Contracts as distance_join: rows
+    with |lat| > lat_max are dropped from both sides, no date-line wrap,
+    right's non-coordinate columns must not collide with left's. Right's
+    ``lon7/lat7/sec`` columns are exposed as ``_r_``-prefixed names."""
+    import math
+
+    d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
+    need = d_deg / math.cos(math.radians(lat_max))
+    if need > 180.0:
+        raise ValueError(
+            "d_meters too large for lat_max: one grid cell cannot span "
+            f"{need:.1f} degrees — lower lat_max or d_meters"
+        )
+    if t_seconds <= 0:
+        raise ValueError("t_seconds must be positive")
+    zoom = 0
+    while zoom < 10 and 360.0 / (1 << (zoom + 1)) >= need:
+        zoom += 1
+    from .cells import _LAT_MAX, _LON_MAX, _N, _clamp_zoom
+
+    zoom = _clamp_zoom(zoom)
+    w = _N << (10 - zoom)
+    ncols = 1 << zoom
+    nrows = ncols // 2
+    lat7_cap = int(lat_max * 1e7)
+
+    def xy(df: DataFrame, lon_c: str, lat_c: str, sec_c: str):
+        return (
+            df.filter(
+                (F.col(lat_c) >= -lat7_cap) & (F.col(lat_c) <= lat7_cap)
+            )
+            .withColumn("_x", F.floor((F.col(lon_c) + _LON_MAX) / w))
+            .withColumn("_y", F.floor((F.col(lat_c) + _LAT_MAX) / w))
+            .withColumn("_tb0", F.floor(F.col(sec_c) / F.lit(int(t_seconds))))
+        )
+
+    l2 = (
+        xy(left, lon7_col, lat7_col, sec_col)
+        .withColumn("_cell", F.col("_y") * ncols + F.col("_x"))
+        .withColumn("_tb", F.col("_tb0"))
+        .drop("_x", "_y", "_tb0")
+    )
+    rlon, rlat = f"_r_{lon7_col}", f"_r_{lat7_col}"
+    rsec = f"_r_{sec_col}"
+    r2 = (
+        xy(
+            right.withColumnRenamed(lon7_col, rlon)
+            .withColumnRenamed(lat7_col, rlat)
+            .withColumnRenamed(sec_col, rsec),
+            rlon,
+            rlat,
+            rsec,
+        )
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.expr(
+                    f"filter(flatten(transform(sequence(-1, 1), "
+                    f"dy -> transform(sequence(-1, 1), "
+                    f"dx -> named_struct('x', _x + dx, 'y', _y + dy)))), "
+                    f"c -> c.x >= 0 AND c.x < {ncols} "
+                    f"AND c.y >= 0 AND c.y < {nrows})"
+                )
+            ),
+        )
+        .withColumn("_cell", F.col("_cell.y") * ncols + F.col("_cell.x"))
+        .withColumn(
+            "_tb",
+            F.explode(F.sequence(F.col("_tb0") - 1, F.col("_tb0") + 1)),
+        )
+        .drop("_x", "_y", "_tb0")
+    )
+    dist = equirect_distance_col(
+        F.col(lat7_col) * 1e-7,
+        F.col(lon7_col) * 1e-7,
+        F.col(rlat) * 1e-7,
+        F.col(rlon) * 1e-7,
+    )
+    return (
+        l2.join(r2, ["_cell", "_tb"])
+        .filter(
+            F.abs(F.col(sec_col) - F.col(rsec)) <= F.lit(int(t_seconds))
+        )
+        .withColumn(dist_col, dist)
+        .filter(F.col(dist_col) <= d_meters)
+        .drop("_cell", "_tb")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

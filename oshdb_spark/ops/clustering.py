@@ -234,3 +234,92 @@ def kmeans_assign(
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
     return df.withColumn(out, _assign(F.col(vec_col)))
+
+
+def dbscan_points(
+    pts: DataFrame,
+    eps_meters: float,
+    min_pts: int,
+    id_col: str = "pid",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    lat_max: float = 70.0,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed DBSCAN (Ester et al., KDD'96) over fixed-point
+    geographic points — density clustering for stay regions, venue
+    discovery, and hot-zone extraction.
+
+    Decomposes into three primitives that each scale independently:
+
+    1. ε-neighbor pairs via the PBSM neighbor-cell replication join
+       (:func:`oshdb_spark.geo.spatial_join.distance_join`) — every pair
+       within ``eps_meters`` by the reference equirectangular metric
+       meets in exactly one grid cell, one hash equi-join, no dedup;
+    2. core points = ε-degree ≥ ``min_pts`` − 1 (the classic count
+       includes the point itself) — one partial+final count aggregate;
+    3. clusters = connected components of the core-core ε-graph
+       (alternating large-star/small-star, O(log n) shuffle rounds);
+       border points (non-core with ≥ 1 core ε-neighbor) attach to the
+       MINIMUM core-neighbor label; everything else is noise (omitted).
+
+    Labels are component-minimum core ids — deterministic, independent
+    of partitioning and row order (exact integer degree counts, min-fold
+    label propagation, min-fold border attachment). Returns
+    ``(id_col, cluster, is_core)`` for core and border points.
+
+    At 100 TB the cost is dominated by the pair join, which is bounded
+    by the ε-ball point density (inherent to exact DBSCAN), not by n²;
+    the CC rounds move core-core EDGES only, and the border attachment
+    is one more aggregate over the already-materialized pair list."""
+    from ..geo.spatial_join import distance_join
+    from .graph import connected_components
+
+    base = pts.select(
+        F.col(id_col).alias("_pid"), F.col(lon7_col), F.col(lat7_col)
+    )
+    pairs = (
+        distance_join(
+            base,
+            base.withColumnRenamed("_pid", "_qid"),
+            eps_meters,
+            lon7_col=lon7_col,
+            lat7_col=lat7_col,
+            lat_max=lat_max,
+        )
+        .filter(F.col("_pid") != F.col("_qid"))
+        .select("_pid", "_qid")
+    )
+    # the ε-graph is consumed three times (degrees, core-core edges,
+    # border attachment) — keep it materialized once
+    pairs = pairs.localCheckpoint()
+    core = (
+        pairs.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+        .filter(F.col("_nn") >= int(min_pts) - 1)
+        .select("_pid")
+    )
+    core_edges = pairs.join(core, "_pid").join(
+        core.withColumnRenamed("_pid", "_qid"), "_qid"
+    )
+    cc = connected_components(
+        core_edges, src="_pid", dst="_qid", max_iter=max_iter
+    )
+    # cores with no core ε-neighbor are singleton clusters of themselves
+    isolated = core.join(
+        cc.select(F.col("node").alias("_pid")), "_pid", "left_anti"
+    ).select(F.col("_pid"), F.col("_pid").alias("cluster"))
+    core_labels = cc.select(
+        F.col("node").alias("_pid"), F.col("component").alias("cluster")
+    ).union(isolated)
+    border = (
+        pairs.join(core, "_pid", "left_anti")
+        .join(
+            core_labels.withColumnRenamed("_pid", "_qid"), "_qid"
+        )
+        .groupBy("_pid")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return core_labels.withColumn("is_core", F.lit(1)).union(
+        border.withColumn("is_core", F.lit(0))
+    ).withColumnRenamed("_pid", id_col)

@@ -1309,3 +1309,65 @@ def test_hausdorff_join_matches_brute_force(spark):
                 exp[(ea, eb)] = h / 1000.0
     assert got == exp
     assert len(exp) >= 3  # non-vacuous: shadowed walks produce pairs
+
+
+def test_colocation_join_matches_brute_force(spark):
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import colocation_join
+
+    rng = np.random.default_rng(31)
+    n = 600
+    # clustered positions so spatial pairs exist; timestamps straddle
+    # bucket boundaries (including negative epochs — floor bucketing)
+    base_lon = rng.integers(-1_500_000_000, 1_500_000_000, n // 4)
+    base_lat = rng.integers(-680_000_000, 680_000_000, n // 4)
+    lon7 = np.concatenate(
+        [base_lon + rng.integers(-30_000_000, 30_000_000, n // 4)
+         for _ in range(4)]
+    )
+    lat7 = np.concatenate(
+        [base_lat + rng.integers(-30_000_000, 30_000_000, n // 4)
+         for _ in range(4)]
+    )
+    secs = rng.integers(-7_200, 7_200, n)
+    pts = spark.createDataFrame(
+        [
+            (int(i), int(a), int(b), int(s))
+            for i, (a, b, s) in enumerate(zip(lon7, lat7, secs))
+        ],
+        "pid long, lon7 long, lat7 long, sec long",
+    )
+    right = pts.withColumnRenamed("pid", "qid")
+    d, t = 200_000.0, 900
+    got = {
+        (r["pid"], r["qid"])
+        for r in colocation_join(pts, right, d, t).collect()
+        if r["pid"] < r["qid"]
+    }
+    R = 6_371_000.0
+    la = lat7 * 1e-7
+    lo = lon7 * 1e-7
+    keep = np.abs(la) <= 70.0
+    exp = set()
+    idx = np.nonzero(keep)[0]
+    for ii, i in enumerate(idx):
+        j = idx[ii + 1:]
+        dlat = np.radians(la[j] - la[i])
+        dlng = np.radians(lo[j] - lo[i]) * np.cos(
+            np.radians((la[j] + la[i]) / 2.0)
+        )
+        dist = R * np.sqrt(dlat * dlat + dlng * dlng)
+        near = (dist <= d) & (np.abs(secs[j] - secs[i]) <= t)
+        for k in j[near]:
+            exp.add((min(i, int(k)), max(i, int(k))))
+    assert got == exp
+    # non-vacuous both ways: real contacts exist AND the temporal
+    # predicate rejects some spatially-close pairs
+    assert len(exp) > 20
+    spatial_only = {
+        (r["pid"], r["qid"])
+        for r in colocation_join(pts, right, d, 20_000).collect()
+        if r["pid"] < r["qid"]
+    }
+    assert len(spatial_only) > len(exp)
