@@ -528,6 +528,53 @@ def q_simplify_tracks(spark, sf_dir):
     return simplify_radial(pts, 400_000.0)
 
 
+# shared by the batch AND streaming co-location queries: the streaming
+# run is configured to replay the batch operator exactly
+_COLOCATION_ORACLE = """
+    -- brute-force pairs with the IDENTICAL equirect formula
+    -- (degrees from fixed-point FIRST via * 1e-7, then
+    -- differenced — term-for-term with equirect_distance_col);
+    -- the <= 500 km filter applies to the UNROUNDED distance,
+    -- quantization to integer mm happens before aggregation so
+    -- every aggregate is an order-invariant BIGINT
+    WITH pts AS (
+      SELECT user_id AS uid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             ((user_id // 2) % 24) * 150000000 - 1800000000
+               + 75000000
+               + (event_id*1103515245) % 60000001 - 30000000
+               AS lon7,
+             (((user_id // 2) // 24) % 8) * 150000000
+               - 600000000 + 75000000
+               + (event_id*1234567891) % 60000001 - 30000000
+               AS lat7
+      FROM events),
+    f AS (
+      SELECT uid, sec, lon7 * 1e-7 AS lon, lat7 * 1e-7 AS lat
+      FROM pts
+      WHERE lat7 >= -700000000 AND lat7 <= 700000000),
+    d AS (
+      SELECT ua, ub, 6371000.0 * sqrt(dx*dx + dy*dy) AS dist
+      FROM (
+        SELECT a.uid AS ua, b.uid AS ub,
+               radians(b.lat - a.lat) AS dy,
+               radians(b.lon - a.lon)
+                 * cos(radians((a.lat + b.lat) / 2.0)) AS dx
+        FROM f a JOIN f b
+          ON a.uid < b.uid
+         AND abs(a.sec - b.sec) <= 3600)),
+    k AS (
+      SELECT ua, ub,
+             CAST(round(dist * 1000.0, 0) AS BIGINT) AS dist_mm
+      FROM d WHERE dist <= 500000.0)
+    SELECT ua AS uid_a, ub AS uid_b,
+           count(*) AS contacts,
+           min(dist_mm) AS min_dist_mm,
+           CAST(sum(dist_mm) AS BIGINT) AS sum_dist_mm
+    FROM k GROUP BY ua, ub
+"""
+
+
 def q_colocation_pairs(spark, sf_dir):
     """Spatio-temporal co-location join (geo/spatial_join.
     colocation_join): fix pairs of DIFFERENT users within 500 km and
@@ -569,6 +616,92 @@ def q_colocation_pairs(spark, sf_dir):
             F.min("dist_mm").alias("min_dist_mm"),
             F.sum("dist_mm").alias("sum_dist_mm"),
         )
+    )
+
+
+def q_heading_stats(spark, sf_dir):
+    """Per-user circular heading statistics (geo/trajectory.
+    heading_stats): mean bearing (atan2 of exact nano-quantized
+    Σsin/Σcos — a plain bearing average is wrong at the 359°/1° wrap)
+    and mean resultant length over the clustered-walk hops. One lag
+    window + one aggregate, pure Catalyst."""
+    from oshdb_spark.geo.trajectory import heading_stats
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return heading_stats(pts)
+
+
+def q_stream_colocation(spark, sf_dir):
+    """Structured Streaming co-location alerts (streaming/incremental.
+    stream_colocation): the STREAM-STREAM self-join — fix pairs within
+    500 km and 1 hour detected live across 3 ordered micro-batches
+    (cross-batch pairs must come out of the join's buffered state), then
+    rolled up per user pair exactly like the batch `colocation_pairs`
+    query. The 40-day watermark exceeds the bounded input's span, so
+    nothing is evicted early and the result replays the batch operator
+    (and its oracle) exactly."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import (
+        read_event_stream,
+        stream_colocation,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    slot = (F.col("user_id") / 2).cast("long")
+    fixes = read_event_stream(spark, path, schema).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    pairs = stream_colocation(
+        fixes, 500_000.0, 3600, watermark="40 days"
+    ).filter(F.col("uid") < F.col("_r_uid"))
+    out = pairs.select(
+        F.col("uid").alias("uid_a"),
+        F.col("_r_uid").alias("uid_b"),
+        F.round(F.col("dist_m") * 1000.0, 0).cast("long").alias("dist_mm"),
+    )
+    name = "scl_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("uid_a", "uid_b").agg(
+        F.count(F.lit(1)).alias("contacts"),
+        F.min("dist_mm").alias("min_dist_mm"),
+        F.sum("dist_mm").alias("sum_dist_mm"),
     )
 
 
@@ -4167,6 +4300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_tracks": q_simplify_tracks,
         "colocation_pairs": q_colocation_pairs,
         "dbscan_fixes": q_dbscan_fixes,
+        "stream_colocation": q_stream_colocation,
+        "heading_stats": q_heading_stats,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4719,49 +4854,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
         """,
-        "colocation_pairs": """
-            -- brute-force pairs with the IDENTICAL equirect formula
-            -- (degrees from fixed-point FIRST via * 1e-7, then
-            -- differenced — term-for-term with equirect_distance_col);
-            -- the <= 500 km filter applies to the UNROUNDED distance,
-            -- quantization to integer mm happens before aggregation so
-            -- every aggregate is an order-invariant BIGINT
+        "heading_stats": """
+            -- circular-statistics replay, term-for-term: the same local
+            -- equirect plane for bearings (east = Δlon·cos(mid lat),
+            -- north = Δlat, θ = atan2(east, north)); each hop's sin/cos
+            -- quantizes to integer nano-units so the sums are exact
+            -- BIGINTs (order-invariant) before the final atan2/sqrt
             WITH pts AS (
-              SELECT user_id AS uid,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                     ((user_id // 2) % 24) * 150000000 - 1800000000
+              SELECT user_id AS entity, event_id AS ord_key,
+                     (((user_id // 2) % 24) * 150000000 - 1800000000
                        + 75000000
-                       + (event_id*1103515245) % 60000001 - 30000000
-                       AS lon7,
-                     (((user_id // 2) // 24) % 8) * 150000000
+                       + (event_id*1103515245) % 60000001 - 30000000)
+                       * 1e-7 AS lon,
+                     ((((user_id // 2) // 24) % 8) * 150000000
                        - 600000000 + 75000000
-                       + (event_id*1234567891) % 60000001 - 30000000
-                       AS lat7
+                       + (event_id*1234567891) % 60000001 - 30000000)
+                       * 1e-7 AS lat
               FROM events),
-            f AS (
-              SELECT uid, sec, lon7 * 1e-7 AS lon, lat7 * 1e-7 AS lat
+            hop AS (
+              SELECT entity,
+                     lag(lon) OVER w AS plon,
+                     lag(lat) OVER w AS plat,
+                     lon, lat
               FROM pts
-              WHERE lat7 >= -700000000 AND lat7 <= 700000000),
-            d AS (
-              SELECT ua, ub, 6371000.0 * sqrt(dx*dx + dy*dy) AS dist
-              FROM (
-                SELECT a.uid AS ua, b.uid AS ub,
-                       radians(b.lat - a.lat) AS dy,
-                       radians(b.lon - a.lon)
-                         * cos(radians((a.lat + b.lat) / 2.0)) AS dx
-                FROM f a JOIN f b
-                  ON a.uid < b.uid
-                 AND abs(a.sec - b.sec) <= 3600)),
-            k AS (
-              SELECT ua, ub,
-                     CAST(round(dist * 1000.0, 0) AS BIGINT) AS dist_mm
-              FROM d WHERE dist <= 500000.0)
-            SELECT ua AS uid_a, ub AS uid_b,
-                   count(*) AS contacts,
-                   min(dist_mm) AS min_dist_mm,
-                   CAST(sum(dist_mm) AS BIGINT) AS sum_dist_mm
-            FROM k GROUP BY ua, ub
+              WINDOW w AS (PARTITION BY entity ORDER BY ord_key)),
+            vec AS (
+              SELECT entity,
+                     radians(lon - plon)
+                       * cos(radians((plat + lat) / 2.0)) AS east,
+                     radians(lat - plat) AS north
+              FROM hop WHERE plon IS NOT NULL),
+            q AS (
+              SELECT entity,
+                     CAST(round(sin(atan2(east, north)) * 1e9, 0)
+                          AS BIGINT) AS s,
+                     CAST(round(cos(atan2(east, north)) * 1e9, 0)
+                          AS BIGINT) AS c
+              FROM vec WHERE NOT (east = 0.0 AND north = 0.0))
+            SELECT entity,
+                   count(*) AS n_hops,
+                   round(degrees(atan2(
+                     CAST(CAST(sum(s) AS BIGINT) AS DOUBLE),
+                     CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))), 6)
+                     AS mean_bearing_deg,
+                   round(sqrt(
+                       pow(CAST(CAST(sum(s) AS BIGINT) AS DOUBLE), 2.0)
+                       + pow(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 2.0))
+                     / (count(*) * 1e9), 6) AS resultant_len
+            FROM q GROUP BY entity
         """,
+        "colocation_pairs": _COLOCATION_ORACLE,
+        # the streaming query replays the batch operator exactly (the
+        # 40-day watermark exceeds the bounded input's span, so the
+        # stream-stream join evicts nothing) — same oracle by design
+        "stream_colocation": _COLOCATION_ORACLE,
         "simplify_tracks": """
             -- sequential-fold replay: the recursion's layer k holds
             -- each entity's k-th KEPT fix; the step joins to all later

@@ -1189,6 +1189,33 @@ def distance_join(
     )
 
 
+def radius_grid(d_meters: float, lat_max: float):
+    """Grid parameters for the neighbor-cell replication joins: the
+    coarsest XYGrid zoom whose cell spans ≥ d degrees even at ``lat_max``
+    (longitude degrees shrink by cos lat), so points within d always sit
+    in the same or adjacent cells. Returns (cell_width_fixed_point,
+    ncols, nrows, lat7_cap) — shared by distance_join, colocation_join,
+    and the streaming co-location operator."""
+    import math
+
+    d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
+    need = d_deg / math.cos(math.radians(lat_max))
+    if need > 180.0:
+        raise ValueError(
+            "d_meters too large for lat_max: one grid cell cannot span "
+            f"{need:.1f} degrees — lower lat_max or d_meters"
+        )
+    zoom = 0
+    while zoom < 10 and 360.0 / (1 << (zoom + 1)) >= need:
+        zoom += 1
+    from .cells import _N, _clamp_zoom
+
+    zoom = _clamp_zoom(zoom)
+    w = _N << (10 - zoom)
+    ncols = 1 << zoom
+    return w, ncols, ncols // 2, int(lat_max * 1e7)
+
+
 def colocation_join(
     left: DataFrame,
     right: DataFrame,
@@ -1221,27 +1248,11 @@ def colocation_join(
     with |lat| > lat_max are dropped from both sides, no date-line wrap,
     right's non-coordinate columns must not collide with left's. Right's
     ``lon7/lat7/sec`` columns are exposed as ``_r_``-prefixed names."""
-    import math
-
-    d_deg = d_meters / (math.pi / 180.0 * EARTH_RADIUS)
-    need = d_deg / math.cos(math.radians(lat_max))
-    if need > 180.0:
-        raise ValueError(
-            "d_meters too large for lat_max: one grid cell cannot span "
-            f"{need:.1f} degrees — lower lat_max or d_meters"
-        )
     if t_seconds <= 0:
         raise ValueError("t_seconds must be positive")
-    zoom = 0
-    while zoom < 10 and 360.0 / (1 << (zoom + 1)) >= need:
-        zoom += 1
-    from .cells import _LAT_MAX, _LON_MAX, _N, _clamp_zoom
+    from .cells import _LAT_MAX, _LON_MAX
 
-    zoom = _clamp_zoom(zoom)
-    w = _N << (10 - zoom)
-    ncols = 1 << zoom
-    nrows = ncols // 2
-    lat7_cap = int(lat_max * 1e7)
+    w, ncols, nrows, lat7_cap = radius_grid(d_meters, lat_max)
 
     def xy(df: DataFrame, lon_c: str, lat_c: str, sec_c: str):
         return (

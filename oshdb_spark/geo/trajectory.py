@@ -349,3 +349,67 @@ def simplify_radial(
         )
 
     return sel.groupBy("_ent").applyInPandas(kernel, schema)
+
+
+def heading_stats(
+    pts: DataFrame,
+    entity_col: str = "entity",
+    order_col: str = "ord_key",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Per-entity circular heading statistics over consecutive hops —
+    mean bearing and resultant length (Mardia & Jupp directional stats;
+    the mobility analytic behind commute-direction detection and
+    drift/loitering classification). A plain average of bearings is
+    WRONG at the 359°/1° wrap; the circular mean is
+    atan2(Σ sin θ, Σ cos θ) and the mean resultant length
+    R = |Σ e^{iθ}| / n ∈ [0, 1] measures directional concentration
+    (1 = dead straight, 0 = uniformly dispersed).
+
+    Bearings use the same local equirectangular plane as every distance
+    in the engine (Geo.java:37-45): east = Δlon·cos(mid lat),
+    north = Δlat, θ = atan2(east, north) — navigational, 0 = north,
+    clockwise. Zero-length hops (repeated fix) carry no direction and
+    are excluded from n.
+
+    Determinism: float Σ sin/Σ cos are order-dependent, so each hop's
+    sin/cos quantizes to integer NANO-units (round-6-then-scale keeps
+    the value exactly representable) and the sums are exact BIGINTs —
+    bit-reproducible across partitionings and vs the SQL oracle. One
+    lag window on the entity key + one aggregate; pure Catalyst."""
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    lon = F.col(lon7_col) * 1e-7
+    lat = F.col(lat7_col) * 1e-7
+    hop = (
+        pts.withColumn("_plon", F.lag(lon).over(w))
+        .withColumn("_plat", F.lag(lat).over(w))
+        .filter(F.col("_plon").isNotNull())
+    )
+    east = F.radians(lon - F.col("_plon")) * F.cos(
+        F.radians((F.col("_plat") + lat) / 2.0)
+    )
+    north = F.radians(lat - F.col("_plat"))
+    theta = F.atan2(east, north)
+    moving = hop.filter((east != 0.0) | (north != 0.0)).withColumn(
+        "_s", F.round(F.sin(theta) * 1e9, 0).cast("long")
+    ).withColumn("_c", F.round(F.cos(theta) * 1e9, 0).cast("long"))
+    return moving.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.round(
+            F.degrees(
+                F.atan2(
+                    F.sum("_s").cast("double"), F.sum("_c").cast("double")
+                )
+            ),
+            6,
+        ).alias("mean_bearing_deg"),
+        F.round(
+            F.sqrt(
+                F.pow(F.sum("_s").cast("double"), F.lit(2.0))
+                + F.pow(F.sum("_c").cast("double"), F.lit(2.0))
+            )
+            / (F.count(F.lit(1)) * F.lit(1e9)),
+            6,
+        ).alias("resultant_len"),
+    )

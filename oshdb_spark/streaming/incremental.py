@@ -352,3 +352,115 @@ def geofence_tracker(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_colocation(
+    stream: DataFrame,
+    d_meters: float,
+    t_seconds: int,
+    watermark: str = "1 hour",
+    id_col: str = "uid",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    ts_col: str = "ts",
+    sec_col: str = "sec",
+    lat_max: float = 70.0,
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """Streaming co-location alerts — the live counterpart of
+    ``geo.spatial_join.colocation_join``: emits one append-mode row per
+    (left, right) fix pair within ``d_meters`` AND ``t_seconds``, as the
+    fixes arrive. The one streaming feature nothing else in this layer
+    exercises: a STREAM-STREAM self-join, whose buffered state Spark
+    bounds with the watermark + event-time range condition.
+
+    Shape: both sides watermark ``ts_col``; the probe side keeps its
+    single grid cell (``radius_grid`` — one cell spans ≥ d even at
+    lat_max), the build side replicates into its 3×3 cell neighborhood,
+    so every qualifying pair meets on EXACTLY ONE cell key (no dedup,
+    same argument as the batch join). The join condition carries the
+    cell equality plus a LOOSE ±(t+1)s event-time range — that range is
+    what lets the state store evict expired fixes — while the EXACT
+    predicates (|Δsec| ≤ t on floor-epoch seconds, term-for-term with
+    the batch operator, and the equirectangular distance ≤ d) refine as
+    post-join filters.
+
+    Correctness vs completeness is the caller's watermark choice: a
+    watermark shorter than the stream's disorder drops late pairs (the
+    production trade); a watermark ≥ the bounded input's span replays
+    batch-exactly (what the oracle-checked driver query does).
+
+    Scale posture: state per cell key holds only the watermark window of
+    fixes; the 9× build replication ships ids+coords; the join is the
+    streaming symmetric hash join keyed on the cell — no distinct, no
+    Python, append-safe (no aggregation inside the stream)."""
+    from ..geo.cells import _LAT_MAX, _LON_MAX
+    from ..geo.spatial_join import equirect_distance_col, radius_grid
+
+    if t_seconds <= 0:
+        raise ValueError("t_seconds must be positive")
+    w, ncols, nrows, lat7_cap = radius_grid(d_meters, lat_max)
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    base = (
+        stream.filter(
+            (F.col(lat7_col) >= -lat7_cap) & (F.col(lat7_col) <= lat7_cap)
+        )
+        .withColumn(sec_col, F.unix_timestamp(ts_col).cast("long"))
+        .withColumn("_x", F.floor((F.col(lon7_col) + _LON_MAX) / w))
+        .withColumn("_y", F.floor((F.col(lat7_col) + _LAT_MAX) / w))
+        .withWatermark(ts_col, watermark)
+    )
+    left = base.withColumn(
+        "_cell", F.col("_y") * ncols + F.col("_x")
+    ).drop("_x", "_y")
+    rmap = {
+        c: f"_r_{c}" for c in (id_col, lon7_col, lat7_col, ts_col, sec_col)
+    }
+    right = base
+    for c, rc in rmap.items():
+        right = right.withColumnRenamed(c, rc)
+    right = (
+        right.withColumn(
+            "_rcell",
+            F.explode(
+                F.expr(
+                    f"filter(flatten(transform(sequence(-1, 1), "
+                    f"dy -> transform(sequence(-1, 1), "
+                    f"dx -> named_struct('x', _x + dx, 'y', _y + dy)))), "
+                    f"c -> c.x >= 0 AND c.x < {ncols} "
+                    f"AND c.y >= 0 AND c.y < {nrows})"
+                )
+            ),
+        )
+        .withColumn("_rcell", F.col("_rcell.y") * ncols + F.col("_rcell.x"))
+        .drop("_x", "_y")
+    )
+    slack = int(t_seconds) + 1
+    cond = (
+        (F.col("_cell") == F.col("_rcell"))
+        & (
+            F.col(rmap[ts_col])
+            >= F.expr(f"{ts_col} - INTERVAL {slack} SECOND")
+        )
+        & (
+            F.col(rmap[ts_col])
+            <= F.expr(f"{ts_col} + INTERVAL {slack} SECOND")
+        )
+    )
+    dist = equirect_distance_col(
+        F.col(lat7_col) * 1e-7,
+        F.col(lon7_col) * 1e-7,
+        F.col(rmap[lat7_col]) * 1e-7,
+        F.col(rmap[lon7_col]) * 1e-7,
+    )
+    return (
+        left.join(right, cond)
+        .filter(
+            F.abs(F.col(sec_col) - F.col(rmap[sec_col]))
+            <= F.lit(int(t_seconds))
+        )
+        .withColumn(dist_col, dist)
+        .filter(F.col(dist_col) <= d_meters)
+        .drop("_cell", "_rcell")
+    )

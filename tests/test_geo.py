@@ -927,3 +927,70 @@ def test_simplify_radial_matches_fold(spark):
     # non-vacuous across the fixture: drops AND multi-keeps both occur
     assert all(t < 40 for t in totals)
     assert sum(totals) > 8
+
+
+def test_heading_stats_matches_numpy_circular_mean(spark):
+    """Circular mean/resultant against a direct numpy replay — including
+    the north-wrap case a linear bearing average gets wrong."""
+    import numpy as np
+
+    from oshdb_spark.geo.trajectory import heading_stats
+
+    rng = np.random.default_rng(53)
+    rows = []
+    tracks = {}
+    for ent in range(8):
+        n = int(rng.integers(5, 40))
+        lon7 = rng.integers(-1_700_000_000, 1_700_000_000)
+        lat7 = rng.integers(-800_000_000, 800_000_000)
+        fixes = [(lon7, lat7)]
+        for _ in range(n):
+            lon7 = lon7 + int(rng.integers(-500_000, 500_000))
+            lat7 = lat7 + int(rng.integers(-500_000, 500_000))
+            fixes.append((lon7, lat7))
+        # inject a repeated fix (zero hop must be excluded from n_hops)
+        fixes.append(fixes[-1])
+        tracks[ent] = fixes
+        rows.extend(
+            (ent, k, int(a), int(b)) for k, (a, b) in enumerate(fixes)
+        )
+    # entity 100: bearings straddling north (the 359°/1° wrap): NE then NW
+    tracks[100] = [(0, 0), (100_000, 1_000_000), (0, 2_000_000)]
+    rows.extend((100, k, a, b) for k, (a, b) in enumerate(tracks[100]))
+
+    df = spark.createDataFrame(
+        rows, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    got = {
+        r["entity"]: (r["n_hops"], r["mean_bearing_deg"], r["resultant_len"])
+        for r in heading_stats(df).collect()
+    }
+    for ent, fixes in tracks.items():
+        ss = sc = 0
+        n = 0
+        for (ax, ay), (bx, by) in zip(fixes[:-1], fixes[1:]):
+            plon, plat = ax * 1e-7, ay * 1e-7
+            lon, lat = bx * 1e-7, by * 1e-7
+            east = np.radians(lon - plon) * np.cos(
+                np.radians((plat + lat) / 2.0)
+            )
+            north = np.radians(lat - plat)
+            if east == 0.0 and north == 0.0:
+                continue
+            th = np.arctan2(east, north)
+            ss += int(np.floor(abs(np.sin(th)) * 1e9 + 0.5)
+                      * np.sign(np.sin(th)))
+            sc += int(np.floor(abs(np.cos(th)) * 1e9 + 0.5)
+                      * np.sign(np.cos(th)))
+            n += 1
+        exp_mean = round(float(np.degrees(np.arctan2(ss, sc))), 6)
+        exp_r = round(float(np.hypot(ss, sc) / (n * 1e9)), 6)
+        g = got[ent]
+        assert g[0] == n, ent
+        assert abs(g[1] - exp_mean) < 1e-9, ent
+        assert abs(g[2] - exp_r) < 1e-9, ent
+    # the wrap case: both hops point broadly north, so the circular mean
+    # is near 0° — a linear average of the two bearings (~5.7° and
+    # ~354.3°, i.e. 180°) would be wrong
+    assert abs(got[100][1]) < 10.0
+    assert got[100][2] > 0.99

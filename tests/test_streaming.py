@@ -383,3 +383,95 @@ def test_geofence_tracker_matches_batch_transitions(spark, split_source):
         for r in spark.sql("SELECT * FROM geofence_mem").collect()
     )
     assert got == want
+
+
+def test_stream_colocation_matches_batch_join(spark, tmp_path):
+    """The stream-stream self-join must find every pair the batch
+    colocation_join finds — INCLUDING pairs whose two fixes arrive in
+    DIFFERENT micro-batches (the buffered-state property), which the
+    deliberate time-contiguous split below guarantees exist."""
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import colocation_join
+    from oshdb_spark.streaming.incremental import stream_colocation
+
+    rng = np.random.default_rng(61)
+    n = 240
+    base_lon = rng.integers(-1_200_000_000, 1_200_000_000, n // 4)
+    base_lat = rng.integers(-600_000_000, 600_000_000, n // 4)
+    lon7 = np.concatenate(
+        [base_lon + rng.integers(-20_000_000, 20_000_000, n // 4)
+         for _ in range(4)]
+    )
+    lat7 = np.concatenate(
+        [base_lat + rng.integers(-20_000_000, 20_000_000, n // 4)
+         for _ in range(4)]
+    )
+    # epoch seconds clustered around a split point so pairs straddle it
+    secs = 1_700_000_000 + rng.integers(-1_200, 1_200, n)
+    rows = [
+        (int(i), int(a), int(b), int(s))
+        for i, (a, b, s) in enumerate(zip(lon7, lat7, secs))
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, lon7 long, lat7 long, sec long"
+    ).withColumn("ts", F.col("sec").cast("timestamp"))
+
+    src = str(tmp_path / "coloc_src")
+    os.makedirs(src)
+    mid = 1_700_000_000
+    a = df.filter(F.col("sec") <= mid).coalesce(1)
+    b = df.filter(F.col("sec") > mid).coalesce(1)
+    for i, part in enumerate([a, b]):
+        d = tmp_path / f"_c{i}"
+        part.write.parquet(str(d))
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.rename(d / fn, f"{src}/{i:03d}.parquet")
+
+    d_m, t_s = 250_000.0, 600
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_colocation(
+        stream.drop("sec"), d_m, t_s, watermark="1 hour"
+    ).filter(F.col("uid") < F.col("_r_uid"))
+    q = (
+        out.select("uid", "_r_uid")
+        .writeStream.format("memory")
+        .queryName("coloc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "coloc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["uid"], r["_r_uid"])
+        for r in spark.sql("SELECT * FROM coloc_stream").collect()
+    }
+    want = {
+        (r["uid"], r["qid"])
+        for r in colocation_join(
+            df.select("uid", "lon7", "lat7", "sec"),
+            df.select(
+                F.col("uid").alias("qid"), "lon7", "lat7", "sec"
+            ),
+            d_m,
+            t_s,
+        )
+        .filter(F.col("uid") < F.col("qid"))
+        .collect()
+    }
+    assert got == want
+    # the property under test is non-vacuous: some pairs straddle the
+    # micro-batch split (one fix ≤ mid, the other > mid)
+    by_id = dict(enumerate(secs))
+    straddling = {
+        (u, v) for u, v in want
+        if (by_id[u] <= mid) != (by_id[v] <= mid)
+    }
+    assert len(straddling) > 0
+    assert len(want) > 20
