@@ -619,6 +619,64 @@ def q_colocation_pairs(spark, sf_dir):
     )
 
 
+def _geohash_duck_sql(lon_expr: str, lat_expr: str, precision: int) -> str:
+    """DuckDB replay of geo/cells.geohash_col — identical bit layout
+    (MSB-first stream, longitude even positions, scaled int64 floor-div
+    cell indices, east/north edge clamp). Mirrors _geohash_terms
+    term-for-term; change both together."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    n = 5 * precision
+    lonbits = (n + 1) // 2
+    latbits = n // 2
+    ix = (
+        f"(least((({lon_expr}) + 1800000000) * {1 << lonbits} "
+        f"// 3600000000, {(1 << lonbits) - 1}))"
+    )
+    iy = (
+        f"(least((({lat_expr}) + 900000000) * {1 << latbits} "
+        f"// 1800000000, {(1 << latbits) - 1}))"
+    )
+    parts = []
+    for i in range(precision):
+        bits = []
+        for k in range(5):
+            b = 5 * i + k
+            if b % 2 == 0:
+                src, shift = ix, lonbits - 1 - b // 2
+            else:
+                src, shift = iy, latbits - 1 - (b - 1) // 2
+            bits.append(f"((({src} >> {shift}) & 1) * {1 << (4 - k)})")
+        parts.append(
+            f"substr('{b32}', CAST({' + '.join(bits)} AS INT) + 1, 1)"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def q_geohash_counts(spark, sf_dir):
+    """Geohash binning (geo/cells.geohash_col): per-cell event counts at
+    precision 3 over world-scattered positions — the base-32 interchange
+    encoding, computed as one pure-int64 codegen expression (bisection
+    parity incl. the classic ezs42 vector and pole/antimeridian clamps
+    pinned in tests)."""
+    from oshdb_spark.geo.cells import geohash_col
+
+    pts = _t(spark, sf_dir, "events").select(
+        (
+            F.pmod(F.col("event_id") * 1103515245, F.lit(3_600_000_000))
+            - 1_800_000_000
+        ).alias("lon7"),
+        (
+            F.pmod(F.col("event_id") * 1234567891, F.lit(1_700_000_000))
+            - 850_000_000
+        ).alias("lat7"),
+    )
+    return (
+        pts.select(geohash_col("lon7", "lat7", 3).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_heading_stats(spark, sf_dir):
     """Per-user circular heading statistics (geo/trajectory.
     heading_stats): mean bearing (atan2 of exact nano-quantized
@@ -4302,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_fixes": q_dbscan_fixes,
         "stream_colocation": q_stream_colocation,
         "heading_stats": q_heading_stats,
+        "geohash_counts": q_geohash_counts,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4853,6 +4912,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "geohash_counts": f"""
+            -- geohash replay generated by _geohash_duck_sql (same bit
+            -- layout as geo/cells.geohash_col; pure integer arithmetic
+            -- on both engines so strings match bitwise)
+            WITH pts AS (
+              SELECT (event_id*1103515245) % 3600000000 - 1800000000
+                       AS lon7,
+                     (event_id*1234567891) % 1700000000 - 850000000
+                       AS lat7
+              FROM events)
+            SELECT {_geohash_duck_sql('lon7', 'lat7', 3)} AS gh,
+                   count(*) AS cnt
+            FROM pts GROUP BY 1
         """,
         "heading_stats": """
             -- circular-statistics replay, term-for-term: the same local

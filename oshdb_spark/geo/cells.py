@@ -1072,3 +1072,71 @@ def spacetime_gi_star(
         F.col("_v").alias(value_col),
         F.round(num / (b * c), 6).alias("gi_star"),
     )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_terms(precision: int):
+    """(lonbits, latbits, per-character bit picks) for a geohash of
+    ``precision`` base-32 characters. The bit stream is MSB-first with
+    longitude on even stream positions (the geohash standard); character
+    i covers stream bits 5i..5i+4. Each pick is (is_lon, shift): the
+    source-integer right-shift that isolates that stream bit."""
+    n = 5 * int(precision)
+    lonbits = (n + 1) // 2
+    latbits = n // 2
+    chars = []
+    for i in range(precision):
+        picks = []
+        for k in range(5):
+            b = 5 * i + k  # stream position, MSB-first
+            if b % 2 == 0:
+                picks.append((True, lonbits - 1 - b // 2))
+            else:
+                picks.append((False, latbits - 1 - (b - 1) // 2))
+        chars.append(picks)
+    return lonbits, latbits, chars
+
+
+def geohash_col(lon7_col, lat7_col, precision: int = 6):
+    """Standard base-32 geohash string of a fixed-point coordinate as a
+    pure-Catalyst expression — the interchange encoding the rest of the
+    geo ecosystem speaks (Elasticsearch, Redis, Uber's H3 migration
+    guides all accept geohash cells). Everything is int64 arithmetic
+    (scaled floor-div for the cell indices — inputs stay < 2^63, no
+    double rounding anywhere), so the value is bit-reproducible across
+    engines and partitionings; runs inside whole-stage codegen like
+    xy_id_col.
+
+    Convention parity with the reference geohash: bit stream MSB-first,
+    longitude first (even positions), cell index = binary subdivision of
+    [-180, 180] / [-90, 90]; the east/north edges (lon = 180, lat = 90)
+    clamp into the last cell. Precision ≤ 12 (60 bits)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    lon_e = lon7_col if isinstance(lon7_col, str) else lon7_col._jc.toString()
+    lat_e = lat7_col if isinstance(lat7_col, str) else lat7_col._jc.toString()
+    lonbits, latbits, chars = _geohash_terms(precision)
+    # scaled int64 floor-div cell indices; (3.6e9 << 30) < 2^63 so the
+    # intermediate never overflows at precision 12
+    ix = (
+        f"(least((({lon_e}) + {_LON_MAX}) * {1 << lonbits} "
+        f"div {2 * _LON_MAX}, {(1 << lonbits) - 1}))"
+    )
+    iy = (
+        f"(least((({lat_e}) + {_LAT_MAX}) * {1 << latbits} "
+        f"div {2 * _LAT_MAX}, {(1 << latbits) - 1}))"
+    )
+    parts = []
+    for picks in chars:
+        bits = []
+        for k, (is_lon, shift) in enumerate(picks):
+            src = ix if is_lon else iy
+            bits.append(f"((shiftright({src}, {shift}) & 1) * {1 << (4 - k)})")
+        parts.append(
+            f"substr('{_GEOHASH32}', cast({' + '.join(bits)} as int) + 1, 1)"
+        )
+    from pyspark.sql import functions as F
+
+    return F.expr(f"concat({', '.join(parts)})")

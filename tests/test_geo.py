@@ -994,3 +994,73 @@ def test_heading_stats_matches_numpy_circular_mean(spark):
     # ~354.3°, i.e. 180°) would be wrong
     assert abs(got[100][1]) < 10.0
     assert got[100][2] > 0.99
+
+
+def _ref_geohash(lon, lat, p):
+    """Textbook bisection geohash (MSB-first, lon on even positions)."""
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo, hi = -180.0, 180.0
+    la, ha = -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * p:
+        if even:
+            mid = (lo + hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo = mid
+            else:
+                bits.append(0)
+                hi = mid
+        else:
+            mid = (la + ha) / 2
+            if lat >= mid:
+                bits.append(1)
+                la = mid
+            else:
+                bits.append(0)
+                ha = mid
+        even = not even
+    out = ""
+    for i in range(p):
+        v = 0
+        for k in range(5):
+            v = v * 2 + bits[5 * i + k]
+        out += B32[v]
+    return out
+
+
+def test_geohash_col_matches_bisection_reference(spark):
+    import random
+
+    from oshdb_spark.geo.cells import geohash_col
+
+    random.seed(11)
+    # the classic test vector + edges (east/north clamp) + random sweep
+    pts = [
+        (-56_030_000, 426_050_000),  # lon -5.603 lat 42.605 -> ezs42...
+        (0, 0),
+        (1_800_000_000, 900_000_000),
+        (-1_800_000_000, -900_000_000),
+        (1_800_000_000, -900_000_000),
+        (-1_800_000_000, 900_000_000),
+        (1_799_999_999, 899_999_999),
+        (-1, 1),
+    ]
+    pts += [
+        (random.randint(-1_800_000_000, 1_800_000_000),
+         random.randint(-900_000_000, 900_000_000))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(pts, "lon7 long, lat7 long")
+    for p in (1, 2, 5, 6, 12):  # odd and even precisions
+        got = [
+            r[0] for r in df.select(geohash_col("lon7", "lat7", p)).collect()
+        ]
+        for (lon7, lat7), g in zip(pts, got):
+            # the engine clamps the east/north edges into the last cell;
+            # feed the reference a value just inside
+            lon = min(lon7 * 1e-7, 179.99999999999)
+            lat = min(lat7 * 1e-7, 89.999999999999)
+            assert g == _ref_geohash(lon, lat, p), (lon7, lat7, p)
+    assert got[0] == "ezs42s000esk"[:12]  # p=12 of the classic vector
