@@ -677,6 +677,34 @@ def q_geohash_counts(spark, sf_dir):
     )
 
 
+def q_convex_hulls(spark, sf_dir):
+    """Per-user strict convex hull (geo/hull.convex_hull_stats) over the
+    clustered-walk fixes: vertex count, CD spherical area, equirect
+    perimeter. The engine runs an exact-integer monotone chain in a
+    grouped Arrow kernel; the oracle gift-wraps the SAME hull with a
+    recursive CTE over exact HUGEINT cross products — two independent
+    algorithms, identical vertex sequence by the strict-hull uniqueness
+    + shared start/orientation convention."""
+    from oshdb_spark.geo.hull import convex_hull_stats
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return convex_hull_stats(pts)
+
+
 def q_heading_stats(spark, sf_dir):
     """Per-user circular heading statistics (geo/trajectory.
     heading_stats): mean bearing (atan2 of exact nano-quantized
@@ -4361,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_colocation": q_stream_colocation,
         "heading_stats": q_heading_stats,
         "geohash_counts": q_geohash_counts,
+        "convex_hulls": q_convex_hulls,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4912,6 +4941,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "convex_hulls": """
+            -- INDEPENDENT hull algorithm: gift-wrapping (Jarvis march)
+            -- as a recursive CTE — CCW from the lexicographic minimum,
+            -- candidate q survives when NO point r is strictly right of
+            -- ray p->q (min HUGEINT cross >= 0; exact — int64 would
+            -- overflow the cross difference), farthest candidate wins
+            -- so collinear boundary points drop (STRICT hull). The
+            -- engine's monotone chain must produce the identical vertex
+            -- sequence (strict-hull uniqueness + same start and
+            -- orientation). Area replays the reference CD loop over the
+            -- CLOSED ring (all m+1 coords, wrap-around triples) with
+            -- per-term 1e-12 quantization; perimeter is per-edge
+            -- integer millimeters — both sums order-invariant BIGINTs.
+            WITH RECURSIVE pts AS MATERIALIZED (
+              SELECT DISTINCT user_id AS e,
+                     ((user_id // 2) % 24) * 150000000 - 1800000000
+                       + 75000000
+                       + (event_id*1103515245) % 60000001 - 30000000
+                       AS x,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001 - 30000000
+                       AS y
+              FROM events),
+            start AS MATERIALIZED (
+              SELECT e, x, y FROM (
+                SELECT e, x, y,
+                       row_number() OVER (PARTITION BY e ORDER BY x, y) rn
+                FROM pts) WHERE rn = 1),
+            walk(e, x, y, sx, sy, step) AS (
+              SELECT e, x, y, x, y, 0 FROM start
+              UNION ALL
+              SELECT e, nx, ny, sx, sy, step + 1 FROM (
+                SELECT c.e, arg_max(c.qx, c.d2) AS nx,
+                       arg_max(c.qy, c.d2) AS ny,
+                       any_value(c.sx) AS sx, any_value(c.sy) AS sy,
+                       any_value(c.step) AS step
+                FROM (
+                  SELECT w.e, w.sx, w.sy, w.step, q.x AS qx, q.y AS qy,
+                         CAST(q.x - w.x AS HUGEINT) * (q.x - w.x)
+                           + CAST(q.y - w.y AS HUGEINT) * (q.y - w.y)
+                           AS d2
+                  FROM walk w
+                  JOIN pts q ON q.e = w.e AND (q.x <> w.x OR q.y <> w.y)
+                  JOIN pts r ON r.e = w.e
+                  WHERE w.step < 10000
+                    AND NOT (w.step > 0 AND w.x = w.sx AND w.y = w.sy)
+                  GROUP BY w.e, w.x, w.y, w.sx, w.sy, w.step, q.x, q.y
+                  HAVING min(CAST(q.x - w.x AS HUGEINT) * (r.y - w.y)
+                             - CAST(q.y - w.y AS HUGEINT) * (r.x - w.x))
+                         >= 0
+                ) c GROUP BY c.e)),
+            hull AS MATERIALIZED (
+              SELECT e, step, x, y FROM walk
+              WHERE NOT (step > 0 AND x = sx AND y = sy)),
+            hn AS MATERIALIZED (
+              SELECT e, count(*) AS m FROM hull GROUP BY e),
+            -- closed ring c[0..m], c[m] = c[0]; CD terms i = 0..m
+            terms AS (
+              SELECT h.e,
+                     CAST(round((radians(c2.x * 1e-7)
+                                 - radians(c0.x * 1e-7))
+                                * sin(radians(c1.y * 1e-7)) * 1e12, 0)
+                          AS BIGINT) AS tq
+              FROM hn h
+              JOIN (SELECT e, unnest(generate_series(0, m)) AS i
+                    FROM hn) g ON g.e = h.e
+              JOIN hull c0 ON c0.e = h.e
+               AND c0.step = CASE WHEN g.i % (h.m + 1) = h.m THEN 0
+                                  ELSE g.i % (h.m + 1) END
+              JOIN hull c1 ON c1.e = h.e
+               AND c1.step = CASE WHEN (g.i + 1) % (h.m + 1) = h.m THEN 0
+                                  ELSE (g.i + 1) % (h.m + 1) END
+              JOIN hull c2 ON c2.e = h.e
+               AND c2.step = CASE WHEN (g.i + 2) % (h.m + 1) = h.m THEN 0
+                                  ELSE (g.i + 2) % (h.m + 1) END),
+            area AS (
+              SELECT e,
+                     round(abs(CAST(sum(tq) AS BIGINT))
+                           * 6371000.0 * 6371000.0 / 2.0 / 1e12 / 1e6, 6)
+                       AS area_km2
+              FROM terms GROUP BY e),
+            evec AS (
+              SELECT a.e,
+                     radians(b.y * 1e-7 - a.y * 1e-7) AS dla,
+                     radians(b.x * 1e-7 - a.x * 1e-7)
+                       * cos(radians((a.y * 1e-7 + b.y * 1e-7) / 2.0))
+                       AS dln
+              FROM hull a
+              JOIN hn n ON n.e = a.e
+              JOIN hull b ON b.e = a.e
+               AND b.step = (a.step + 1) % n.m),
+            edges AS (
+              SELECT e,
+                     CAST(round(6371000.0 * sqrt(dla * dla + dln * dln)
+                                * 1000.0, 0) AS BIGINT) AS mm
+              FROM evec),
+            perim AS (
+              SELECT e, round(CAST(sum(mm) AS BIGINT) / 1e6, 6)
+                       AS perim_km
+              FROM edges GROUP BY e),
+            np AS (SELECT e, count(*) AS n_pts FROM pts GROUP BY e)
+            SELECT hn.e AS entity, np.n_pts,
+                   hn.m AS n_hull, area.area_km2, perim.perim_km
+            FROM hn
+            JOIN np ON np.e = hn.e
+            JOIN area ON area.e = hn.e
+            JOIN perim ON perim.e = hn.e
+            WHERE hn.m >= 3
         """,
         "geohash_counts": f"""
             -- geohash replay generated by _geohash_duck_sql (same bit

@@ -1064,3 +1064,94 @@ def test_geohash_col_matches_bisection_reference(spark):
             lat = min(lat7 * 1e-7, 89.999999999999)
             assert g == _ref_geohash(lon, lat, p), (lon7, lat7, p)
     assert got[0] == "ezs42s000esk"[:12]  # p=12 of the classic vector
+
+
+def test_convex_hull_stats_vertices_and_invariants(spark):
+    """Hull vertex sets verified by an INDEPENDENT exact criterion
+    (Caratheodory: p is a strict hull vertex iff it lies in no
+    triangle/segment of other points), plus ordering and measure
+    invariants."""
+    import random
+
+    from oshdb_spark.geo.hull import convex_hull_stats
+
+    random.seed(29)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_triangle_or_segment(p, a, b, c):
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        if (d1 >= 0 and d2 >= 0 and d3 >= 0) or (
+            d1 <= 0 and d2 <= 0 and d3 <= 0
+        ):
+            return True
+        return False
+
+    def on_segment(p, a, b):
+        if cross(a, b, p) != 0:
+            return False
+        return (
+            min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        )
+
+    rows = []
+    expected_pts = {}
+    for ent in range(6):
+        base = (
+            random.randint(-1_200_000_000, 1_200_000_000),
+            random.randint(-600_000_000, 600_000_000),
+        )
+        n = random.randint(8, 25)
+        pts = list(
+            dict.fromkeys(
+                (
+                    base[0] + random.randint(-40_000_000, 40_000_000),
+                    base[1] + random.randint(-40_000_000, 40_000_000),
+                )
+                for _ in range(n)
+            )
+        )
+        # force a collinear boundary point (must be excluded: strict hull)
+        pts.append((base[0] + 50_000_000, base[1]))
+        pts.append((base[0] - 50_000_000, base[1]))
+        pts.append((base[0], base[1]))
+        pts = list(dict.fromkeys(pts))
+        expected_pts[ent] = pts
+        rows.extend((ent, x, y) for x, y in pts)
+    df = spark.createDataFrame(rows, "entity long, lon7 long, lat7 long")
+    got = {r["entity"]: r for r in convex_hull_stats(df).collect()}
+    # rebuild the hull vertex SET independently per entity
+    from oshdb_spark.geo.hull import _chain
+
+    for ent, pts in expected_pts.items():
+        vertices = set()
+        for p in pts:
+            others = [q for q in pts if q != p]
+            covered = any(
+                on_segment(p, a, b)
+                for i, a in enumerate(others)
+                for b in others[i + 1:]
+            ) or any(
+                in_triangle_or_segment(p, a, b, c)
+                for i, a in enumerate(others)
+                for j, b in enumerate(others[i + 1:], i + 1)
+                for c in others[j + 1:]
+            )
+            if not covered:
+                vertices.add(p)
+        hull_seq = _chain(pts)
+        assert set(hull_seq) == vertices, ent
+        r = got[ent]
+        assert r["n_hull"] == len(vertices), ent
+        assert r["n_pts"] == len(pts), ent
+        assert r["n_hull"] <= r["n_pts"]
+        assert r["area_km2"] > 0 and r["perim_km"] > 0
+    # degenerate entities (point / collinear) are omitted
+    deg = spark.createDataFrame(
+        [(90, 0, 0), (90, 0, 0), (91, 0, 0), (91, 10_000_000, 10_000_000),
+         (91, 20_000_000, 20_000_000)],
+        "entity long, lon7 long, lat7 long",
+    )
+    assert convex_hull_stats(deg).count() == 0
