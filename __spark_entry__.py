@@ -3767,6 +3767,43 @@ def q_contributor_accretion(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention — the standard growth-analytics matrix: users
+    cohorted by their first active week, each later week's activity
+    counted per (cohort, week offset) with the retained fraction.
+    Distinct (user, week) once, min-week cohorts, one hash join back on
+    the user key, two aggregates; rate divides as DOUBLE on both
+    engines (DuckDB would integer-divide BIGINTs)."""
+    wk = F.floor(F.unix_timestamp("ts").cast("long") / 604800).cast("long")
+    base = (
+        _t(spark, sf_dir, "events")
+        # sparsify to high-value events so cohorts differ and retention
+        # actually decays (every user fires SOME event every week)
+        .filter(F.col("value") > 180.0)
+        .select(F.col("user_id").alias("uid"), wk.alias("wk"))
+        .distinct()
+    )
+    cohort = base.groupBy("uid").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        base.join(cohort, "uid")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk")
+        )
+        .agg(F.countDistinct("uid").alias("active_users"))
+    )
+    size = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return act.join(size, "cohort_wk").withColumn(
+        "retention_rate",
+        F.round(
+            F.col("active_users").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ),
+    )
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Sequence analytics over sessions: within each 30-min-gap session,
     did a 'click' precede (strictly, in seconds) a 'purchase'? Per user:
@@ -4390,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_stats": q_heading_stats,
         "geohash_counts": q_geohash_counts,
         "convex_hulls": q_convex_hulls,
+        "retention_cohorts": q_retention_cohorts,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4941,6 +4979,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "retention_cohorts": """
+            WITH base AS (
+              SELECT DISTINCT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+              FROM events WHERE value > 180.0),
+            cohort AS (
+              SELECT uid, min(wk) AS cohort_wk FROM base GROUP BY uid),
+            act AS (
+              SELECT c.cohort_wk, b.wk - c.cohort_wk AS offset_wk,
+                     count(DISTINCT b.uid) AS active_users
+              FROM base b JOIN cohort c ON c.uid = b.uid
+              GROUP BY 1, 2),
+            sz AS (
+              SELECT cohort_wk, count(*) AS cohort_size
+              FROM cohort GROUP BY 1)
+            SELECT a.cohort_wk, a.offset_wk, a.active_users,
+                   s.cohort_size,
+                   round(CAST(a.active_users AS DOUBLE)
+                         / CAST(s.cohort_size AS DOUBLE), 6)
+                     AS retention_rate
+            FROM act a JOIN sz s ON s.cohort_wk = a.cohort_wk
         """,
         "convex_hulls": """
             -- INDEPENDENT hull algorithm: gift-wrapping (Jarvis march)
