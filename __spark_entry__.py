@@ -3767,6 +3767,37 @@ def q_contributor_accretion(spark, sf_dir):
     )
 
 
+def q_twa_value(spark, sf_dir):
+    """Per-user time-weighted average of the `value` gauge
+    (ops/timeseries.time_weighted_avg): last-observation-carried-forward
+    integral over each user's observed span — integer cents × whole
+    seconds terms, one lag window + one aggregate."""
+    from oshdb_spark.ops.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return time_weighted_avg(ev)
+
+
+def q_ohlc_weekly(spark, sf_dir):
+    """Per (user, week) OHLC bar of the `value` gauge (ops/timeseries.
+    ohlc): open/close picked by exact packed (sec, event_id) keys via
+    min_by/max_by — one partial+final aggregate, no window."""
+    from oshdb_spark.ops.timeseries import ohlc
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    ).withColumn("wk", F.floor(F.col("sec") / 604800).cast("long"))
+    return ohlc(ev)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention — the standard growth-analytics matrix: users
     cohorted by their first active week, each later week's activity
@@ -4428,6 +4459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_counts": q_geohash_counts,
         "convex_hulls": q_convex_hulls,
         "retention_cohorts": q_retention_cohorts,
+        "twa_value": q_twa_value,
+        "ohlc_weekly": q_ohlc_weekly,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -4979,6 +5012,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "twa_value": """
+            -- LOCF integral replay: per-term integer cents x whole
+            -- seconds (exact order-invariant BIGINT numerator), one
+            -- float division at the end
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq, value
+              FROM events),
+            nx AS (
+              SELECT uid, sec, value,
+                     lead(sec) OVER (
+                       PARTITION BY uid ORDER BY sec, seq) AS nxt
+              FROM ev),
+            t AS (
+              SELECT uid,
+                     CAST(round(value * 100.0, 0) AS BIGINT)
+                       * (nxt - sec) AS num,
+                     nxt - sec AS dt
+              FROM nx WHERE nxt IS NOT NULL)
+            SELECT uid AS entity,
+                   CAST(sum(dt) AS BIGINT) AS span_s,
+                   round(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                         / (CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE)
+                            * 100.0), 6) AS twa
+            FROM t GROUP BY uid
+            HAVING sum(dt) > 0
+        """,
+        "ohlc_weekly": """
+            -- first/last by exact packed BIGINT (sec, seq) keys —
+            -- arg_min/arg_max mirror min_by/max_by
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq, value
+              FROM events)
+            SELECT uid AS entity,
+                   sec // 604800 AS bucket,
+                   arg_min(value, sec * 1000000 + seq) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, sec * 1000000 + seq) AS close,
+                   count(*) AS volume
+            FROM ev GROUP BY 1, 2
         """,
         "retention_cohorts": """
             WITH base AS (

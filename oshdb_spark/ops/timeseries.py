@@ -1,0 +1,92 @@
+"""Irregular time-series rollups: time-weighted averages and OHLC bars.
+
+The two aggregates every metrics/telemetry pipeline needs and plain
+AVG/GROUP BY get wrong: an irregularly-sampled gauge must weight each
+observation by how long it was current (last-observation-carried-forward
+integral — TimescaleDB's ``time_weight``), and per-bucket summaries need
+the FIRST/LAST observation by event time, not an arbitrary row.
+
+Both are pure Catalyst — one lag window (TWA) or one partial+final
+aggregate with ``min_by``/``max_by`` (OHLC); the determinism contracts:
+
+- TWA quantizes each term to integer cents × whole seconds, so the
+  numerator is an exact order-invariant BIGINT sum; only the final
+  division is float (rounded 6 on both engines);
+- OHLC breaks first/last ties with a packed BIGINT
+  ``sec * 1_000_000 + seq`` key (callers guarantee ``seq < 1e6`` —
+  event ids at any tested scale), so the chosen rows are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-entity time-weighted average under last-observation-carried-
+    forward: each value holds from its timestamp to the next one; the
+    average is the integral over the observed span divided by the span.
+    Entities whose span is zero (fewer than 2 distinct timestamps) are
+    omitted — no interval ever carries their value.
+
+    Values are quantized to integer cents per term (exact for 2-decimal
+    gauges; a documented 0.005 quantum otherwise), each term multiplies
+    whole seconds, and the BIGINT sum is order-invariant. Output:
+    (entity, span_s, twa) with twa rounded to 6 decimals."""
+    w = Window.partitionBy(entity_col).orderBy(sec_col, seq_col)
+    nxt = F.lead(sec_col).over(w)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    terms = (
+        events.withColumn("_nxt", nxt)
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_num", cents * (F.col("_nxt") - F.col(sec_col)))
+        .withColumn("_dt", F.col("_nxt") - F.col(sec_col))
+    )
+    return (
+        terms.groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.sum("_dt").alias("span_s"),
+            F.sum("_num").alias("_numsum"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "entity",
+            "span_s",
+            F.round(
+                F.col("_numsum").cast("double")
+                / (F.col("span_s").cast("double") * 100.0),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+def ohlc(
+    events: DataFrame,
+    entity_col: str = "uid",
+    bucket_col: str = "wk",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per (entity, bucket) OHLC bar: open/close are the values at the
+    minimum/maximum packed (sec, seq) key — exact integer tie-breaks, no
+    arbitrary-row ``first()`` — plus high/low/volume. One partial+final
+    hash aggregate; the only shuffle is the group key."""
+    key = F.col(sec_col) * F.lit(1_000_000) + F.col(seq_col)
+    return events.groupBy(
+        F.col(entity_col).alias("entity"), F.col(bucket_col).alias("bucket")
+    ).agg(
+        F.min_by(value_col, key).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, key).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )

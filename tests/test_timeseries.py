@@ -1,0 +1,86 @@
+"""Differentials for the irregular time-series rollups: LOCF
+time-weighted average and OHLC bars vs direct per-entity replays,
+including equal-timestamp tie-breaks and zero-span omission."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _rows(seed=17, n_ent=6):
+    random.seed(seed)
+    rows = []
+    seq = 0
+    for ent in range(n_ent):
+        t = 1_000_000
+        for _ in range(random.randint(2, 30)):
+            rows.append(
+                (ent, t, seq, round(random.uniform(0, 200), 2))
+            )
+            seq += 1
+            if random.random() < 0.2:
+                # equal-timestamp pair: seq must break the tie
+                rows.append(
+                    (ent, t, seq, round(random.uniform(0, 200), 2))
+                )
+                seq += 1
+            t += random.randint(1, 5_000)
+    rows.append((90, 7_777, 9_000, 42.0))  # single event: zero span
+    rows.append((91, 8_888, 9_001, 10.0))  # two events, same second
+    rows.append((91, 8_888, 9_002, 20.0))
+    return rows
+
+
+def test_time_weighted_avg_matches_replay(spark):
+    from oshdb_spark.ops.timeseries import time_weighted_avg
+
+    rows = _rows()
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {
+        r["entity"]: (r["span_s"], r["twa"])
+        for r in time_weighted_avg(df).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    for ent, evs in by_ent.items():
+        evs.sort()
+        num = 0
+        span = 0
+        for (s0, _, v0), (s1, _, _) in zip(evs[:-1], evs[1:]):
+            cents = int(abs(v0) * 100 + 0.5)
+            num += cents * (s1 - s0)
+            span += s1 - s0
+        if span == 0:
+            assert ent not in got  # zero-span entities omitted
+            continue
+        g = got[ent]
+        assert g[0] == span, ent
+        assert abs(g[1] - round(num / (span * 100.0), 6)) < 1e-9, ent
+    assert 90 not in got and 91 not in got
+
+
+def test_ohlc_matches_replay(spark):
+    from oshdb_spark.ops.timeseries import ohlc
+
+    rows = _rows(seed=23)
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    ).withColumn("wk", F.floor(F.col("sec") / 3600).cast("long"))
+    got = {
+        (r["entity"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in ohlc(df, bucket_col="wk").collect()
+    }
+    by_key = {}
+    for uid, sec, seq, val in rows:
+        by_key.setdefault((uid, sec // 3600), []).append((sec, seq, val))
+    assert len(got) == len(by_key)
+    for key, evs in by_key.items():
+        evs.sort()  # (sec, seq) order == packed-key order
+        vals = [v for _, _, v in evs]
+        exp = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+        assert got[key] == exp, key
