@@ -3730,6 +3730,43 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Structured Streaming session windows (streaming/incremental.
+    session_aggregate): Spark's native merging session_window carried in
+    the state store across 3 ordered micro-batches, rolled up per user —
+    session count, event count, biggest session, longest session
+    duration. Complete mode emits every session of the bounded stream,
+    so the result replays the batch gaps-and-islands rule (new session
+    only when the 30-min gap is STRICTLY exceeded) exactly."""
+    import uuid
+
+    from oshdb_spark.streaming.incremental import (
+        read_event_stream,
+        session_aggregate,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _split_stream_dir(f"{sf_dir}/events.parquet", "ts")
+    schema = spark.read.parquet(path).schema
+    stream = read_event_stream(spark, path, schema)
+    sess = session_aggregate(stream, "30 minutes")
+    name = "ssw_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_sess_events"),
+        F.max(F.col("last_sec") - F.col("first_sec")).alias("max_sess_dur_s"),
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-Min sketch (ops/sketches.cms_table/cms_estimate): per-user
     event-frequency estimates from a fixed k×m=3×256 mergeable counter
@@ -4461,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "twa_value": q_twa_value,
         "ohlc_weekly": q_ohlc_weekly,
+        "stream_sessions": q_stream_sessions,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5012,6 +5050,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "stream_sessions": """
+            -- batch replay of the streaming session_window semantics:
+            -- new session only when the 30-min gap is STRICTLY
+            -- exceeded (empirically pinned — an event exactly 1800 s
+            -- after the previous one merges); session ids by running
+            -- sum of gap starts, then per-session and per-user rollups
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            l AS (
+              SELECT user_id, event_id, sec,
+                     CASE WHEN prev IS NULL OR sec - prev > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM (
+                SELECT user_id, event_id, sec,
+                       lag(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) AS prev
+                FROM ev)),
+            s AS (
+              SELECT user_id, sec,
+                     sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l),
+            per AS (
+              SELECT user_id, sid,
+                     count(*) AS n_events,
+                     max(sec) - min(sec) AS dur_s
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   max(n_events) AS max_sess_events,
+                   max(dur_s) AS max_sess_dur_s
+            FROM per GROUP BY 1
         """,
         "twa_value": """
             -- LOCF integral replay: per-term integer cents x whole

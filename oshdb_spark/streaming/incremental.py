@@ -464,3 +464,43 @@ def stream_colocation(
         .filter(F.col(dist_col) <= d_meters)
         .drop("_cell", "_rcell")
     )
+
+
+def session_aggregate(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Stateful session windows on a stream — Spark's native
+    ``session_window`` (merging event-time windows carried in the state
+    store across micro-batches), the streaming counterpart of the batch
+    gaps-and-islands sessionization. Boundary parity (empirically pinned
+    in tests/test_streaming.py): an event exactly ``gap`` after the
+    previous one MERGES — i.e. a new session starts only when the gap is
+    STRICTLY exceeded, the same ``sec - prev > gap`` rule as the batch
+    query and its oracle.
+
+    Emits one row per (entity, session): event count, first/last epoch
+    second. Complete output mode replays every session of a bounded
+    stream batch-exactly; production use switches to append + a real
+    watermark and receives sessions as they finalize."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withColumn(
+            sec_col, F.unix_timestamp(ts_col).cast("long")
+        )
+        .withWatermark(ts_col, "1 second")
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(ts_col, gap).alias("_sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(sec_col).alias("first_sec"),
+            F.max(sec_col).alias("last_sec"),
+        )
+        .drop("_sw")
+    )

@@ -475,3 +475,79 @@ def test_stream_colocation_matches_batch_join(spark, tmp_path):
     }
     assert len(straddling) > 0
     assert len(want) > 20
+
+
+def test_session_window_matches_batch_islands(spark, tmp_path):
+    """Native session_window state must MERGE sessions that straddle
+    micro-batches, and an event exactly gap seconds after the previous
+    one must merge (strictly-exceeded rule — parity with the batch
+    sessionization oracle)."""
+    import random
+
+    from oshdb_spark.streaming.incremental import session_aggregate
+
+    random.seed(37)
+    rows = []
+    for uid in range(8):
+        t = 100_000
+        for _ in range(random.randint(5, 25)):
+            rows.append((uid, t))
+            t += random.choice([60, 600, 1800, 1801, 5000])
+    # a session deliberately straddling the split at t=150000
+    rows += [(99, 149_000), (99, 149_900), (99, 150_100), (99, 151_000)]
+    df = spark.createDataFrame(rows, "user_id long, sec long").withColumn(
+        "ts", F.col("sec").cast("timestamp")
+    )
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    for i, part in enumerate(
+        [df.filter(F.col("sec") <= 150_000), df.filter(F.col("sec") > 150_000)]
+    ):
+        d = tmp_path / f"_s{i}"
+        part.coalesce(1).write.parquet(str(d))
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.rename(d / fn, f"{src}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_aggregate(stream, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["first_sec"]): (r["n_events"], r["last_sec"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    # batch islands replay: new session only when gap STRICTLY > 1800
+    by_uid = {}
+    for uid, sec in rows:
+        by_uid.setdefault(uid, []).append(sec)
+    exp = {}
+    for uid, secs in by_uid.items():
+        secs.sort()
+        start, cnt, last = secs[0], 0, None
+        for s in secs:
+            if last is not None and s - last > 1800:
+                exp[(uid, start)] = (cnt, last)
+                start, cnt = s, 0
+            cnt += 1
+            last = s
+        exp[(uid, start)] = (cnt, last)
+    assert got == exp
+    # the straddling session came out of the state store as ONE session
+    assert got[(99, 149_000)] == (4, 151_000)
+    # at least one exact-1800 merge existed in the random walks
+    merged_exact = any(
+        b - a == 1800
+        for secs in by_uid.values()
+        for a, b in zip(sorted(secs)[:-1], sorted(secs)[1:])
+    )
+    assert merged_exact
