@@ -326,6 +326,45 @@ def _replay_way(wvs, mdicts, requested, bbox, key_filter):
     ):
         return {}
 
+    # reference 3-state cull (CellIterator.java:200-215,320): the DOC
+    # bbox spans every coordinate embedded in the blob (typed_row —
+    # including members the current version does not reference); when
+    # the doc is FULLY INSIDE the AOI a snapshot is emitted even if its
+    # geometry is empty (fullyInside || !geom.isEmpty())
+    lons = [
+        v["lon"] * 1e-7
+        for vs in mdicts.values()
+        for v in vs
+        if v.get("lon") is not None
+    ]
+    lats = [
+        v["lat"] * 1e-7
+        for vs in mdicts.values()
+        for v in vs
+        if v.get("lat") is not None
+    ]
+    doc_bbox = (
+        (min(lons), min(lats), max(lons), max(lats)) if lons else None
+    )
+    if bbox is not None:
+        if doc_bbox is None:
+            return {}  # engine: fbbox None -> rel 0 (skip)
+        if (
+            doc_bbox[2] < bbox[0]
+            or bbox[2] < doc_bbox[0]
+            or doc_bbox[3] < bbox[1]
+            or bbox[3] < doc_bbox[1]
+        ):
+            return {}
+        fully_inside = (
+            doc_bbox[0] >= bbox[0]
+            and doc_bbox[1] >= bbox[1]
+            and doc_bbox[2] <= bbox[2]
+            and doc_bbox[3] <= bbox[3]
+        )
+    else:
+        fully_inside = True
+
     def node_asof(mid, t):
         vs = [v for v in mdicts.get(mid, []) if unix(v["ts"]) <= t]
         if not vs:
@@ -353,7 +392,7 @@ def _replay_way(wvs, mdicts, requested, bbox, key_filter):
             geom = ("Point", pts[0])
         else:
             geom = ("empty",)
-        if bbox is not None:
+        if bbox is not None and not fully_inside:
             if geom[0] == "empty":
                 continue
             if geom[0] == "Point":
@@ -446,6 +485,31 @@ if HAVE_HYP:
 
         want = _replay_way(wvs, mdicts, requested, bbox, key_filter)
         assert got == want
+
+    def test_way_snapshot_fully_inside_emits_empty_geometry():
+        """Pinned hypothesis counterexample (round-4): a way whose only
+        referenced node is invisible builds an EMPTY geometry, but the
+        DOC bbox (spanning an embedded member the current version does
+        not reference) is fully inside the AOI — the reference emits the
+        row anyway (CellIterator.java:320 `fullyInside ||
+        !geom.isEmpty()`), and so must the engine AND the replay."""
+        way_hist = [(1, True, 0, [101])]
+        member_hists = [[(1, False, 0, 0)], [(1, True, 1, 0)]]
+        doc, wvs, mdicts = _build_way_doc(way_hist, member_hists)
+        requested = [BASE + 1 * STEP + 1]
+        bbox = (0.05, -0.05, 1.05, 1.05)
+        out = []
+        _emit_doc_snapshots(
+            doc, requested, AOI(bbox=bbox), None, DECIDER, True, out
+        )
+        got = {
+            r[0]: (r[3], tuple(sorted((r[6] or {}).items())),
+                   _canon_geom(G.from_wkb(r[7])))
+            for r in out
+        }
+        want = _replay_way(wvs, mdicts, requested, bbox, None)
+        assert got == want
+        assert got == {requested[0]: (1, (), ("empty",))}
 
 
 # ---------------------------------------------------------------------------
