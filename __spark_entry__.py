@@ -3835,6 +3835,38 @@ def q_ohlc_weekly(spark, sf_dir):
     return ohlc(ev)
 
 
+def q_gapfill_daily(spark, sf_dir):
+    """Gap-filled regular series (ops/timeseries.gapfill_locf): each
+    user's `value` gauge on a 6-hour grid with LOCF fill between first
+    and last observation; per-bucket representative picked by the exact
+    packed (sec, event_id) key."""
+    from oshdb_spark.ops.timeseries import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return gapfill_locf(ev, 21600)
+
+
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style counter increase/rate with reset handling
+    (ops/timeseries.counter_rate) over each user's `value` sequence:
+    integer-cents deltas (resets add the restarted value), exact BIGINT
+    sums, one float division per output row."""
+    from oshdb_spark.ops.timeseries import counter_rate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return counter_rate(ev)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention — the standard growth-analytics matrix: users
     cohorted by their first active week, each later week's activity
@@ -4499,6 +4531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_value": q_twa_value,
         "ohlc_weekly": q_ohlc_weekly,
         "stream_sessions": q_stream_sessions,
+        "gapfill_daily": q_gapfill_daily,
+        "counter_rate": q_counter_rate,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5050,6 +5084,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
+        """,
+        "gapfill_daily": """
+            -- LOCF gap-fill replay: bucket representative by exact
+            -- packed key (arg_max == max_by), per-entity bucket grid
+            -- via generate_series, running last-ignore-nulls fill
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq, value
+              FROM events),
+            b AS (
+              SELECT uid AS entity, sec // 21600 AS bucket,
+                     arg_max(value, sec * 1000000 + seq) AS v
+              FROM ev GROUP BY 1, 2),
+            r AS (
+              SELECT entity, min(bucket) AS mn, max(bucket) AS mx
+              FROM b GROUP BY 1),
+            g AS (
+              SELECT entity, unnest(generate_series(mn, mx)) AS bucket
+              FROM r),
+            j AS (
+              SELECT g.entity, g.bucket, b.v
+              FROM g LEFT JOIN b
+                ON b.entity = g.entity AND b.bucket = g.bucket)
+            SELECT entity, bucket,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY entity ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS value,
+                   v IS NULL AS is_filled
+            FROM j
+        """,
+        "counter_rate": """
+            -- PromQL increase/rate replay: integer-cents deltas with
+            -- reset handling, exact BIGINT sums, one division per row
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            l AS (
+              SELECT uid, c,
+                     lag(c) OVER (PARTITION BY uid
+                                  ORDER BY sec, seq) AS p
+              FROM ev),
+            d AS (
+              SELECT uid,
+                     CASE WHEN c >= p THEN c - p ELSE c END AS dd
+              FROM l WHERE p IS NOT NULL),
+            inc AS (
+              SELECT uid, CAST(sum(dd) AS BIGINT) AS inc_cents
+              FROM d GROUP BY 1),
+            sp AS (
+              SELECT uid, max(sec) - min(sec) AS span_s
+              FROM ev GROUP BY 1)
+            SELECT i.uid AS entity, s.span_s,
+                   round(CAST(i.inc_cents AS DOUBLE) / 100.0, 6)
+                     AS increase,
+                   round(CAST(i.inc_cents AS DOUBLE)
+                         / (CAST(s.span_s AS DOUBLE) * 100.0), 6)
+                     AS rate_per_s
+            FROM inc i JOIN sp s ON s.uid = i.uid
+            WHERE s.span_s > 0
         """,
         "stream_sessions": """
             -- batch replay of the streaming session_window semantics:

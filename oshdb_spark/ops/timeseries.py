@@ -90,3 +90,100 @@ def ohlc(
         F.max_by(value_col, key).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    bucket_s: int,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed bucket grid with
+    last-observation-carried-forward fill (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``): every bucket between an
+    entity's first and last observation gets a row; empty buckets carry
+    the latest earlier value and are flagged ``is_filled``.
+
+    Per-bucket representative = the LAST observation in the bucket by
+    the exact packed (sec, seq) key (max_by — no arbitrary row). The
+    grid explode is per-entity span/bucket_s rows (output-sized, not a
+    cross join); the LOCF is one running last-ignore-nulls window. The
+    first bucket is an observed one by construction, so no leading
+    nulls."""
+    bucket = F.floor(F.col(sec_col) / F.lit(int(bucket_s))).cast("long")
+    key = F.col(sec_col) * F.lit(1_000_000) + F.col(seq_col)
+    last = (
+        events.groupBy(
+            F.col(entity_col).alias("entity"), bucket.alias("bucket")
+        )
+        .agg(F.max_by(value_col, key).alias("_v"))
+    )
+    rng = last.groupBy("entity").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = rng.select(
+        "entity", F.explode(F.sequence("_mn", "_mx")).alias("bucket")
+    )
+    j = grid.join(last, ["entity", "bucket"], "left")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "entity",
+        "bucket",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNull().alias("is_filled"),
+    )
+
+
+def counter_rate(
+    events: DataFrame,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Monotonic-counter increase and per-second rate with reset
+    handling (PromQL ``increase``/``rate``): per entity in (sec, seq)
+    order, each step adds ``cur - prev`` cents, except across a reset
+    (cur < prev) where the counter restarted and the step adds ``cur``.
+    Integer-cents deltas sum exactly; entities with zero span are
+    omitted (no elapsed time to rate over)."""
+    w = Window.partitionBy(entity_col).orderBy(sec_col, seq_col)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    d = (
+        events.withColumn("_c", cents)
+        .withColumn("_p", F.lag("_c").over(w))
+        .filter(F.col("_p").isNotNull())
+        .withColumn(
+            "_d",
+            F.when(F.col("_c") >= F.col("_p"), F.col("_c") - F.col("_p"))
+            .otherwise(F.col("_c")),
+        )
+    )
+    spans = events.groupBy(F.col(entity_col).alias("entity")).agg(
+        (F.max(sec_col) - F.min(sec_col)).alias("span_s")
+    )
+    inc = d.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.sum("_d").alias("_inc_cents")
+    )
+    return (
+        inc.join(spans, "entity")
+        .filter(F.col("span_s") > 0)
+        .select(
+            "entity",
+            "span_s",
+            F.round(F.col("_inc_cents").cast("double") / 100.0, 6).alias(
+                "increase"
+            ),
+            F.round(
+                F.col("_inc_cents").cast("double")
+                / (F.col("span_s").cast("double") * 100.0),
+                6,
+            ).alias("rate_per_s"),
+        )
+    )

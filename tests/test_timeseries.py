@@ -84,3 +84,77 @@ def test_ohlc_matches_replay(spark):
         vals = [v for _, _, v in evs]
         exp = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
         assert got[key] == exp, key
+
+
+def test_gapfill_locf_matches_replay(spark):
+    from oshdb_spark.ops.timeseries import gapfill_locf
+
+    rows = _rows(seed=41)
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    W = 1000
+    got = {
+        (r["entity"], r["bucket"]): (r["value"], r["is_filled"])
+        for r in gapfill_locf(df, W).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    exp = {}
+    n_filled = 0
+    for ent, evs in by_ent.items():
+        evs.sort()
+        per_bucket = {}
+        for sec, seq, val in evs:  # sorted => last wins == max packed key
+            per_bucket[sec // W] = val
+        mn, mx = min(per_bucket), max(per_bucket)
+        cur = None
+        for b in range(mn, mx + 1):
+            if b in per_bucket:
+                cur = per_bucket[b]
+                exp[(ent, b)] = (cur, False)
+            else:
+                exp[(ent, b)] = (cur, True)
+                n_filled += 1
+    assert got == exp
+    assert n_filled > 10  # gaps actually exist and were filled
+
+
+def test_counter_rate_matches_replay(spark):
+    from oshdb_spark.ops.timeseries import counter_rate
+
+    rows = _rows(seed=43)
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {
+        r["entity"]: (r["span_s"], r["increase"], r["rate_per_s"])
+        for r in counter_rate(df).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    n_resets = 0
+    for ent, evs in by_ent.items():
+        evs.sort()
+        span = evs[-1][0] - evs[0][0]
+        if span == 0 or len(evs) < 2:
+            assert ent not in got
+            continue
+        inc = 0
+        prev = None
+        for _, _, v in evs:
+            c = int(v * 100 + 0.5)
+            if prev is not None:
+                if c >= prev:
+                    inc += c - prev
+                else:
+                    inc += c  # reset: counter restarted at c
+                    n_resets += 1
+            prev = c
+        g = got[ent]
+        assert g[0] == span
+        assert abs(g[1] - round(inc / 100.0, 6)) < 1e-9
+        assert abs(g[2] - round(inc / (span * 100.0), 6)) < 1e-9
+    assert n_resets > 5  # the random gauge exercises the reset branch
