@@ -652,6 +652,89 @@ def _geohash_duck_sql(lon_expr: str, lat_expr: str, precision: int) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
+def q_contour_lines(spark, sf_dir):
+    """Raster→vector contour extraction (geo/cells.contour_segments):
+    marching-squares iso-lines of the zoom-6 event-count raster at
+    levels 1/2/4/8 — per level, segment count and total mm-quantized
+    equirectangular length. The segment arithmetic is ONE dialect-common
+    SQL fragment the oracle embeds verbatim."""
+    from oshdb_spark.geo.cells import contour_segments
+
+    seg = contour_segments(
+        _event_cell_raster(spark, sf_dir), 6, [1, 2, 4, 8],
+        value_col="cnt",
+    )
+    return seg.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("len_mm").alias("total_len_mm"),
+    )
+
+
+def _contour_oracle() -> str:
+    from oshdb_spark.geo.cells import marching_squares_slot_sql
+
+    slot_sel = []
+    for slot in (1, 2):
+        sx0, sy0, sx1, sy1 = marching_squares_slot_sql(slot, x="gx", y="gy")
+        slot_sel.append(
+            f"SELECT t AS level, {sx0} AS lx0, {sy0} AS ly0,"
+            f" {sx1} AS lx1, {sy1} AS ly1 FROM lv"
+        )
+    slots = " UNION ALL ".join(slot_sel)
+    return f"""
+        -- marching-squares replay: block assembly by corner UNION +
+        -- aggregation (no self-joins), then the IDENTICAL dialect-common
+        -- segment fragment the engine runs through F.expr
+        WITH pts AS (
+          SELECT (event_id*1103515245) % 3600000000 - 1800000000 AS lon7,
+                 (event_id*1234567891) % 1700000000 - 850000000 AS lat7
+          FROM events),
+        r AS (
+          SELECT ((lat7 + 900000000) // 56250000) * 64
+                 + ((lon7 + 1800000000) // 56250000) AS cell,
+                 count(*) AS v
+          FROM pts GROUP BY 1),
+        p AS (SELECT cell % 64 AS cx, cell // 64 AS cy, v FROM r),
+        corners AS (
+          SELECT cx AS gx, cy AS gy, 0 AS c, v FROM p
+          UNION ALL SELECT cx - 1, cy, 1, v FROM p
+          UNION ALL SELECT cx, cy - 1, 2, v FROM p
+          UNION ALL SELECT cx - 1, cy - 1, 3, v FROM p),
+        blocks AS (
+          SELECT gx, gy,
+                 coalesce(max(CASE WHEN c = 0 THEN v END), 0) AS v00,
+                 coalesce(max(CASE WHEN c = 1 THEN v END), 0) AS v10,
+                 coalesce(max(CASE WHEN c = 2 THEN v END), 0) AS v01,
+                 coalesce(max(CASE WHEN c = 3 THEN v END), 0) AS v11
+          FROM corners GROUP BY 1, 2),
+        lv AS (
+          SELECT b.*, tt.t,
+                 CAST(v00 > t AS INT) + 2 * CAST(v10 > t AS INT)
+                 + 4 * CAST(v11 > t AS INT) + 8 * CAST(v01 > t AS INT)
+                   AS ms_case
+          FROM blocks b, (SELECT unnest([1, 2, 4, 8]) AS t) tt),
+        seg AS ({slots}),
+        k AS (
+          SELECT level,
+                 -180.0 + (lx0 + 0.5) * 5.625 AS x0d,
+                 -90.0 + (ly0 + 0.5) * 5.625 AS y0d,
+                 -180.0 + (lx1 + 0.5) * 5.625 AS x1d,
+                 -90.0 + (ly1 + 0.5) * 5.625 AS y1d
+          FROM seg WHERE lx0 IS NOT NULL),
+        m AS (
+          SELECT level,
+                 CAST(round(6371000.0 * sqrt(
+                   radians(y1d - y0d) * radians(y1d - y0d)
+                   + (radians(x1d - x0d) * cos(radians((y0d + y1d) / 2.0)))
+                     * (radians(x1d - x0d) * cos(radians((y0d + y1d) / 2.0)))
+                 ) * 1000.0, 0) AS BIGINT) AS mm
+          FROM k)
+        SELECT level, count(*) AS n_segments,
+               CAST(sum(mm) AS BIGINT) AS total_len_mm
+        FROM m GROUP BY level
+    """
+
+
 def q_geohash_counts(spark, sf_dir):
     """Geohash binning (geo/cells.geohash_col): per-cell event counts at
     precision 3 over world-scattered positions — the base-32 interchange
@@ -4533,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "gapfill_daily": q_gapfill_daily,
         "counter_rate": q_counter_rate,
+        "contour_lines": q_contour_lines,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5085,6 +5169,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM allpts GROUP BY cluster
         """,
+        "contour_lines": _contour_oracle(),
         "gapfill_daily": """
             -- LOCF gap-fill replay: bucket representative by exact
             -- packed key (arg_max == max_by), per-entity bucket grid

@@ -1140,3 +1140,155 @@ def geohash_col(lon7_col, lat7_col, precision: int = 6):
     from pyspark.sql import functions as F
 
     return F.expr(f"concat({', '.join(parts)})")
+
+
+# ---------------------------------------------------------------------------
+# raster → vector: marching-squares contour extraction
+# ---------------------------------------------------------------------------
+
+def _ms_edge_points(x: str, y: str, t: str):
+    """SQL (dialect-common: Spark AND DuckDB) for the four edge crossing
+    points of a marching-squares block anchored at integer lattice
+    (x, y) with corner values v00 (at x,y), v10 (x+1,y), v11 (x+1,y+1),
+    v01 (x,y+1). Linear interpolation; a crossing's denominator is
+    nonzero whenever the crossing exists (the corners straddle t)."""
+    fB = f"(({t} - v00) / (v10 - v00))"
+    fR = f"(({t} - v10) / (v11 - v10))"
+    fT = f"(({t} - v01) / (v11 - v01))"
+    fL = f"(({t} - v00) / (v01 - v00))"
+    return {
+        "B": (f"({x} + {fB})", f"CAST({y} AS DOUBLE)"),
+        "R": (f"({x} + 1.0)", f"({y} + {fR})"),
+        "T": (f"({x} + {fT})", f"({y} + 1.0)"),
+        "L": (f"CAST({x} AS DOUBLE)", f"({y} + {fL})"),
+    }
+
+
+# case index = (v00>t) + 2*(v10>t) + 4*(v11>t) + 8*(v01>t); slot → the
+# edge pair whose crossing points the segment connects. Ambiguous saddles
+# (5, 10) resolve by the center average (> t joins the diagonal corners)
+# — one fixed convention shared by engine and oracle.
+_MS_SLOT1 = {1: ("L", "B"), 2: ("B", "R"), 3: ("L", "R"), 4: ("T", "R"),
+             6: ("B", "T"), 7: ("L", "T"), 8: ("L", "T"), 9: ("B", "T"),
+             11: ("T", "R"), 12: ("L", "R"), 13: ("B", "R"), 14: ("L", "B")}
+_MS_AMBIG = {  # case -> ((center>t slot1, slot2), (else slot1, slot2))
+    5: ((("L", "T"), ("B", "R")), (("L", "B"), ("T", "R"))),
+    10: ((("L", "B"), ("T", "R")), (("L", "T"), ("B", "R"))),
+}
+
+
+def marching_squares_slot_sql(slot: int, x: str = "x", y: str = "y",
+                              t: str = "t"):
+    """(x0, y0, x1, y1) SQL expressions for segment slot 1 or 2 of a
+    marching-squares block — NULL when the case emits no segment in this
+    slot. The text is dialect-common (CASE/arithmetic/CAST only), so the
+    ENGINE runs it via F.expr and the DuckDB ORACLE embeds the identical
+    string: both compute the same doubles by construction."""
+    pts = _ms_edge_points(x, y, t)
+    center = f"((v00 + v10 + v11 + v01) / 4.0 > {t})"
+    out = []
+    for coord in range(4):  # x0, y0, x1, y1
+        branches = []
+        for case in range(1, 15):
+            if case in _MS_AMBIG:
+                hi, lo = _MS_AMBIG[case]
+                pair_hi = hi[slot - 1]
+                pair_lo = lo[slot - 1]
+                e_hi = pts[pair_hi[coord // 2]][coord % 2]
+                e_lo = pts[pair_lo[coord // 2]][coord % 2]
+                expr = f"CASE WHEN {center} THEN {e_hi} ELSE {e_lo} END"
+            elif slot == 1 and case in _MS_SLOT1:
+                pair = _MS_SLOT1[case]
+                expr = pts[pair[coord // 2]][coord % 2]
+            else:
+                continue
+            branches.append(f"WHEN ms_case = {case} THEN {expr}")
+        out.append("CASE " + " ".join(branches) + " ELSE NULL END")
+    return tuple(out)
+
+
+def contour_segments(
+    raster: "DataFrame",
+    zoom: int,
+    thresholds: list[int],
+    cell_col: str = "cell",
+    value_col: str = "v",
+) -> "DataFrame":
+    """Marching-squares contour extraction over an XYGrid cell raster —
+    the raster→vector counterpart of the zonal/KDE raster ops: for each
+    threshold level, the iso-line segments separating cells above the
+    level from cells at-or-below it. Returns one row per (level, block,
+    slot) segment with lattice endpoints, degree endpoints, and the
+    mm-quantized equirectangular length.
+
+    Shape: one 4-way corner explode + ONE partial+final aggregate builds
+    every 2×2 sample block (absent cells are value 0, so contours close
+    at the data boundary); levels fan out as a literal explode; the
+    segment arithmetic is a dialect-common SQL fragment
+    (marching_squares_slot_sql) the DuckDB oracle embeds verbatim. No
+    joins anywhere — blocks assemble by aggregation, not self-joins."""
+    from pyspark.sql import functions as F
+
+    ncols = 1 << zoom
+    w = 360.0 / ncols
+    pts = raster.select(
+        (F.col(cell_col) % ncols).alias("cx"),
+        (F.col(cell_col) / ncols).cast("long").alias("cy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    corners = pts.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('gx', cx,     'gy', cy,     'c', 0),"
+                "      named_struct('gx', cx - 1, 'gy', cy,     'c', 1),"
+                "      named_struct('gx', cx,     'gy', cy - 1, 'c', 2),"
+                "      named_struct('gx', cx - 1, 'gy', cy - 1, 'c', 3))"
+            )
+        ).alias("k"),
+        "v",
+    ).select("k.gx", "k.gy", "k.c", "v")
+    blocks = corners.groupBy("gx", "gy").agg(
+        F.coalesce(F.max(F.when(F.col("c") == 0, F.col("v"))), F.lit(0)).alias("v00"),
+        F.coalesce(F.max(F.when(F.col("c") == 1, F.col("v"))), F.lit(0)).alias("v10"),
+        F.coalesce(F.max(F.when(F.col("c") == 2, F.col("v"))), F.lit(0)).alias("v01"),
+        F.coalesce(F.max(F.when(F.col("c") == 3, F.col("v"))), F.lit(0)).alias("v11"),
+    )
+    lv = blocks.select(
+        "*", F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias("t")
+    ).withColumn(
+        "ms_case",
+        F.expr(
+            "CAST(v00 > t AS INT) + 2 * CAST(v10 > t AS INT)"
+            " + 4 * CAST(v11 > t AS INT) + 8 * CAST(v01 > t AS INT)"
+        ),
+    )
+    slots = []
+    for slot in (1, 2):
+        sx0, sy0, sx1, sy1 = marching_squares_slot_sql(slot, x="gx", y="gy")
+        slots.append(
+            lv.select(
+                F.col("t").alias("level"), "gx", "gy",
+                F.lit(slot).alias("slot"),
+                F.expr(sx0).alias("lx0"), F.expr(sy0).alias("ly0"),
+                F.expr(sx1).alias("lx1"), F.expr(sy1).alias("ly1"),
+            ).filter(F.col("lx0").isNotNull())
+        )
+    seg = slots[0].unionByName(slots[1])
+    # lattice → degrees: sample points sit at cell CENTERS of the zoom
+    # grid (x+0.5, y+0.5 cells from the (-180, -90) origin)
+    for lat_c, lon_c, src_x, src_y in (
+        ("y0d", "x0d", "lx0", "ly0"), ("y1d", "x1d", "lx1", "ly1"),
+    ):
+        seg = seg.withColumn(
+            lon_c, F.lit(-180.0) + (F.col(src_x) + 0.5) * F.lit(w)
+        ).withColumn(lat_c, F.lit(-90.0) + (F.col(src_y) + 0.5) * F.lit(w))
+    dla = F.radians(F.col("y1d") - F.col("y0d"))
+    dln = F.radians(F.col("x1d") - F.col("x0d")) * F.cos(
+        F.radians((F.col("y0d") + F.col("y1d")) / 2.0)
+    )
+    return seg.withColumn(
+        "len_mm",
+        F.round(
+            F.lit(6371000.0) * F.sqrt(dla * dla + dln * dln) * 1000.0, 0
+        ).cast("long"),
+    ).drop("lx0", "ly0", "lx1", "ly1")

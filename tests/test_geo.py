@@ -1155,3 +1155,118 @@ def test_convex_hull_stats_vertices_and_invariants(spark):
         "entity long, lon7 long, lat7 long",
     )
     assert convex_hull_stats(deg).count() == 0
+
+
+def test_contour_segments_matches_reference_impl(spark):
+    """Marching squares vs an independently written per-block reference
+    (explicit inside-corner-set lookup), over a random raster and a
+    plateau whose contour is a known closed ring; saddle blocks resolve
+    by the center-average convention on both sides."""
+    import math
+    import random
+
+    from oshdb_spark.geo.cells import contour_segments
+
+    random.seed(67)
+    zoom, ncols = 6, 64
+    w = 360.0 / 64
+
+    def ref_segments(values, t):
+        """values: dict (x, y) -> v. Returns multiset of segments as
+        frozenset of rounded lattice endpoints."""
+        segs = []
+        xs = [x for x, _ in values]
+        ys = [y for _, y in values]
+        for bx in range(min(xs) - 1, max(xs) + 1):
+            for by2 in range(min(ys) - 1, max(ys) + 1):
+                v00 = values.get((bx, by2), 0)
+                v10 = values.get((bx + 1, by2), 0)
+                v01 = values.get((bx, by2 + 1), 0)
+                v11 = values.get((bx + 1, by2 + 1), 0)
+                inside = frozenset(
+                    n for n, v in
+                    (("00", v00), ("10", v10), ("11", v11), ("01", v01))
+                    if v > t
+                )
+                if not inside or len(inside) == 4:
+                    continue
+
+                def pt(edge):
+                    if edge == "B":
+                        return (bx + (t - v00) / (v10 - v00), float(by2))
+                    if edge == "R":
+                        return (bx + 1.0, by2 + (t - v10) / (v11 - v10))
+                    if edge == "T":
+                        return (bx + (t - v01) / (v11 - v01), by2 + 1.0)
+                    return (float(bx), by2 + (t - v00) / (v01 - v00))
+
+                table = {
+                    frozenset({"00"}): [("L", "B")],
+                    frozenset({"10"}): [("B", "R")],
+                    frozenset({"11"}): [("T", "R")],
+                    frozenset({"01"}): [("L", "T")],
+                    frozenset({"00", "10"}): [("L", "R")],
+                    frozenset({"10", "11"}): [("B", "T")],
+                    frozenset({"01", "11"}): [("L", "R")],
+                    frozenset({"00", "01"}): [("B", "T")],
+                    frozenset({"00", "10", "11"}): [("L", "T")],
+                    frozenset({"10", "11", "01"}): [("L", "B")],
+                    frozenset({"00", "11", "01"}): [("B", "R")],
+                    frozenset({"00", "10", "01"}): [("T", "R")],
+                }
+                if inside == frozenset({"00", "11"}):
+                    pairs = ([("L", "T"), ("B", "R")]
+                             if (v00 + v10 + v11 + v01) / 4.0 > t
+                             else [("L", "B"), ("T", "R")])
+                elif inside == frozenset({"10", "01"}):
+                    pairs = ([("L", "B"), ("T", "R")]
+                             if (v00 + v10 + v11 + v01) / 4.0 > t
+                             else [("L", "T"), ("B", "R")])
+                else:
+                    pairs = table[inside]
+                for a, b in pairs:
+                    pa, pb = pt(a), pt(b)
+                    segs.append(frozenset({
+                        (round(pa[0], 9), round(pa[1], 9)),
+                        (round(pb[0], 9), round(pb[1], 9)),
+                    }))
+        return sorted(segs, key=sorted)
+
+    def run_engine(values, levels):
+        rows = [(y * ncols + x, v) for (x, y), v in values.items()]
+        df = spark.createDataFrame(rows, "cell long, v long")
+        out = {}
+        for r in contour_segments(df, zoom, levels).collect():
+            la = r["x0d"] / w + 180.0 / w - 0.5, r["y0d"] / w + 90.0 / w - 0.5
+            lb = r["x1d"] / w + 180.0 / w - 0.5, r["y1d"] / w + 90.0 / w - 0.5
+            out.setdefault(r["level"], []).append(frozenset({
+                (round(la[0], 6), round(la[1], 6)),
+                (round(lb[0], 6), round(lb[1], 6)),
+            }))
+        return out
+
+    # random raster including saddle-prone values
+    values = {
+        (random.randint(5, 20), random.randint(5, 15)):
+            random.randint(1, 10)
+        for _ in range(120)
+    }
+    got = run_engine(values, [2, 5])
+    for t in (2, 5):
+        exp = [frozenset({(round(a, 6), round(b, 6)) for a, b in s})
+               for s in ref_segments(values, t)]
+        assert sorted(got.get(t, []), key=sorted) == sorted(exp, key=sorted)
+    # plateau: closed ring, analytic length (straight runs + 45° cuts)
+    plateau = {(x, y): 10 for x in range(30, 34) for y in range(20, 23)}
+    got = run_engine(plateau, [5])[5]
+    exp = ref_segments(plateau, 5)
+    assert len(got) == len(exp)
+    # closed curve: every endpoint appears exactly twice
+    from collections import Counter
+    c = Counter(p for s in got for p in s)
+    assert all(v == 2 for v in c.values())
+    # analytic lattice length: (W-1 + H-1 straight units) * 2 + 4 * sqrt(.5)
+    lat_len = sum(
+        math.dist(*list(s)) for s in got
+    )
+    assert abs(lat_len - (2 * (3 + 2) + 4 * math.sqrt(0.5))) < 1e-6
