@@ -3950,6 +3950,74 @@ def q_counter_rate(spark, sf_dir):
     return counter_rate(ev)
 
 
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the
+    latest preceding non-purchase/non-error event of the same user
+    within a 7-day lookback ('direct' when none) — one running
+    last-ignore-nulls window + one aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        ~F.col("event_type").isin("purchase", "error"),
+        F.struct(F.col("sec").alias("tsec"),
+                 F.col("event_type").alias("ttype")),
+    )
+    d = (
+        ev.withColumn("_lt", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("_lt").isNotNull()
+                & (F.col("sec") - F.col("_lt.tsec") <= 604800),
+                F.col("_lt.ttype"),
+            ).otherwise(F.lit("direct")),
+        )
+    )
+    return d.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions")
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type Markov transitions: (previous type, type)
+    counts and round-6 row-normalized probabilities — one lag window,
+    one aggregate, one window-sum normalization."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    cnt = d.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return cnt.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ),
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention — the standard growth-analytics matrix: users
     cohorted by their first active week, each later week's activity
@@ -4617,6 +4685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_daily": q_gapfill_daily,
         "counter_rate": q_counter_rate,
         "contour_lines": q_contour_lines,
+        "attribution_last_touch": q_attribution_last_touch,
+        "event_transitions": q_event_transitions,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5170,6 +5240,51 @@ def oracle_sql() -> dict[str, str]:
             FROM allpts GROUP BY cluster
         """,
         "contour_lines": _contour_oracle(),
+        "attribution_last_touch": """
+            WITH ev AS (
+              SELECT user_id, event_type, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            lt AS (
+              SELECT user_id, event_type, sec,
+                     last_value(CASE WHEN event_type NOT IN
+                                       ('purchase', 'error')
+                                     THEN sec END IGNORE NULLS) OVER w
+                       AS tsec,
+                     last_value(CASE WHEN event_type NOT IN
+                                       ('purchase', 'error')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER w AS ttype
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING))
+            SELECT CASE WHEN ttype IS NOT NULL AND sec - tsec <= 604800
+                        THEN ttype ELSE 'direct' END AS channel,
+                   count(*) AS conversions
+            FROM lt WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "event_transitions": """
+            WITH ev AS (
+              SELECT user_id, event_type, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            d AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id)
+                       AS prev_type
+              FROM ev),
+            c AS (
+              SELECT prev_type, event_type, count(*) AS n
+              FROM d WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, event_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                AS DOUBLE), 6) AS p
+            FROM c
+        """,
         "gapfill_daily": """
             -- LOCF gap-fill replay: bucket representative by exact
             -- packed key (arg_max == max_by), per-entity bucket grid
