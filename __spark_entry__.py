@@ -4018,6 +4018,22 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_sax_symbols(spark, sf_dir):
+    """SAX time-series symbolization (ops/timeseries.sax_symbols): each
+    user's value gauge → 8 PAA buckets → z-normalized →
+    4-letter-alphabet symbol string; exact integer moments and
+    index-split buckets keep every double identical across engines."""
+    from oshdb_spark.ops.timeseries import sax_symbols
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return sax_symbols(ev, n_buckets=8, alphabet=4)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention — the standard growth-analytics matrix: users
     cohorted by their first active week, each later week's activity
@@ -4687,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
         "event_transitions": q_event_transitions,
+        "sax_symbols": q_sax_symbols,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5240,6 +5257,50 @@ def oracle_sql() -> dict[str, str]:
             FROM allpts GROUP BY cluster
         """,
         "contour_lines": _contour_oracle(),
+        "sax_symbols": """
+            -- SAX replay: exact integer moments (Σc, Σc²), index-split
+            -- PAA buckets (floor of the SAME double division), identical
+            -- z formula and breakpoint CASE; zero-variance entities
+            -- excluded by the exact integer test n·Σc² == (Σc)²
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            k AS (
+              SELECT uid, c,
+                     row_number() OVER (
+                       PARTITION BY uid ORDER BY sec, seq) - 1 AS k
+              FROM ev),
+            st AS (
+              SELECT uid, count(*) AS n,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS s2
+              FROM k GROUP BY 1),
+            b AS (
+              SELECT k.uid, floor(k.k * 8 / st.n) AS b, st.n, st.s, st.s2,
+                     CAST(sum(k.c) AS BIGINT) AS bs, count(*) AS bn
+              FROM k JOIN st ON st.uid = k.uid
+              GROUP BY 1, 2, 3, 4, 5),
+            z AS (
+              SELECT uid, b, n,
+                     ((CAST(bs AS DOUBLE) / (CAST(bn AS DOUBLE) * 100.0))
+                      - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
+                     / sqrt(CAST(s2 AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 10000.0)
+                            - (CAST(s AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * 100.0))
+                              * (CAST(s AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * 100.0))) AS z
+              FROM b WHERE s2 * n <> s * s)
+            SELECT uid AS entity, max(n) AS n_points,
+                   string_agg(CASE WHEN z < -0.6745 THEN 'a'
+                                   WHEN z < 0.0 THEN 'b'
+                                   WHEN z < 0.6745 THEN 'c'
+                                   ELSE 'd' END, '' ORDER BY b) AS sax
+            FROM z GROUP BY uid
+        """,
         "attribution_last_touch": """
             WITH ev AS (
               SELECT user_id, event_type, event_id,

@@ -187,3 +187,83 @@ def counter_rate(
             ).alias("rate_per_s"),
         )
     )
+
+
+def sax_symbols(
+    events: DataFrame,
+    n_buckets: int = 8,
+    alphabet: int = 4,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """SAX symbolization (Lin/Keogh Symbolic Aggregate approXimation —
+    the classic time-series indexing transform): each entity's value
+    sequence reduces to ``n_buckets`` PAA means, z-normalized by the
+    entity's own mean/std, then mapped to an ``alphabet``-letter symbol
+    string via the standard N(0,1) breakpoint table.
+
+    Determinism: the entity moments come from exact integer cents sums
+    (Σc, Σc²), PAA buckets split by integer row index (floor(k·B/n)),
+    and the per-bucket mean divides two exact integers — so every double
+    is identical across engines and partitionings. Zero-variance
+    entities are omitted (z undefined). Pure Catalyst: two windows (row
+    index), two aggregates, a breakpoint CASE, one ordered array fold —
+    no Python anywhere."""
+    if alphabet not in (3, 4, 5):
+        raise ValueError("alphabet must be 3, 4 or 5")
+    # N(0,1) equiprobable breakpoints (Lin et al., table 3)
+    bps = {
+        3: [-0.43, 0.43],
+        4: [-0.6745, 0.0, 0.6745],
+        5: [-0.84, -0.25, 0.25, 0.84],
+    }[alphabet]
+    letters = "abcde"
+    w = Window.partitionBy(entity_col).orderBy(sec_col, seq_col)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    d = events.withColumn("_c", cents).withColumn(
+        "_k", F.row_number().over(w) - 1
+    )
+    stats = d.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    d2 = d.join(
+        stats, F.col(entity_col) == F.col("entity")
+    ).withColumn(
+        "_b",
+        F.floor(
+            F.col("_k") * F.lit(int(n_buckets)) / F.col("_n")
+        ).cast("long"),
+    )
+    paa = d2.groupBy("entity", "_b", "_n", "_s", "_s2").agg(
+        F.sum("_c").alias("_bs"), F.count(F.lit(1)).alias("_bn")
+    )
+    mean = F.col("_s").cast("double") / (F.col("_n").cast("double") * 100.0)
+    var = (
+        F.col("_s2").cast("double")
+        / (F.col("_n").cast("double") * 10000.0)
+        - mean * mean
+    )
+    z = (
+        (F.col("_bs").cast("double") / (F.col("_bn").cast("double") * 100.0))
+        - mean
+    ) / F.sqrt(var)
+    sym = F.lit(letters[alphabet - 1])
+    for i in range(alphabet - 2, -1, -1):
+        sym = F.when(z < F.lit(bps[i]), F.lit(letters[i])).otherwise(sym)
+    syms = paa.filter(F.col("_s2") * F.col("_n") != F.col("_s") * F.col("_s")
+                      ).withColumn("_sym", sym)
+    return (
+        syms.groupBy("entity")
+        .agg(
+            F.max("_n").alias("n_points"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(named_struct('b', _b, 's', _sym))), "
+                "x -> x.s), '')"
+            ).alias("sax"),
+        )
+    )

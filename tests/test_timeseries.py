@@ -158,3 +158,50 @@ def test_counter_rate_matches_replay(spark):
         assert abs(g[1] - round(inc / 100.0, 6)) < 1e-9
         assert abs(g[2] - round(inc / (span * 100.0), 6)) < 1e-9
     assert n_resets > 5  # the random gauge exercises the reset branch
+
+
+def test_sax_symbols_matches_replay(spark):
+    import math
+
+    from oshdb_spark.ops.timeseries import sax_symbols
+
+    rows = _rows(seed=59)
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    # a constant-value entity must be omitted (zero variance)
+    flat = [(80, 1000 + i, 9500 + i, 5.0) for i in range(10)]
+    df = df.union(spark.createDataFrame(
+        flat, "uid long, sec long, seq long, value double"
+    ))
+    B, bps = 8, [-0.6745, 0.0, 0.6745]
+    got = {
+        r["entity"]: (r["n_points"], r["sax"])
+        for r in sax_symbols(df, n_buckets=B, alphabet=4).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows + flat:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    for ent, evs in by_ent.items():
+        evs.sort()
+        c = [int(v * 100 + 0.5) for _, _, v in evs]
+        n = len(c)
+        s, s2 = sum(c), sum(x * x for x in c)
+        if s2 * n == s * s:
+            assert ent not in got
+            continue
+        mean = s / (n * 100.0)
+        std = math.sqrt(s2 / (n * 10000.0) - mean * mean)
+        buckets = {}
+        for k, x in enumerate(c):
+            buckets.setdefault(math.floor(k * B / n), []).append(x)
+        sax = ""
+        for b in sorted(buckets):
+            paa = sum(buckets[b]) / (len(buckets[b]) * 100.0)
+            z = (paa - mean) / std
+            sax += ("a" if z < bps[0] else "b" if z < bps[1]
+                    else "c" if z < bps[2] else "d")
+        assert got[ent] == (n, sax), ent
+    assert 80 not in got
+    # non-degenerate alphabet usage across the corpus
+    assert len({ch for _, sx in got.values() for ch in sx}) >= 3
