@@ -4018,6 +4018,23 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_lttb_values(spark, sf_dir):
+    """LTTB visual downsampling (ops/timeseries.lttb_downsample): each
+    user's value gauge reduced to 12 points — first/last kept, middle
+    buckets keep the largest-triangle point vs the previous selection
+    and the next bucket's centroid. The oracle replays the sequential
+    walk with a recursive CTE."""
+    from oshdb_spark.ops.timeseries import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return lttb_downsample(ev, n_out=12)
+
+
 def q_sax_symbols(spark, sf_dir):
     """SAX time-series symbolization (ops/timeseries.sax_symbols): each
     user's value gauge → 8 PAA buckets → z-normalized →
@@ -4704,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "event_transitions": q_event_transitions,
         "sax_symbols": q_sax_symbols,
+        "lttb_values": q_lttb_values,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "stream_export_shards": q_stream_export_shards,
@@ -5300,6 +5318,70 @@ def oracle_sql() -> dict[str, str]:
                                    WHEN z < 0.6745 THEN 'c'
                                    ELSE 'd' END, '' ORDER BY b) AS sax
             FROM z GROUP BY uid
+        """,
+        "lttb_values": """
+            -- LTTB replay: same cents quantization, same index buckets
+            -- ((k-1)*10 // (n-2)), and a 10-step recursive walk whose
+            -- per-step argmax is arg_max over a packed HUGEINT key
+            -- (L-scaled integer triangle area, earliest-index tiebreak)
+            -- — bit-identical to the kernel's exact-int tuple compare
+            WITH RECURSIVE
+            ev AS MATERIALIZED (
+              SELECT user_id AS ent,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq, value,
+                     CASE WHEN value < 0 THEN
+                       -CAST(floor(abs(value)*100.0 + 0.5) AS BIGINT)
+                     ELSE
+                       CAST(floor(abs(value)*100.0 + 0.5) AS BIGINT)
+                     END AS c
+              FROM events),
+            p AS MATERIALIZED (
+              SELECT ent, sec, seq, value, c,
+                     row_number() OVER (
+                       PARTITION BY ent ORDER BY sec, seq) - 1 AS idx,
+                     count(*) OVER (PARTITION BY ent) AS n
+              FROM ev),
+            pb AS MATERIALIZED (
+              SELECT ent, sec, seq, c, idx,
+                     (idx - 1) * 10 // (n - 2) AS b
+              FROM p WHERE n > 12 AND idx >= 1 AND idx <= n - 2),
+            cent AS MATERIALIZED (
+              -- step b's anchor = bucket b+1's size-scaled centroid;
+              -- the final step anchors on the last point (L = 1)
+              SELECT ent, b - 1 AS b, count(*) AS L,
+                     CAST(sum(sec) AS BIGINT) AS sx,
+                     CAST(sum(c) AS BIGINT) AS sy
+              FROM pb WHERE b >= 1 GROUP BY ent, b
+              UNION ALL
+              SELECT ent, 9 AS b, 1 AS L, sec AS sx, c AS sy
+              FROM p WHERE n > 12 AND idx = n - 1),
+            walk(ent, b, idx, ax, ay) AS (
+              SELECT ent, 0, idx, sec, c FROM p WHERE n > 12 AND idx = 0
+              UNION ALL
+              SELECT q.ent, q.b + 1, q.pick, q.px, q.py FROM (
+                SELECT ent, b, arg_max(idx, key) AS pick,
+                       arg_max(sec, key) AS px, arg_max(c, key) AS py
+                FROM (
+                  SELECT w.ent, w.b, nb.idx, nb.sec, nb.c,
+                         abs(CAST(ce.L * w.ax - ce.sx AS HUGEINT)
+                               * (nb.c - w.ay)
+                             - CAST(w.ax - nb.sec AS HUGEINT)
+                               * (ce.sy - ce.L * w.ay))
+                           * 4294967296
+                         + (4294967295 - nb.idx) AS key
+                  FROM walk w
+                  JOIN pb nb ON nb.ent = w.ent AND nb.b = w.b
+                  JOIN cent ce ON ce.ent = w.ent AND ce.b = w.b)
+                GROUP BY ent, b) q),
+            kept AS (
+              SELECT ent, idx FROM p WHERE n <= 12
+              UNION ALL
+              SELECT ent, idx FROM walk
+              UNION ALL
+              SELECT ent, n - 1 AS idx FROM p WHERE n > 12 AND idx = 0)
+            SELECT p.ent AS entity, p.sec, p.seq, p.value
+            FROM kept k JOIN p ON p.ent = k.ent AND p.idx = k.idx
         """,
         "attribution_last_touch": """
             WITH ev AS (

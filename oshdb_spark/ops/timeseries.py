@@ -267,3 +267,120 @@ def sax_symbols(
             ).alias("sax"),
         )
     )
+
+
+_LTTB_SCHEMA = None  # built lazily to keep module import Spark-free
+
+
+def _lttb_schema():
+    global _LTTB_SCHEMA
+    if _LTTB_SCHEMA is None:
+        from pyspark.sql import types as T
+
+        _LTTB_SCHEMA = T.StructType(
+            [
+                T.StructField("entity", T.LongType()),
+                T.StructField("sec", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+    return _LTTB_SCHEMA
+
+
+def _lttb_kernel(pdf, n_out: int):
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values(["sec", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    xs = pdf["sec"].astype("int64").tolist()
+    vals = pdf["value"].astype("float64").tolist()
+    # cents quantization (round-half-away, exact int) so the triangle
+    # areas are pure-integer and the DuckDB replay matches bit-for-bit
+    ys = [
+        int(math.copysign(math.floor(abs(v) * 100.0 + 0.5), v))
+        for v in vals
+    ]
+    if n <= n_out:
+        kept = list(range(n))
+    else:
+        B = n_out - 2
+        buckets: dict[int, list[int]] = {}
+        for k in range(1, n - 1):
+            buckets.setdefault((k - 1) * B // (n - 2), []).append(k)
+        kept = [0]
+        prev = 0
+        for b in range(B):
+            # anchor "centroid" of the NEXT bucket, scaled by its size L
+            # (L*area is an exact integer; scaling is monotone within a
+            # bucket so the argmax is the textbook LTTB choice)
+            if b + 1 < B:
+                nxt = buckets[b + 1]
+                L = len(nxt)
+                sx = sum(xs[k] for k in nxt)
+                sy = sum(ys[k] for k in nxt)
+            else:
+                L, sx, sy = 1, xs[-1], ys[-1]
+            ax, ay = xs[prev], ys[prev]
+            best = None
+            for k in buckets[b]:
+                area = abs(
+                    (L * ax - sx) * (ys[k] - ay)
+                    - (ax - xs[k]) * (sy - L * ay)
+                )
+                key = (area, -k)
+                if best is None or key > best[0]:
+                    best = (key, k)
+            kept.append(best[1])
+            prev = best[1]
+        kept.append(n - 1)
+    out = pdf.iloc[kept]
+    return pd.DataFrame(
+        {
+            "entity": out["entity"].astype("int64"),
+            "sec": out["sec"].astype("int64"),
+            "seq": out["seq"].astype("int64"),
+            "value": out["value"].astype("float64"),
+        }
+    )
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 12,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the standard visual-fidelity series downsampler): keep first and
+    last points; split the middle into ``n_out − 2`` index buckets; in
+    each bucket keep the point forming the largest triangle with the
+    PREVIOUSLY KEPT point and the next bucket's centroid (the last
+    point for the final bucket). Ties break to the earliest point.
+
+    The per-entity selection is inherently sequential (each choice
+    conditions the next), so it runs in one grouped Arrow kernel after
+    a single ids+values shuffle. Values are quantized to integer cents
+    and the triangle area is scaled by the next bucket's size L, making
+    every compared quantity an exact integer — the DuckDB oracle
+    replays the walk with a recursive CTE whose per-step argmax is an
+    ``arg_max`` over a packed HUGEINT (area, earliest-index tiebreak)
+    key, bit-identical to the kernel's tuple compare. Entities with
+    ≤ n_out points pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    base = events.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.col(sec_col).cast("long").alias("sec"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.groupBy("entity").applyInPandas(
+        lambda pdf: _lttb_kernel(pdf, n_out), _lttb_schema()
+    )

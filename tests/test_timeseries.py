@@ -205,3 +205,95 @@ def test_sax_symbols_matches_replay(spark):
     assert 80 not in got
     # non-degenerate alphabet usage across the corpus
     assert len({ch for _, sx in got.values() for ch in sx}) >= 3
+
+
+def _lttb_reference(points, n_out):
+    """Textbook LTTB (Steinarsson 2013) over cents-quantized values,
+    computed with exact Fractions — an INDEPENDENT implementation: the
+    unscaled centroid average and plain tuple argmax, no L-scaling or
+    key packing like the engine kernel."""
+    import math
+    from fractions import Fraction
+
+    pts = sorted(points)  # (sec, seq, value)
+    n = len(pts)
+    if n <= n_out:
+        return pts
+    ys = [
+        int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+        for _, _, v in pts
+    ]
+    xs = [s for s, _, _ in pts]
+    B = n_out - 2
+    buckets = {}
+    for k in range(1, n - 1):
+        buckets.setdefault((k - 1) * B // (n - 2), []).append(k)
+    kept = [0]
+    prev = 0
+    for b in range(B):
+        if b + 1 < B:
+            nxt = buckets[b + 1]
+            cx = Fraction(sum(xs[k] for k in nxt), len(nxt))
+            cy = Fraction(sum(ys[k] for k in nxt), len(nxt))
+        else:
+            cx, cy = Fraction(xs[-1]), Fraction(ys[-1])
+        ax, ay = Fraction(xs[prev]), Fraction(ys[prev])
+        best = max(
+            buckets[b],
+            key=lambda k: (
+                abs((ax - cx) * (ys[k] - ay) - (ax - xs[k]) * (cy - ay)),
+                -k,
+            ),
+        )
+        kept.append(best)
+        prev = best
+    kept.append(n - 1)
+    return [pts[k] for k in kept]
+
+
+def test_lttb_matches_fraction_reference(spark):
+    from oshdb_spark.ops.timeseries import lttb_downsample
+
+    random.seed(23)
+    rows = []
+    seq = 0
+    # group sizes straddle the passthrough boundary (n <= 12) and
+    # include equal-timestamp ties broken by seq
+    for ent, n in enumerate([1, 2, 3, 11, 12, 13, 14, 25, 60, 200, 500]):
+        t = 1_700_000_000
+        for _ in range(n):
+            rows.append(
+                (ent, t, seq, round(random.uniform(-50, 400), 2))
+            )
+            seq += 1
+            t += random.choice([0, 1, 60, 3600, 86_400])
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {}
+    for r in lttb_downsample(df, n_out=12).collect():
+        got.setdefault(r["entity"], []).append(
+            (r["sec"], r["seq"], r["value"])
+        )
+    by_ent = {}
+    for uid, sec, s, val in rows:
+        by_ent.setdefault(uid, []).append((sec, s, val))
+    for ent, pts in by_ent.items():
+        want = _lttb_reference(pts, 12)
+        have = sorted(got[ent])
+        assert len(have) == min(len(pts), 12), ent
+        # endpoints always kept
+        assert have[0] == min(pts) and have[-1] == max(pts), ent
+        assert have == sorted(want), ent
+
+
+def test_lttb_rejects_tiny_n_out(spark):
+    import pytest
+
+    from oshdb_spark.ops.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1.0)], "uid long, sec long, seq long, value double"
+    )
+    with pytest.raises(ValueError):
+        lttb_downsample(df, n_out=2)
