@@ -377,6 +377,72 @@ def q_spacetime_hotspots(spark, sf_dir):
     return spacetime_gi_star(bins, 6, t_col="wk")
 
 
+def q_trend_cells(spark, sf_dir):
+    """Mann–Kendall monotonic-trend test per cell (geo/cells.
+    mann_kendall_trend) over the same zoom-6 × calendar-week event cube
+    the emerging-hotspot query uses: per-cell S statistic,
+    tie-corrected variance (×18, exact int64), z-score and the
+    95% trend label. Counts, signs and the tie polynomial are pure
+    integers, so z is bit-identical on both engines before round(6)."""
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.geo.cells import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245), F.lit(3_600_000_000))
+        - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891), F.lit(1_700_000_000))
+        - 850_000_000
+    )
+    bins = (
+        ev.withColumn("lon7", lon7)
+        .withColumn("lat7", lat7)
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+        .withColumn("wk", F.floor(F.col("sec") / 604800).cast("long"))
+        .groupBy("cell", "wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return mann_kendall_trend(bins, t_col="wk")
+
+
+def q_triangles(spark, sf_dir):
+    """Global triangle count + clustering coefficient (ops/graph.
+    triangle_count — MR node-iterator++ with degree orientation) over
+    the movement network: zoom-6 cells as nodes, consecutive same-user
+    hops as undirected edges. Exact int64 counts; one double division
+    (clustering), round(6)."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.ops.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = (
+        ev.withColumn(
+            "lon7",
+            F.pmod(F.col("event_id") * F.lit(1103515245),
+                   F.lit(3_600_000_000)) - 1_800_000_000,
+        )
+        .withColumn(
+            "lat7",
+            F.pmod(F.col("event_id") * F.lit(1234567891),
+                   F.lit(1_700_000_000)) - 850_000_000,
+        )
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .filter(F.col("pcell").isNotNull())
+        .select("pcell", "cell")
+    )
+    return triangle_count(hops, "pcell", "cell")
+
+
 def q_travel_cost(spark, sf_dir):
     """Travel-cost field (ops/graph.sssp): cheapest observed path cost
     from the first three events' cells to every reachable zoom-6 cell
@@ -788,6 +854,32 @@ def q_convex_hulls(spark, sf_dir):
     return convex_hull_stats(pts)
 
 
+def q_sde_tracks(spark, sf_dir):
+    """Per-user standard deviational ellipse (geo/trajectory.
+    std_ellipse — ArcGIS Directional Distribution) over the same
+    clustered-walk fixes as the convex-hull query: mean center,
+    major-axis orientation, 1-σ axes. Moments are exact int64/decimal
+    on both engines; every double consumes identical inputs."""
+    from oshdb_spark.geo.trajectory import std_ellipse
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return std_ellipse(pts)
+
+
 def q_heading_stats(spark, sf_dir):
     """Per-user circular heading statistics (geo/trajectory.
     heading_stats): mean bearing (atan2 of exact nano-quantized
@@ -916,6 +1008,17 @@ def q_moran_events(spark, sf_dir):
     return moran_i(_event_cell_raster(spark, sf_dir), 6)
 
 
+def q_lisa_events(spark, sf_dir):
+    """Local Moran's I / LISA cluster-outlier map (geo/cells.
+    local_moran) of the zoom-6 event-count raster: per-cell I_i plus
+    the HH/LL/HL/LH quadrant label. Integer-exact Z/Y/SZZ terms, one
+    ((Z*Y)*N)/SZZ double division — bit-identical on both engines
+    before round(6)."""
+    from oshdb_spark.geo.cells import local_moran
+
+    return local_moran(_event_cell_raster(spark, sf_dir), 6)
+
+
 # shared focal-raster replay for the spatial-autocorrelation oracles
 _FOCAL_CTE = """
     WITH r AS (
@@ -951,6 +1054,82 @@ _HOTSPOT_GI_ORACLE = _FOCAL_CTE + """,
     FROM r JOIN agg a ON a.t = r.cell CROSS JOIN g
 """
 
+# URL synthesis + canonicalization CTE chain (ends at c7: doc_id,
+# canon, domain) — shared by the url_domains and split_domains oracles;
+# mirrors _synthetic_url + ops/curation.with_canonical_url term-for-term
+_URL_CANON_CTES = """            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                     ELSE 'http' END
+                || '://'
+                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                || 'site'
+                || CAST(((doc_id // 7) * 1103515245) % 53 AS VARCHAR)
+                || CASE WHEN (doc_id // 7) % 4 = 0 THEN '.com'
+                        WHEN (doc_id // 7) % 4 = 1 THEN '.org'
+                        WHEN (doc_id // 7) % 4 = 2 THEN '.net'
+                        ELSE '.co.uk' END
+                || '/a/' || CAST(doc_id // 7 AS VARCHAR)
+                || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN
+                       '?utm_source=feed&ref='
+                       || CAST((doc_id // 7) % 9 AS VARCHAR)
+                     WHEN doc_id % 4 = 1 THEN
+                       '?ref=' || CAST((doc_id // 7) % 9 AS VARCHAR)
+                       || '&utm_campaign=x'
+                     WHEN doc_id % 4 = 2 THEN
+                       '?ref=' || CAST((doc_id // 7) % 9 AS VARCHAR)
+                     ELSE '' END
+                || CASE WHEN doc_id % 3 = 1 THEN
+                       '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                     ELSE '' END AS url
+              FROM documents),
+            c2 AS (
+              SELECT doc_id,
+                     split_part(CASE WHEN contains(lower(url), '://')
+                                THEN split_part(lower(url), '://', 2)
+                                ELSE lower(url) END, '#', 1) AS nofrag
+              FROM u),
+            c3 AS (
+              SELECT doc_id,
+                     split_part(nofrag, '?', 1) AS rawbase,
+                     CASE WHEN contains(nofrag, '?')
+                          THEN split_part(nofrag, '?', 2)
+                          ELSE '' END AS q
+              FROM c2),
+            c4 AS (
+              SELECT doc_id,
+                     regexp_replace(rawbase, '/+$', '') AS b0,
+                     array_to_string(
+                       list_filter(string_split(q, '&'),
+                         p -> (NOT (starts_with(p, 'utm_')
+                                    OR starts_with(p, 'fbclid=')
+                                    OR starts_with(p, 'gclid=')))
+                              AND p <> ''), '&') AS qs
+              FROM c3),
+            c5 AS (
+              SELECT doc_id, qs,
+                     CASE WHEN starts_with(b0, 'www.')
+                          THEN substring(b0, 5) ELSE b0 END AS base
+              FROM c4),
+            c6 AS (
+              SELECT doc_id,
+                     CASE WHEN qs <> '' THEN base || '?' || qs
+                          ELSE base END AS canon,
+                     split_part(base, '/', 1) AS host
+              FROM c5),
+            c7 AS (
+              SELECT doc_id, canon,
+                     CASE WHEN len(string_split(host, '.')) >= 2
+                          THEN string_split(host, '.')[-2] || '.'
+                               || string_split(host, '.')[-1]
+                          ELSE host END AS domain
+              FROM c6),"""
+
+from oshdb_spark.ops.sampling import rate_threshold as _rt
+_T_TRAIN = _rt(0.7)
+_T_VAL = _rt(0.85)
+
 _MORAN_EVENTS_ORACLE = _FOCAL_CTE + """,
     g AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(cnt) AS BIGINT) AS s FROM r),
@@ -968,6 +1147,30 @@ _MORAN_EVENTS_ORACLE = _FOCAL_CTE + """,
                     * CAST(CAST(sum(z*z) AS BIGINT) AS DOUBLE)), 9)
              AS moran_i
     FROM t GROUP BY n
+"""
+
+_LISA_EVENTS_ORACLE = _FOCAL_CTE + """,
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cnt) AS BIGINT) AS s FROM r),
+    g2 AS (SELECT g.n AS n, g.s AS s,
+                  CAST(sum((g.n*r.cnt - g.s)*(g.n*r.cnt - g.s))
+                       AS BIGINT) AS szz
+           FROM r CROSS JOIN g GROUP BY g.n, g.s),
+    t AS (
+      SELECT r.cell, r.cnt, g2.n, g2.szz,
+             g2.n*r.cnt - g2.s AS z,
+             g2.n*(a.s_f - r.cnt) - (a.n_f - 1)*g2.s AS y
+      FROM r JOIN agg a ON a.t = r.cell CROSS JOIN g2)
+    SELECT cell, cnt,
+           round(CAST(z AS DOUBLE) * CAST(y AS DOUBLE)
+                 * CAST(n AS DOUBLE) / CAST(szz AS DOUBLE), 6)
+             AS local_i,
+           CASE WHEN z > 0 AND y > 0 THEN 'HH'
+                WHEN z < 0 AND y < 0 THEN 'LL'
+                WHEN z > 0 AND y < 0 THEN 'HL'
+                WHEN z < 0 AND y > 0 THEN 'LH'
+                ELSE 'NA' END AS quadrant
+    FROM t
 """
 
 
@@ -2931,6 +3134,83 @@ def q_source_mix(spark, sf_dir):
     )
 
 
+def _synthetic_url():
+    """Deterministic messy URL from doc_id — scheme case, www.,
+    tracking params, fragments, trailing slashes all vary within a
+    7-doc page group; shared by the canonicalization and
+    split-assignment queries (and mirrored term-for-term in their
+    oracles)."""
+    d = F.col("doc_id")
+    page = F.floor(d / 7).cast("long")
+    hostn = (page * 1103515245) % 53
+    r4 = d % 4
+    tld = (
+        F.when(page % 4 == 0, ".com")
+        .when(page % 4 == 1, ".org")
+        .when(page % 4 == 2, ".net")
+        .otherwise(".co.uk")
+    )
+    scheme = F.when(d % 2 == 0, "HTTPS").otherwise("http")
+    www = F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    slash = F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    ref = (page % 9).cast("string")
+    q = (
+        F.when(r4 == 0, F.concat(F.lit("?utm_source=feed&ref="), ref))
+        .when(r4 == 1, F.concat(F.lit("?ref="), ref,
+                                F.lit("&utm_campaign=x")))
+        .when(r4 == 2, F.concat(F.lit("?ref="), ref))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 3 == 1, F.concat(F.lit("#sec"), (d % 3).cast("string"))).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), www, F.lit("site"),
+        hostn.cast("string"), tld, F.lit("/a/"), page.cast("string"),
+        slash, q, frag,
+    )
+
+
+def q_url_domains(spark, sf_dir):
+    """URL canonicalization + per-domain rollup (ops/curation.
+    with_canonical_url / domain_stats — the C4/RefinedWeb curation
+    step): deterministic messy URLs (see _synthetic_url) must collapse
+    to canonical form; per registered domain: docs, distinct canonical
+    URLs, docs on duplicated URLs. Pure Catalyst string/array ops,
+    mirrored term-for-term in SQL."""
+    from oshdb_spark.ops.curation import domain_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url().alias("url")
+    )
+    return domain_stats(docs).select(
+        "domain", "n_docs", "n_urls", "n_dup_docs"
+    )
+
+
+def q_split_domains(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (ops/sampling.
+    split_assign): the md5 of each document's CANONICAL DOMAIN picks
+    the split, so every page of a domain lands together (the standard
+    defense against near-dup train→eval leakage). 70/15/15 via
+    cumulative md5 thresholds — deterministic, reshard-stable; per
+    (split): domains, docs, exact id sum."""
+    from oshdb_spark.ops.curation import with_canonical_url
+    from oshdb_spark.ops.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url().alias("url")
+    )
+    tagged = split_assign(
+        with_canonical_url(docs), group_col="domain",
+        fractions={"train": 0.7, "val": 0.15, "test": 0.15},
+        salt="split",
+    )
+    return tagged.groupBy("split").agg(
+        F.countDistinct("domain").alias("n_domains"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style LM quality bucketing (ops/lm.lm_crossentropy, Wenzek
     et al. 2020): per-doc cross-entropy under an add-1 word-bigram LM
@@ -3934,6 +4214,23 @@ def q_gapfill_daily(spark, sf_dir):
     return gapfill_locf(ev, 21600)
 
 
+def q_interp_daily(spark, sf_dir):
+    """Linear-interpolation gap-fill (ops/timeseries.
+    gapfill_interpolate): the same 6-hour grid as gapfill_daily, but
+    empty buckets evaluate the line between the bracketing
+    representatives at the bucket start. Exact BIGINT numerator
+    (cents × seconds); one float division, round(6) both engines."""
+    from oshdb_spark.ops.timeseries import gapfill_interpolate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return gapfill_interpolate(ev, 21600)
+
+
 def q_counter_rate(spark, sf_dir):
     """PromQL-style counter increase/rate with reset handling
     (ops/timeseries.counter_rate) over each user's `value` sequence:
@@ -4702,7 +4999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "hotspot_gi": q_hotspot_gi,
         "spacetime_hotspots": q_spacetime_hotspots,
+        "trend_cells": q_trend_cells,
         "travel_cost": q_travel_cost,
+        "triangles": q_triangles,
         "od_matrix": q_od_matrix,
         "simplify_tracks": q_simplify_tracks,
         "colocation_pairs": q_colocation_pairs,
@@ -4711,11 +5010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_stats": q_heading_stats,
         "geohash_counts": q_geohash_counts,
         "convex_hulls": q_convex_hulls,
+        "sde_tracks": q_sde_tracks,
         "retention_cohorts": q_retention_cohorts,
         "twa_value": q_twa_value,
         "ohlc_weekly": q_ohlc_weekly,
         "stream_sessions": q_stream_sessions,
         "gapfill_daily": q_gapfill_daily,
+        "interp_daily": q_interp_daily,
         "counter_rate": q_counter_rate,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -4724,6 +5025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_values": q_lttb_values,
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
+        "lisa_events": q_lisa_events,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
         "pagerank": q_pagerank,
@@ -4761,6 +5063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_scan": q_pattern_scan,
         "redact": q_redact,
         "source_mix": q_source_mix,
+        "url_domains": q_url_domains,
+        "split_domains": q_split_domains,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
@@ -5458,6 +5762,52 @@ def oracle_sql() -> dict[str, str]:
                    v IS NULL AS is_filled
             FROM j
         """,
+        "interp_daily": """
+            -- linear-interpolation gap-fill replay: exact cents+sec
+            -- representatives by packed key, bracketing ignore-nulls
+            -- windows over one ascending sort, exact BIGINT numerator
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            b AS (
+              SELECT uid AS entity, sec // 21600 AS bucket,
+                     arg_max(c, sec * 1000000 + seq) AS v,
+                     arg_max(sec, sec * 1000000 + seq) AS s
+              FROM ev GROUP BY 1, 2),
+            r AS (
+              SELECT entity, min(bucket) AS mn, max(bucket) AS mx
+              FROM b GROUP BY 1),
+            g AS (
+              SELECT entity, unnest(generate_series(mn, mx)) AS bucket
+              FROM r),
+            j AS (
+              SELECT g.entity, g.bucket, b.v, b.s
+              FROM g LEFT JOIN b
+                ON b.entity = g.entity AND b.bucket = g.bucket),
+            w AS (
+              SELECT entity, bucket, v, bucket * 21600 AS t,
+                     last_value(v IGNORE NULLS) OVER wp AS v0,
+                     last_value(s IGNORE NULLS) OVER wp AS t0,
+                     first_value(v IGNORE NULLS) OVER wn AS v1,
+                     first_value(s IGNORE NULLS) OVER wn AS t1
+              FROM j
+              WINDOW wp AS (PARTITION BY entity ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING),
+                     wn AS (PARTITION BY entity ORDER BY bucket
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING))
+            SELECT entity, bucket,
+                   CASE WHEN v IS NOT NULL
+                     THEN round(CAST(v AS DOUBLE) / 100.0, 6)
+                     ELSE round(CAST(v0*(t1 - t) + v1*(t - t0) AS DOUBLE)
+                                / (CAST(t1 - t0 AS DOUBLE) * 100.0), 6)
+                   END AS value,
+                   v IS NULL AS is_filled
+            FROM w
+        """,
         "counter_rate": """
             -- PromQL increase/rate replay: integer-cents deltas with
             -- reset handling, exact BIGINT sums, one division per row
@@ -5594,6 +5944,52 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(s.cohort_size AS DOUBLE), 6)
                      AS retention_rate
             FROM act a JOIN sz s ON s.cohort_wk = a.cohort_wk
+        """,
+        "sde_tracks": """
+            -- SDE replay: HUGEINT moments mirror Spark's
+            -- decimal(38,0) sums exactly; identical double expression
+            -- tree (association order pinned) before round(6)
+            WITH p AS (
+              SELECT user_id AS ent,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + (event_id*1103515245) % 60000001
+                       - 30000000 AS x,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001
+                       - 30000000 AS y
+              FROM events),
+            m AS (
+              SELECT ent, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM p GROUP BY 1),
+            t AS (
+              SELECT ent, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) AS a,
+                     CAST(n*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE) AS b,
+                     CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) AS c
+              FROM m),
+            e AS (
+              SELECT ent, n, nd, sxd, syd, a, b, c,
+                     sqrt((a-b)*(a-b) + 4.0*c*c) AS d
+              FROM t)
+            SELECT ent AS entity, n AS n_pts,
+                   round(sxd / nd * 1e-7, 6) AS mean_lon,
+                   round(syd / nd * 1e-7, 6) AS mean_lat,
+                   round(degrees(atan2(2.0*c, a - b) * 0.5), 6)
+                     AS orient_deg,
+                   round(sqrt(2.0 * ((a + b + d) * 0.5)) / nd * 1e-7, 6)
+                     AS major_deg,
+                   round(sqrt(greatest(0.0, 2.0 * ((a + b - d) * 0.5)))
+                         / nd * 1e-7, 6) AS minor_deg
+            FROM e
         """,
         "convex_hulls": """
             -- INDEPENDENT hull algorithm: gift-wrapping (Jarvis march)
@@ -5858,6 +6254,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(hop_mm) AS BIGINT) AS dist_mm
             FROM h2 GROUP BY 1, 2, 3
         """,
+        "triangles": """
+            -- node-iterator++ replay: same canonical undirected edge
+            -- set, same (degree, id) orientation, wedge join closed by
+            -- the oriented edge — every count an exact integer; the
+            -- even sums halve exactly in doubles
+            WITH pts AS (
+              SELECT event_id, user_id,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events),
+            cp AS (
+              SELECT event_id, user_id,
+                     ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell
+              FROM pts),
+            hop AS (
+              SELECT user_id, cell,
+                     lag(cell) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pcell
+              FROM cp),
+            e AS (
+              SELECT DISTINCT least(pcell, cell) AS u,
+                              greatest(pcell, cell) AS v
+              FROM hop
+              WHERE pcell IS NOT NULL AND pcell <> cell),
+            deg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+            o AS (
+              SELECT CASE WHEN du.d < dv.d
+                          OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.u ELSE e.v END AS s,
+                     CASE WHEN du.d < dv.d
+                          OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.v ELSE e.u END AS t,
+                     CASE WHEN du.d < dv.d
+                          OR (du.d = dv.d AND e.u < e.v)
+                       THEN dv.d ELSE du.d END AS dt
+              FROM e JOIN deg du ON du.n = e.u
+                     JOIN deg dv ON dv.n = e.v),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM (
+                SELECT e1.t AS s, e2.t AS t
+                FROM o e1 JOIN o e2
+                  ON e2.s = e1.s
+                 AND (e1.dt < e2.dt
+                      OR (e1.dt = e2.dt AND e1.t < e2.t))) w
+              JOIN o ON o.s = w.s AND o.t = w.t),
+            tots AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                     CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+              FROM deg)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   round(3.0 * CAST(n_triangles AS DOUBLE)
+                         / CAST(n_wedges AS DOUBLE), 6) AS clustering
+            FROM tots CROSS JOIN tri
+        """,
         "travel_cost": """
             -- bounded Bellman-Ford replay: layer k of the recursion is
             -- the best cost over walks of EXACTLY k edges from any
@@ -5953,7 +6411,59 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN agg a ON a.tc = r.cell AND a.tw = r.wk
             CROSS JOIN g
         """,
+        "trend_cells": """
+            -- Mann–Kendall replay on the same zoom-6 × week cube:
+            -- integer pair signs, tie polynomial, n(n-1)(2n+5) — the
+            -- z division consumes identical exact ints on both engines
+            WITH r AS (
+              SELECT ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell,
+                     sec // 604800 AS wk,
+                     count(*) AS cnt
+              FROM (
+                SELECT ((event_id*1103515245) % 3600000000)
+                         - 1800000000 AS lon7,
+                       ((event_id*1234567891) % 1700000000)
+                         - 850000000 AS lat7,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events)
+              GROUP BY 1, 2),
+            nn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                   FROM r GROUP BY 1),
+            tt AS (SELECT cell,
+                          CAST(sum(tg*(tg-1)*(2*tg+5)) AS BIGINT) AS tt
+                   FROM (SELECT cell, cnt, count(*) AS tg
+                         FROM r GROUP BY 1, 2)
+                   GROUP BY 1),
+            ss AS (SELECT a.cell,
+                          CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                                        WHEN b.cnt < a.cnt THEN -1
+                                        ELSE 0 END) AS BIGINT) AS s
+                   FROM r a JOIN r b
+                     ON b.cell = a.cell AND b.wk > a.wk
+                   GROUP BY 1),
+            j AS (SELECT nn.cell, nn.n, coalesce(ss.s, 0) AS s,
+                         nn.n*(nn.n-1)*(2*nn.n+5) - tt.tt AS var18
+                  FROM nn JOIN tt ON tt.cell = nn.cell
+                  LEFT JOIN ss ON ss.cell = nn.cell),
+            zz AS (SELECT cell, n, s, var18,
+                     CASE WHEN s > 0 THEN
+                       CAST(s - 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     WHEN s < 0 THEN
+                       CAST(s + 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     ELSE 0.0 END AS z
+                   FROM j)
+            SELECT cell, n AS n_bins, s AS s_stat, var18,
+                   round(z, 6) AS z,
+                   CASE WHEN z > 1.959964 THEN 'increasing'
+                        WHEN z < -1.959964 THEN 'decreasing'
+                        ELSE 'none' END AS trend
+            FROM zz
+        """,
         "moran_events": _MORAN_EVENTS_ORACLE,
+        "lisa_events": _LISA_EVENTS_ORACLE,
         "focal_mean": """
             -- 3×3 focal stats replay over the zoom-6 raster: ncols=64,
             -- northernmost row 31; lon wraps mod 64, rows beyond the
@@ -7283,6 +7793,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text_redacted)) AS BIGINT) AS red_chars,
                    max(md5(text_redacted)) AS digest
             FROM red GROUP BY source
+        """,
+        "url_domains": f"""
+            -- URL canonicalization replay, term-for-term: same
+            -- synthetic messy URLs, same normalization ladder, same
+            -- two aggregates
+            {_URL_CANON_CTES}
+            pu AS (SELECT domain, canon, count(*) AS cnt
+                   FROM c7 GROUP BY 1, 2)
+            SELECT domain, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM pu GROUP BY 1
+        """,
+        "split_domains": f"""
+            -- leakage-safe split replay: md5(domain || 'split') against
+            -- the SAME cumulative rate_threshold cut points the engine
+            -- derives (0.7 / 0.85), exact BIGINT id sums
+            {_URL_CANON_CTES}
+            s AS (
+              SELECT doc_id, domain,
+                     CASE WHEN md5(domain || 'split')
+                            < '{_T_TRAIN}' THEN 'train'
+                          WHEN md5(domain || 'split')
+                            < '{_T_VAL}' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM c7)
+            SELECT split, CAST(count(DISTINCT domain) AS BIGINT)
+                     AS n_domains,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM s GROUP BY 1
         """,
         "source_mix": """
             -- temperature-0.5 mixing: rate_s = round(min(1, 300*n^0.5 /

@@ -784,6 +784,79 @@ def moran_i(
     )
 
 
+def local_moran(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    value_col: str = "cnt",
+):
+    """Local Moran's I (Anselin 1995 LISA) per cell over a sparse cell
+    raster — the cluster/outlier classifier that complements the global
+    `moran_i` score and the `hotspot_gi_star` z-scores: each cell gets
+    its own autocorrelation term plus the HH/LL/HL/LH quadrant label
+    (queen 3x3 neighborhood EXCLUDING self, binary weights, sparse
+    no-data semantics like focal_stats).
+
+    Integer-exact formulation (multiply z-scores through by N; the
+    normalizations cancel into one N factor):
+
+        Z_i = N*v_i - S                      (= N * (v_i - mean))
+        Y_i = N*(focal_sum_i - v_i) - (focal_n_i - 1)*S
+        I_i = Z_i * Y_i * N / SZZ,   SZZ = sum(Z^2)
+
+    Z, Y, SZZ are exact int64 aggregates on both engines; the final
+    double arithmetic is ((Z*Y)*N)/SZZ in that association order, so
+    I_i is bit-reproducible before round(6). Quadrants use exact
+    integer sign tests (Z>0 & Y>0 -> 'HH', ... ; any zero -> 'NA').
+    Isolated cells (no present neighbors) have Y = 0 -> 'NA'.
+
+    Plan shape: focal_stats' one 9x shuffle + a broadcast 1-row global
+    moment join (N, S, SZZ) + codegen arithmetic — same cost as
+    hotspot_gi_star. Constant rasters (SZZ = 0) yield null I — callers
+    filter. Returns (cell, value, local_i, quadrant)."""
+    from pyspark.sql import functions as F
+
+    foc = focal_stats(df, zoom, cell_col, value_col)
+    src = df.select(
+        F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
+    ).filter(F.col("_c") >= 0)
+    g1 = src.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum("_v").alias("_gs")
+    )
+    g = (
+        src.crossJoin(F.broadcast(g1))
+        .select(
+            "_gn", "_gs",
+            (F.col("_gn") * F.col("_v") - F.col("_gs")).alias("_z"),
+        )
+        .groupBy("_gn", "_gs")
+        .agg(F.sum(F.col("_z") * F.col("_z")).alias("_szz"))
+    )
+    j = foc.crossJoin(F.broadcast(g))
+    z = F.col("_gn") * F.col(value_col) - F.col("_gs")
+    y = (
+        F.col("_gn") * (F.col("focal_sum") - F.col(value_col))
+        - (F.col("focal_n") - F.lit(1)) * F.col("_gs")
+    )
+    quad = (
+        F.when((z > 0) & (y > 0), "HH")
+        .when((z < 0) & (y < 0), "LL")
+        .when((z > 0) & (y < 0), "HL")
+        .when((z < 0) & (y > 0), "LH")
+        .otherwise("NA")
+    )
+    return j.select(
+        cell_col,
+        value_col,
+        F.round(
+            z.cast("double") * y.cast("double")
+            * F.col("_gn").cast("double") / F.col("_szz").cast("double"),
+            6,
+        ).alias("local_i"),
+        quad.alias("quadrant"),
+    )
+
+
 def kde_heatmap(
     df,
     zoom: int,
@@ -1071,6 +1144,104 @@ def spacetime_gi_star(
         F.col("_t").alias(t_col),
         F.col("_v").alias(value_col),
         F.round(num / (b * c), 6).alias("gi_star"),
+    )
+
+
+def mann_kendall_trend(
+    df,
+    cell_col: str = "cell",
+    t_col: str = "t",
+    value_col: str = "cnt",
+    z_crit: float = 1.959964,
+):
+    """Mann–Kendall monotonic-trend test per cell over a sparse
+    (cell, time-bin) cube — the trend half of the "emerging hot spot"
+    analytic (spacetime_gi_star scores WHERE activity clusters; this
+    scores WHETHER each cell's series is rising or falling):
+
+        S     = sum over bin pairs i<j of sign(v_j - v_i)
+        var18 = n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)
+        z     = (S -/+ 1) / sqrt(var18 / 18)   (0 when S = 0)
+
+    S, n, and var18 are exact int64 on both engines (counts, signs and
+    the tie polynomial are pure integers), so z is bit-reproducible
+    before round(6). `trend` labels 'increasing' / 'decreasing' when
+    |z| exceeds ``z_crit`` (default two-sided 95%), else 'none'; cells
+    with a single bin get S = 0 -> z = 0 -> 'none'. S != 0 implies an
+    untied pair, so var18 > 0 whenever the z branch divides.
+
+    Plan shape (100 TB): the input is the PRE-AGGREGATED cube (bins,
+    not raw events), so the pair self-join on the cell key is T^2/2
+    rows per cell with T calendar-bounded (weeks in the corpus) and
+    independent of event volume; one shuffle for the join, two tiny
+    per-cell aggregates, all codegen. Returns
+    (cell, n_bins, s_stat, var18, z, trend)."""
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(cell_col).alias("_c"),
+        F.col(t_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+    ).filter(F.col("_c") >= 0)
+    a, b = src.alias("a"), src.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a._c") == F.col("b._c"))
+            & (F.col("b._t") > F.col("a._t")),
+        )
+        .groupBy(F.col("a._c").alias("_c"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b._v") - F.col("a._v")).cast("double")
+                ).cast("long")
+            ).alias("_s")
+        )
+    )
+    n = src.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    ties = (
+        src.groupBy("_c", "_v")
+        .agg(F.count(F.lit(1)).alias("_tg"))
+        .groupBy("_c")
+        .agg(
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1)
+                * (2 * F.col("_tg") + 5)
+            ).alias("_tt")
+        )
+    )
+    j = (
+        n.join(ties, "_c")
+        .join(s, "_c", "left")
+        .withColumn("_s", F.coalesce(F.col("_s"), F.lit(0)))
+        .withColumn(
+            "_var18",
+            F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5)
+            - F.col("_tt"),
+        )
+    )
+    z = (
+        F.when(F.col("_s") > 0,
+               (F.col("_s") - 1).cast("double")
+               / F.sqrt(F.col("_var18").cast("double") / 18.0))
+        .when(F.col("_s") < 0,
+              (F.col("_s") + 1).cast("double")
+              / F.sqrt(F.col("_var18").cast("double") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when((z > z_crit), "increasing")
+        .when((z < -z_crit), "decreasing")
+        .otherwise("none")
+    )
+    return j.select(
+        F.col("_c").alias(cell_col),
+        F.col("_n").alias("n_bins"),
+        F.col("_s").alias("s_stat"),
+        F.col("_var18").alias("var18"),
+        F.round(z, 6).alias("z"),
+        trend.alias("trend"),
     )
 
 

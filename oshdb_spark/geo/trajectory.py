@@ -413,3 +413,75 @@ def heading_stats(
             6,
         ).alias("resultant_len"),
     )
+
+
+def std_ellipse(
+    pts: DataFrame,
+    entity_col: str = "entity",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Per-entity standard deviational ellipse — the classic
+    "directional distribution" summary of a point cloud (Lefever 1926;
+    the ArcGIS Directional Distribution tool): mean center, major-axis
+    orientation, and 1-σ axis lengths of the coordinate scatter. The
+    ellipse is the eigendecomposition of the 2×2 coordinate covariance;
+    with raw fixed-point moments it is closed-form:
+
+        A = n·Σx² − (Σx)²   B = n·Σy² − (Σy)²   C = n·Σxy − Σx·Σy
+        θ = ½·atan2(2C, A − B)           (major-axis bearing from east)
+        λ± = ((A+B) ± sqrt((A−B)² + 4C²)) / 2
+        axis± = sqrt(2·λ±) / n           (ArcGIS √2 factor, ~63% cover)
+
+    Determinism: Σx, Σy are exact int64; the int64 products x², y², xy
+    (|lon7| ≤ 1.8e9 → ≤ 3.24e18 < 2⁶³) sum into DECIMAL(38,0), exact
+    like DuckDB's HUGEINT sums, so A/B/C are exact integers on both
+    engines and every double op consumes identical inputs. The
+    discriminant is computed in doubles (A² would overflow any fixed
+    width); same expression both sides. n = 1 or coincident points
+    yield A=B=C=0 → zero axes, θ = atan2(0,0) = 0.
+
+    Plan shape (100 TB): ONE partial+final hash aggregate over the
+    entity key computing six moments — no window, no join, no Python;
+    the ellipse math is per-group scalar codegen. Returns
+    (entity, n_pts, mean_lon, mean_lat, orient_deg, major_deg,
+    minor_deg), degrees round(6)."""
+    x = F.col(lon7_col)
+    y = F.col(lat7_col)
+    dec = "decimal(38,0)"
+    m = pts.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+    )
+    nD = F.col("_n").cast(dec)
+    sxD, syD = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    a = (nD * F.col("_sxx") - sxD * sxD).cast("double")
+    b = (nD * F.col("_syy") - syD * syD).cast("double")
+    c = (nD * F.col("_sxy") - sxD * syD).cast("double")
+    d = F.sqrt((a - b) * (a - b) + 4.0 * c * c)
+    nd = F.col("_n").cast("double")
+    return m.select(
+        F.col(entity_col),
+        F.col("_n").alias("n_pts"),
+        F.round(
+            F.col("_sx").cast("double") / nd * F.lit(1e-7), 6
+        ).alias("mean_lon"),
+        F.round(
+            F.col("_sy").cast("double") / nd * F.lit(1e-7), 6
+        ).alias("mean_lat"),
+        F.round(
+            F.degrees(F.atan2(2.0 * c, a - b) * 0.5), 6
+        ).alias("orient_deg"),
+        F.round(
+            F.sqrt(2.0 * ((a + b + d) * 0.5)) / nd * F.lit(1e-7), 6
+        ).alias("major_deg"),
+        F.round(
+            F.sqrt(
+                F.greatest(F.lit(0.0), 2.0 * ((a + b - d) * 0.5))
+            ) / nd * F.lit(1e-7), 6
+        ).alias("minor_deg"),
+    )

@@ -162,3 +162,76 @@ def source_mix_sample(
         thr = F.when(F.col(by) == s, F.lit(rate_threshold(r))).otherwise(thr)
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     return df.filter(F.md5(key) < thr)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the C4/RefinedWeb curation step that makes
+    URL-level dedup and per-domain quality statistics possible: messy
+    crawl URLs reduce to a canonical form so the same page fetched as
+    `http://WWW.Site.com/a/1/?utm_source=feed` and
+    `https://site.com/a/1` counts ONCE.
+
+    Rules (the standard normalization set):
+      lowercase → strip scheme → strip fragment → drop tracking query
+      params (utm_*, fbclid=, gclid=; other params kept in order) →
+      strip trailing slashes → strip one leading `www.` → registered
+      domain = last two host labels (naive two-label rule; multi-label
+      public suffixes like co.uk are out of scope and documented).
+
+    Everything is Catalyst string/array built-ins (split, higher-order
+    filter, array_join, trim) — whole-stage codegen, no UDF, and every
+    step has a 1:1 DuckDB equivalent so oracles replay it term-for-term.
+    Adds `canon_url` and `domain`."""
+    u = F.lower(F.col(url_col))
+    u = F.when(
+        u.contains("://"), F.substring_index(u, "://", -1)
+    ).otherwise(u)
+    u = F.substring_index(u, "#", 1)
+    base = F.substring_index(u, "?", 1)
+    q = F.when(u.contains("?"), F.substring_index(u, "?", -1)).otherwise(
+        F.lit("")
+    )
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (~(
+            p.startswith("utm_")
+            | p.startswith("fbclid=")
+            | p.startswith("gclid=")
+        )) & (p != ""),
+    )
+    qs = F.array_join(keep, "&")
+    # '/+$' matches at most once (anchored), so Spark's replace-all and
+    # DuckDB's replace-first regexp_replace agree
+    base = F.regexp_replace(base, "/+$", "")
+    base = F.when(
+        base.startswith("www."), base.substr(F.lit(5), F.length(base))
+    ).otherwise(base)
+    canon = F.when(qs != "", F.concat(base, F.lit("?"), qs)).otherwise(base)
+    host = F.substring_index(base, "/", 1)
+    labels = F.split(host, "[.]")
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat(
+            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+        ),
+    ).otherwise(host)
+    return df.withColumn("canon_url", canon).withColumn("domain", domain)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per registered domain after canonicalization: document count,
+    distinct canonical URLs, and how many documents sit on a DUPLICATED
+    canonical URL (the URL-level dedup signal crawl curation acts on).
+    Two hash aggregates (canon_url then domain), all codegen."""
+    per_url = (
+        with_canonical_url(df, url_col)
+        .groupBy("domain", "canon_url")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return per_url.groupBy("domain").agg(
+        F.sum("_cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(
+            F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))
+        ).alias("n_dup_docs"),
+    )

@@ -267,3 +267,80 @@ def sssp(
             .localCheckpoint()
         )
     return best
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count + clustering coefficient — the classic
+    distributed-join graph analytic (Suri & Vassilvitskii's MR
+    node-iterator++): canonicalize the undirected edge set, then orient
+    every edge from its LOWER-(degree, id) endpoint to the higher one.
+    Orientation is the skew defense: out-degree is bounded by O(√m)
+    even on a star graph, so the wedge self-join never explodes on a
+    celebrity node. Wedges (a→b, a→c) with b before c in the SAME
+    order close into triangles exactly when the oriented edge b→c
+    exists — each triangle is found exactly once.
+
+    The order comparison rides the join as a lexicographic predicate on
+    the carried (degree, id) pair — no global rank window (which would
+    single-partition at scale). All counts exact int64; the global
+    clustering coefficient 3·T / Σ C(d,2) is one double division,
+    round(6). Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("dt"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    lex = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt"))
+        & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedge = e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & lex).select(
+        F.col("e1.t").alias("s"), F.col("e2.t").alias("t")
+    )
+    tri = wedge.join(o.select("s", "t"), ["s", "t"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    tots = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # both sums are even integers well under 2^53, so the halving
+        # double division is exact on both engines
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    return tots.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering"),
+    )

@@ -71,6 +71,40 @@ def deterministic_sample(
     return df.filter(F.md5(key) < thr)
 
 
+def split_assign(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment: the md5 of
+    the GROUP key (not the row id) picks the split, so every row of a
+    group — all pages of a domain, all chunks of a document — lands in
+    the SAME split. Splitting near-duplicate-rich corpora by row id
+    leaks train content into eval; group-keyed hashing is the standard
+    fix (and the reason canonical domains exist upstream).
+
+    `fractions` maps split name → fraction in listed order (must sum to
+    ~1); assignment compares the hex md5 against cumulative
+    `rate_threshold` cut points — reproducible, reshard-stable, no RNG
+    state, exactly the membership discipline of deterministic_sample.
+    Adds a `split` column; pure codegen (one md5 + a CASE)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    key = F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt)))
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    cuts = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cuts.append((name, rate_threshold(cum)))
+    for name, t in reversed(cuts):
+        expr = F.when(key < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

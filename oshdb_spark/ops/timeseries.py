@@ -140,6 +140,84 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    events: DataFrame,
+    bucket_s: int,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed bucket grid with
+    LINEAR interpolation between bracketing observations (TimescaleDB
+    ``time_bucket_gapfill`` + ``interpolate`` — the other standard fill
+    next to gapfill_locf): every bucket between an entity's first and
+    last observation gets a row; observed buckets keep their exact
+    representative (last observation by the packed (sec, seq) key);
+    empty buckets evaluate the line between the previous and next
+    representatives at the bucket's start time.
+
+    Determinism: representatives carry integer cents AND their actual
+    integer second, so the interpolation numerator
+    ``v0*(t1−t) + v1*(t−t0)`` is an exact BIGINT; only the final
+    division is float (round 6 on both engines). The grid explode is
+    output-sized; the bracketing scans are two ignore-nulls windows
+    over ONE ascending sort of the same (entity, bucket) partition —
+    no extra shuffle, no join beyond the grid's. Grid edges are
+    observed buckets by construction, so both brackets always exist on
+    the filled branch (t0 < t < t1)."""
+    bucket = F.floor(F.col(sec_col) / F.lit(int(bucket_s))).cast("long")
+    key = F.col(sec_col) * F.lit(1_000_000) + F.col(seq_col)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    last = (
+        events.groupBy(
+            F.col(entity_col).alias("entity"), bucket.alias("bucket")
+        )
+        .agg(
+            F.max_by(cents, key).alias("_v"),
+            F.max_by(F.col(sec_col), key).alias("_s"),
+        )
+    )
+    rng = last.groupBy("entity").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = rng.select(
+        "entity", F.explode(F.sequence("_mn", "_mx")).alias("bucket")
+    )
+    j = grid.join(last, ["entity", "bucket"], "left")
+    wp = (
+        Window.partitionBy("entity")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("entity")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.col("bucket") * F.lit(int(bucket_s))
+    v0 = F.last("_v", ignorenulls=True).over(wp)
+    t0 = F.last("_s", ignorenulls=True).over(wp)
+    v1 = F.first("_v", ignorenulls=True).over(wn)
+    t1 = F.first("_s", ignorenulls=True).over(wn)
+    interp = (
+        (v0 * (t1 - t) + v1 * (t - t0)).cast("double")
+        / ((t1 - t0).cast("double") * 100.0)
+    )
+    return j.select(
+        "entity",
+        "bucket",
+        F.round(
+            F.when(
+                F.col("_v").isNotNull(),
+                F.col("_v").cast("double") / 100.0,
+            ).otherwise(interp),
+            6,
+        ).alias("value"),
+        F.col("_v").isNull().alias("is_filled"),
+    )
+
+
 def counter_rate(
     events: DataFrame,
     entity_col: str = "uid",

@@ -1270,3 +1270,174 @@ def test_contour_segments_matches_reference_impl(spark):
         math.dist(*list(s)) for s in got
     )
     assert abs(lat_len - (2 * (3 + 2) + 4 * math.sqrt(0.5))) < 1e-6
+
+
+def test_local_moran_vs_reference(spark):
+    """LISA per-cell I and quadrant labels vs the textbook float
+    formulation (z_i * spatial-lag / m2) on the same wrap/polar/isolated
+    raster the global-stat test uses."""
+    raster = {
+        (5 * 64 + 0): 9,
+        (5 * 64 + 63): 7,
+        (5 * 64 + 1): 3,
+        (6 * 64 + 0): 4,
+        (31 * 64 + 10): 2,
+        (31 * 64 + 11): 6,
+        (20 * 64 + 40): 5,     # isolated: zero lag -> 'NA'
+        (12 * 64 + 20): 1,
+        (12 * 64 + 21): 8,
+        (13 * 64 + 20): 2,
+    }
+    df = spark.createDataFrame(
+        [(c, v) for c, v in raster.items()], "cell long, cnt long"
+    )
+    got = {
+        r.cell: (r.local_i, r.quadrant)
+        for r in cells.local_moran(df, 6).collect()
+    }
+    assert set(got) == set(raster)
+
+    cs = sorted(raster)
+    n = len(cs)
+    mean = sum(raster.values()) / n
+    m2 = sum((raster[c] - mean) ** 2 for c in cs) / n
+
+    def neigh(c):
+        x, y = c % 64, c // 64
+        out = []
+        for dy in (-1, 0, 1):
+            ny = y + dy
+            if ny < 0 or ny > 31:
+                continue
+            for dx in (-1, 0, 1):
+                t = ny * 64 + (x + dx) % 64
+                if t != c and t in raster:
+                    out.append(t)
+        return out
+
+    for c in cs:
+        z = raster[c] - mean
+        lag = sum(raster[t] - mean for t in neigh(c))
+        want_i = z * lag / m2
+        assert got[c][0] == pytest.approx(round(want_i, 6), abs=2e-6), c
+        want_q = (
+            "HH" if z > 0 and lag > 0 else
+            "LL" if z < 0 and lag < 0 else
+            "HL" if z > 0 and lag < 0 else
+            "LH" if z < 0 and lag > 0 else "NA"
+        )
+        assert got[c][1] == want_q, c
+    assert got[20 * 64 + 40][1] == "NA"  # isolated cell
+
+
+def test_mann_kendall_vs_pair_loop(spark):
+    """MK S / tie-corrected variance / z / labels vs a direct pairwise
+    loop, covering: a strictly increasing cell, a strictly decreasing
+    cell, heavy ties, a constant series (var18 = 0, S = 0), and a
+    single-bin cell."""
+    import math
+
+    series = {
+        1: [(0, 1), (1, 3), (2, 4), (3, 7), (4, 9), (5, 12), (6, 15),
+            (7, 18), (8, 20), (9, 25)],               # increasing
+        2: [(0, 30), (1, 22), (2, 21), (3, 15), (4, 11), (5, 8),
+            (6, 5), (7, 3), (8, 2), (9, 1)],          # decreasing
+        3: [(0, 5), (1, 5), (2, 7), (3, 5), (4, 7), (5, 7), (6, 5)],
+        4: [(0, 4), (1, 4), (2, 4), (3, 4)],          # constant
+        5: [(0, 9)],                                  # single bin
+    }
+    rows = [
+        (c, t, v) for c, evs in series.items() for t, v in evs
+    ]
+    df = spark.createDataFrame(rows, "cell long, t long, cnt long")
+    got = {
+        r.cell: r for r in cells.mann_kendall_trend(df).collect()
+    }
+    for c, evs in series.items():
+        vals = [v for _, v in sorted(evs)]
+        nn = len(vals)
+        s = sum(
+            (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+            for i in range(nn) for j in range(i + 1, nn)
+        )
+        ties = {}
+        for v in vals:
+            ties[v] = ties.get(v, 0) + 1
+        var18 = nn * (nn - 1) * (2 * nn + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        if s > 0:
+            z = (s - 1) / math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        r = got[c]
+        assert (r.n_bins, r.s_stat, r.var18) == (nn, s, var18), c
+        assert r.z == pytest.approx(round(z, 6), abs=1e-9), c
+        want = ("increasing" if z > 1.959964 else
+                "decreasing" if z < -1.959964 else "none")
+        assert r.trend == want, c
+    assert got[1].trend == "increasing"
+    assert got[2].trend == "decreasing"
+    assert got[4].z == 0.0 and got[5].z == 0.0
+
+
+def test_std_ellipse_vs_numpy_eig(spark):
+    """SDE mean/orientation/axes vs numpy's eigendecomposition of the
+    population covariance: an anisotropic cloud (rotated line + noise),
+    an isotropic cloud (axes equal-ish), a 2-point entity, and a
+    single point (zero axes)."""
+    import numpy as np
+
+    from oshdb_spark.geo.trajectory import std_ellipse
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # entity 1: points along a 30-degree line, scattered
+    th = np.radians(30.0)
+    for i in range(200):
+        t = rng.uniform(-1, 1) * 2_000_000
+        w = rng.uniform(-1, 1) * 200_000
+        x = int(t * np.cos(th) - w * np.sin(th)) + 100_000_000
+        y = int(t * np.sin(th) + w * np.cos(th)) + 50_000_000
+        rows.append((1, x, y))
+    # entity 2: isotropic blob
+    for i in range(300):
+        rows.append((
+            2,
+            int(rng.uniform(-1, 1) * 500_000) - 700_000_000,
+            int(rng.uniform(-1, 1) * 500_000) + 200_000_000,
+        ))
+    rows.append((3, 1_000_000, 2_000_000))
+    rows.append((3, 3_000_000, 6_000_000))
+    rows.append((4, 123_456_789, -987_654_321))   # single point
+    df = spark.createDataFrame(rows, "entity long, lon7 long, lat7 long")
+    got = {r.entity: r for r in std_ellipse(df).collect()}
+
+    by_ent = {}
+    for e, x, y in rows:
+        by_ent.setdefault(e, []).append((x, y))
+    for e, pts in by_ent.items():
+        a = np.array(pts, dtype=np.float64)
+        r = got[e]
+        assert r.n_pts == len(pts)
+        assert r.mean_lon == pytest.approx(a[:, 0].mean() * 1e-7, abs=1e-5)
+        assert r.mean_lat == pytest.approx(a[:, 1].mean() * 1e-7, abs=1e-5)
+        cov = np.cov(a.T, ddof=0) if len(pts) > 1 else np.zeros((2, 2))
+        evals, evecs = np.linalg.eigh(cov)
+        want_major = np.sqrt(2 * evals[1]) * 1e-7
+        want_minor = np.sqrt(2 * evals[0]) * 1e-7
+        assert r.major_deg == pytest.approx(want_major, rel=1e-6, abs=1e-6), e
+        assert r.minor_deg == pytest.approx(want_minor, rel=1e-6, abs=1e-6), e
+        if evals[1] - evals[0] > 1e-6:
+            v = evecs[:, 1]
+            ang = np.degrees(np.arctan2(v[1], v[0])) % 180.0
+            assert got[e].orient_deg % 180.0 == pytest.approx(
+                ang, abs=1e-4
+            ) or abs((got[e].orient_deg % 180.0) - ang) == pytest.approx(
+                180.0, abs=1e-4
+            ), e
+    # entity 1's major axis must sit near 30 degrees
+    assert got[1].orient_deg % 180.0 == pytest.approx(30.0, abs=2.0)
+    assert got[4].major_deg == 0.0 and got[4].minor_deg == 0.0

@@ -215,3 +215,52 @@ def test_sssp_hop_bound_and_early_stop(spark):
     full = {r["node"]: r["dist"] for r in
             sssp(chain, [0], n_iter=50).collect()}
     assert full == {i: 5 * i for i in range(7)}
+
+
+def test_triangle_count_vs_brute_force(spark):
+    """Degree-oriented triangle counting vs itertools brute force on a
+    graph mixing a clique (many triangles), a star (none — and the
+    skew case orientation defends against), a cycle, duplicate and
+    reversed edges, and a self-loop."""
+    import itertools
+    import random
+
+    from oshdb_spark.ops.graph import triangle_count
+
+    random.seed(5)
+    edges = []
+    for a, b in itertools.combinations(range(6), 2):   # K6 clique
+        edges.append((a, b))
+    for leaf in range(20, 40):                         # star at 10
+        edges.append((10, leaf))
+    for i in range(40, 50):                            # 10-cycle
+        edges.append((i, 40 + (i - 39) % 10))
+    edges += [(1, 0), (2, 1), (3, 3)]                  # rev dup + loop
+    for _ in range(60):                                # random clutter
+        edges.append((random.randint(0, 55), random.randint(0, 55)))
+
+    canon = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    want_tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    want_wedges = sum(
+        len(vs) * (len(vs) - 1) // 2 for vs in adj.values()
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(canon)
+    assert row.n_wedges == want_wedges
+    assert row.n_triangles == want_tri
+    assert want_tri >= 20  # K6 alone has 20
+    assert row.clustering == round(3.0 * want_tri / want_wedges, 6)

@@ -1303,3 +1303,76 @@ def test_tfidf_keywords_matches_replay(spark):
     # fig is unique to docs 2/3 and must headline doc 3
     top3 = [r for r in got if r[0] == 3 and r[1] == 1][0]
     assert top3[2] == "fig"
+
+
+def test_canonical_url_rules(spark):
+    """Hand-written messy URLs with independently stated canonical
+    forms: scheme/case/www/fragment/tracking/trailing-slash variants
+    collapse; kept params preserve order; two-label domain rule."""
+    from oshdb_spark.ops.curation import domain_stats, with_canonical_url
+
+    cases = [
+        # (url, expected canon, expected domain)
+        ("HTTP://WWW.Site.COM/a/1/?utm_source=x", "site.com/a/1",
+         "site.com"),
+        ("https://site.com/a/1", "site.com/a/1", "site.com"),
+        ("https://site.com/a/1#frag", "site.com/a/1", "site.com"),
+        ("https://site.com/a/1?ref=2&utm_campaign=z&x=1#s",
+         "site.com/a/1?ref=2&x=1", "site.com"),
+        ("http://blog.news.example.org/p//",
+         "blog.news.example.org/p", "example.org"),
+        ("site.net/q?fbclid=abc&gclid=def", "site.net/q", "site.net"),
+        ("https://www.www.host.io/x", "www.host.io/x", "host.io"),
+        ("http://localhost/x", "localhost/x", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["canon_url"], r["domain"])
+        for r in with_canonical_url(df).collect()
+    }
+    for i, (u, canon, dom) in enumerate(cases):
+        assert got[i] == (canon, dom), u
+
+    # the first two (plus the fragment variant) collapse to one URL
+    stats = {r["domain"]: r for r in domain_stats(df).collect()}
+    sc = stats["site.com"]
+    assert sc["n_docs"] == 4 and sc["n_urls"] == 2
+    assert sc["n_dup_docs"] == 3  # the three 'site.com/a/1' docs
+
+
+def test_split_assign_group_atomic(spark):
+    """Every group lands wholly in one split; membership is
+    deterministic across reshuffles; fractions hold roughly; bad
+    fractions raise."""
+    import pytest as _pt
+
+    from oshdb_spark.ops.sampling import split_assign
+
+    rows = [(i, f"g{i % 97}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_assign(
+        df, "grp", {"train": 0.7, "val": 0.15, "test": 0.15}
+    ).collect()
+    by_grp = {}
+    counts = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert all(len(s) == 1 for s in by_grp.values())  # atomic groups
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+    # repartitioned input yields identical assignment
+    out2 = {
+        (r["doc_id"]): r["split"]
+        for r in split_assign(
+            df.repartition(7), "grp",
+            {"train": 0.7, "val": 0.15, "test": 0.15}
+        ).collect()
+    }
+    assert out2 == {r["doc_id"]: r["split"] for r in out}
+    with _pt.raises(ValueError):
+        split_assign(df, "grp", {"train": 0.5, "val": 0.1})

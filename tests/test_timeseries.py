@@ -297,3 +297,47 @@ def test_lttb_rejects_tiny_n_out(spark):
     )
     with pytest.raises(ValueError):
         lttb_downsample(df, n_out=2)
+
+
+def test_gapfill_interpolate_matches_replay(spark):
+    from oshdb_spark.ops.timeseries import gapfill_interpolate
+
+    rows = _rows(seed=41)
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    B = 1000
+    got = {
+        (r["entity"], r["bucket"]): (r["value"], r["is_filled"])
+        for r in gapfill_interpolate(df, B).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    n_out = 0
+    for ent, evs in by_ent.items():
+        # representative per bucket: last by (sec, seq); keep its sec
+        rep = {}
+        for sec, seq, val in sorted(evs):
+            rep[sec // B] = (int(abs(val) * 100 + 0.5), sec)
+        mn, mx = min(rep), max(rep)
+        obs = sorted(rep)
+        for bk in range(mn, mx + 1):
+            n_out += 1
+            v, filled = got[(ent, bk)]
+            if bk in rep:
+                assert not filled
+                assert v == round(rep[bk][0] / 100.0, 6), (ent, bk)
+            else:
+                assert filled
+                import bisect
+
+                i = bisect.bisect_left(obs, bk)
+                b0, b1 = obs[i - 1], obs[i]
+                v0, t0 = rep[b0]
+                v1, t1 = rep[b1]
+                t = bk * B
+                assert t0 < t < t1, (ent, bk)
+                want = (v0 * (t1 - t) + v1 * (t - t0)) / ((t1 - t0) * 100.0)
+                assert v == round(want, 6), (ent, bk)
+    assert n_out == len(got)
