@@ -443,6 +443,76 @@ def q_triangles(spark, sf_dir):
     return triangle_count(hops, "pcell", "cell")
 
 
+def q_kcore_cells(spark, sf_dir):
+    """Bounded k-core peel (ops/graph.kcore_peel, k=3, 8 rounds) of the
+    CLUSTERED-walk hop graph (zoom-6 cells of the per-user slot points,
+    consecutive-fix edges): users cluster in 6° slots, so cells form
+    dense local neighborhoods whose 3-core survives while stray
+    cross-slot hops peel away. The oracle unrolls the same 8 peel
+    rounds as plain CTE layers."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.ops.graph import kcore_peel
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    ).withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .filter(F.col("pcell").isNotNull())
+        .select("pcell", "cell")
+    )
+    return kcore_peel(hops, k=3, rounds=8, src="pcell", dst="cell")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (ops/graph.assortativity — Newman 2002)
+    over the same movement network as `triangles`: Pearson correlation
+    of endpoint degrees over directed stubs, exact int64 moments, one
+    double division, round(6)."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.ops.graph import assortativity
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = (
+        ev.withColumn(
+            "lon7",
+            F.pmod(F.col("event_id") * F.lit(1103515245),
+                   F.lit(3_600_000_000)) - 1_800_000_000,
+        )
+        .withColumn(
+            "lat7",
+            F.pmod(F.col("event_id") * F.lit(1234567891),
+                   F.lit(1_700_000_000)) - 850_000_000,
+        )
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .filter(F.col("pcell").isNotNull())
+        .select("pcell", "cell")
+    )
+    return assortativity(hops, "pcell", "cell")
+
+
 def q_travel_cost(spark, sf_dir):
     """Travel-cost field (ops/graph.sssp): cheapest observed path cost
     from the first three events' cells to every reachable zoom-6 cell
@@ -1008,6 +1078,16 @@ def q_moran_events(spark, sf_dir):
     return moran_i(_event_cell_raster(spark, sf_dir), 6)
 
 
+def q_slope_cells(spark, sf_dir):
+    """Horn's-method slope/aspect raster (geo/cells.slope_aspect) over
+    the zoom-6 event-count surface: exact int64 gx/gy gradients
+    (absent neighbors 0), float only in atan/atan2/sqrt from identical
+    inputs, round(6)."""
+    from oshdb_spark.geo.cells import slope_aspect
+
+    return slope_aspect(_event_cell_raster(spark, sf_dir), 6)
+
+
 def q_lisa_events(spark, sf_dir):
     """Local Moran's I / LISA cluster-outlier map (geo/cells.
     local_moran) of the zoom-6 event-count raster: per-cell I_i plus
@@ -1130,6 +1210,55 @@ from oshdb_spark.ops.sampling import rate_threshold as _rt
 _T_TRAIN = _rt(0.7)
 _T_VAL = _rt(0.85)
 
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel replay: round i keeps nodes with degree
+    >= k in round i-1's edge set, then edges with both endpoints kept;
+    the final SELECT applies the same last degree filter the engine
+    does. Plain CTE layers — the bounded-iteration oracle recipe of
+    travel_cost/kmeans."""
+    ctes = ["""
+        p AS (
+          SELECT user_id, event_id,
+                 ((user_id // 2) % 24) * 150000000
+                   - 1800000000 + 75000000
+                   + (event_id*1103515245) % 60000001 - 30000000 AS lon7,
+                 (((user_id // 2) // 24) % 8) * 150000000
+                   - 600000000 + 75000000
+                   + (event_id*1234567891) % 60000001 - 30000000 AS lat7
+          FROM events),
+        cp AS (
+          SELECT user_id, event_id,
+                 ((lat7 + 900000000) // 56250000) * 64
+                 + ((lon7 + 1800000000) // 56250000) AS cell
+          FROM p),
+        hop AS (
+          SELECT cell, lag(cell) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS pcell
+          FROM cp),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(pcell, cell) AS u,
+                          greatest(pcell, cell) AS v
+          FROM hop WHERE pcell IS NOT NULL AND pcell <> cell)"""]
+    for i in range(rounds):
+        ctes.append(f"""
+        k{i} AS MATERIALIZED (
+          SELECT n FROM (SELECT u AS n FROM e{i}
+                         UNION ALL SELECT v FROM e{i})
+          GROUP BY 1 HAVING count(*) >= {k}),
+        e{i + 1} AS MATERIALIZED (
+          SELECT e{i}.u, e{i}.v FROM e{i}
+          JOIN k{i} a ON a.n = e{i}.u
+          JOIN k{i} b ON b.n = e{i}.v)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS n FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds})
+        GROUP BY 1 HAVING count(*) >= {k}"""
+    )
+
+
 _MORAN_EVENTS_ORACLE = _FOCAL_CTE + """,
     g AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(cnt) AS BIGINT) AS s FROM r),
@@ -1147,6 +1276,46 @@ _MORAN_EVENTS_ORACLE = _FOCAL_CTE + """,
                     * CAST(CAST(sum(z*z) AS BIGINT) AS DOUBLE)), 9)
              AS moran_i
     FROM t GROUP BY n
+"""
+
+# reuses the focal raster CTEs (the unused focal `agg` CTE is never
+# evaluated — non-materialized)
+_SLOPE_CELLS_ORACLE = _FOCAL_CTE + """,
+    dirs AS (
+      SELECT ((cell // 64) + dy) * 64
+             + ((cell % 64) + dx + 64) % 64 AS t,
+             -dx AS rdx, -dy AS rdy, cnt
+      FROM r,
+           (VALUES (-1), (0), (1)) AS dxs(dx),
+           (VALUES (-1), (0), (1)) AS dys(dy)
+      WHERE (cell // 64) + dy BETWEEN 0 AND 31),
+    g AS (
+      SELECT t,
+        CAST((coalesce(sum(CASE WHEN rdx=1 AND rdy=1 THEN cnt END),0)
+          + 2*coalesce(sum(CASE WHEN rdx=1 AND rdy=0 THEN cnt END),0)
+          + coalesce(sum(CASE WHEN rdx=1 AND rdy=-1 THEN cnt END),0))
+         -(coalesce(sum(CASE WHEN rdx=-1 AND rdy=1 THEN cnt END),0)
+          + 2*coalesce(sum(CASE WHEN rdx=-1 AND rdy=0 THEN cnt END),0)
+          + coalesce(sum(CASE WHEN rdx=-1 AND rdy=-1 THEN cnt END),0))
+         AS BIGINT) AS gx,
+        CAST((coalesce(sum(CASE WHEN rdx=-1 AND rdy=1 THEN cnt END),0)
+          + 2*coalesce(sum(CASE WHEN rdx=0 AND rdy=1 THEN cnt END),0)
+          + coalesce(sum(CASE WHEN rdx=1 AND rdy=1 THEN cnt END),0))
+         -(coalesce(sum(CASE WHEN rdx=-1 AND rdy=-1 THEN cnt END),0)
+          + 2*coalesce(sum(CASE WHEN rdx=0 AND rdy=-1 THEN cnt END),0)
+          + coalesce(sum(CASE WHEN rdx=1 AND rdy=-1 THEN cnt END),0))
+         AS BIGINT) AS gy
+      FROM dirs GROUP BY 1)
+    SELECT r.cell, r.cnt, g.gx, g.gy,
+           round(degrees(atan(
+             sqrt(CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE)
+                  + CAST(g.gy AS DOUBLE) * CAST(g.gy AS DOUBLE))
+             / 8.0)), 6) AS slope_deg,
+           CASE WHEN g.gx <> 0 OR g.gy <> 0 THEN
+             round(degrees(atan2(CAST(g.gy AS DOUBLE),
+                                 CAST(g.gx AS DOUBLE))), 6)
+           END AS aspect_deg
+    FROM r JOIN g ON g.t = r.cell
 """
 
 _LISA_EVENTS_ORACLE = _FOCAL_CTE + """,
@@ -4231,6 +4400,75 @@ def q_interp_daily(spark, sf_dir):
     return gapfill_interpolate(ev, 21600)
 
 
+def q_spearman_quality(spark, sf_dir):
+    """Per-source Spearman rank correlation (ops/stats.spearman_corr)
+    between document length (n_chars) and whitespace token count —
+    near-monotone, so ρ sits high but below 1 where lengths tie.
+    Doubled average ranks keep ties exact; decimal moments ≡ HUGEINT."""
+    from oshdb_spark.ops.stats import spearman_corr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    return spearman_corr(d, "source", "n_chars", "toks")
+
+
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median (ops/stats.weighted_quantile) of lineitem
+    extended price (cents) weighted by quantity, per return flag — the
+    weighted percentile_disc rule: smallest value whose cumulative
+    weight reaches half the total; pure integer pick condition."""
+    from oshdb_spark.ops.stats import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    return weighted_quantile(
+        li, "l_returnflag", "price_c", "qty", num=1, den=2
+    )
+
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM drift alarms (ops/timeseries.cusum_alarms, Page 1954):
+    per-user one-sided drift statistic above a 200.00 target with a
+    80.00 alarm threshold. The sequential max(0, ·) recursion runs
+    as prefix-sum − running-min (two windows, one sort) — every S_t an
+    exact BIGINT in cents."""
+    from oshdb_spark.ops.timeseries import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return cusum_alarms(ev, target_cents=20_000,
+                        threshold_cents=8_000)
+
+
+def q_uptime_islands(spark, sf_dir):
+    """Per-user interval union (ops/timeseries.interval_union): each
+    event opens a 15–75-minute validity interval
+    (900 + (event_id % 7)·600 s); overlapping-or-touching intervals
+    merge into islands — n_islands, total covered seconds, longest
+    island. Pure gaps-and-islands windows, all integer-exact."""
+    from oshdb_spark.ops.timeseries import interval_union
+
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        sec.alias("start_s"),
+        (sec + 900 + (F.col("event_id") % 7) * 600).alias("end_s"),
+    )
+    return interval_union(iv)
+
+
 def q_counter_rate(spark, sf_dir):
     """PromQL-style counter increase/rate with reset handling
     (ops/timeseries.counter_rate) over each user's `value` sequence:
@@ -5002,6 +5240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_cells": q_trend_cells,
         "travel_cost": q_travel_cost,
         "triangles": q_triangles,
+        "assortativity": q_assortativity,
+        "kcore_cells": q_kcore_cells,
         "od_matrix": q_od_matrix,
         "simplify_tracks": q_simplify_tracks,
         "colocation_pairs": q_colocation_pairs,
@@ -5018,6 +5258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_daily": q_gapfill_daily,
         "interp_daily": q_interp_daily,
         "counter_rate": q_counter_rate,
+        "uptime_islands": q_uptime_islands,
+        "spearman_quality": q_spearman_quality,
+        "weighted_median": q_weighted_median,
+        "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
         "event_transitions": q_event_transitions,
@@ -5026,6 +5270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "moran_events": q_moran_events,
         "lisa_events": q_lisa_events,
+        "slope_cells": q_slope_cells,
         "stream_export_shards": q_stream_export_shards,
         "vocab_stats": q_vocab_stats,
         "pagerank": q_pagerank,
@@ -5808,6 +6053,133 @@ def oracle_sql() -> dict[str, str]:
                    v IS NULL AS is_filled
             FROM w
         """,
+        "spearman_quality": """
+            -- Spearman replay: doubled average ranks (2·rank + ties−1),
+            -- HUGEINT moments, identical closed form
+            WITH d AS (
+              SELECT source AS g, n_chars AS x,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+              FROM documents),
+            r AS (
+              SELECT g,
+                     2 * rank() OVER (PARTITION BY g ORDER BY x)
+                       + count(*) OVER (PARTITION BY g, x) - 1 AS dx,
+                     2 * rank() OVER (PARTITION BY g ORDER BY y)
+                       + count(*) OVER (PARTITION BY g, y) - 1 AS dy
+              FROM d),
+            m AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+                     sum(CAST(dy AS HUGEINT) * dy) AS syy,
+                     sum(CAST(dx AS HUGEINT) * dy) AS sxy
+              FROM r GROUP BY 1),
+            t AS (
+              SELECT g, n,
+                     CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+                       AS num,
+                     CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+                       AS vx,
+                     CAST(n*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)
+                       AS vy
+              FROM m)
+            SELECT g AS source, n,
+                   CASE WHEN vx > 0 AND vy > 0 THEN
+                     round(num / (sqrt(vx) * sqrt(vy)), 6)
+                   END AS rho
+            FROM t
+        """,
+        "weighted_median": """
+            -- weighted percentile_disc replay: collapse ties, running
+            -- cumulative weight over distinct values, integer pick
+            WITH li AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                       AS v,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS w
+              FROM lineitem),
+            pv AS (
+              SELECT g, v, CAST(sum(w) AS BIGINT) AS w
+              FROM li GROUP BY 1, 2),
+            cw AS (
+              SELECT g, v, w,
+                     CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+              FROM pv),
+            tw AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw
+                   FROM pv GROUP BY 1)
+            SELECT cw.g AS l_returnflag,
+                   CAST(min(cw.v) AS BIGINT) AS wq_value,
+                   CAST(max(tw.tw) AS BIGINT) AS total_weight
+            FROM cw JOIN tw ON tw.g = cw.g
+            WHERE 2 * cw.cw >= 1 * tw.tw
+            GROUP BY 1
+        """,
+        "cusum_drift": """
+            -- CUSUM replay via the same prefix-sum − running-min
+            -- identity; exact BIGINT cents throughout
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            p AS (
+              SELECT uid, sec, seq,
+                     sum(c - 20000) OVER (
+                       PARTITION BY uid ORDER BY sec, seq
+                       ROWS UNBOUNDED PRECEDING) AS p
+              FROM ev),
+            s AS (
+              SELECT uid, sec,
+                     p - least(0, min(p) OVER (
+                       PARTITION BY uid ORDER BY sec, seq
+                       ROWS UNBOUNDED PRECEDING)) AS s
+              FROM p)
+            SELECT uid AS entity,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(CASE WHEN s > 8000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarms,
+                   CAST(max(s) AS BIGINT) AS max_s,
+                   min(CASE WHEN s > 8000 THEN sec END)
+                     AS first_alarm_sec
+            FROM s GROUP BY 1
+        """,
+        "uptime_islands": """
+            -- interval-union replay: running-max window marks island
+            -- starts, running sum numbers them, two aggregates — all
+            -- integer seconds
+            WITH ev AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       + 900 + (event_id % 7) * 600 AS e
+              FROM events),
+            m AS (
+              SELECT uid, s, e,
+                     max(e) OVER (PARTITION BY uid ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM ev),
+            mk AS (
+              SELECT uid, s, e,
+                     CASE WHEN pm IS NULL OR s > pm THEN 1
+                          ELSE 0 END AS nw
+              FROM m),
+            nm AS (
+              SELECT uid, s, e,
+                     sum(nw) OVER (PARTITION BY uid ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+              FROM mk),
+            g AS (SELECT uid, isl, min(s) AS st, max(e) AS en
+                  FROM nm GROUP BY 1, 2)
+            SELECT uid AS entity,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(en - st) AS BIGINT) AS covered_s,
+                   CAST(max(en - st) AS BIGINT) AS longest_s
+            FROM g GROUP BY 1
+        """,
         "counter_rate": """
             -- PromQL increase/rate replay: integer-cents deltas with
             -- reset handling, exact BIGINT sums, one division per row
@@ -6254,6 +6626,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(hop_mm) AS BIGINT) AS dist_mm
             FROM h2 GROUP BY 1, 2, 3
         """,
+        "kcore_cells": _kcore_oracle(3, 8),
+        "assortativity": """
+            -- Newman degree-assortativity replay: same canonical edge
+            -- set and degree join as the triangle oracle; exact
+            -- integer stub moments, one double division
+            WITH pts AS (
+              SELECT event_id, user_id,
+                     ((event_id*1103515245) % 3600000000)
+                       - 1800000000 AS lon7,
+                     ((event_id*1234567891) % 1700000000)
+                       - 850000000 AS lat7
+              FROM events),
+            cp AS (
+              SELECT event_id, user_id,
+                     ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell
+              FROM pts),
+            hop AS (
+              SELECT user_id, cell,
+                     lag(cell) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pcell
+              FROM cp),
+            e AS (
+              SELECT DISTINCT least(pcell, cell) AS u,
+                              greatest(pcell, cell) AS v
+              FROM hop
+              WHERE pcell IS NOT NULL AND pcell <> cell),
+            deg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(du.d + dv.d) AS BIGINT) AS sx,
+                     CAST(sum(du.d*du.d + dv.d*dv.d) AS BIGINT) AS sxx,
+                     CAST(sum(2*du.d*dv.d) AS BIGINT) AS sxy
+              FROM e JOIN deg du ON du.n = e.u
+                     JOIN deg dv ON dv.n = e.v),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+            SELECT n_nodes, m AS n_edges,
+                   CASE WHEN 2*m*sxx - sx*sx <> 0 THEN
+                     round(CAST(2*m*sxy - sx*sx AS DOUBLE)
+                           / CAST(2*m*sxx - sx*sx AS DOUBLE), 6)
+                   END AS assortativity
+            FROM nn CROSS JOIN s
+        """,
         "triangles": """
             -- node-iterator++ replay: same canonical undirected edge
             -- set, same (degree, id) orientation, wedge join closed by
@@ -6464,6 +6882,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moran_events": _MORAN_EVENTS_ORACLE,
         "lisa_events": _LISA_EVENTS_ORACLE,
+        "slope_cells": _SLOPE_CELLS_ORACLE,
         "focal_mean": """
             -- 3×3 focal stats replay over the zoom-6 raster: ncols=64,
             -- northernmost row 31; lon wraps mod 64, rows beyond the

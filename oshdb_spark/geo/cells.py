@@ -784,6 +784,115 @@ def moran_i(
     )
 
 
+def slope_aspect(
+    df,
+    zoom: int,
+    cell_col: str = "cell",
+    value_col: str = "cnt",
+):
+    """Horn's-method slope/aspect over a sparse cell raster — the
+    gradient map-algebra op (ArcGIS Slope/Aspect) on any value surface
+    the engine produces (KDE density, IDW interpolation, count
+    rasters). Absent neighbors contribute 0 (a count surface falls to
+    zero off-support); grid topology is focal_stats': longitude wraps,
+    latitude clamps at the poles (missing polar rows also 0).
+
+    With the 3×3 window labeled a..i (a = NW, i = SE, +y = north):
+
+        gx = (c + 2f + i) − (a + 2d + g)      (east gradient × 8)
+        gy = (a + 2b + c) − (g + 2h + i)      (north gradient × 8)
+        slope  = atan(sqrt(gx² + gy²) / 8)    (cell spacing = 1 unit)
+        aspect = atan2(gy, gx)                (math convention, CCW
+                                               from east; null on flat)
+
+    gx/gy are exact int64 on both engines; only atan/atan2/sqrt are
+    float, from identical inputs, round(6).
+
+    Plan shape: ONE 9× codegen explode + ONE target aggregate with
+    per-direction conditional sums (no 8-way self-join), inner join
+    back to present cells — the focal_stats cost with a 9-branch CASE.
+    Returns (cell, value, gx, gy, slope_deg, aspect_deg)."""
+    from pyspark.sql import functions as F
+
+    zoom = _clamp_zoom(zoom)
+    ncols = 1 << zoom
+    y_max = int(
+        xy_id(np.array([0]), np.array([_LAT_MAX]), zoom)[0]
+    ) // ncols
+
+    src = df.select(
+        F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
+    ).filter(F.col("_c") >= 0)
+    x = F.pmod(F.col("_c"), F.lit(ncols))
+    y = F.floor(F.col("_c") / F.lit(ncols))
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    contrib = (
+        src.select("_c", "_v", x.alias("_x"), y.alias("_y"),
+                   offs.alias("_o"))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") <= y_max))
+        .select(
+            (
+                F.col("_ny") * ncols
+                + F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(ncols))
+            ).alias("_t"),
+            # direction of THIS contributor as seen FROM the target
+            (-F.col("_o.dx")).alias("_rdx"),
+            (-F.col("_o.dy")).alias("_rdy"),
+            "_v",
+        )
+    )
+
+    def _s(dx, dy):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("_rdx") == dx) & (F.col("_rdy") == dy),
+                    F.col("_v"),
+                )
+            ),
+            F.lit(0),
+        )
+
+    # a..i with +y = north: a = (-1, +1) ... i = (+1, -1)
+    agg = contrib.groupBy("_t").agg(
+        (
+            (_s(1, 1) + 2 * _s(1, 0) + _s(1, -1))
+            - (_s(-1, 1) + 2 * _s(-1, 0) + _s(-1, -1))
+        ).alias("gx"),
+        (
+            (_s(-1, 1) + 2 * _s(0, 1) + _s(1, 1))
+            - (_s(-1, -1) + 2 * _s(0, -1) + _s(1, -1))
+        ).alias("gy"),
+    )
+    out = src.join(agg, src["_c"] == agg["_t"])
+    gxd, gyd = F.col("gx").cast("double"), F.col("gy").cast("double")
+    return out.select(
+        F.col("_c").alias(cell_col),
+        F.col("_v").alias(value_col),
+        "gx",
+        "gy",
+        F.round(
+            F.degrees(
+                F.atan(F.sqrt(gxd * gxd + gyd * gyd) / 8.0)
+            ),
+            6,
+        ).alias("slope_deg"),
+        F.when(
+            (F.col("gx") != 0) | (F.col("gy") != 0),
+            F.round(F.degrees(F.atan2(gyd, gxd)), 6),
+        ).alias("aspect_deg"),
+    )
+
+
 def local_moran(
     df,
     zoom: int,

@@ -344,3 +344,112 @@ def triangle_count(
             6,
         ).alias("clustering"),
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — does the graph
+    wire hubs to hubs (r > 0, social networks) or hubs to leaves
+    (r < 0, infrastructure)? Pearson correlation of endpoint degrees
+    over directed stubs; each undirected edge contributes both
+    orientations, so with M = 2m:
+
+        r = (M·Σxy − Sx²) / (M·Sxx − Sx²),
+        Σxy = 2·Σ du·dv,  Sx = Σ(du+dv),  Sxx = Σ(du²+dv²)
+
+    Every sum is an exact int64 over the canonical edge set (the same
+    degree join triangle_count uses); one double division, round(6).
+    Returns ONE row (n_nodes, n_edges, assortativity) — null r for
+    degree-regular graphs (zero variance)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    s = ed.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col("_du") + F.col("_dv")).alias("_sx"),
+        F.sum(
+            F.col("_du") * F.col("_du") + F.col("_dv") * F.col("_dv")
+        ).alias("_sxx"),
+        F.sum(2 * F.col("_du") * F.col("_dv")).alias("_sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    big = 2 * F.col("_m")
+    num = big * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = big * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return nn.crossJoin(F.broadcast(s)).select(
+        "n_nodes",
+        F.col("_m").alias("n_edges"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("assortativity"),
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly delete nodes whose degree in
+    the SURVIVING subgraph is < k — the standard cohesion filter (spam
+    rings and crawl link-farms live in high cores; tendrils and leaves
+    do not). Like `sssp`'s bounded Bellman-Ford, the operator's
+    CONTRACT is exactly ``rounds`` synchronous peel rounds (the DuckDB
+    oracle unrolls the same rounds as plain CTE layers); on graphs
+    whose peel converges faster the result IS the k-core, and each
+    round is detectable as converged from the returned count.
+
+    Each round: one degree aggregate over surviving edges + two
+    semi-joins to drop edges with a deleted endpoint — all hash
+    shuffles on node keys, O(rounds) passes, `localCheckpoint` keeps
+    lineage flat (connected_components' recipe). Returns (node, degree)
+    for nodes still meeting the k threshold in the final surviving
+    subgraph (one more degree filter after the last peel — mirrored
+    verbatim by the oracle)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint()
+        e = (
+            e.join(keep, e["u"] == keep["n"], "left_semi")
+            .join(keep, e["v"] == keep["n"], "left_semi")
+            .localCheckpoint()
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

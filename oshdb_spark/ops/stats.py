@@ -170,3 +170,118 @@ def power_iteration(
         v = [_q6(w[i] / nrm) + 0.0 for i in range(d)]
     cv = [_dot_seq(row, v) for row in cov]
     return v, _q6(_dot_seq(v, cv)) + 0.0
+
+
+def weighted_quantile(
+    df,
+    group_col: str,
+    value_col,
+    weight_col,
+    num: int = 1,
+    den: int = 2,
+):
+    """Exact weighted quantile per group (weighted median by default) —
+    the smallest value whose cumulative weight reaches ``num/den`` of
+    the group's total (the weighted ``percentile_disc`` rule; weighted
+    medians are the robust aggregate sales/latency dashboards want
+    when rows carry volumes).
+
+    Exactness: values and weights must already be integers (quantize
+    at the call site); the pick condition ``den·cumw ≥ num·W`` is pure
+    integer arithmetic — no float rank, no interpolation. Ties collapse
+    FIRST (one aggregate per distinct (group, value)) so the running
+    sum is over deterministic distinct-value order.
+
+    Plan shape: one partial+final aggregate onto (group, value) —
+    map-side combine eats duplicate values — one running window over
+    the collapsed (small) per-group value list, a broadcastable total
+    join, one min_by aggregate. Returns
+    (group, wq_value, total_weight)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_val = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.sum(weight_col).alias("_w"))
+    w = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_val.withColumn("_cw", F.sum("_w").over(w))
+    tot = per_val.groupBy("_g").agg(F.sum("_w").alias("_tw"))
+    j = cum.join(F.broadcast(tot), "_g").filter(
+        F.lit(int(den)) * F.col("_cw") >= F.lit(int(num)) * F.col("_tw")
+    )
+    return j.groupBy(F.col("_g").alias(group_col)).agg(
+        F.min("_v").alias("wq_value"),
+        F.max("_tw").alias("total_weight"),
+    )
+
+
+def spearman_corr(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Spearman rank correlation per group — the robust monotone-
+    association statistic (quality-signal validation: does metric A
+    order documents like metric B?). Pearson over average ranks;
+    fractional tie ranks stay exact by DOUBLING them (avg rank =
+    (min_rank + max_rank)/2, so 2·rank = min + max, an integer).
+
+    All five moments accumulate over integer doubled ranks into
+    DECIMAL(38,0) (≡ DuckDB HUGEINT — the std_ellipse recipe), so the
+    closed form consumes identical exact integers on both engines; the
+    final sqrt/division is float, round(6). Constant columns (zero
+    rank variance) yield null.
+
+    Plan shape: two rank windows over the group key (one sort each) +
+    ONE moment aggregate; no joins. Returns (group, n, rho)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wx = Window.partitionBy(group_col).orderBy(x_col)
+    wy = Window.partitionBy(group_col).orderBy(y_col)
+    # 2·avg_rank = rank + (rank + count_of_ties − 1)
+    #            = 2·rank + cnt − 1 over the tie group
+    r = (
+        df.withColumn("_rx", F.rank().over(wx))
+        .withColumn(
+            "_cx", F.count(F.lit(1)).over(
+                Window.partitionBy(group_col, x_col)
+            )
+        )
+        .withColumn("_ry", F.rank().over(wy))
+        .withColumn(
+            "_cy", F.count(F.lit(1)).over(
+                Window.partitionBy(group_col, y_col)
+            )
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            (2 * F.col("_rx") + F.col("_cx") - 1).alias("_dx"),
+            (2 * F.col("_ry") + F.col("_cy") - 1).alias("_dy"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dx").alias("_sx"),
+        F.sum("_dy").alias("_sy"),
+        F.sum((F.col("_dx") * F.col("_dx")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_dy") * F.col("_dy")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_dx") * F.col("_dy")).cast(dec)).alias("_sxy"),
+    )
+    nD = F.col("_n").cast(dec)
+    sxD, syD = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    num = (nD * F.col("_sxy") - sxD * syD).cast("double")
+    vx = (nD * F.col("_sxx") - sxD * sxD).cast("double")
+    vy = (nD * F.col("_syy") - syD * syD).cast("double")
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("rho"),
+    )

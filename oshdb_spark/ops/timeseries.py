@@ -462,3 +462,94 @@ def lttb_downsample(
     return base.groupBy("entity").applyInPandas(
         lambda pdf: _lttb_kernel(pdf, n_out), _lttb_schema()
     )
+
+
+def interval_union(
+    intervals: DataFrame,
+    entity_col: str = "uid",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Per-entity interval union — merge overlapping-or-touching
+    intervals and summarize coverage (the uptime/SLA/sensor-coverage
+    analytic; the interval-algebra complement of the point-event
+    session windows): islands form wherever an interval starts at or
+    before the running maximum end of everything earlier.
+
+    Classic gaps-and-islands: ONE running-max window in (start, end)
+    order marks island starts, a running sum numbers them, one
+    aggregate per island and one per entity. Everything integer-exact
+    (whole seconds); zero/negative-length intervals participate like
+    points. Returns (entity, n_islands, covered_s, longest_s)."""
+    w = Window.partitionBy(entity_col).orderBy(start_col, end_col)
+    prevmax = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = intervals.withColumn(
+        "_new",
+        F.when(
+            prevmax.isNull() | (F.col(start_col) > prevmax), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy(
+        F.col(entity_col).alias("entity"), F.col("_isl")
+    ).agg(
+        F.min(start_col).alias("_st"),
+        F.max(end_col).alias("_en"),
+    )
+    return islands.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_en") - F.col("_st")).alias("covered_s"),
+        F.max(F.col("_en") - F.col("_st")).alias("longest_s"),
+    )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    target_cents: int,
+    threshold_cents: int,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """One-sided non-resetting CUSUM drift detector per entity (Page
+    1954 — the standard sequential changepoint statistic for "has this
+    gauge drifted above target"): S_t = max(0, S_{t-1} + (x_t − k)),
+    alarm while S_t > h.
+
+    The sequential recursion is NOT run sequentially: with P_t the
+    prefix sum of (x − k), the classic identity
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` turns it into one running
+    sum + one running min — two windows over a single ascending sort,
+    pure Catalyst, no kernel. Values quantize to integer cents so
+    every S_t is an exact BIGINT.
+
+    Returns per entity: n_obs, n_alarms (observations with S_t > h),
+    max_s (peak statistic, cents), first_alarm_sec (earliest second
+    with S above threshold; null when never)."""
+    w = Window.partitionBy(entity_col).orderBy(sec_col, seq_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    d = events.withColumn("_d", cents - F.lit(int(target_cents)))
+    p = d.withColumn("_p", F.sum("_d").over(run)).withColumn(
+        "_s",
+        F.col("_p")
+        - F.least(F.lit(0), F.min("_p").over(run)),
+    )
+    return p.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            (F.col("_s") > F.lit(int(threshold_cents))).cast("long")
+        ).alias("n_alarms"),
+        F.max("_s").alias("max_s"),
+        F.min(
+            F.when(
+                F.col("_s") > F.lit(int(threshold_cents)),
+                F.col(sec_col),
+            )
+        ).alias("first_alarm_sec"),
+    )

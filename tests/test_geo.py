@@ -1441,3 +1441,68 @@ def test_std_ellipse_vs_numpy_eig(spark):
     # entity 1's major axis must sit near 30 degrees
     assert got[1].orient_deg % 180.0 == pytest.approx(30.0, abs=2.0)
     assert got[4].major_deg == 0.0 and got[4].minor_deg == 0.0
+
+
+def test_slope_aspect_vs_dense_numpy(spark):
+    """Horn gradients vs a dense numpy replay (absent cells = 0, lon
+    wrap, polar clamp), plus analytic checks of the documented
+    convention (aspect = direction of the VALUE gradient, CCW from
+    east): an east-rising ramp has aspect 0, a north-rising ramp 90,
+    and a constant plateau interior is flat (null aspect)."""
+    import numpy as np
+
+    raster = {}
+    # east-rising ramp in a block (values x): rows 5..9, cols 10..16
+    for y in range(5, 10):
+        for x in range(10, 17):
+            raster[y * 64 + x] = 10 * x
+    # north-rising ramp elsewhere
+    for y in range(20, 26):
+        for x in range(30, 35):
+            raster[y * 64 + x] = 7 * y
+    # constant plateau
+    for y in range(14, 18):
+        for x in range(50, 54):
+            raster[y * 64 + x] = 5
+    # wrap pair + polar row
+    raster[3 * 64 + 0] = 9
+    raster[3 * 64 + 63] = 4
+    raster[31 * 64 + 7] = 6
+
+    df = spark.createDataFrame(
+        [(c, v) for c, v in raster.items()], "cell long, cnt long"
+    )
+    got = {r.cell: r for r in cells.slope_aspect(df, 6).collect()}
+    assert set(got) == set(raster)
+
+    dense = np.zeros((32, 64), dtype=np.int64)
+    for c, v in raster.items():
+        dense[c // 64, c % 64] = v
+
+    def at(y, x):
+        if y < 0 or y > 31:
+            return 0
+        return int(dense[y, x % 64])
+
+    for c in raster:
+        y, x = c // 64, c % 64
+        a, b_, cc = at(y + 1, x - 1), at(y + 1, x), at(y + 1, x + 1)
+        d, f = at(y, x - 1), at(y, x + 1)
+        g, h, i = at(y - 1, x - 1), at(y - 1, x), at(y - 1, x + 1)
+        gx = (cc + 2 * f + i) - (a + 2 * d + g)
+        gy = (a + 2 * b_ + cc) - (g + 2 * h + i)
+        r = got[c]
+        assert (r.gx, r.gy) == (gx, gy), c
+        want_slope = np.degrees(np.arctan(np.hypot(gx, gy) / 8.0))
+        assert r.slope_deg == pytest.approx(want_slope, abs=1e-6), c
+        if gx == 0 and gy == 0:
+            assert r.aspect_deg is None, c
+        else:
+            assert r.aspect_deg == pytest.approx(
+                np.degrees(np.arctan2(gy, gx)), abs=1e-6
+            ), c
+    # analytic: ramp interiors
+    assert got[7 * 64 + 13].aspect_deg == pytest.approx(0.0)    # east-rising
+    assert got[22 * 64 + 32].aspect_deg == pytest.approx(90.0)  # north-rising
+    assert got[15 * 64 + 51].aspect_deg is None                 # flat plateau
+    assert got[15 * 64 + 51].slope_deg == 0.0

@@ -264,3 +264,104 @@ def test_triangle_count_vs_brute_force(spark):
     assert row.n_triangles == want_tri
     assert want_tri >= 20  # K6 alone has 20
     assert row.clustering == round(3.0 * want_tri / want_wedges, 6)
+
+
+def test_assortativity_vs_pearson_reference(spark):
+    """Newman r vs a direct float Pearson over directed stubs, on a
+    star (strongly disassortative), a clique+pendant mix, and a
+    degree-regular cycle (zero variance -> null)."""
+    import itertools
+
+    import numpy as np
+
+    from oshdb_spark.ops.graph import assortativity
+
+    def ref(canon):
+        adj = {}
+        for a, b in canon:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {n: len(vs) for n, vs in adj.items()}
+        xs, ys = [], []
+        for a, b in canon:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        xs, ys = np.array(xs, float), np.array(ys, float)
+        vx = xs.var()
+        if vx == 0:
+            return None
+        return ((xs * ys).mean() - xs.mean() * ys.mean()) / vx
+
+    star = [(0, i) for i in range(1, 12)]
+    mix = list(itertools.combinations(range(5), 2)) + [
+        (0, 90), (1, 91), (2, 92), (90, 93)
+    ]
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    for name, edges in [("star", star), ("mix", mix), ("cycle", cycle)]:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = assortativity(df).collect()[0]
+        want = ref({(min(a, b), max(a, b)) for a, b in edges})
+        if want is None:
+            assert row.assortativity is None, name
+        else:
+            assert row.assortativity == pytest.approx(
+                round(want, 6), abs=2e-6
+            ), name
+    # the star must be maximally disassortative
+    srow = assortativity(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert srow.assortativity == -1.0
+
+
+def test_kcore_peel_matches_bounded_replay(spark):
+    """kcore_peel vs a direct synchronous peel loop: a K5 clique
+    survives k=3, trees vanish, and a long tail demonstrates the
+    BOUNDED contract — with rounds=3 only three tail nodes peel
+    (k=2), diverging from the true 2-core exactly as the replay says."""
+    from oshdb_spark.ops.graph import kcore_peel
+
+    def replay(canon, k, rounds):
+        edges = set(canon)
+        for _ in range(rounds):
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return {n: d for n, d in deg.items() if d >= k}
+
+    import itertools
+
+    k5 = list(itertools.combinations(range(5), 2))
+    tree = [(10, 11), (10, 12), (11, 13), (11, 14), (12, 15)]
+    # cycle with a 12-node tail hanging off node 20
+    cyc = [(20 + i, 20 + (i + 1) % 6) for i in range(6)]
+    tail = [(25 + i, 25 + i + 1) for i in range(1, 13)]
+    edges = k5 + tree + cyc + tail
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k, rounds in [(3, 8), (2, 3), (2, 8)]:
+        got = {
+            r.node: r.degree
+            for r in kcore_peel(df, k=k, rounds=rounds).collect()
+        }
+        want = replay(
+            {(min(a, b), max(a, b)) for a, b in edges}, k, rounds
+        )
+        assert got == want, (k, rounds)
+    # k=3: exactly the K5, every vertex at degree 4
+    got3 = {
+        r.node: r.degree for r in kcore_peel(df, k=3, rounds=8).collect()
+    }
+    assert got3 == {n: 4 for n in range(5)}
+    # bounded 2-core at rounds=3 still contains tail remnants the true
+    # 2-core (rounds=8) has peeled
+    n_bounded = len(kcore_peel(df, k=2, rounds=3).collect())
+    n_full = len(kcore_peel(df, k=2, rounds=8).collect())
+    assert n_bounded > n_full

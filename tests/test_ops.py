@@ -1376,3 +1376,108 @@ def test_split_assign_group_atomic(spark):
     assert out2 == {r["doc_id"]: r["split"] for r in out}
     with _pt.raises(ValueError):
         split_assign(df, "grp", {"train": 0.5, "val": 0.1})
+
+
+def test_weighted_quantile_matches_reference(spark):
+    """Exact weighted median/quantile vs a direct expansion reference
+    (repeat each value weight times, take percentile_disc), including
+    tie collapse, a single-row group, and an uneven q = 3/4."""
+    from oshdb_spark.ops.stats import weighted_quantile
+
+    import random
+
+    random.seed(11)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for _ in range(60):
+            rows.append((g, random.randint(0, 30), random.randint(1, 9)))
+    rows.append(("solo", 42, 7))
+    rows += [("ties", 5, 3), ("ties", 5, 2), ("ties", 9, 4)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+
+    def ref(items, num, den):
+        expanded = sorted(
+            v for v, wt in items for _ in range(wt)
+        )
+        total = len(expanded)
+        # smallest value whose cumulative weight reaches num/den
+        cum = 0
+        seen = {}
+        for v, wt in sorted(items):
+            seen[v] = seen.get(v, 0) + wt
+        run = 0
+        for v in sorted(seen):
+            run += seen[v]
+            if den * run >= num * total:
+                return v, total
+        raise AssertionError
+
+    for num, den in [(1, 2), (3, 4)]:
+        got = {
+            r.g: (r.wq_value, r.total_weight)
+            for r in weighted_quantile(df, "g", "v", "w", num, den).collect()
+        }
+        by_g = {}
+        for g, v, w in rows:
+            by_g.setdefault(g, []).append((v, w))
+        for g, items in by_g.items():
+            assert got[g] == ref(items, num, den), (g, num, den)
+    assert got["solo"] == (42, 7)
+
+
+def test_spearman_corr_vs_scipy_style_reference(spark):
+    """Spearman vs a direct average-rank Pearson reference: perfect
+    monotone (+1), perfect inverse (-1), heavy ties, independence
+    (near 0), and a constant column (null)."""
+    import random
+
+    from oshdb_spark.ops.stats import spearman_corr
+
+    random.seed(3)
+    rows = []
+    for i in range(50):
+        rows.append(("mono", i, i * i))               # rho = 1
+        rows.append(("inv", i, -3 * i + 7))           # rho = -1
+        rows.append(("noise", random.randint(0, 99),
+                     random.randint(0, 99)))
+        rows.append(("ties", i % 5, (i // 7) % 3))
+        rows.append(("const", i, 42))                 # null rho
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: (r.n, r.rho) for r in
+           spearman_corr(df, "g", "x", "y").collect()}
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        xs = avg_ranks([p[0] for p in pts])
+        ys = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((a - mx) ** 2 for a in xs)
+        vy = sum((b - my) ** 2 for b in ys)
+        if vx == 0 or vy == 0:
+            assert got[g][1] is None, g
+            continue
+        rho = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (
+            vx ** 0.5 * vy ** 0.5
+        )
+        assert got[g] == (n, __import__("pytest").approx(
+            round(rho, 6), abs=2e-6)), g
+    assert got["mono"][1] == 1.0
+    assert got["inv"][1] == -1.0
+    assert abs(got["noise"][1]) < 0.35

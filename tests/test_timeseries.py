@@ -341,3 +341,70 @@ def test_gapfill_interpolate_matches_replay(spark):
                 want = (v0 * (t1 - t) + v1 * (t - t0)) / ((t1 - t0) * 100.0)
                 assert v == round(want, 6), (ent, bk)
     assert n_out == len(got)
+
+
+def test_interval_union_matches_replay(spark):
+    """Interval union vs a direct merge loop: overlapping, touching
+    (merge), point (zero-length), nested, and disjoint intervals,
+    plus an entity whose intervals arrive out of order."""
+    cases = [
+        (1, [(0, 10), (5, 20), (20, 30), (40, 50)]),   # overlap+touch
+        (2, [(100, 100), (100, 105), (103, 104)]),     # point + nested
+        (3, [(7, 9)]),
+        (4, [(50, 60), (0, 10), (55, 70), (9, 12)]),   # out of order
+    ]
+    rows = [(e, s, en) for e, ivs in cases for s, en in ivs]
+    df = spark.createDataFrame(rows, "uid long, start_s long, end_s long")
+    got = {
+        r.entity: (r.n_islands, r.covered_s, r.longest_s)
+        for r in __import__(
+            "oshdb_spark.ops.timeseries", fromlist=["interval_union"]
+        ).interval_union(df).collect()
+    }
+    for e, ivs in cases:
+        merged = []
+        for s, en in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], en))
+            else:
+                merged.append((s, en))
+        lens = [en - s for s, en in merged]
+        assert got[e] == (len(merged), sum(lens), max(lens)), e
+    assert got[1] == (2, 40, 30)
+    assert got[2] == (1, 5, 5)
+
+
+def test_cusum_alarms_matches_sequential_replay(spark):
+    """The prefix-sum − running-min formulation vs the literal
+    sequential recursion S_t = max(0, S_{t-1} + (x_t − k)), including
+    clamp-at-zero stretches, an immediate alarm, and never-alarming
+    entities."""
+    from oshdb_spark.ops.timeseries import cusum_alarms
+
+    rows = _rows(seed=99)
+    # an entity that spikes immediately
+    rows += [(77, 1000, 9100, 400.0), (77, 1001, 9101, 390.0)]
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    K, H = 20_000, 8_000
+    got = {
+        r.entity: (r.n_obs, r.n_alarms, r.max_s, r.first_alarm_sec)
+        for r in cusum_alarms(df, K, H).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    for ent, evs in by_ent.items():
+        s = 0
+        n_alarm, max_s, first = 0, 0, None
+        for sec, _, val in sorted(evs):
+            c = int(abs(val) * 100 + 0.5)
+            s = max(0, s + (c - K))
+            max_s = max(max_s, s)
+            if s > H:
+                n_alarm += 1
+                if first is None:
+                    first = sec
+        assert got[ent] == (len(evs), n_alarm, max_s, first), ent
+    assert got[77][1] == 2 and got[77][3] == 1000  # immediate alarm
