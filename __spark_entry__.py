@@ -5179,6 +5179,105 @@ def q_store_relation_length(spark, sf_dir):
     )
 
 
+
+
+def q_trend_slopes(spark, sf_dir):
+    """Per-user OLS trendline (ops/stats.ols_trend): slope, intercept
+    and r2 of value cents against seconds-since-1.5e9 — the regr_slope/
+    regr_intercept analog. All five moments are exact DECIMAL(38,0) ≡
+    HUGEINT integers; the three closing divisions are written
+    term-for-term identically in the oracle, round(6)."""
+    from oshdb_spark.ops.stats import ols_trend
+
+    d = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        (F.unix_timestamp("ts").cast("long") - F.lit(1_500_000_000))
+        .alias("x"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("y"),
+    )
+    return ols_trend(d, "uid", "x", "y")
+
+
+def q_acf_lags(spark, sf_dir):
+    """Per-user sample autocorrelation at lags 1-3 (ops/timeseries.acf)
+    over the event-order value sequence: both sums multiply through by
+    n so every term is an exact integer (u_t = n·x_t − S in cents);
+    one float division per (entity, lag), round(6)."""
+    from oshdb_spark.ops.timeseries import acf
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return acf(ev, [1, 2, 3])
+
+
+def q_seasonal_dow(spark, sf_dir):
+    """Classical additive seasonal indexes (ops/timeseries.
+    seasonal_indexes): per event type, daily counts on the dense global
+    calendar are detrended by a centered 7-day moving average (exact:
+    detr = 7·cnt − windowsum, full windows only by integer day-range
+    test) and averaged by epoch-day % 7 phase."""
+    from oshdb_spark.ops.timeseries import seasonal_indexes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    return seasonal_indexes(ev, period=7, half_window=3)
+
+
+def q_hex_bins(spark, sf_dir):
+    """Hexagonal binning (geo/cells.hexbin_cols — the H3-style
+    aggregation cell): event points fall into a pointy-top hex
+    tessellation (Voronoi of two interleaved integer lattices, w = 10
+    degrees) decided by ONE pure-codegen exact-int64 distance compare;
+    per-hex count + value sum."""
+    from oshdb_spark.geo import cells as _c
+
+    pts = _event_points(spark, sf_dir)
+    hx, hy = _c.hexbin_cols("lon", "lat", 100_000_000)
+    return (
+        pts.select(hx, hy, "value")
+        .groupBy("hx", "hy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_VOR_SEEDS = [
+    (
+        i,
+        (i * 1103515245) % 3_600_000_000 - 1_800_000_000,
+        (i * 1234567891) % 1_700_000_000 - 850_000_000,
+    )
+    for i in range(1, 13)
+]
+
+
+def q_voronoi_assign(spark, sf_dir):
+    """Voronoi nearest-seed assignment (geo/cells.voronoi_assign):
+    every event point labelled with the closest of 12 deterministic
+    seed sites by exact DECIMAL squared fixed-point distance (ties to
+    the smaller seed id), then a per-seed rollup — the
+    facility-allocation primitive; assignment is one codegen
+    array_min projection, no join."""
+    from oshdb_spark.geo import cells as _c
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        _c.voronoi_assign(pts, _VOR_SEEDS, "lon", "lat")
+        .groupBy("seed_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5261,6 +5360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uptime_islands": q_uptime_islands,
         "spearman_quality": q_spearman_quality,
         "weighted_median": q_weighted_median,
+        "trend_slopes": q_trend_slopes,
+        "acf_lags": q_acf_lags,
+        "seasonal_dow": q_seasonal_dow,
+        "hex_bins": q_hex_bins,
+        "voronoi_assign": q_voronoi_assign,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6115,6 +6219,173 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "trend_slopes": """
+            -- OLS replay: HUGEINT moments, identical closed forms
+            WITH d AS (
+              SELECT user_id AS uid,
+                     CAST(floor(epoch(ts)) AS BIGINT) - 1500000000 AS x,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS y
+              FROM events),
+            m AS (
+              SELECT uid, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM d GROUP BY 1),
+            t AS (
+              SELECT uid, n, sx, sy,
+                     CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+                       AS num,
+                     CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+                       AS vx,
+                     CAST(n*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)
+                       AS vy
+              FROM m)
+            SELECT uid, n,
+                   CASE WHEN vx > 0 THEN round(num / vx, 6) END
+                     AS slope,
+                   CASE WHEN vx > 0 THEN
+                     round((CAST(sy AS DOUBLE)
+                            - num / vx * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE), 6) END AS intercept,
+                   CASE WHEN vx > 0 AND vy > 0 THEN
+                     round(num * num / (vx * vy), 6) END AS r2
+            FROM t
+        """,
+        "acf_lags": """
+            -- sample-ACF replay: u_t = n·x_t − S exact integers,
+            -- identical lag pairing and one rounded division
+            WITH x AS (
+              SELECT user_id AS e,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            t AS (SELECT e, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s
+                  FROM x GROUP BY 1),
+            u AS (
+              SELECT x.e, x.sec, x.seq, t.n,
+                     CAST(t.n AS HUGEINT) * x.c - t.s AS u
+              FROM x JOIN t USING (e)),
+            l AS (
+              SELECT e, n, u,
+                     lag(u, 1) OVER w AS u1,
+                     lag(u, 2) OVER w AS u2,
+                     lag(u, 3) OVER w AS u3
+              FROM u
+              WINDOW w AS (PARTITION BY e ORDER BY sec, seq)),
+            m AS (
+              SELECT e, max(n) AS n, sum(u*u) AS den,
+                     sum(u*u1) AS n1, sum(u*u2) AS n2, sum(u*u3) AS n3
+              FROM l GROUP BY 1)
+            SELECT e AS entity, lag, n,
+                   round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                     AS acf_r
+            FROM (
+              SELECT e, n, den, 1 AS lag, coalesce(n1, 0) AS num
+              FROM m WHERE den > 0
+              UNION ALL
+              SELECT e, n, den, 2, coalesce(n2, 0) FROM m WHERE den > 0
+              UNION ALL
+              SELECT e, n, den, 3, coalesce(n3, 0) FROM m WHERE den > 0)
+        """,
+        "seasonal_dow": """
+            -- classical-decomposition replay: dense calendar grid,
+            -- centered 7-day window, detr = 7·cnt − windowsum exact
+            WITH pd AS (
+              SELECT event_type AS e,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT t.e, unnest(generate_series(s.d0, s.d1)) AS d
+              FROM (SELECT DISTINCT e FROM pd) t,
+                   (SELECT min(d) AS d0, max(d) AS d1 FROM pd) s),
+            dense AS (
+              SELECT grid.e, grid.d, coalesce(pd.c, 0) AS c
+              FROM grid LEFT JOIN pd
+                ON pd.e = grid.e AND pd.d = grid.d),
+            win AS (
+              -- window BEFORE the interior filter (WHERE would shrink
+              -- the frame at the interior edge)
+              SELECT e, d,
+                     7 * c - CAST(sum(c) OVER (PARTITION BY e ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS BIGINT) AS detr
+              FROM dense),
+            detr AS (
+              SELECT e, d, detr FROM win
+              WHERE d BETWEEN (SELECT min(d) + 3 FROM pd)
+                          AND (SELECT max(d) - 3 FROM pd))
+            SELECT e AS event_type, d % 7 AS phase,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   round(CAST(sum(detr) AS DOUBLE)
+                         / (7.0 * CAST(count(*) AS DOUBLE)), 6)
+                     AS seasonal
+            FROM detr GROUP BY 1, 2
+        """,
+        "hex_bins": """
+            -- hexbin replay: identical doubled-lattice integer
+            -- nearest-center predicate (w=100000000, h=86602540)
+            WITH pts AS (
+              SELECT event_id, value,
+                     (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events),
+            hb AS (
+              SELECT value,
+                     (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000) ELSE (((lon7 + 1800000000) // 100000000) * 100000000 + 50000000) END)
+                       - 1800000000 AS hx,
+                     (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lat7 + 900000000) + 43301270) // 86602540) * 86602540) ELSE (((lat7 + 900000000) // 86602540) * 86602540 + 43301270) END)
+                       - 900000000 AS hy
+              FROM pts)
+            SELECT hx, hy, CAST(count(*) AS BIGINT) AS n_pts,
+                   round(sum(value), 2) AS sum_value
+            FROM hb GROUP BY 1, 2
+        """,
+        "voronoi_assign": """
+            -- Voronoi replay: brute cross join to the 12 seed sites,
+            -- exact HUGEINT squared distance, (dist, sid) tie order
+            WITH pts AS (
+              SELECT event_id, value,
+                     (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events),
+            seeds(sid, slon, slat) AS (VALUES
+              (1, -696484755, 384567891),
+              (2, 407030490, -80864218),
+              (3, 1510545735, -546296327),
+              (4, -985939020, 688271564),
+              (5, 117576225, 222839455),
+              (6, 1221091470, -242592654),
+              (7, -1275393285, -708024763),
+              (8, -171878040, 526543128),
+              (9, 931637205, 61111019),
+              (10, -1564847550, -404321090),
+              (11, -461332305, 830246801),
+              (12, 642182940, 364814692)),
+            d AS (
+              SELECT p.event_id, p.value, s.sid,
+                     CAST(p.lon7 - s.slon AS HUGEINT)
+                       * (p.lon7 - s.slon)
+                     + CAST(p.lat7 - s.slat AS HUGEINT)
+                       * (p.lat7 - s.slat) AS dist
+              FROM pts p CROSS JOIN seeds s),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY event_id ORDER BY dist, sid) AS rn
+              FROM d)
+            SELECT sid AS seed_id, CAST(count(*) AS BIGINT) AS n_pts,
+                   round(sum(value), 2) AS sum_value
+            FROM r WHERE rn = 1 GROUP BY 1
         """,
         "cusum_drift": """
             -- CUSUM replay via the same prefix-sum − running-min

@@ -1572,3 +1572,86 @@ def contour_segments(
             F.lit(6371000.0) * F.sqrt(dla * dla + dln * dln) * 1000.0, 0
         ).cast("long"),
     ).drop("lx0", "ly0", "lx1", "ly1")
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-style aggregation cells) and Voronoi assignment
+# ---------------------------------------------------------------------------
+
+
+def hexbin_cols(lon7_col, lat7_col, width7: int = 20_000_000,
+                height7: int | None = None):
+    """Hexagonal-bin center of a fixed-point point, as two int64 columns
+    (hx, hy in lon7/lat7 units) — the H3-flavoured aggregation cell
+    (uniform-ish neighbourhoods, no rectangular-grid corner bias) as
+    ONE pure-codegen integer expression, no UDF.
+
+    A pointy-top hexagonal tessellation IS the Voronoi diagram of two
+    interleaved rectangular lattices — centers (i·w, j·h) and
+    ((i+½)·w, (j+½)·h) with h = (√3/2)·w. We keep w and h as EVEN
+    integers (h defaults to the even rounding of 0.8660254·w), shift
+    coordinates non-negative, round to the nearest center of each
+    lattice with half-up integer division, and pick the closer center
+    by exact int64 squared distance (ties → lattice A; both engines
+    evaluate the identical integer predicate, so assignment is
+    bit-reproducible — matplotlib's hexbin does exactly this float-ly).
+    Integer lattice constants make the hexagons near-regular rather
+    than perfectly regular; the tessellation is exact.
+    """
+    import pyspark.sql.functions as F
+
+    w = int(width7)
+    h = int(height7) if height7 is not None else int(0.8660254 * w)
+    if w % 2 or h % 2:
+        raise ValueError("hexbin lattice constants must be even")
+    # `div` is integer division; operands are shifted non-negative so
+    # truncation == floor on both engines.
+    x = f"(CAST({lon7_col} AS BIGINT) + 1800000000)"
+    y = f"(CAST({lat7_col} AS BIGINT) + 900000000)"
+    ax = f"((({x} + {w // 2}) div {w}) * {w})"
+    ay = f"((({y} + {h // 2}) div {h}) * {h})"
+    bx = f"(({x} div {w}) * {w} + {w // 2})"
+    by = f"(({y} div {h}) * {h} + {h // 2})"
+    da = f"(({x}-{ax})*({x}-{ax}) + ({y}-{ay})*({y}-{ay}))"
+    db = f"(({x}-{bx})*({x}-{bx}) + ({y}-{by})*({y}-{by}))"
+    hx = F.expr(
+        f"(CASE WHEN {da} <= {db} THEN {ax} ELSE {bx} END)"
+        " - 1800000000"
+    )
+    hy = F.expr(
+        f"(CASE WHEN {da} <= {db} THEN {ay} ELSE {by} END)"
+        " - 900000000"
+    )
+    return hx.alias("hx"), hy.alias("hy")
+
+
+def voronoi_assign(df, seeds, lon7_col: str = "lon7",
+                   lat7_col: str = "lat7"):
+    """Nearest-seed (Voronoi-cell) assignment: label every point with
+    the closest of a small set of seed sites — the facility-allocation
+    / service-area primitive. ``seeds`` is a list of
+    (seed_id, lon7, lat7) int tuples, metadata-sized (the Voronoi
+    complement of kNN: few sites, all points).
+
+    Exactness: planar fixed-point squared distance per seed computed in
+    DECIMAL (coordinate deltas reach 3.6e9, whose squares overflow
+    int64); the winner is `array_min` over (dist, seed_id) structs —
+    exact integer lexicographic compare, distance ties break to the
+    smaller seed id. The whole assignment is one codegen projection
+    over a literal seed array: no join, no shuffle until the caller
+    aggregates. Adds a `seed_id` column."""
+    import pyspark.sql.functions as F
+
+    dec = "decimal(19,0)"
+    cands = []
+    for sid, slon, slat in seeds:
+        dx = (F.col(lon7_col) - F.lit(int(slon))).cast(dec)
+        dy = (F.col(lat7_col) - F.lit(int(slat))).cast(dec)
+        cands.append(
+            F.struct(
+                (dx * dx + dy * dy).alias("d"),
+                F.lit(int(sid)).alias("s"),
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    return df.withColumn("seed_id", best["s"])

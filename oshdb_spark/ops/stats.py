@@ -217,6 +217,64 @@ def weighted_quantile(
     )
 
 
+def ols_trend(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Per-group simple linear regression (`regr_slope`/`regr_intercept`
+    analog) — THE dashboard trendline: fit y = a·x + b per group by
+    ordinary least squares and report slope, intercept and r².
+
+    Exactness contract (the spearman_corr recipe): x and y must already
+    be integers (quantize at the call site — seconds, cents); all five
+    moments accumulate into DECIMAL(38,0) ≡ DuckDB HUGEINT, so the
+    closed-form numerators/denominators are exact integers on both
+    engines; only the final divisions are float, written term-for-term
+    identically in the oracle and rounded to 6 decimals. Groups with
+    zero x-variance yield null slope/intercept/r².
+
+    Plan shape: ONE partial+final moment aggregate — map-side combine
+    does the heavy lifting, the shuffle is one row per group. At 10^12
+    rows this is the minimal-communication form of the fit.
+    Returns (group, n, slope, intercept, r2)."""
+    from pyspark.sql import functions as F
+
+    dec = "decimal(38,0)"
+    m = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x_col).alias("_sx"),
+        F.sum(y_col).alias("_sy"),
+        F.sum((F.col(x_col).cast(dec) * F.col(x_col))).alias("_sxx"),
+        F.sum((F.col(y_col).cast(dec) * F.col(y_col))).alias("_syy"),
+        F.sum((F.col(x_col).cast(dec) * F.col(y_col))).alias("_sxy"),
+    )
+    nD = F.col("_n").cast(dec)
+    sxD, syD = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    num = (nD * F.col("_sxy") - sxD * syD).cast("double")
+    vx = (nD * F.col("_sxx") - sxD * sxD).cast("double")
+    vy = (nD * F.col("_syy") - syD * syD).cast("double")
+    slope = num / vx
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            vx > 0,
+            F.round(
+                (F.col("_sy").cast("double")
+                 - slope * F.col("_sx").cast("double"))
+                / F.col("_n").cast("double"),
+                6,
+            ),
+        ).alias("intercept"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num * num / (vx * vy), 6)
+        ).alias("r2"),
+    )
+
+
 def spearman_corr(
     df,
     group_col: str,

@@ -553,3 +553,164 @@ def cusum_alarms(
             )
         ).alias("first_alarm_sec"),
     )
+
+
+def acf(
+    events: DataFrame,
+    lags: list[int],
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-entity sample autocorrelation at the given positive lags —
+    the seasonality/memory diagnostic every forecasting pipeline runs
+    first. Standard estimator over the event-ORDER sequence (lag k
+    pairs the t-th with the (t−k)-th observation by (sec, seq) order):
+    r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)².
+
+    Exactness: values quantize to integer cents and both sums multiply
+    through by n² — u_t = n·x_t − S is an exact integer, so numerator
+    Σ u_t·u_{t−k} and denominator Σ u_t² accumulate in DECIMAL(38,0)
+    (≡ DuckDB HUGEINT) and the single float division is round(6)'d on
+    both engines. Constant series (den = 0) are omitted.
+
+    Plan shape: one per-entity total aggregate, one hash join back on
+    the entity key, ONE ordered window producing every lag column in
+    the same pass, one final moment aggregate; the lag explode is over
+    len(lags) metadata rows per entity. Returns (entity, lag, n, acf_r).
+    """
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    x = events.select(
+        F.col(entity_col).alias("_e"),
+        F.col(sec_col).alias("_sec"),
+        F.col(seq_col).alias("_seq"),
+        cents.alias("_c"),
+    )
+    tot = x.groupBy("_e").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
+    )
+    dec = "decimal(38,0)"
+    u = (
+        x.join(tot, "_e")
+        .withColumn(
+            "_u",
+            (
+                F.col("_n").cast("decimal(19,0)") * F.col("_c")
+                - F.col("_s")
+            ).cast("decimal(19,0)"),
+        )
+    )
+    w = Window.partitionBy("_e").orderBy("_sec", "_seq")
+    for k in lags:
+        u = u.withColumn(f"_ul{k}", F.lag("_u", k).over(w))
+    aggs = [
+        F.max("_n").alias("_nn"),
+        F.sum(F.col("_u") * F.col("_u")).alias("_den"),
+    ]
+    for k in lags:
+        aggs.append(
+            F.sum(F.col("_u") * F.col(f"_ul{k}")).alias(f"_num{k}")
+        )
+    m = u.groupBy("_e").agg(*aggs).filter(F.col("_den") > 0)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(
+                    F.coalesce(F.col(f"_num{k}"), F.lit(0).cast(dec))
+                    .cast("double")
+                    / F.col("_den").cast("double"),
+                    6,
+                ).alias("acf_r"),
+            )
+            for k in lags
+        ]
+    )
+    return (
+        m.select(
+            F.col("_e").alias("entity"),
+            F.col("_nn").alias("n"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("entity", F.col("p.lag").alias("lag"), "n", "p.acf_r")
+    )
+
+
+def seasonal_indexes(
+    events: DataFrame,
+    period: int = 7,
+    half_window: int = 3,
+    entity_col: str = "event_type",
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Classical additive seasonal decomposition, seasonal-index half:
+    per entity, the daily event-count series (dense — empty days count
+    0) is detrended by a centered (2·half_window+1)-day moving average
+    and the detrended values are averaged by day-of-period (phase =
+    epoch-day % period). The canonical 'is Monday structurally above
+    trend?' statistic.
+
+    Exactness: counts are integers and the detrended term multiplies
+    through by the window length L = 2·half_window+1 — detr = L·cnt −
+    Σ_window cnt is an exact BIGINT wherever the window is full (edge
+    days are excluded by an integer day-range test, not a float rule);
+    only the final mean divides, round(6) both engines.
+
+    Plan shape: one count aggregate, a per-entity dense-calendar
+    explode from the GLOBAL day span (two scalar subqueries, broadcast
+    — the grid is calendar-bounded, independent of event volume), one
+    rows-window over the ordered grid, one final (entity, phase)
+    aggregate. Returns (entity, phase, n_terms, seasonal)."""
+    day = F.floor(F.col(sec_col) / 86400).cast("long")
+    per_day = (
+        events.select(F.col(entity_col).alias("_e"), day.alias("_d"))
+        .groupBy("_e", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    span = per_day.select(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    grid = (
+        per_day.select("_e")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "_e",
+            F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("_d"),
+            "_d0",
+            "_d1",
+        )
+    )
+    dense = grid.join(per_day, ["_e", "_d"], "left").withColumn(
+        "_c", F.coalesce(F.col("_c"), F.lit(0))
+    )
+    L = 2 * half_window + 1
+    w = (
+        Window.partitionBy("_e")
+        .orderBy("_d")
+        .rowsBetween(-half_window, half_window)
+    )
+    detr = (
+        dense.withColumn("_ts", F.sum("_c").over(w))
+        .filter(
+            (F.col("_d") >= F.col("_d0") + half_window)
+            & (F.col("_d") <= F.col("_d1") - half_window)
+        )
+        .withColumn("_detr", F.lit(L) * F.col("_c") - F.col("_ts"))
+    )
+    return (
+        detr.withColumn("_ph", F.pmod(F.col("_d"), F.lit(period)))
+        .groupBy(
+            F.col("_e").alias(entity_col), F.col("_ph").alias("phase")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum("_detr").cast("double")
+                / (F.lit(float(L)) * F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("seasonal"),
+        )
+        .select(entity_col, "phase", "n_terms", "seasonal")
+    )

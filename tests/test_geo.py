@@ -1506,3 +1506,87 @@ def test_slope_aspect_vs_dense_numpy(spark):
     assert got[22 * 64 + 32].aspect_deg == pytest.approx(90.0)  # north-rising
     assert got[15 * 64 + 51].aspect_deg is None                 # flat plateau
     assert got[15 * 64 + 51].slope_deg == 0.0
+
+
+def test_hexbin_assignment_is_nearest_lattice_center(spark):
+    """hexbin_cols: every point's bin is the true nearest center of the
+    doubled lattice (brute-force over a neighborhood), ties to lattice
+    A; centers lie on the two lattices; bins tile without gaps."""
+    import random as _r
+
+    import pyspark.sql.functions as F
+
+    from oshdb_spark.geo.cells import hexbin_cols
+
+    w, h = 100_000_000, 86602540
+    _r.seed(5)
+    pts = [
+        (
+            i,
+            _r.randint(-1_800_000_000, 1_799_999_999),
+            _r.randint(-850_000_000, 850_000_000),
+        )
+        for i in range(500)
+    ]
+    # adversarial: exact centers, midpoints, lattice edges
+    pts += [
+        (1000, 0, 0),
+        (1001, w // 2, h // 2),
+        (1002, w // 4, h // 4),
+        (1003, -w // 2, -h // 2),
+        (1004, w // 2 + 1, h // 2 - 1),
+    ]
+    df = spark.createDataFrame(pts, "i long, lon7 long, lat7 long")
+    hx, hy = hexbin_cols("lon7", "lat7", w, h)
+    got = {r.i: (r.hx, r.hy) for r in df.select("i", hx, hy).collect()}
+    for i, lon, lat in pts:
+        X, Y = lon + 1_800_000_000, lat + 900_000_000
+        cands = []
+        for kx in range(X // w - 1, X // w + 3):
+            for ky in range(Y // h - 1, Y // h + 3):
+                for (cx, cy, pri) in (
+                    (kx * w, ky * h, 0),
+                    (kx * w + w // 2, ky * h + h // 2, 1),
+                ):
+                    d = (X - cx) ** 2 + (Y - cy) ** 2
+                    cands.append((d, pri, cx, cy))
+        d_min = min(c[0] for c in cands)
+        gx, gy = got[i][0] + 1_800_000_000, got[i][1] + 900_000_000
+        d_got = (X - gx) ** 2 + (Y - gy) ** 2
+        # chosen center attains the true nearest distance over the
+        # doubled lattice (positional half-ties within one lattice keep
+        # the distance, so exact equality is required) ...
+        assert d_got == d_min, (i, lon, lat, got[i], d_got, d_min)
+        on_a = gx % w == 0 and gy % h == 0
+        on_b = gx % w == w // 2 and gy % h == h // 2
+        assert on_a or on_b, (i, got[i])
+        # ... and cross-lattice distance ties resolve to lattice A
+        if any(c[0] == d_min and c[1] == 0 for c in cands):
+            assert on_a, (i, lon, lat, got[i])
+
+
+def test_voronoi_assign_matches_brute_force(spark):
+    """voronoi_assign vs per-point brute force incl. an exact-tie point
+    equidistant to two seeds (smaller id wins)."""
+    import random as _r
+
+    from oshdb_spark.geo.cells import voronoi_assign
+
+    seeds = [(1, 0, 0), (2, 1_000_000, 0), (3, -500_000, 800_000),
+             (4, 1_800_000_000, 849_999_999)]
+    _r.seed(9)
+    pts = [
+        (i, _r.randint(-1_800_000_000, 1_799_999_999),
+         _r.randint(-850_000_000, 850_000_000))
+        for i in range(300)
+    ]
+    pts.append((900, 500_000, 123))  # equidistant to seeds 1 and 2
+    df = spark.createDataFrame(pts, "i long, lon7 long, lat7 long")
+    got = {r.i: r.seed_id for r in voronoi_assign(df, seeds).collect()}
+    for i, lon, lat in pts:
+        want = min(
+            ((lon - sx) ** 2 + (lat - sy) ** 2, sid)
+            for sid, sx, sy in seeds
+        )[1]
+        assert got[i] == want, (i, lon, lat, got[i], want)
+    assert got[900] == 1

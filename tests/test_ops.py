@@ -1481,3 +1481,48 @@ def test_spearman_corr_vs_scipy_style_reference(spark):
     assert got["mono"][1] == 1.0
     assert got["inv"][1] == -1.0
     assert abs(got["noise"][1]) < 0.35
+
+
+def test_ols_trend_matches_numpy(spark):
+    """ols_trend vs numpy.polyfit on integer series, incl. the
+    zero-variance-x and perfectly-linear edge cases."""
+    import math
+    import random as _r
+
+    import numpy as np
+
+    from oshdb_spark.ops.stats import ols_trend
+
+    _r.seed(13)
+    rows = []
+    for g in range(5):
+        for i in range(2 + 5 * g):
+            x = i * 37 + _r.randint(0, 9)
+            y = 3 * x + 100 + _r.randint(-50, 50)
+            rows.append((g, x, y))
+    rows += [(7, 5, 10), (7, 5, 30)]        # zero x-variance
+    rows += [(8, i, 2 * i + 1) for i in range(4)]  # exact line, r2=1
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r.g: (r.n, r.slope, r.intercept, r.r2)
+        for r in ols_trend(df, "g", "x", "y").collect()
+    }
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, x, y in rows:
+        by_g[g].append((x, y))
+    for g, pts in by_g.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        n, sl, ic, r2 = got[g]
+        assert n == len(pts)
+        if g == 7:
+            assert sl is None and ic is None and r2 is None
+            continue
+        a, b = np.polyfit(xs, ys, 1)
+        assert math.isclose(sl, a, rel_tol=0, abs_tol=5e-6), (g, sl, a)
+        assert math.isclose(ic, b, rel_tol=0, abs_tol=5e-6), (g, ic, b)
+        cc = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert math.isclose(r2, cc, abs_tol=5e-6), (g, r2, cc)
+    assert got[8][1] == 2.0 and got[8][2] == 1.0 and got[8][3] == 1.0

@@ -408,3 +408,83 @@ def test_cusum_alarms_matches_sequential_replay(spark):
                     first = sec
         assert got[ent] == (len(evs), n_alarm, max_s, first), ent
     assert got[77][1] == 2 and got[77][3] == 1000  # immediate alarm
+
+
+def test_acf_matches_numpy_replay(spark):
+    """acf vs a float replay of the standard estimator (global mean);
+    integer-cents quantization applied identically."""
+    from oshdb_spark.ops.timeseries import acf
+
+    rows = _rows(seed=31)
+    rows += [(88, 5000 + i, 9200 + i, 50.0) for i in range(5)]  # constant
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {
+        (r.entity, r.lag): (r.n, r.acf_r)
+        for r in acf(df, [1, 2, 3]).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        by_ent.setdefault(uid, []).append((sec, seq, val))
+    import math
+
+    for ent, evs in by_ent.items():
+        xs = [int(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1)
+              for _, _, v in sorted(evs)]
+        n, s = len(xs), sum(xs)
+        u = [n * x - s for x in xs]
+        den = sum(t * t for t in u)
+        if den == 0:
+            for k in (1, 2, 3):
+                assert (ent, k) not in got
+            continue
+        for k in (1, 2, 3):
+            num = sum(u[i] * u[i - k] for i in range(k, n))
+            want = round(num / den, 6)
+            assert got[(ent, k)][0] == n
+            assert math.isclose(got[(ent, k)][1], want, abs_tol=1e-9), (
+                ent, k, got[(ent, k)], want)
+    assert all((88, k) not in got for k in (1, 2, 3))  # constant series
+
+
+def test_seasonal_indexes_matches_replay(spark):
+    """seasonal_indexes vs a per-day pandas replay: dense global grid,
+    centered MA, integer detrend, phase averages."""
+    import random as _r
+
+    from oshdb_spark.ops.timeseries import seasonal_indexes
+
+    _r.seed(7)
+    rows = []
+    for d in range(100, 160):
+        for e in ("a", "b"):
+            for _ in range(_r.randint(0, 5) if not (e == "b" and d % 7 == 3)
+                           else 9):  # entity b spikes on phase 3
+                rows.append((e, d * 86400 + _r.randint(0, 86399)))
+    # entity c is sparse: many empty days on the global grid
+    rows += [("c", d * 86400) for d in (105, 120, 150)]
+    df = spark.createDataFrame(rows, "event_type string, sec long")
+    got = {
+        (r.event_type, r.phase): (r.n_terms, r.seasonal)
+        for r in seasonal_indexes(df, period=7, half_window=3).collect()
+    }
+    days = [s // 86400 for _, s in rows]
+    d0, d1 = min(days), max(days)
+    import collections
+    import math
+
+    cnt = collections.Counter((e, s // 86400) for e, s in rows)
+    acc = collections.defaultdict(list)
+    for e in {r[0] for r in rows}:
+        series = [cnt.get((e, d), 0) for d in range(d0, d1 + 1)]
+        for i in range(3, len(series) - 3):
+            detr = 7 * series[i] - sum(series[i - 3:i + 4])
+            acc[(e, (d0 + i) % 7)].append(detr)
+    for key, terms in acc.items():
+        want = round(sum(terms) / (7.0 * len(terms)), 6)
+        assert got[key][0] == len(terms)
+        assert math.isclose(got[key][1], want, abs_tol=1e-9), (key,)
+    assert set(got) == set(acc)
+    # the spiked phase really reads high
+    assert got[("b", 3)][1] > 1.0
