@@ -1210,13 +1210,7 @@ from oshdb_spark.ops.sampling import rate_threshold as _rt
 _T_TRAIN = _rt(0.7)
 _T_VAL = _rt(0.85)
 
-def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
-    """Unrolled k-core peel replay: round i keeps nodes with degree
-    >= k in round i-1's edge set, then edges with both endpoints kept;
-    the final SELECT applies the same last degree filter the engine
-    does. Plain CTE layers — the bounded-iteration oracle recipe of
-    travel_cost/kmeans."""
-    ctes = ["""
+_WALK_GRAPH_CTES = """
         p AS (
           SELECT user_id, event_id,
                  ((user_id // 2) % 24) * 150000000
@@ -1238,7 +1232,46 @@ def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
         e0 AS MATERIALIZED (
           SELECT DISTINCT least(pcell, cell) AS u,
                           greatest(pcell, cell) AS v
-          FROM hop WHERE pcell IS NOT NULL AND pcell <> cell)"""]
+          FROM hop WHERE pcell IS NOT NULL AND pcell <> cell)"""
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled label-propagation replay over the clustered-walk cell
+    graph: symmetric adjacency, l0 = own id, each round adopts the
+    most frequent neighbor label (count DESC, label ASC) — the same
+    deterministic total order the engine's max(struct(cnt, -label))
+    encodes."""
+    ctes = [_WALK_GRAPH_CTES, """
+        adj AS MATERIALIZED (
+          SELECT u, v FROM e0
+          UNION ALL SELECT v AS u, u AS v FROM e0),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT u AS node, u AS lbl FROM adj)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+        c{i} AS (
+          SELECT a.u AS n, l.lbl, count(*) AS c
+          FROM adj a JOIN l{i - 1} l ON l.node = a.v
+          GROUP BY 1, 2),
+        l{i} AS MATERIALIZED (
+          SELECT n AS node, lbl FROM (
+            SELECT n, lbl, row_number() OVER (
+                     PARTITION BY n ORDER BY c DESC, lbl) AS rn
+            FROM c{i}) WHERE rn = 1)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT node, lbl AS label FROM l{rounds}"""
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel replay: round i keeps nodes with degree
+    >= k in round i-1's edge set, then edges with both endpoints kept;
+    the final SELECT applies the same last degree filter the engine
+    does. Plain CTE layers — the bounded-iteration oracle recipe of
+    travel_cost/kmeans."""
+    ctes = [_WALK_GRAPH_CTES]
     for i in range(rounds):
         ctes.append(f"""
         k{i} AS MATERIALIZED (
@@ -5278,6 +5311,86 @@ def q_voronoi_assign(spark, sf_dir):
     )
 
 
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (ops/graph.
+    label_propagation, 4 rounds, deterministic most-frequent-neighbor
+    tie order) over the SAME clustered-walk cell hop graph as
+    kcore_cells — users cluster in 6-degree slots, so LPA recovers the
+    slot neighborhoods. The oracle unrolls all 4 rounds as CTE
+    layers."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.ops.graph import label_propagation
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    ).withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .filter(F.col("pcell").isNotNull())
+        .select("pcell", "cell")
+    )
+    return label_propagation(hops, rounds=4, src="pcell", dst="cell")
+
+
+def q_dp_tracks(spark, sf_dir):
+    """Douglas-Peucker simplification (geo/trajectory.simplify_dp,
+    tolerance 1 degree in fixed-point units) of the clustered-walk
+    tracks — exact-integer cross-product decisions end to end; the
+    oracle replays the full recursion as a segment-splitting recursive
+    CTE with HUGEINT cross products."""
+    from oshdb_spark.geo.trajectory import simplify_dp
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return simplify_dp(pts, 10_000_000)
+
+
+def q_token_lift(spark, sf_dir):
+    """Token co-occurrence lift (ops/textstats.token_pair_lift — the
+    exact-arithmetic PMI): document frequencies and
+    lift = n_ab*D/(n_a*n_b) for pairs co-occurring in >= 3 docs,
+    tokens capped deterministically at 40 per doc."""
+    from oshdb_spark.ops.textstats import token_pair_lift
+
+    return token_pair_lift(
+        _t(spark, sf_dir, "documents"),
+        min_count=3,
+        max_tokens_per_doc=40,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5365,6 +5478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_dow": q_seasonal_dow,
         "hex_bins": q_hex_bins,
         "voronoi_assign": q_voronoi_assign,
+        "lpa_communities": q_lpa_communities,
+        "dp_tracks": q_dp_tracks,
+        "token_lift": q_token_lift,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6219,6 +6335,113 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "lpa_communities": _lpa_oracle(4),
+        "dp_tracks": """
+            -- full Douglas-Peucker recursion as a segment-splitting
+            -- recursive CTE: per segment, the farthest interior point
+            -- by exact HUGEINT |cross| (earliest-index ties); split
+            -- while cross^2 > tol^2 * chordlen^2 (tol = 1e7 units)
+            WITH RECURSIVE pts AS MATERIALIZED (
+              SELECT user_id AS e, event_id AS o,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + (event_id*1103515245) % 60000001
+                       - 30000000 AS x,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001
+                       - 30000000 AS y,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id) - 1 AS i
+              FROM events),
+            nn AS (SELECT e, max(i) AS last FROM pts GROUP BY 1),
+            seg(e, i0, i1) AS (
+                SELECT e, 0, last FROM nn WHERE last >= 1
+              UNION ALL
+                SELECT k.e,
+                       CASE WHEN t.side = 0 THEN k.i0 ELSE k.ks END,
+                       CASE WHEN t.side = 0 THEN k.ks ELSE k.i1 END
+                FROM (
+                  SELECT s.e, s.i0, s.i1,
+                         -- packed (−|cross|, i) key: i < 2^20, so
+                         -- −|cross|·2^20 + i orders by larger cross
+                         -- then earlier index, all within HUGEINT
+                         CAST(arg_min(p.i,
+                           -abs(CAST(p1.x - p0.x AS HUGEINT)
+                                  * (p.y - p0.y)
+                                - CAST(p1.y - p0.y AS HUGEINT)
+                                  * (p.x - p0.x)) * 1048576
+                           + p.i) AS BIGINT) AS ks,
+                         max(abs(CAST(p1.x - p0.x AS HUGEINT)
+                                   * (p.y - p0.y)
+                                 - CAST(p1.y - p0.y AS HUGEINT)
+                                   * (p.x - p0.x))) AS mc,
+                         max(CAST(p1.x - p0.x AS HUGEINT)
+                               * (p1.x - p0.x)
+                             + CAST(p1.y - p0.y AS HUGEINT)
+                               * (p1.y - p0.y)) AS len2
+                  FROM seg s
+                  JOIN pts p0 ON p0.e = s.e AND p0.i = s.i0
+                  JOIN pts p1 ON p1.e = s.e AND p1.i = s.i1
+                  JOIN pts p  ON p.e = s.e
+                             AND p.i > s.i0 AND p.i < s.i1
+                  GROUP BY s.e, s.i0, s.i1
+                  HAVING max(abs(CAST(p1.x - p0.x AS HUGEINT)
+                                   * (p.y - p0.y)
+                                 - CAST(p1.y - p0.y AS HUGEINT)
+                                   * (p.x - p0.x)))
+                         * max(abs(CAST(p1.x - p0.x AS HUGEINT)
+                                     * (p.y - p0.y)
+                                   - CAST(p1.y - p0.y AS HUGEINT)
+                                     * (p.x - p0.x)))
+                         > 100000000000000 *
+                           max(CAST(p1.x - p0.x AS HUGEINT)
+                                 * (p1.x - p0.x)
+                               + CAST(p1.y - p0.y AS HUGEINT)
+                                 * (p1.y - p0.y))
+                ) k CROSS JOIN (VALUES (0), (1)) t(side)),
+            kept AS (
+              SELECT DISTINCT e, i FROM (
+                SELECT e, i0 AS i FROM seg
+                UNION ALL SELECT e, i1 FROM seg
+                UNION ALL SELECT e, 0 FROM nn WHERE last = 0))
+            SELECT k.e AS entity,
+                   row_number() OVER (
+                     PARTITION BY k.e ORDER BY k.i) - 1 AS kept_seq,
+                   p.o AS ord_key, p.x AS lon7, p.y AS lat7
+            FROM kept k JOIN pts p ON p.e = k.e AND p.i = k.i
+        """,
+        "token_lift": """
+            -- identical tokenization ladder + capped distinct tokens,
+            -- exact-integer contingency, one rounded division
+            WITH toks AS (
+              SELECT doc_id AS d,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '),
+                       t -> regexp_matches(t, '^[a-z]{3,}$')))) AS tok
+              FROM documents),
+            kept AS MATERIALIZED (
+              SELECT d, tok FROM (
+                SELECT d, tok, row_number() OVER (
+                         PARTITION BY d ORDER BY tok) AS rn
+                FROM toks) WHERE rn <= 40),
+            dt AS (SELECT count(DISTINCT d) AS dd FROM kept),
+            marg AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS nt
+              FROM kept GROUP BY 1),
+            pairs AS (
+              SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM kept a JOIN kept b
+                ON a.d = b.d AND a.tok < b.tok
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT tok_a, tok_b, n_ab, ma.nt AS n_a, mb.nt AS n_b,
+                   round(CAST(n_ab * dd AS DOUBLE)
+                         / CAST(ma.nt * mb.nt AS DOUBLE), 6) AS lift
+            FROM pairs
+            JOIN marg ma ON ma.tok = pairs.tok_a
+            JOIN marg mb ON mb.tok = pairs.tok_b, dt
         """,
         "trend_slopes": """
             -- OLS replay: HUGEINT moments, identical closed forms

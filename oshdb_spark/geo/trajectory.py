@@ -485,3 +485,108 @@ def std_ellipse(
             ) / nd * F.lit(1e-7), 6
         ).alias("minor_deg"),
     )
+
+
+def simplify_dp(
+    points: DataFrame,
+    tolerance_units: int,
+    entity_col: str = "entity",
+    order_col: str = "ord_key",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Douglas–Peucker trajectory simplification (the shape-preserving
+    complement to `simplify_radial`'s spacing rule): per entity, keep
+    the endpoints, find the interior point farthest from the chord,
+    and recurse on both halves while that distance exceeds
+    ``tolerance_units`` (planar fixed-point units — the same exactness
+    frame as hexbin/voronoi).
+
+    Every decision is EXACT INTEGER arithmetic: within one chord the
+    perpendicular distance ranks by |cross product| alone (shared
+    chord-length denominator), so the farthest point is an int64
+    argmax with earliest-index ties; the keep test compares
+    cross² > tol²·chordlen² in Python big ints (no float enters any
+    branch, so the DuckDB recursive-CTE oracle replays bit-for-bit).
+    Closed rings (first == last position) keep the duplicate endpoints.
+
+    Plan: one groupBy(entity) Arrow kernel — the same
+    embarrassingly-parallel-per-entity shape as simplify_radial; the
+    recursion is in-kernel over numpy arrays, O(depth·n) worst case.
+    Output: entity, kept_seq (order-position among kept), ord_key,
+    lon7, lat7."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    tol = int(tolerance_units)
+    tol2 = tol * tol
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.LongType()),
+            T.StructField("kept_seq", T.LongType()),
+            T.StructField("ord_key", T.LongType()),
+            T.StructField("lon7", T.LongType()),
+            T.StructField("lat7", T.LongType()),
+        ]
+    )
+    sel = points.select(
+        F.col(entity_col).cast("long").alias("_ent"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.col(lon7_col).cast("long").alias("_lon"),
+        F.col(lat7_col).cast("long").alias("_lat"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object)
+                 for c in ["entity", "kept_seq", "ord_key", "lon7",
+                           "lat7"]}
+            )
+        ent = int(pdf["_ent"].iloc[0])
+        pdf = pdf.sort_values("_ord", kind="mergesort")
+        ords = pdf["_ord"].to_numpy(np.int64)
+        x = pdf["_lon"].to_numpy(np.int64)
+        y = pdf["_lat"].to_numpy(np.int64)
+        n = len(ords)
+        # int64 cross products need |span|² · 2 < 2^63; wider tracks
+        # (anti-meridian-scale) fall back to exact Python big ints
+        wide = (
+            int(x.max()) - int(x.min()) > 2_000_000_000
+            or int(y.max()) - int(y.min()) > 2_000_000_000
+        )
+        xo = x.astype(object) if wide else x
+        yo = y.astype(object) if wide else y
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)] if n > 2 else []
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            dx = int(x[i1] - x[i0])
+            dy = int(y[i1] - y[i0])
+            seg = slice(i0 + 1, i1)
+            # cross of (chord, point-i0): |cross|/|chord| is the
+            # perpendicular distance; int64-exact for slot-local spans
+            cross = dx * (yo[seg] - yo[i0]) - dy * (xo[seg] - xo[i0])
+            k_rel = int(np.argmax(np.abs(cross)))  # earliest-index tie
+            c = int(cross[k_rel])
+            if c * c > tol2 * (dx * dx + dy * dy):
+                k = i0 + 1 + k_rel
+                keep[k] = True
+                stack.append((k, i1))
+                stack.append((i0, k))
+        idx = np.flatnonzero(keep)
+        return pd.DataFrame(
+            {
+                "entity": np.full(len(idx), ent, dtype=np.int64),
+                "kept_seq": np.arange(len(idx), dtype=np.int64),
+                "ord_key": ords[idx],
+                "lon7": x[idx],
+                "lat7": y[idx],
+            }
+        )
+
+    return sel.groupBy("_ent").applyInPandas(kernel, schema)

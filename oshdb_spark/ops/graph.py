@@ -453,3 +453,65 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan 2007): every node starts with its own id as label; each
+    round it adopts the most frequent label among its NEIGHBORS
+    (deterministic ties: highest count, then smallest label — the
+    classic random tie-break replaced by a total order so both engines
+    replay the same trajectory). Like `kcore_peel`/`sssp`, the
+    CONTRACT is exactly ``rounds`` synchronous rounds — the DuckDB
+    oracle unrolls them as plain CTE layers; on graphs that converge
+    faster the result is the LPA fixed point.
+
+    Each round is one hash join (adjacency × labels) + one
+    (node, label) count aggregate + one max(struct(cnt, −label))
+    aggregate — all key-partitioned shuffles, no windows over whole
+    partitions, `localCheckpoint` keeps lineage flat. Skewed hub
+    nodes partial-aggregate map-side before the shuffle. Returns
+    (node, label)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = adj.join(
+            labels, adj["v"] == labels["node"], "inner"
+        ).select(F.col("u").alias("n"), "lbl")
+        cnt = nbr.groupBy("n", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.groupBy(F.col("n").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lbl")).alias("neg"),
+                        F.col("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

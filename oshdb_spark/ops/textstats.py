@@ -406,3 +406,81 @@ def tfidf_keywords(
             "score",
         )
     )
+
+
+def token_pair_lift(
+    docs: DataFrame,
+    min_count: int = 5,
+    max_tokens_per_doc: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token co-occurrence association (PMI's exact-arithmetic twin):
+    for every pair of distinct tokens appearing together in ≥
+    ``min_count`` documents, report document frequencies and
+    lift = P(a,b)/(P(a)P(b)) = n_ab·D/(n_a·n_b) — the collocation /
+    topic-signal statistic. PMI = ln(lift) is monotone in it; lift is
+    reported instead so the one float division of exact integers stays
+    bit-reproducible (ln is not correctly rounded everywhere).
+
+    Tokens: lowercase whitespace tokens matching [a-z]{3,}, distinct
+    per doc, capped to the ``max_tokens_per_doc`` lexicographically
+    smallest (the deterministic cap that bounds the per-doc pair
+    fan-out at 10^12-doc scale — O(K²) pairs per doc, and the pair
+    aggregate shuffles only (pair, count) rows). Marginals n_a/n_b are
+    computed over the SAME capped token set, so the contingency table
+    is self-consistent. Returns (tok_a, tok_b, n_ab, n_a, n_b, lift).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t.rlike("^[a-z]{3,}$"),
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy("tok")
+    kept = (
+        toks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_tokens_per_doc)
+        .select("_doc", "tok")
+    )
+    d_total = kept.agg(
+        F.countDistinct("_doc").alias("_d")
+    )  # lazy 1-row frame, broadcast below — no driver action
+    marg = kept.groupBy("tok").agg(F.count(F.lit(1)).alias("nt"))
+    a = kept.select("_doc", F.col("tok").alias("tok_a"))
+    b = kept.select("_doc", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "_doc")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("nt").alias("n_a"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("nt").alias("n_b"))
+    return (
+        pairs.join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("_d")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

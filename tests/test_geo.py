@@ -1590,3 +1590,76 @@ def test_voronoi_assign_matches_brute_force(spark):
         )[1]
         assert got[i] == want, (i, lon, lat, got[i], want)
     assert got[900] == 1
+
+
+def test_simplify_dp_matches_recursive_replay(spark):
+    """simplify_dp vs a pure-python recursive DP replay (exact big-int
+    arithmetic, earliest-index argmax ties) on random walks, a
+    collinear run, an exact-tie vee, and a wide-span (big-int branch)
+    track."""
+    import random as _r
+
+    from oshdb_spark.geo.trajectory import simplify_dp
+
+    def replay(pts, tol):
+        n = len(pts)
+        keep = {0, n - 1}
+
+        def rec(i0, i1):
+            if i1 - i0 < 2:
+                return
+            dx = pts[i1][0] - pts[i0][0]
+            dy = pts[i1][1] - pts[i0][1]
+            best, bc = None, -1
+            for i in range(i0 + 1, i1):
+                c = abs(dx * (pts[i][1] - pts[i0][1])
+                        - dy * (pts[i][0] - pts[i0][0]))
+                if c > bc:
+                    best, bc = i, c
+            if bc * bc > tol * tol * (dx * dx + dy * dy):
+                keep.add(best)
+                rec(i0, best)
+                rec(best, i1)
+
+        rec(0, n - 1)
+        return sorted(keep)
+
+    _r.seed(3)
+    tracks = {}
+    for e in range(6):
+        x, y = 0, 0
+        pts = []
+        for _ in range(_r.randint(2, 60)):
+            x += _r.randint(-3_000_000, 3_000_000)
+            y += _r.randint(-3_000_000, 3_000_000)
+            pts.append((x, y))
+        tracks[e] = pts
+    tracks[10] = [(i * 1_000_000, 0) for i in range(10)]  # collinear
+    tracks[11] = [(0, 0), (5_000_000, 7_777), (10_000_000, 0),
+                  (15_000_000, -7_777), (20_000_000, 0)]  # tie |cross|
+    tracks[12] = [(-1_790_000_000, -840_000_000),
+                  (0, 840_000_000),
+                  (1_790_000_000, -840_000_000)]  # wide-span big ints
+    tracks[13] = [(0, 0), (9, 9)]  # two points
+    rows = [
+        (e, i, p[0], p[1])
+        for e, pts in tracks.items()
+        for i, p in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    tol = 2_000_000
+    got = {}
+    for r in simplify_dp(df, tol).collect():
+        got.setdefault(r.entity, []).append(
+            (r.kept_seq, r.ord_key, r.lon7, r.lat7)
+        )
+    for e, pts in tracks.items():
+        want_idx = replay(pts, tol)
+        want = [
+            (s, i, pts[i][0], pts[i][1])
+            for s, i in enumerate(want_idx)
+        ]
+        assert sorted(got[e]) == want, (e, got[e], want)
+    assert len(got[10]) == 2  # collinear collapses to endpoints

@@ -365,3 +365,55 @@ def test_kcore_peel_matches_bounded_replay(spark):
     n_bounded = len(kcore_peel(df, k=2, rounds=3).collect())
     n_full = len(kcore_peel(df, k=2, rounds=8).collect())
     assert n_bounded > n_full
+
+
+def test_label_propagation_matches_sync_replay(spark):
+    """label_propagation vs a python synchronous replay with the same
+    (count DESC, label ASC) tie order, on a two-clique bridge graph and
+    a random graph; bounded rounds semantics."""
+    import random as _r
+
+    from oshdb_spark.ops.graph import label_propagation
+
+    def replay(edge_set, rounds):
+        adj = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lbl = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                cnt = {}
+                for m in nbrs:
+                    cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+                nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+            lbl = nxt
+        return lbl
+
+    # two 4-cliques joined by one bridge edge
+    cl = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl += [(a + 10, b + 10) for a, b in cl]
+    cl.append((3, 10))
+    _r.seed(21)
+    rnd = {(
+        _r.randint(0, 30), _r.randint(0, 30)) for _ in range(120)}
+    rnd = {(min(a, b), max(a, b)) for a, b in rnd if a != b}
+    for edges in (cl, sorted(rnd)):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for rounds in (1, 4):
+            got = {
+                r.node: r.label
+                for r in label_propagation(df, rounds=rounds).collect()
+            }
+            want = replay({(min(a, b), max(a, b)) for a, b in edges},
+                          rounds)
+            assert got == want, (rounds, len(edges))
+    # the clique graph settles into exactly two communities
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            spark.createDataFrame(cl, "src long, dst long"), rounds=4
+        ).collect()
+    }
+    assert len(set(got.values())) == 2

@@ -1526,3 +1526,60 @@ def test_ols_trend_matches_numpy(spark):
         cc = np.corrcoef(xs, ys)[0, 1] ** 2
         assert math.isclose(r2, cc, abs_tol=5e-6), (g, r2, cc)
     assert got[8][1] == 2.0 and got[8][2] == 1.0 and got[8][3] == 1.0
+
+
+def test_token_pair_lift_matches_replay(spark):
+    """token_pair_lift vs a python tokenize/cap/count replay incl. the
+    cap boundary and the self-consistent marginals."""
+    import itertools
+    import math
+    import re
+
+    from oshdb_spark.ops.textstats import token_pair_lift
+
+    docs = [
+        (1, "the cat sat on the mat with the cat"),
+        (2, "THE CAT ate a fish"),
+        (3, "dog and cat and mat x y zz"),
+        (4, "fish mat dog the"),
+        (5, "numbers 123 mixed a1b2 stay out the cat"),
+        (6, " ".join(f"tok{i:03d}" for i in range(60)) + " cat the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = token_pair_lift(df, min_count=2, max_tokens_per_doc=5)
+    got = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.lift)
+        for r in out.collect()
+    }
+    kept = {}
+    for d, text in docs:
+        toks = sorted(
+            {t for t in text.lower().split(" ")
+             if re.fullmatch("[a-z]{3,}", t)}
+        )[:5]
+        if toks:
+            kept[d] = toks
+    D = len(kept)
+    marg = {}
+    for toks in kept.values():
+        for t in toks:
+            marg[t] = marg.get(t, 0) + 1
+    want = {}
+    pc = {}
+    for toks in kept.values():
+        for a, b in itertools.combinations(toks, 2):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    for (a, b), n_ab in pc.items():
+        if n_ab >= 2:
+            want[(a, b)] = (
+                n_ab, marg[a], marg[b],
+                round(n_ab * D / (marg[a] * marg[b]), 6),
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], (k, got[k], want[k])
+        assert math.isclose(got[k][3], want[k][3], abs_tol=1e-9)
+    # doc 6's cap kept only the 5 lexicographically smallest tokens:
+    # cat/the survive (sorting before tok000); capped tokens never pair
+    assert not any(a.startswith("tok0") or b.startswith("tok0")
+                   for a, b in got)
