@@ -5391,6 +5391,82 @@ def q_token_lift(spark, sf_dir):
     )
 
 
+
+
+def q_hampel_outliers(spark, sf_dir):
+    """Hampel robust outlier filter (ops/timeseries.hampel_outliers):
+    per-user rolling 7-sample median + MAD in integer cents; flag when
+    |x − med| > 3·MAD — every decision pure integer, full windows
+    only."""
+    from oshdb_spark.ops.timeseries import hampel_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return hampel_outliers(ev, half_window=3, k_num=3, k_den=1)
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test vs control (ops/stats.ztest_vs_control):
+    arms = event_id % 3, success = purchase events; exact integer
+    counts, one closed-form float z per arm (pooled variance),
+    broadcast control row."""
+    from oshdb_spark.ops.stats import ztest_vs_control
+
+    d = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).alias("arm"),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return ztest_vs_control(d, "arm", "ok", 0)
+
+
+def q_path_ngrams(spark, sf_dir):
+    """Clickstream path trigrams (ops/textstats.path_ngrams): 3-step
+    event-type journeys within per-(user, day) sessions via two lead
+    windows over one sort; exact counts, deterministic >= 3
+    threshold."""
+    from oshdb_spark.ops.textstats import path_ngrams
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+    ).withColumn("day", F.floor(F.col("sec") / 86400).cast("long"))
+    return path_ngrams(ev, n=3, min_count=3)
+
+
+def q_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 vocabulary pairs via SymSpell deletion
+    neighborhoods (ops/dedup.typo_pairs) over a username-like corpus
+    synthesized from event ids (md5-seeded 4/5-letter words — the
+    documents table's 24-token vocabulary has no distance-1 pairs, so
+    it cannot exercise the operator). The oracle is INDEPENDENT: a
+    brute-force self-join with DuckDB's levenshtein — no deletion
+    trick."""
+    from oshdb_spark.ops.dedup import typo_pairs
+
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+        16, 10,
+    ).cast("long")
+    h2 = (h / 2).cast("long")
+    word5 = F.concat(
+        *[
+            F.chr(F.lit(97) + (h2 / F.lit(26 ** k)).cast("long") % 26)
+            for k in range(5)
+        ]
+    )
+    n = (F.lit(4) + F.pmod(h, F.lit(2))).cast("int")
+    docs = _t(spark, sf_dir, "events").select(
+        F.substring(word5, F.lit(1), n).alias("text")
+    )
+    return typo_pairs(docs, min_len=4)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5481,6 +5557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "dp_tracks": q_dp_tracks,
         "token_lift": q_token_lift,
+        "hampel_outliers": q_hampel_outliers,
+        "ab_test": q_ab_test,
+        "path_ngrams": q_path_ngrams,
+        "typo_pairs": q_typo_pairs,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6335,6 +6415,113 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "hampel_outliers": """
+            -- rolling median/MAD replay: identical window list, sorted
+            -- picks, pure-integer flag test
+            WITH ev AS (
+              SELECT user_id AS entity,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            win AS (
+              SELECT entity, sec, seq, c,
+                     list(c) OVER (PARTITION BY entity
+                       ORDER BY sec, seq
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS l
+              FROM ev),
+            m AS (
+              SELECT entity, sec, seq, c,
+                     list_sort(l)[4] AS med_c, l
+              FROM win WHERE len(l) = 7),
+            mm AS (
+              SELECT entity, sec, seq, c, med_c,
+                     list_sort(list_transform(
+                       l, x -> abs(x - med_c)))[4] AS mad_c
+              FROM m)
+            SELECT entity, sec, seq, c AS value_c, med_c, mad_c
+            FROM mm WHERE abs(c - med_c) > 3 * mad_c
+        """,
+        "ab_test": """
+            -- two-proportion z replay: exact counts, identical pooled
+            -- closed form
+            WITH a AS (
+              SELECT event_id % 3 AS arm,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS conv
+              FROM events GROUP BY 1),
+            c AS (SELECT n AS n0, conv AS c0 FROM a WHERE arm = 0),
+            j AS (
+              SELECT a.*, c.n0, c.c0,
+                     CAST(a.conv AS DOUBLE) / CAST(a.n AS DOUBLE) AS p1,
+                     CAST(c.c0 AS DOUBLE) / CAST(c.n0 AS DOUBLE) AS p0,
+                     CAST(a.conv + c.c0 AS DOUBLE)
+                       / CAST(a.n + c.n0 AS DOUBLE) AS pp
+              FROM a CROSS JOIN c),
+            v AS (
+              SELECT *, pp * (1.0 - pp)
+                        * (1.0 / CAST(n AS DOUBLE)
+                           + 1.0 / CAST(n0 AS DOUBLE)) AS var
+              FROM j)
+            SELECT arm, n, conv, round(p1, 6) AS rate,
+                   CASE WHEN var > 0 THEN
+                          round((p1 - p0) / sqrt(var), 6)
+                        WHEN arm = 0 THEN 0.0 END AS z
+            FROM v
+        """,
+        "path_ngrams": """
+            -- two lead windows over one (user, day) sort; exact counts
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq
+              FROM events),
+            l AS (
+              SELECT event_type AS s0,
+                     lead(event_type, 1) OVER w AS s1,
+                     lead(event_type, 2) OVER w AS s2
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id, day
+                           ORDER BY sec, seq))
+            SELECT s0 || '>' || s1 || '>' || s2 AS path,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM l WHERE s2 IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 3
+        """,
+        "typo_pairs": """
+            -- INDEPENDENT oracle: brute-force vocabulary self-join
+            -- with DuckDB levenshtein (no deletion-neighborhood trick)
+            WITH w AS (
+              SELECT CAST(concat('0x',
+                       substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS h
+              FROM events),
+            wd AS (
+              SELECT substr(
+                       chr(CAST(97 + (h // 2) % 26 AS INTEGER))
+                       || chr(CAST(97 + (h // 2 // 26) % 26
+                              AS INTEGER))
+                       || chr(CAST(97 + (h // 2 // 676) % 26
+                              AS INTEGER))
+                       || chr(CAST(97 + (h // 2 // 17576) % 26
+                              AS INTEGER))
+                       || chr(CAST(97 + (h // 2 // 456976) % 26
+                              AS INTEGER)),
+                       1, CAST(4 + h % 2 AS INTEGER)) AS tok
+              FROM w),
+            v AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n_docs
+              FROM wd GROUP BY 1)
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   a.n_docs AS n_a, b.n_docs AS n_b
+            FROM v a JOIN v b
+              ON a.tok < b.tok
+             AND abs(length(a.tok) - length(b.tok)) <= 1
+             AND levenshtein(a.tok, b.tok) = 1
         """,
         "lpa_communities": _lpa_oracle(4),
         "dp_tracks": """

@@ -686,3 +686,78 @@ def incremental_dedup(
         )
     )
     return out
+
+
+def typo_pairs(
+    docs: DataFrame,
+    min_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance-1 token pairs via the SymSpell deletion-
+    neighborhood trick — the scalable spell-variant/typo-dedup
+    primitive: two tokens are within Levenshtein distance 1 iff they
+    share a single-deletion variant (deletion ↔ insertion ↔ same-
+    position substitution), so the O(n²) all-pairs comparison becomes
+    a hash JOIN on variant keys (each token explodes into len+1
+    variants — fan-out bounded by token length), followed by an exact
+    `levenshtein` verify that kills the distance-2 false positives
+    the shared-variant filter admits.
+
+    Tokens: lowercase [a-z]{min_len,} vocabulary with document
+    frequencies. Candidates dedupe BEFORE the verify (distinct pair
+    ids), so the edit-distance evaluation runs once per candidate
+    pair. Returns (tok_a, tok_b, n_a, n_b) with tok_a < tok_b and
+    levenshtein(tok_a, tok_b) == 1 — exact, both engines implement
+    classic Levenshtein."""
+    vocab = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t.rlike(
+                            "^[a-z]{" + str(int(min_len)) + ",}$"
+                        ),
+                    )
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # variants: the token itself + every single-deletion string
+    var = vocab.select(
+        "tok",
+        F.explode(
+            F.concat(
+                F.array(F.col("tok")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok")),
+                    lambda i: F.concat(
+                        F.col("tok").substr(F.lit(1), i - 1),
+                        F.col("tok").substr(i + 1, F.length("tok")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    a = var.select(F.col("tok").alias("tok_a"), "v")
+    b = var.select(F.col("tok").alias("tok_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    hits = cand.filter(
+        F.levenshtein("tok_a", "tok_b") == 1
+    )
+    na = vocab.select(
+        F.col("tok").alias("tok_a"), F.col("n_docs").alias("n_a")
+    )
+    nb = vocab.select(
+        F.col("tok").alias("tok_b"), F.col("n_docs").alias("n_b")
+    )
+    return hits.join(na, "tok_a").join(nb, "tok_b").select(
+        "tok_a", "tok_b", "n_a", "n_b"
+    )

@@ -343,3 +343,51 @@ def spearman_corr(
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("rho"),
     )
+
+
+def ztest_vs_control(
+    df,
+    arm_col: str,
+    success_col,
+    control_value,
+):
+    """Two-proportion z-test of every experiment arm against the
+    control arm — the A/B-test readout: per arm (n, conversions, rate)
+    plus the pooled-variance z-score against control.
+
+    Counts are exact integers from ONE partial+final aggregate; the
+    z closed form (p1−p0)/√(p̂(1−p̂)(1/n0+1/n1)) is evaluated with one
+    fixed association, round(6) both engines; the control row is a
+    broadcast 1-row join. Arms with zero pooled variance (p̂ ∈ {0,1})
+    yield null z. Returns (arm, n, conv, rate, z) — the control's z
+    is 0 by construction and reported as such."""
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(success_col), 1).otherwise(0)).alias("conv"),
+    )
+    ctl = agg.filter(F.col("arm") == F.lit(control_value)).select(
+        F.col("n").alias("_n0"), F.col("conv").alias("_c0")
+    )
+    j = agg.crossJoin(F.broadcast(ctl))
+    p1 = F.col("conv").cast("double") / F.col("n").cast("double")
+    p0 = F.col("_c0").cast("double") / F.col("_n0").cast("double")
+    pp = (F.col("conv") + F.col("_c0")).cast("double") / (
+        F.col("n") + F.col("_n0")
+    ).cast("double")
+    var = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n").cast("double")
+        + F.lit(1.0) / F.col("_n0").cast("double")
+    )
+    return j.select(
+        "arm",
+        "n",
+        "conv",
+        F.round(p1, 6).alias("rate"),
+        F.when(var > 0, F.round((p1 - p0) / F.sqrt(var), 6))
+        .otherwise(
+            F.when(F.col("arm") == F.lit(control_value), F.lit(0.0))
+        )
+        .alias("z"),
+    )

@@ -484,3 +484,41 @@ def token_pair_lift(
             ).alias("lift"),
         )
     )
+
+
+def path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    min_count: int = 5,
+    entity_col: str = "user_id",
+    bucket_col: str = "day",
+    step_col: str = "event_type",
+    sec_col: str = "sec",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Clickstream path mining: count the n-step event-type sequences
+    (path n-grams) across per-(entity, bucket) sessions — 'which
+    3-step journeys happen most'. The n-gram at position t is the
+    window (step_t, …, step_{t+n−1}) in exact (sec, seq) order, built
+    with n−1 lead windows over ONE sort (no arrays, no explode — each
+    input row emits at most one n-gram, so the op is row-bounded at
+    any scale). Counts are exact; pairs below ``min_count`` are
+    dropped (a deterministic threshold — not top-k, so ties cannot
+    reorder output). Returns (path, n_occurrences)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col, bucket_col).orderBy(
+        sec_col, seq_col
+    )
+    d = events
+    parts = [F.col(step_col)]
+    for i in range(1, n):
+        d = d.withColumn(f"_s{i}", F.lead(step_col, i).over(w))
+        parts.append(F.col(f"_s{i}"))
+    d = d.filter(F.col(f"_s{n-1}").isNotNull())
+    return (
+        d.select(F.concat_ws(">", *parts).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )

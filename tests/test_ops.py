@@ -1583,3 +1583,128 @@ def test_token_pair_lift_matches_replay(spark):
     # cat/the survive (sorting before tok000); capped tokens never pair
     assert not any(a.startswith("tok0") or b.startswith("tok0")
                    for a, b in got)
+
+
+def test_ztest_vs_control_formula(spark):
+    """ztest_vs_control vs the textbook pooled two-proportion formula,
+    incl. the zero-variance arm guard."""
+    import math
+
+    from oshdb_spark.ops.stats import ztest_vs_control
+
+    rows = (
+        [("ctl", True)] * 50 + [("ctl", False)] * 150
+        + [("t1", True)] * 80 + [("t1", False)] * 120
+        + [("t2", True)] * 40 + [("t2", False)] * 180
+        + [("dead", False)] * 30  # pooled p=... nonzero via control
+    )
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    got = {r.arm: r for r in ztest_vs_control(df, "arm", "ok", "ctl").collect()}
+
+    def zref(c1, n1, c0=50, n0=200):
+        p1, p0 = c1 / n1, c0 / n0
+        pp = (c1 + c0) / (n1 + n0)
+        return (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n0))
+
+    assert got["ctl"].z == 0.0
+    assert math.isclose(got["t1"].z, zref(80, 200), abs_tol=5e-7)
+    assert math.isclose(got["t2"].z, zref(40, 220), abs_tol=5e-7)
+    assert math.isclose(got["dead"].z, zref(0, 30), abs_tol=5e-7)
+    assert got["t1"].n == 200 and got["t1"].conv == 80
+    # all-success + all-success control would zero the variance: guard
+    df2 = spark.createDataFrame(
+        [("c", True)] * 3 + [("x", True)] * 2, "arm string, ok boolean"
+    )
+    g2 = {r.arm: r.z for r in ztest_vs_control(df2, "arm", "ok", "c").collect()}
+    assert g2 == {"c": 0.0, "x": None}
+
+
+def test_path_ngrams_matches_replay(spark):
+    """path_ngrams vs a python sliding-window replay; session
+    boundaries never produce cross-bucket n-grams."""
+    from oshdb_spark.ops.textstats import path_ngrams
+
+    rows = [
+        # (user, day, type, sec, seq)
+        (1, 1, "a", 10, 1), (1, 1, "b", 20, 2), (1, 1, "c", 30, 3),
+        (1, 1, "a", 40, 4),
+        (1, 2, "b", 50, 5), (1, 2, "c", 60, 6), (1, 2, "a", 70, 7),
+        (2, 1, "a", 10, 8), (2, 1, "b", 15, 9), (2, 1, "c", 30, 10),
+        (2, 1, "a", 35, 11), (2, 1, "b", 44, 12), (2, 1, "c", 50, 13),
+        (3, 1, "x", 1, 14), (3, 1, "y", 2, 15),  # too short
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day long, event_type string, sec long, "
+        "seq long"
+    )
+    got = {
+        r.path: r.n_occurrences
+        for r in path_ngrams(df, n=3, min_count=1).collect()
+    }
+    import collections
+
+    want = collections.Counter()
+    bybucket = collections.defaultdict(list)
+    for u, d, t, sec, seq in rows:
+        bybucket[(u, d)].append((sec, seq, t))
+    for evs in bybucket.values():
+        evs.sort()
+        ts = [t for _, _, t in evs]
+        for i in range(len(ts) - 2):
+            want[">".join(ts[i:i + 3])] += 1
+    assert got == dict(want)
+    assert got["a>b>c"] == 3  # user1-day1 + user2 twice
+
+
+def test_typo_pairs_matches_brute_force(spark):
+    """typo_pairs vs python Levenshtein brute force: substitution,
+    insertion, deletion found; transposition and distance-2 excluded;
+    doc frequencies correct."""
+    from oshdb_spark.ops.dedup import typo_pairs
+
+    docs = [
+        ("hello hallo",),          # substitution pair, same doc
+        ("hello helloo world",),   # insertion pair
+        ("wrld world",),           # deletion pair
+        ("helol",),                # transposition of hello: distance 2
+        ("haleo",),                # distance 2 from hello
+        ("world hello",),          # bumps doc counts
+        ("ab xy",),                # below min_len: ignored
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = {
+        (r.tok_a, r.tok_b): (r.n_a, r.n_b)
+        for r in typo_pairs(df, min_len=4).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import itertools
+    import re
+
+    vocab = {}
+    for (text,) in docs:
+        toks = {t for t in text.lower().split()
+                if re.fullmatch("[a-z]{4,}", t)}
+        for t in toks:
+            vocab[t] = vocab.get(t, 0) + 1
+    want = {
+        (a, b): (vocab[a], vocab[b])
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) == 1
+    }
+    assert got == want
+    assert ("hallo", "hello") in got and ("hello", "helloo") in got
+    assert ("world", "wrld") in got  # deletion pair ('o' < 'r')
+    # transposition (helol) is distance 2 from hello — excluded;
+    # haleo only pairs with hallo (one substitution), never hello
+    assert not any("helol" in p for p in got)
+    assert ("haleo", "hello") not in got and ("hello", "haleo") not in got

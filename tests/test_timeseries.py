@@ -488,3 +488,36 @@ def test_seasonal_indexes_matches_replay(spark):
     assert set(got) == set(acc)
     # the spiked phase really reads high
     assert got[("b", 3)][1] > 1.0
+
+
+def test_hampel_outliers_matches_replay(spark):
+    """hampel_outliers vs a python rolling median/MAD replay incl. tie
+    values, flat stretches (MAD 0 flags any deviation), and edges."""
+    from oshdb_spark.ops.timeseries import hampel_outliers
+
+    rows = _rows(seed=47)
+    rows += [(70, 100 + i, 9300 + i, 50.0) for i in range(10)]
+    rows[-4] = (70, 106, 9306, 51.0)  # tiny spike on a flat line
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {
+        (r.entity, r.sec, r.seq): (r.value_c, r.med_c, r.mad_c)
+        for r in hampel_outliers(df, 3, 3, 1).collect()
+    }
+    by_ent = {}
+    for uid, sec, seq, val in rows:
+        c = int(abs(val) * 100 + 0.5) * (1 if val >= 0 else -1)
+        by_ent.setdefault(uid, []).append((sec, seq, c))
+    want = {}
+    for ent, evs in by_ent.items():
+        evs.sort()
+        for i in range(3, len(evs) - 3):
+            wvals = [c for _, _, c in evs[i - 3:i + 4]]
+            med = sorted(wvals)[3]
+            mad = sorted(abs(x - med) for x in wvals)[3]
+            c = evs[i][2]
+            if abs(c - med) > 3 * mad:
+                want[(ent, evs[i][0], evs[i][1])] = (c, med, mad)
+    assert got == want
+    assert any(k[0] == 70 for k in got)  # flat-line spike caught
