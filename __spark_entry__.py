@@ -5467,6 +5467,81 @@ def q_typo_pairs(spark, sf_dir):
     return typo_pairs(docs, min_len=4)
 
 
+
+
+def q_geary_events(spark, sf_dir):
+    """Global Geary's C spatial autocorrelation (geo/cells.geary_c) of
+    the zoom-6 event-count raster — Moran's I's local-contrast
+    companion. Pair sum decomposed into two focal passes (values +
+    squared values); every aggregate exact int64; one fixed-
+    association double expression, round(9)."""
+    from oshdb_spark.geo.cells import geary_c
+
+    return geary_c(_event_cell_raster(spark, sf_dir), 6)
+
+
+def q_theil_sen_cells(spark, sf_dir):
+    """Theil-Sen robust trend per cell (geo/cells.theil_sen_trend)
+    over the SAME zoom-6 × calendar-week cube as trend_cells: the
+    lower median of all pairwise slopes under the deterministic
+    (slope, t1, t2) total order; each slope one correctly-rounded
+    division of exact integers."""
+    from oshdb_spark.geo import cells as _c
+    from oshdb_spark.geo.cells import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    lon7 = (
+        F.pmod(F.col("event_id") * F.lit(1103515245),
+               F.lit(3_600_000_000)) - 1_800_000_000
+    )
+    lat7 = (
+        F.pmod(F.col("event_id") * F.lit(1234567891),
+               F.lit(1_700_000_000)) - 850_000_000
+    )
+    cube = (
+        ev.withColumn("lon7", lon7)
+        .withColumn("lat7", lat7)
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 6))
+        .withColumn("wk", F.floor(F.col("sec") / 604800).cast("long"))
+        .groupBy("cell", "wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cell") >= 0)
+    )
+    return theil_sen_trend(cube)
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10% two-sided trimmed mean of lineitem price cents per return
+    flag (ops/stats.trimmed_mean): drop floor(n/10) rows at each tail
+    by exact rank, average the exact-integer rest."""
+    from oshdb_spark.ops.stats import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return trimmed_mean(li, "l_returnflag", "price_c", 1, 10)
+
+
+def q_quartiles_price(spark, sf_dir):
+    """Exact percentile_disc quartiles of lineitem price cents per
+    return flag (ops/stats.quartiles_exact): integer rank picks, no
+    interpolation."""
+    from oshdb_spark.ops.stats import quartiles_exact
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return quartiles_exact(li, "l_returnflag", "price_c")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5561,6 +5636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "path_ngrams": q_path_ngrams,
         "typo_pairs": q_typo_pairs,
+        "geary_events": q_geary_events,
+        "theil_sen_cells": q_theil_sen_cells,
+        "trimmed_mean": q_trimmed_mean,
+        "quartiles_price": q_quartiles_price,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6415,6 +6494,114 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "geary_events": _FOCAL_CTE + """,
+            agg2 AS (
+              SELECT t,
+                     CAST(sum(CAST(cnt AS BIGINT) * cnt) AS BIGINT)
+                       AS ss_f
+              FROM contrib GROUP BY 1),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS s FROM r),
+            t AS (
+              SELECT g.n,
+                     (a.n_f - 1) * r.cnt * r.cnt
+                       - 2 * r.cnt * (a.s_f - r.cnt)
+                       + (a2.ss_f - r.cnt * r.cnt) AS num_i,
+                     g.n * r.cnt - g.s AS z,
+                     a.n_f - 1 AS w
+              FROM r JOIN agg a ON a.t = r.cell
+                     JOIN agg2 a2 ON a2.t = r.cell
+              CROSS JOIN g)
+            SELECT n AS n_cells, CAST(sum(w) AS BIGINT) AS w_pairs,
+                   CASE WHEN CAST(sum(w) AS BIGINT) > 0
+                         AND CAST(sum(z*z) AS BIGINT) > 0 THEN
+                     round(((CAST(n AS DOUBLE) - 1.0)
+                            * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(CAST(sum(num_i) AS BIGINT)
+                                   AS DOUBLE))
+                           / (2.0
+                              * CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+                              * CAST(CAST(sum(z*z) AS BIGINT)
+                                     AS DOUBLE)), 9) END AS geary_c
+            FROM t GROUP BY n
+        """,
+        "theil_sen_cells": """
+            -- Theil-Sen replay on the zoom-6 × week cube: unrounded
+            -- slope ordering with (t1, t2) ties, lower-median pick
+            WITH r AS (
+              SELECT ((lat7 + 900000000) // 56250000) * 64
+                     + ((lon7 + 1800000000) // 56250000) AS cell,
+                     sec // 604800 AS wk,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+                SELECT ((event_id*1103515245) % 3600000000)
+                         - 1800000000 AS lon7,
+                       ((event_id*1234567891) % 1700000000)
+                         - 850000000 AS lat7,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events)
+              GROUP BY 1, 2),
+            p AS (
+              SELECT a.cell, a.wk AS t1, b.wk AS t2,
+                     CAST(b.cnt - a.cnt AS DOUBLE)
+                       / CAST(b.wk - a.wk AS DOUBLE) AS s
+              FROM r a JOIN r b
+                ON a.cell = b.cell AND a.wk < b.wk),
+            w AS (
+              SELECT cell, s,
+                     row_number() OVER (PARTITION BY cell
+                       ORDER BY s, t1, t2) AS rn,
+                     count(*) OVER (PARTITION BY cell) AS np
+              FROM p)
+            SELECT cell, CAST(max(np) AS BIGINT) AS n_pairs,
+                   round(min(s), 9) AS ts_slope
+            FROM w WHERE rn = (np + 1) // 2
+            GROUP BY 1
+        """,
+        "trimmed_mean": """
+            -- exact rank trim replay
+            WITH li AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                       AS v
+              FROM lineitem),
+            r AS (
+              SELECT g, v,
+                     row_number() OVER (PARTITION BY g ORDER BY v)
+                       AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM li),
+            k AS (SELECT *, n // 10 AS kk FROM r)
+            SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS kept_n,
+                   round(CAST(sum(v) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6)
+                     AS trimmed_mean
+            FROM k WHERE rn > kk AND rn <= n - kk
+            GROUP BY 1
+        """,
+        "quartiles_price": """
+            -- percentile_disc replay with integer pick conditions
+            WITH li AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                       AS v
+              FROM lineitem),
+            r AS (
+              SELECT g, v,
+                     row_number() OVER (PARTITION BY g ORDER BY v)
+                       AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM li)
+            SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN rn * 4 >= n THEN v END)
+                        AS BIGINT) AS q1,
+                   CAST(min(CASE WHEN rn * 2 >= n THEN v END)
+                        AS BIGINT) AS q2,
+                   CAST(min(CASE WHEN rn * 4 >= n * 3 THEN v END)
+                        AS BIGINT) AS q3
+            FROM r GROUP BY 1
         """,
         "hampel_outliers": """
             -- rolling median/MAD replay: identical window list, sorted

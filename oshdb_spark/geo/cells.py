@@ -1655,3 +1655,123 @@ def voronoi_assign(df, seeds, lon7_col: str = "lon7",
         )
     best = F.array_min(F.array(*cands))
     return df.withColumn("seed_id", best["s"])
+
+
+def geary_c(df, zoom: int, cell_col: str = "cell",
+            value_col: str = "cnt"):
+    """Global Geary's C spatial autocorrelation — Moran's I's
+    local-contrast companion (C < 1 clustered, > 1 dispersed; C reacts
+    to neighbor DIFFERENCES where I reacts to covariance):
+
+        C = (N−1) · Σ_ordered wᵢⱼ (vᵢ−vⱼ)² / (2W · Σ (vᵢ−v̄)²)
+
+    Queen 3×3 neighborhood excluding self, binary weights, the same
+    sparse/no-data semantics as focal_stats/moran_i. Integer-exact:
+    the pair sum decomposes into focal aggregates
+    Σⱼ(vᵢ−vⱼ)² = (n_i−1)vᵢ² − 2vᵢ(fs_i−vᵢ) + (fss_i−vᵢ²) (two focal
+    passes: values and squared values — each one 9× explode + one
+    shuffle, raster-sized), and the denominator multiplies through by
+    N² (ΣZᵢ², Z = N·v−S). Every sum is exact int64; ONE final double
+    expression with fixed association, round(9). Returns one row:
+    (n_cells, w_pairs, geary_c)."""
+    from pyspark.sql import functions as F
+
+    foc = focal_stats(df, zoom, cell_col, value_col)
+    foc2 = focal_stats(
+        df.select(
+            F.col(cell_col).alias("_c2"),
+            (F.col(value_col) * F.col(value_col)).alias("_vsq"),
+        ),
+        zoom, "_c2", "_vsq",
+    ).select(
+        F.col("_c2").alias("_cc"),
+        F.col("focal_sum").alias("_fss"),
+    )
+    src = df.select(
+        F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
+    ).filter(F.col("_c") >= 0)
+    g = src.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum("_v").alias("_gs")
+    )
+    j = (
+        foc.join(foc2, foc[cell_col] == foc2["_cc"])
+        .crossJoin(F.broadcast(g))
+    )
+    v = F.col(value_col)
+    num_i = (
+        (F.col("focal_n") - 1) * v * v
+        - F.lit(2) * v * (F.col("focal_sum") - v)
+        + (F.col("_fss") - v * v)
+    )
+    z = F.col("_gn") * v - F.col("_gs")
+    agg = j.select(
+        num_i.alias("_num"),
+        (z * z).alias("_zz"),
+        (F.col("focal_n") - F.lit(1)).alias("_w"),
+        "_gn",
+    ).groupBy("_gn").agg(
+        F.sum("_num").alias("_snum"),
+        F.sum("_zz").alias("_szz"),
+        F.sum("_w").alias("_sw"),
+    )
+    n_d = F.col("_gn").cast("double")
+    return agg.select(
+        F.col("_gn").alias("n_cells"),
+        F.col("_sw").alias("w_pairs"),
+        F.when(
+            (F.col("_sw") > 0) & (F.col("_szz") > 0),
+            F.round(
+                ((n_d - F.lit(1.0)) * n_d * n_d
+                 * F.col("_snum").cast("double"))
+                / (F.lit(2.0) * F.col("_sw").cast("double")
+                   * F.col("_szz").cast("double")),
+                9,
+            ),
+        ).alias("geary_c"),
+    )
+
+
+def theil_sen_trend(df, cell_col: str = "cell", t_col: str = "wk",
+                    value_col: str = "cnt"):
+    """Theil–Sen robust trend per cell over a pre-aggregated
+    (cell, t, value) cube — the median of all pairwise slopes
+    (vⱼ−vᵢ)/(tⱼ−tᵢ), i<j: the robust complement to Mann–Kendall's
+    trend TEST (this one estimates the magnitude; up to ~29% outliers
+    cannot move it).
+
+    Like mann_kendall_trend, the pair self-join runs over the
+    PRE-AGGREGATED cube (T² is calendar-bounded, independent of event
+    volume). Each slope is ONE correctly-rounded double division of
+    exact integers — identical on both engines — and the median pick
+    is the lower-median row_number over the total order
+    (slope, t_i, t_j), so ties are deterministic. Returns
+    (cell, n_pairs, ts_slope) with slope rounded to 9."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = df.select(
+        F.col(cell_col).alias("_c"), F.col(t_col).alias("_t1"),
+        F.col(value_col).alias("_v1"),
+    )
+    b = df.select(
+        F.col(cell_col).alias("_c"), F.col(t_col).alias("_t2"),
+        F.col(value_col).alias("_v2"),
+    )
+    pairs = a.join(b, "_c").filter(F.col("_t1") < F.col("_t2")).select(
+        "_c", "_t1", "_t2",
+        (
+            (F.col("_v2") - F.col("_v1")).cast("double")
+            / (F.col("_t2") - F.col("_t1")).cast("double")
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("_c").orderBy("_s", "_t1", "_t2")
+    cnt = Window.partitionBy("_c")
+    r = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+    )
+    return r.groupBy(F.col("_c").alias(cell_col)).agg(
+        F.max("_n").alias("n_pairs"),
+        F.round(F.min("_s"), 9).alias("ts_slope"),
+    )

@@ -391,3 +391,86 @@ def ztest_vs_control(
         )
         .alias("z"),
     )
+
+
+def trimmed_mean(
+    df,
+    group_col: str,
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+):
+    """Per-group trimmed mean — the robust location estimate
+    dashboards want when tails are garbage: drop the k lowest and k
+    highest values, k = floor(n·trim_num/trim_den), and average the
+    rest. Values must already be integers (quantize at the call
+    site), so the kept-sum is exact and only the final division is
+    float (round 6). Duplicate values at the cut are interchangeable —
+    any k lowest have the same multiset sum — so a bare value
+    row_number is deterministic for the SUM even with ties.
+
+    Plan: one rank window over the group sort + one broadcast-joined
+    per-group count + one final aggregate. Returns
+    (group, n, kept_n, trimmed_mean)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = F.floor(
+        F.col("_n") * F.lit(int(trim_num)) / F.lit(int(trim_den))
+    )
+    d = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_g").orderBy("_v")))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy("_g")))
+        .filter(
+            (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+        )
+    )
+    return d.groupBy(F.col("_g").alias(group_col)).agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("kept_n"),
+        F.round(
+            F.sum("_v").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+def quartiles_exact(
+    df,
+    group_col: str,
+    value_col: str,
+):
+    """Exact per-group quartiles by the percentile_disc rule (the
+    smallest value whose rank reaches q·n — no interpolation, so the
+    result is a value that actually occurs and is integer-exact): one
+    rank window over the group sort, three integer pick conditions,
+    one aggregate. Returns (group, n, q1, q2, q3)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_g").orderBy("_v")))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy("_g")))
+    )
+    picks = []
+    for name, num, den in (("q1", 1, 4), ("q2", 1, 2), ("q3", 3, 4)):
+        picks.append(
+            F.min(
+                F.when(
+                    F.col("_rn") * den >= F.col("_n") * num, F.col("_v")
+                )
+            ).alias(name)
+        )
+    return d.groupBy(F.col("_g").alias(group_col)).agg(
+        F.max("_n").alias("n"), *picks
+    )

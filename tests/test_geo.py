@@ -1663,3 +1663,96 @@ def test_simplify_dp_matches_recursive_replay(spark):
         ]
         assert sorted(got[e]) == want, (e, got[e], want)
     assert len(got[10]) == 2  # collinear collapses to endpoints
+
+
+def test_geary_c_vs_textbook_reference(spark):
+    """Integer-exact Geary's C vs the plain textbook float formula on
+    the same wrap/polar/isolated raster as the Moran test."""
+    raster = {
+        (5 * 64 + 0): 9,
+        (5 * 64 + 63): 7,
+        (5 * 64 + 1): 3,
+        (6 * 64 + 0): 4,
+        (31 * 64 + 10): 2,
+        (31 * 64 + 11): 6,
+        (20 * 64 + 40): 5,
+        (12 * 64 + 20): 1,
+        (12 * 64 + 21): 8,
+        (13 * 64 + 20): 2,
+    }
+    df = spark.createDataFrame(
+        [(c, v) for c, v in raster.items()], "cell long, cnt long"
+    )
+
+    ncols, y_max = 64, 31
+    cs = sorted(raster)
+    n = len(cs)
+    xbar = sum(raster.values()) / n
+
+    def neigh(c):
+        x, y = c % ncols, c // ncols
+        out = []
+        for dy in (-1, 0, 1):
+            ny = y + dy
+            if ny < 0 or ny > y_max:
+                continue
+            for dx in (-1, 0, 1):
+                t = ny * ncols + (x + dx) % ncols
+                if t != c and t in raster:
+                    out.append(t)
+        return out
+
+    num = 0.0
+    w_pairs = 0
+    for c in cs:
+        for t in neigh(c):
+            num += (raster[c] - raster[t]) ** 2
+            w_pairs += 1
+    den = sum((v - xbar) ** 2 for v in raster.values())
+    want = (n - 1) * num / (2 * w_pairs * den)
+
+    row = cells.geary_c(df, 6).collect()
+    assert len(row) == 1
+    assert row[0].n_cells == n and row[0].w_pairs == w_pairs
+    assert row[0].geary_c == pytest.approx(want, abs=1e-8)
+    # constant surface has zero variance → guarded null, not 0/0
+    flat = spark.createDataFrame(
+        [(12 * 64 + 20 + i, 5) for i in range(4)], "cell long, cnt long"
+    )
+    assert cells.geary_c(flat, 6).collect()[0].geary_c is None
+
+
+def test_theil_sen_matches_sorted_replay(spark):
+    """theil_sen_trend vs a python pairwise-slope lower-median replay,
+    incl. slope ties and an outlier the estimator must shrug off."""
+    import pytest as _pt
+
+    from oshdb_spark.geo.cells import theil_sen_trend
+
+    series = {
+        1: [(0, 10), (1, 12), (2, 14), (3, 16), (4, 180)],  # outlier
+        2: [(0, 5), (1, 5), (2, 5)],                        # flat
+        3: [(0, 1), (2, 5), (3, 7), (7, 15)],               # exact 2/wk
+        4: [(0, 3), (1, 9)],                                # single pair
+    }
+    rows = [
+        (c, t, v) for c, pts in series.items() for t, v in pts
+    ]
+    df = spark.createDataFrame(rows, "cell long, wk long, cnt long")
+    got = {
+        r.cell: (r.n_pairs, r.ts_slope)
+        for r in theil_sen_trend(df).collect()
+    }
+    for c, pts in series.items():
+        slopes = sorted(
+            ((b[1] - a[1]) / (b[0] - a[0]), a[0], b[0])
+            for i, a in enumerate(pts)
+            for b in pts[i + 1:]
+        )
+        k = (len(slopes) + 1) // 2
+        want = round(slopes[k - 1][0], 9)
+        assert got[c][0] == len(slopes)
+        assert got[c][1] == _pt.approx(want, abs=1e-12), (c,)
+    assert got[1][1] == 2.0   # outlier shrugged off
+    assert got[2][1] == 0.0
+    assert got[3][1] == 2.0

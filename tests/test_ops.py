@@ -1708,3 +1708,45 @@ def test_typo_pairs_matches_brute_force(spark):
     # haleo only pairs with hallo (one substitution), never hello
     assert not any("helol" in p for p in got)
     assert ("haleo", "hello") not in got and ("hello", "haleo") not in got
+
+
+def test_trimmed_mean_and_quartiles_match_numpy(spark):
+    """trimmed_mean / quartiles_exact vs python replays with ties,
+    tiny groups (k=0), and a group where trimming changes the mean."""
+    import math
+    import random as _r
+
+    from oshdb_spark.ops.stats import quartiles_exact, trimmed_mean
+
+    _r.seed(11)
+    rows = [("a", v) for v in range(1, 21)]          # 1..20
+    rows += [("b", 5)] * 9 + [("b", 1000)]           # outlier group
+    rows += [("c", 7), ("c", 9)]                     # n=2, k=0
+    rows += [("d", _r.randint(-50, 50)) for _ in range(37)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    gt = {r.g: r for r in trimmed_mean(df, "g", "v", 1, 10).collect()}
+    gq = {r.g: r for r in quartiles_exact(df, "g", "v").collect()}
+    import collections
+
+    groups = collections.defaultdict(list)
+    for g, v in rows:
+        groups[g].append(v)
+    for g, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        k = n // 10
+        kept = vs[k:n - k]
+        assert gt[g].n == n and gt[g].kept_n == len(kept)
+        assert math.isclose(
+            gt[g].trimmed_mean, round(sum(kept) / len(kept), 6),
+            abs_tol=1e-9,
+        ), g
+        picks = []
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            picks.append(
+                next(v for i, v in enumerate(vs, 1)
+                     if i * den >= n * num)
+            )
+        assert (gq[g].q1, gq[g].q2, gq[g].q3) == tuple(picks), g
+    # the outlier group: trimming kills the 1000
+    assert gt["b"].trimmed_mean == 5.0
