@@ -5542,6 +5542,66 @@ def q_quartiles_price(spark, sf_dir):
     return quartiles_exact(li, "l_returnflag", "price_c")
 
 
+
+
+def q_quadkey_counts(spark, sf_dir):
+    """Quadkey tile binning (geo/cells.quadkey_col — the Bing-maps
+    interchange digit order over the engine's equirect XYGrid): zoom-6
+    tile quadkey per event point, pure integer codegen, per-tile
+    counts; a parent's key prefixes every descendant's."""
+    from oshdb_spark.geo import cells as _c
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.select(_c.quadkey_col("lon", "lat", 6).alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+    )
+
+
+def q_hex_smooth(spark, sf_dir):
+    """Hex k-ring smoothing (geo/cells.hex_smooth): the zoom-appropri-
+    ate hexbin raster of event points smoothed over each hex's 6
+    equidistant neighbors + itself — focal_stats' hexagonal twin,
+    sparse no-data semantics, exact integer sums."""
+    from oshdb_spark.geo import cells as _c
+
+    pts = _event_points(spark, sf_dir)
+    hx, hy = _c.hexbin_cols("lon", "lat", 200_000_000)
+    hb = pts.select(hx, hy).groupBy("hx", "hy").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _c.hex_smooth(hb, 200_000_000)
+
+
+def q_span_profile(spark, sf_dir):
+    """Interleaved span-sequence profile of the synthesized doc corpus
+    (model/history.docs_from_events — the input_hint table shape): per
+    span kind, doc/span/media_ref counts plus the dense-offset
+    integrity bit (every span's stored offset equals its array
+    position — the per-row span-sequence contract as an audited
+    aggregate). The oracle derives the expected counts from the raw
+    events via the dedup rule (first event per (user, second)) without
+    replaying the JSON payloads."""
+    from oshdb_spark.model.history import docs_from_events
+
+    docs = docs_from_events(_t(spark, sf_dir, "events"))
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    )
+    return (
+        ex.groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("s.media_ref") != "", 1).otherwise(0)
+            ).alias("n_media_refs"),
+            F.min(F.col("s.offset") == F.col("pos")).alias("dense_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5640,6 +5700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_cells": q_theil_sen_cells,
         "trimmed_mean": q_trimmed_mean,
         "quartiles_price": q_quartiles_price,
+        "quadkey_counts": q_quadkey_counts,
+        "hex_smooth": q_hex_smooth,
+        "span_profile": q_span_profile,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6494,6 +6557,73 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "quadkey_counts": """
+            -- identical integer digit arithmetic, zoom 6
+            WITH pts AS (
+              SELECT (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events)
+            SELECT chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 32) % 2) + ((((lon7 + 1800000000) // 56250000) // 32) % 2) AS INTEGER)) || chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 16) % 2) + ((((lon7 + 1800000000) // 56250000) // 16) % 2) AS INTEGER)) || chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 8) % 2) + ((((lon7 + 1800000000) // 56250000) // 8) % 2) AS INTEGER)) || chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 4) % 2) + ((((lon7 + 1800000000) // 56250000) // 4) % 2) AS INTEGER)) || chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 2) % 2) + ((((lon7 + 1800000000) // 56250000) // 2) % 2) AS INTEGER)) || chr(CAST(48 + 2 * (((31 - (CASE WHEN ((lat7 + 900000000) // 56250000) > 31 THEN 31 ELSE ((lat7 + 900000000) // 56250000) END)) // 1) % 2) + ((((lon7 + 1800000000) // 56250000) // 1) % 2) AS INTEGER)) AS quadkey,
+                   CAST(count(*) AS BIGINT) AS n_pts
+            FROM pts GROUP BY 1
+        """,
+        "hex_smooth": """
+            -- hexbin (w=200000000, h=173205080) + 7-offset focal replay
+            WITH pts AS (
+              SELECT (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events),
+            hb AS (
+              SELECT hx, hy, CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+                SELECT
+                  (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))*((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))*((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000) ELSE (((lon7 + 1800000000) // 200000000) * 200000000 + 100000000) END)
+                    - 1800000000 AS hx,
+                  (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))*((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))*((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((lat7 + 900000000) + 86602540) // 173205080) * 173205080) ELSE (((lat7 + 900000000) // 173205080) * 173205080 + 86602540) END)
+                    - 900000000 AS hy
+                FROM pts)
+              GROUP BY 1, 2),
+            contrib AS (
+              SELECT hx + dx AS tx, hy + dy AS ty, cnt
+              FROM hb, (VALUES (0::BIGINT, 0::BIGINT),
+                               (200000000, 0), (-200000000, 0),
+                               (100000000, 86602540),
+                               (100000000, -86602540),
+                               (-100000000, 86602540),
+                               (-100000000, -86602540)) AS o(dx, dy)),
+            agg AS (
+              SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS focal_sum,
+                     CAST(count(*) AS BIGINT) AS focal_n
+              FROM contrib GROUP BY 1, 2)
+            SELECT hb.hx, hb.hy, hb.cnt, a.focal_sum, a.focal_n,
+                   round(CAST(a.focal_sum AS DOUBLE)
+                         / CAST(a.focal_n AS DOUBLE), 6) AS focal_mean
+            FROM hb JOIN agg a ON a.tx = hb.hx AND a.ty = hb.hy
+        """,
+        "span_profile": """
+            -- expected span layout from raw events: one node doc per
+            -- user = [meta] + versions(newest-first) + [media]; the
+            -- version count follows the dedup rule (first event per
+            -- (user, second)); offsets are dense by construction
+            WITH ver AS (
+              SELECT user_id,
+                     count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))
+                       AS nv
+              FROM events GROUP BY 1),
+            u AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                         CAST(sum(nv) AS BIGINT) AS sv FROM ver)
+            SELECT 'meta' AS kind, nu AS n_docs, nu AS n_spans,
+                   CAST(0 AS BIGINT) AS n_media_refs, TRUE AS dense_ok
+            FROM u
+            UNION ALL
+            SELECT 'version', nu, sv, CAST(0 AS BIGINT), TRUE FROM u
+            UNION ALL
+            SELECT 'media', nu, nu, nu, TRUE FROM u
         """,
         "geary_events": _FOCAL_CTE + """,
             agg2 AS (

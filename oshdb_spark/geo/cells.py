@@ -1775,3 +1775,97 @@ def theil_sen_trend(df, cell_col: str = "cell", t_col: str = "wk",
         F.max("_n").alias("n_pairs"),
         F.round(F.min("_s"), 9).alias("ts_slope"),
     )
+
+
+def quadkey_col(lon7_col, lat7_col, zoom: int = 8):
+    """Quadkey tile id (the Bing-maps interchange encoding) over the
+    engine's equirect XYGrid tiling, as ONE pure-codegen string
+    expression: digit k (west→east msb-first) is 2·bit_k(y) + bit_k(x)
+    of the zoom-level tile indices — integer arithmetic only (the grid
+    is equirect, so no Mercator ln/tan enters; this keeps the digits
+    bit-reproducible across engines). A parent tile's quadkey is a
+    string PREFIX of every descendant's — the same pruning property
+    the Hilbert tokens exploit, in the industry-standard digit order.
+
+    x = zoom-level column (0..2^z−1 west→east), y = ROW FROM NORTH
+    (Bing convention: 0 at the top), derived from the same fixed-point
+    floor divisions as xy_id. zoom ≤ 15 keeps every shift in int64."""
+    import pyspark.sql.functions as F
+
+    zoom = _clamp_zoom(zoom)
+    w = 3_600_000_000 >> zoom
+    x = f"((CAST({lon7_col} AS BIGINT) + 1800000000) div {w})"
+    # clamp lat=+90 into the top row, mirror to row-from-north
+    yy = f"((CAST({lat7_col} AS BIGINT) + 900000000) div {w})"
+    y_max = (1 << zoom) // 2 - 1
+    y = (
+        f"({y_max} - (CASE WHEN {yy} > {y_max} THEN {y_max} "
+        f"ELSE {yy} END))"
+    )
+    digits = []
+    for k in range(zoom - 1, -1, -1):
+        d = (
+            f"(2 * (({y} div {1 << k}) % 2)"
+            f" + (({x} div {1 << k}) % 2))"
+        )
+        digits.append(f"chr(CAST(48 + {d} AS INT))")
+    return F.expr("concat(" + ", ".join(digits) + ")")
+
+
+def hex_smooth(df, width7: int = 100_000_000,
+               height7: int | None = None,
+               hx_col: str = "hx", hy_col: str = "hy",
+               value_col: str = "cnt"):
+    """Hex-neighborhood (k-ring 1) focal smoothing over a sparse
+    hexbin raster — focal_stats' hexagonal twin (6 equidistant
+    neighbors, no corner bias). Input: one row per PRESENT hex center
+    (hexbin_cols output). Each hex contributes its value to itself and
+    its 6 neighbors — centers at (±w, 0) on the own lattice and
+    (±w/2, ±h/2) on the other — via a 7-element literal explode
+    (codegen), ONE shuffle aggregates by target, and a final join
+    restricts to present hexes (sparse no-data semantics). All
+    arithmetic exact integers; only focal_mean divides (round 6)."""
+    import pyspark.sql.functions as F
+
+    w = int(width7)
+    h = int(height7) if height7 is not None else int(0.8660254 * w)
+    if w % 2 or h % 2:
+        raise ValueError("hexbin lattice constants must be even")
+    offs = [(0, 0), (w, 0), (-w, 0),
+            (w // 2, h // 2), (w // 2, -h // 2),
+            (-w // 2, h // 2), (-w // 2, -h // 2)]
+    src = df.select(
+        F.col(hx_col).alias("_hx"), F.col(hy_col).alias("_hy"),
+        F.col(value_col).alias("_v"),
+    )
+    off = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('dx', {dx}L, 'dy', {dy}L)" for dx, dy in offs
+        )
+        + "))"
+    )
+    contrib = src.select(
+        "_v", off.alias("_o"),
+        F.col("_hx").alias("_sx"), F.col("_hy").alias("_sy"),
+    ).select(
+        (F.col("_sx") + F.col("_o.dx")).alias("_tx"),
+        (F.col("_sy") + F.col("_o.dy")).alias("_ty"),
+        "_v",
+    )
+    agg = contrib.groupBy("_tx", "_ty").agg(
+        F.sum("_v").alias("focal_sum"),
+        F.count(F.lit(1)).alias("focal_n"),
+    )
+    return src.join(
+        agg, (src["_hx"] == agg["_tx"]) & (src["_hy"] == agg["_ty"])
+    ).select(
+        F.col("_hx").alias(hx_col),
+        F.col("_hy").alias(hy_col),
+        F.col("_v").alias(value_col),
+        "focal_sum",
+        "focal_n",
+        F.round(
+            F.col("focal_sum") / F.col("focal_n"), 6
+        ).alias("focal_mean"),
+    )

@@ -1756,3 +1756,79 @@ def test_theil_sen_matches_sorted_replay(spark):
     assert got[1][1] == 2.0   # outlier shrugged off
     assert got[2][1] == 0.0
     assert got[3][1] == 2.0
+
+
+def test_quadkey_matches_bit_interleave_reference(spark):
+    """quadkey_col vs a python bit-interleave reference, incl. the
+    classic prefix-hierarchy property and lat-clamp at +90."""
+    import random as _r
+
+    from oshdb_spark.geo.cells import quadkey_col
+
+    def ref(lon7, lat7, zoom):
+        w = 3_600_000_000 >> zoom
+        x = (lon7 + 1_800_000_000) // w
+        y_max = (1 << zoom) // 2 - 1
+        yy = min((lat7 + 900_000_000) // w, y_max)
+        y = y_max - yy
+        return "".join(
+            str(2 * ((y >> k) & 1) + ((x >> k) & 1))
+            for k in range(zoom - 1, -1, -1)
+        )
+
+    _r.seed(2)
+    pts = [
+        (i, _r.randint(-1_800_000_000, 1_799_999_999),
+         _r.randint(-900_000_000, 900_000_000))
+        for i in range(300)
+    ]
+    pts += [(900, -1_800_000_000, 900_000_000),   # NW corner, clamped
+            (901, 1_799_999_999, -900_000_000),   # SE corner
+            (902, 0, 0)]
+    df = spark.createDataFrame(pts, "i long, lon7 long, lat7 long")
+    for zoom in (1, 6, 8):
+        got = {
+            r.i: r.q
+            for r in df.select(
+                "i", quadkey_col("lon7", "lat7", zoom).alias("q")
+            ).collect()
+        }
+        for i, lon, lat in pts:
+            assert got[i] == ref(lon, lat, zoom), (zoom, i, lon, lat)
+    # prefix hierarchy: zoom-6 key prefixes the zoom-8 key
+    g6 = {r.i: r.q for r in df.select(
+        "i", quadkey_col("lon7", "lat7", 6).alias("q")).collect()}
+    g8 = {r.i: r.q for r in df.select(
+        "i", quadkey_col("lon7", "lat7", 8).alias("q")).collect()}
+    assert all(g8[i].startswith(g6[i]) for i, _, _ in pts)
+
+
+def test_hex_smooth_matches_neighbor_replay(spark):
+    """hex_smooth vs a python 7-offset replay on a hand raster with
+    missing neighbors (sparse semantics)."""
+    from oshdb_spark.geo.cells import hex_smooth
+
+    w, h = 200_000_000, 173205080
+    raster = {
+        (0, 0): 10,
+        (w, 0): 2,                 # east neighbor
+        (w // 2, h // 2): 4,       # NE (other lattice)
+        (-w // 2, -h // 2): 1,     # SW
+        (3 * w, 0): 7,             # isolated
+    }
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in raster.items()],
+        "hx long, hy long, cnt long",
+    )
+    got = {
+        (r.hx, r.hy): (r.focal_sum, r.focal_n, r.focal_mean)
+        for r in hex_smooth(df, w).collect()
+    }
+    offs = [(0, 0), (w, 0), (-w, 0), (w // 2, h // 2),
+            (w // 2, -h // 2), (-w // 2, h // 2), (-w // 2, -h // 2)]
+    for (x, y), _v in raster.items():
+        nb = [raster[(x + dx, y + dy)] for dx, dy in offs
+              if (x + dx, y + dy) in raster]
+        want = (sum(nb), len(nb), round(sum(nb) / len(nb), 6))
+        assert got[(x, y)] == want, ((x, y), got[(x, y)], want)
+    assert got[(3 * w, 0)] == (7, 1, 7.0)
