@@ -5602,6 +5602,177 @@ def q_span_profile(spark, sf_dir):
     )
 
 
+
+
+def q_diversity_profile(spark, sf_dir):
+    """Per-user categorical diversity without logarithms (ops/stats.
+    diversity_profile): Gini-Simpson impurity + inverse-Simpson
+    effective category count over event types — exact-rational until
+    one final division each."""
+    from oshdb_spark.ops.stats import diversity_profile
+
+    d = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return diversity_profile(d, "user_id", "event_type")
+
+
+def q_track_waypoints(spark, sf_dir):
+    """Path-length quartile waypoints (geo/trajectory.track_waypoints,
+    ST_LineInterpolatePoint analog): where each clustered-walk track
+    stood at 25/50/75% of its total path length — integer-mm
+    cumulative sums, exactly one bracketing segment per fraction, one
+    float interpolation."""
+    from oshdb_spark.geo.trajectory import track_waypoints
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return track_waypoints(pts)
+
+
+def q_od_anomalies(spark, sf_dir):
+    """Origin-destination flow anomalies against the independence
+    (gravity-numerator) model: per (from_cell, to_cell) hop flow at
+    zoom 4, lift = obs·T/(O_from·D_to) — flows far above 1 are
+    corridor anomalies. Exact integer marginals from the SAME hop set;
+    one rounded division. Flows below 3 observations are dropped
+    (deterministic threshold)."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.geo import cells as _c
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = (
+        ev.withColumn(
+            "lon7",
+            F.pmod(F.col("event_id") * F.lit(1103515245),
+                   F.lit(3_600_000_000)) - 1_800_000_000,
+        )
+        .withColumn(
+            "lat7",
+            F.pmod(F.col("event_id") * F.lit(1234567891),
+                   F.lit(1_700_000_000)) - 850_000_000,
+        )
+        .withColumn("cell", _c.xy_id_col("lon7", "lat7", 4))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        pts.withColumn("pcell", F.lag("cell").over(w))
+        .filter(F.col("pcell").isNotNull())
+        .select(F.col("pcell").alias("from_cell"),
+                F.col("cell").alias("to_cell"))
+    )
+    od = hops.groupBy("from_cell", "to_cell").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    o = od.groupBy("from_cell").agg(F.sum("obs").alias("o_i"))
+    dd = od.groupBy("to_cell").agg(F.sum("obs").alias("d_j"))
+    t = od.agg(F.sum("obs").alias("t_all"))
+    return (
+        od.join(o, "from_cell")
+        .join(dd, "to_cell")
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("obs") >= 3)
+        .select(
+            "from_cell", "to_cell", "obs", "o_i", "d_j",
+            F.round(
+                (F.col("obs") * F.col("t_all")).cast("double")
+                / (F.col("o_i") * F.col("d_j")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_tile_changes(spark, sf_dir):
+    """Per-tile change detection between two snapshot instants (the
+    ohsome 'how did this area change' analytic): visible node counts
+    at 2024-01-08 vs 2024-01-29 per zoom-6 cell from the SAME
+    validity-window model every snapshot query uses; full-outer join,
+    integer delta."""
+    from oshdb_spark.geo import cells as _c
+
+    t1, t2 = SNAPSHOT_TS[1], SNAPSHOT_TS[4]
+    v = versions_from_events(_t(spark, sf_dir, "events")).filter(
+        "visible"
+    ).withColumn("cell", _c.xy_id_col("lon", "lat", 6))
+
+    def alive(t):
+        return v.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+
+    c1 = alive(t1).groupBy("cell").agg(F.count(F.lit(1)).alias("_n1"))
+    c2 = alive(t2).groupBy("cell").agg(F.count(F.lit(1)).alias("_n2"))
+    return (
+        c1.join(c2, "cell", "full")
+        .select(
+            "cell",
+            F.coalesce("_n1", F.lit(0)).alias("n_t1"),
+            F.coalesce("_n2", F.lit(0)).alias("n_t2"),
+            (F.coalesce("_n2", F.lit(0))
+             - F.coalesce("_n1", F.lit(0))).alias("delta"),
+        )
+    )
+
+
+
+
+def q_calibration(spark, sf_dir):
+    """Classifier calibration/reliability table (ops/stats.
+    calibration_bins): a synthetic roughly-calibrated scorer over
+    documents (score = hash per-myriad; label = integer threshold test
+    correlated with it), decile bins, exact counts, per-bin
+    confidence-accuracy gap."""
+    from oshdb_spark.ops.stats import calibration_bins
+
+    sc = F.pmod(F.col("doc_id") * 1103515245, F.lit(10001))
+    lbl = (
+        F.pmod(F.col("doc_id") * 7919, F.lit(10000)) * 10
+        < sc * 8 + 10000
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        (sc.cast("double") / 10000.0).alias("score"),
+        lbl.alias("label"),
+    )
+    return calibration_bins(d, "score", "label", 10)
+
+
+def q_rank_normalize(spark, sf_dir):
+    """Percentile-rank normalization (ops/stats.rank_normalize) of
+    document length within each source — doubled average ranks keep
+    ties exact; one division per row."""
+    from oshdb_spark.ops.stats import rank_normalize
+
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return rank_normalize(d, "source", "n_chars")
+
+
+def q_rolling_dau(spark, sf_dir):
+    """Rolling DAU/WAU/MAU + stickiness (ops/timeseries.
+    rolling_active_users): distinct user-days fan out to trailing
+    windows, one aggregate of filtered distinct counts per day."""
+    from oshdb_spark.ops.timeseries import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    return rolling_active_users(ev)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5703,6 +5874,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_counts": q_quadkey_counts,
         "hex_smooth": q_hex_smooth,
         "span_profile": q_span_profile,
+        "diversity_profile": q_diversity_profile,
+        "track_waypoints": q_track_waypoints,
+        "od_anomalies": q_od_anomalies,
+        "tile_changes": q_tile_changes,
+        "calibration": q_calibration,
+        "rank_normalize": q_rank_normalize,
+        "rolling_dau": q_rolling_dau,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6557,6 +6735,206 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "calibration": """
+            -- decile-bin reliability replay: identical integer bins
+            WITH d AS (
+              SELECT (doc_id * 1103515245) % 10001 AS sc,
+                     CASE WHEN ((doc_id * 7919) % 10000) * 10
+                               < ((doc_id * 1103515245) % 10001) * 8
+                                 + 10000
+                          THEN 1 ELSE 0 END AS y
+              FROM documents),
+            b AS (
+              SELECT CASE WHEN sc // 1000 > 9 THEN 9
+                          ELSE sc // 1000 END AS bin, sc, y
+              FROM d)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(sc) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 10000.0), 6)
+                     AS mean_score,
+                   round(CAST(sum(y) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+                   round(abs(CAST(sum(sc) AS DOUBLE)
+                             / (CAST(count(*) AS DOUBLE) * 10000.0)
+                             - CAST(sum(y) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)), 6) AS gap
+            FROM b GROUP BY 1
+        """,
+        "rank_normalize": """
+            -- doubled-average-rank replay, identical division
+            WITH d AS (
+              SELECT source AS g, n_chars AS v FROM documents),
+            r AS (
+              SELECT g, v,
+                     2 * rank() OVER (PARTITION BY g ORDER BY v)
+                       + count(*) OVER (PARTITION BY g, v) - 1 AS r2,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM d)
+            SELECT g AS source, v AS n_chars,
+                   round(CAST(r2 AS DOUBLE)
+                         / (2.0 * CAST(n + 1 AS DOUBLE)), 6) AS pct
+            FROM r
+        """,
+        "rolling_dau": """
+            -- trailing-window fan-out + filtered distinct counts
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+              FROM events),
+            span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+            contrib AS (
+              SELECT u, d AS src,
+                     unnest(generate_series(d, d + 27)) AS day
+              FROM ud),
+            agg AS (
+              SELECT day,
+                     CAST(count(DISTINCT u)
+                          FILTER (day - src < 1) AS BIGINT) AS dau,
+                     CAST(count(DISTINCT u)
+                          FILTER (day - src < 7) AS BIGINT) AS wau,
+                     CAST(count(DISTINCT u)
+                          FILTER (day - src < 28) AS BIGINT) AS mau
+              FROM contrib GROUP BY 1)
+            SELECT day, dau, wau, mau,
+                   CASE WHEN wau > 0 THEN
+                     round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE),
+                           6) END AS stickiness
+            FROM agg, span WHERE day BETWEEN d0 AND d1
+        """,
+        "diversity_profile": """
+            -- Gini-Simpson replay: exact integer moments, identical
+            -- division association
+            WITH pc AS (
+              SELECT user_id AS e, event_type AS c,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            a AS (
+              SELECT e, CAST(sum(n) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n*n) AS BIGINT) AS s2
+              FROM pc GROUP BY 1)
+            SELECT e AS user_id, tot AS n, k AS n_categories,
+                   round(1.0 - CAST(s2 AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)),
+                         6) AS gini,
+                   round(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+                         / CAST(s2 AS DOUBLE), 6) AS inv_simpson
+            FROM a
+        """,
+        "track_waypoints": """
+            -- waypoint replay: identical mm segment quantization,
+            -- integer bracketing, one float interpolation
+            WITH pts AS (
+              SELECT user_id AS entity, event_id AS o,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + (event_id*1103515245) % 60000001
+                       - 30000000 AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + (event_id*1234567891) % 60000001
+                       - 30000000 AS lat7
+              FROM events),
+            s AS (
+              SELECT entity, o, lon7, lat7,
+                     lag(lon7) OVER w AS plon,
+                     lag(lat7) OVER w AS plat
+              FROM pts
+              WINDOW w AS (PARTITION BY entity ORDER BY o)),
+            m AS (
+              SELECT *,
+                     CAST(round(6371000.0 * sqrt(
+                       radians(lat7*1e-7 - plat*1e-7)
+                         * radians(lat7*1e-7 - plat*1e-7)
+                       + (radians(lon7*1e-7 - plon*1e-7)
+                          * cos(radians((plat*1e-7 + lat7*1e-7)
+                                        / 2.0)))
+                         * (radians(lon7*1e-7 - plon*1e-7)
+                            * cos(radians((plat*1e-7 + lat7*1e-7)
+                                          / 2.0)))
+                     ) * 1000.0, 0) AS BIGINT) AS seg
+              FROM s WHERE plon IS NOT NULL),
+            c AS (
+              SELECT *,
+                     CAST(sum(seg) OVER (PARTITION BY entity ORDER BY o
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(sum(seg) OVER (PARTITION BY entity)
+                       AS BIGINT) AS tot
+              FROM m),
+            e AS (
+              SELECT c.*, k.k, (tot * k.k) // 4 AS tk
+              FROM c, (VALUES (1), (2), (3)) k(k)),
+            hit AS (
+              SELECT * FROM e
+              WHERE cum - seg < tk AND tk <= cum)
+            SELECT entity, k, tk AS target_mm,
+                   CAST(round(plon
+                     + (CAST(tk - (cum - seg) AS DOUBLE)
+                        / CAST(seg AS DOUBLE)) * (lon7 - plon), 0)
+                     AS BIGINT) AS lon7,
+                   CAST(round(plat
+                     + (CAST(tk - (cum - seg) AS DOUBLE)
+                        / CAST(seg AS DOUBLE)) * (lat7 - plat), 0)
+                     AS BIGINT) AS lat7
+            FROM hit
+        """,
+        "od_anomalies": """
+            -- independence-model lift replay over the same hop set
+            WITH pts AS (
+              SELECT user_id, event_id,
+                     (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events),
+            cp AS (
+              SELECT user_id, event_id,
+                     ((lat7 + 900000000) // 225000000) * 16 + ((lon7 + 1800000000) // 225000000) AS cell
+              FROM pts),
+            hops AS (
+              SELECT lag(cell) OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS from_cell,
+                     cell AS to_cell
+              FROM cp),
+            od AS (
+              SELECT from_cell, to_cell,
+                     CAST(count(*) AS BIGINT) AS obs
+              FROM hops WHERE from_cell IS NOT NULL
+              GROUP BY 1, 2),
+            o AS (SELECT from_cell, CAST(sum(obs) AS BIGINT) AS o_i
+                  FROM od GROUP BY 1),
+            d AS (SELECT to_cell, CAST(sum(obs) AS BIGINT) AS d_j
+                  FROM od GROUP BY 1),
+            t AS (SELECT CAST(sum(obs) AS BIGINT) AS t_all FROM od)
+            SELECT od.from_cell, od.to_cell, od.obs, o.o_i, d.d_j,
+                   round(CAST(od.obs * t.t_all AS DOUBLE)
+                         / CAST(o.o_i * d.d_j AS DOUBLE), 6) AS lift
+            FROM od JOIN o USING (from_cell)
+                    JOIN d USING (to_cell), t
+            WHERE od.obs >= 3
+        """,
+        "tile_changes": _HIST + """,
+            gcell AS (
+              SELECT *, ((lat7 + 900000000) // 56250000) * 64 + ((lon7 + 1800000000) // 56250000) AS cell
+              FROM geo WHERE visible),
+            a1 AS (
+              SELECT cell, CAST(count(*) AS BIGINT) AS n1
+              FROM gcell
+              WHERE valid_from <= 1704672000
+                AND (valid_to IS NULL OR valid_to > 1704672000)
+              GROUP BY 1),
+            a2 AS (
+              SELECT cell, CAST(count(*) AS BIGINT) AS n2
+              FROM gcell
+              WHERE valid_from <= 1706486400
+                AND (valid_to IS NULL OR valid_to > 1706486400)
+              GROUP BY 1)
+            SELECT coalesce(a1.cell, a2.cell) AS cell,
+                   coalesce(a1.n1, 0) AS n_t1,
+                   coalesce(a2.n2, 0) AS n_t2,
+                   coalesce(a2.n2, 0) - coalesce(a1.n1, 0) AS delta
+            FROM a1 FULL OUTER JOIN a2 ON a1.cell = a2.cell
         """,
         "quadkey_counts": """
             -- identical integer digit arithmetic, zoom 6

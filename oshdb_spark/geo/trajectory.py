@@ -590,3 +590,95 @@ def simplify_dp(
         )
 
     return sel.groupBy("_ent").applyInPandas(kernel, schema)
+
+
+def track_waypoints(
+    points: DataFrame,
+    fractions=(1, 2, 3),
+    denom: int = 4,
+    entity_col: str = "entity",
+    order_col: str = "ord_key",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+) -> DataFrame:
+    """Points along each track at path-length fractions (quartiles by
+    default) — the 'where was the vehicle halfway through its run'
+    primitive (ST_LineInterpolatePoint over the fix sequence).
+
+    Determinism: segment lengths quantize to integer mm with the SAME
+    equirectangular formula the length ops use, cumulative sums are
+    exact BIGINT, the target t_k = (total·k) div denom is integer, and
+    the bracketing test prev < t ≤ cum is pure integer — exactly ONE
+    segment matches per fraction (zero-length segments can never
+    bracket; all-stationary tracks emit nothing). Only the final
+    within-segment interpolation is float (coordinates rounded to
+    int).
+
+    Plan: two windows over ONE per-entity sort + a 3-element literal
+    explode + one filter — no join, no kernel. Returns
+    (entity, k, target_mm, lon7, lat7)."""
+    from pyspark.sql import Window
+
+    sel = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).alias("_ord"),
+        F.col(lon7_col).alias("_lon"),
+        F.col(lat7_col).alias("_lat"),
+    )
+    w = Window.partitionBy("entity").orderBy("_ord")
+    lod = F.col("_lon") * 1e-7
+    lad = F.col("_lat") * 1e-7
+    plod = F.lag("_lon").over(w) * 1e-7
+    plad = F.lag("_lat").over(w) * 1e-7
+    dla = F.radians(lad - plad)
+    dln = F.radians(lod - plod) * F.cos(F.radians((plad + lad) / 2.0))
+    seg_mm = F.round(
+        F.lit(6371000.0) * F.sqrt(dla * dla + dln * dln) * 1000.0, 0
+    ).cast("long")
+    d = (
+        sel.withColumn("_plon", F.lag("_lon").over(w))
+        .withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_seg", seg_mm)
+        .filter(F.col("_seg").isNotNull())
+        .withColumn(
+            "_cum",
+            F.sum("_seg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "_tot",
+            F.sum("_seg").over(
+                Window.partitionBy("entity").rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing,
+                )
+            ),
+        )
+    )
+    ks = F.explode(
+        F.array(*[F.lit(int(k)) for k in fractions])
+    ).alias("k")
+    e = d.select("*", ks).withColumn(
+        "_tk",
+        F.expr(f"(_tot * k) div {int(denom)}"),
+    )
+    hit = e.filter(
+        (F.col("_cum") - F.col("_seg") < F.col("_tk"))
+        & (F.col("_tk") <= F.col("_cum"))
+    )
+    frac = (
+        (F.col("_tk") - (F.col("_cum") - F.col("_seg"))).cast("double")
+        / F.col("_seg").cast("double")
+    )
+    return hit.select(
+        "entity",
+        "k",
+        F.col("_tk").alias("target_mm"),
+        F.round(
+            F.col("_plon") + frac * (F.col("_lon") - F.col("_plon")), 0
+        ).cast("long").alias("lon7"),
+        F.round(
+            F.col("_plat") + frac * (F.col("_lat") - F.col("_plat")), 0
+        ).cast("long").alias("lat7"),
+    )

@@ -474,3 +474,128 @@ def quartiles_exact(
     return d.groupBy(F.col("_g").alias(group_col)).agg(
         F.max("_n").alias("n"), *picks
     )
+
+
+def diversity_profile(
+    df,
+    entity_col: str,
+    category_col: str,
+):
+    """Per-entity categorical diversity WITHOUT logarithms: Gini–
+    Simpson impurity 1 − Σpᵢ² and the inverse-Simpson effective
+    category count n²/Σnᵢ² — the diversity metrics that stay exact-
+    rational (entropy's ln is not correctly rounded everywhere; these
+    are one division of exact integers each, the engine's standard
+    cross-engine float contract).
+
+    Plan: two nested partial+final aggregates ((entity, category) →
+    entity), both map-side combinable. Returns
+    (entity, n, n_categories, gini, inv_simpson)."""
+    from pyspark.sql import functions as F
+
+    per_cat = df.groupBy(
+        F.col(entity_col).alias("_e"), F.col(category_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    agg = per_cat.groupBy("_e").agg(
+        F.sum("_n").alias("_tot"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    n_d = F.col("_tot").cast("double")
+    s2_d = F.col("_s2").cast("double")
+    return agg.select(
+        F.col("_e").alias(entity_col),
+        F.col("_tot").alias("n"),
+        F.col("_k").alias("n_categories"),
+        F.round(F.lit(1.0) - s2_d / (n_d * n_d), 6).alias("gini"),
+        F.round(n_d * n_d / s2_d, 6).alias("inv_simpson"),
+    )
+
+
+def calibration_bins(
+    df,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+):
+    """Classifier reliability/calibration table — the ML-ops readout
+    behind every calibration curve: bucket predictions into equal-width
+    score bins and report count, mean predicted score, and observed
+    positive rate per bin (plus each bin's |confidence − accuracy| gap,
+    whose weighted sum is ECE).
+
+    Exactness: scores quantize to integer per-myriad (1e-4) units, the
+    bin index is an integer floor division (score 1.0 clamps into the
+    top bin), sums are exact, and the three closing divisions are
+    round(6) with fixed association. Plan: one partial+final
+    aggregate. Returns (bin, n, mean_score, pos_rate, gap)."""
+    from pyspark.sql import functions as F
+
+    width = 10000 // int(n_bins)
+    sc = F.round(F.col(score_col) * 10000.0, 0).cast("long")
+    # non-negative integer division (double-div + trunc == floor here;
+    # quotients this size are exact doubles)
+    b = F.least(
+        (sc / F.lit(width)).cast("long"), F.lit(int(n_bins) - 1)
+    )
+    d = df.select(
+        b.alias("bin"),
+        sc.alias("_s"),
+        F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
+    )
+    agg = d.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_y").alias("_sy"),
+    )
+    ms = F.col("_ss").cast("double") / (
+        F.col("n").cast("double") * F.lit(10000.0)
+    )
+    pr = F.col("_sy").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        F.round(ms, 6).alias("mean_score"),
+        F.round(pr, 6).alias("pos_rate"),
+        F.round(F.abs(ms - pr), 6).alias("gap"),
+    )
+
+
+def rank_normalize(
+    df,
+    group_col: str,
+    value_col: str,
+):
+    """Percentile-rank normalization per group — the score-mixing
+    transform data-curation pipelines use to put heterogeneous quality
+    signals on one scale: pct = avg_rank / (n+1) ∈ (0, 1), with
+    average ranks for ties (doubled-rank trick, so every term before
+    the one division is an exact integer: 2·avg_rank = 2·rank + ties
+    − 1, pct = that / (2·(n+1))).
+
+    Plan: one rank window + one tie-count window over the same group
+    sort + a count window — no joins. Returns the input keyed rows
+    with (group, value, pct) rounded 6."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wr = Window.partitionBy("_g").orderBy("_v")
+    wt = Window.partitionBy("_g", "_v")
+    wn = Window.partitionBy("_g")
+    d = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .withColumn("_r2", 2 * F.rank().over(wr)
+                    + F.count(F.lit(1)).over(wt) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    return d.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        F.round(
+            F.col("_r2").cast("double")
+            / (F.lit(2.0) * (F.col("_n") + F.lit(1)).cast("double")),
+            6,
+        ).alias("pct"),
+    )

@@ -779,3 +779,67 @@ def hampel_outliers(
         "entity", "sec", "seq",
         F.col("_c").alias("value_c"), "med_c", "mad_c",
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    windows=(1, 7, 28),
+    entity_col: str = "user_id",
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Rolling distinct-active-user counts per day — DAU/WAU/MAU and
+    the DAU/WAU stickiness ratio, the growth-analytics staple that a
+    naive window can't express (COUNT(DISTINCT) OVER a range frame is
+    unsupported in both engines).
+
+    Shape: collapse to distinct (user, day) once, then each user-day
+    fans out to the max(windows) trailing days it keeps the user
+    active in (literal sequence explode, bounded fan-out), and ONE
+    aggregate per day computes all three filtered distinct counts
+    (Catalyst Expand — still a single shuffle). Only days within the
+    observed span are reported; counts are exact, stickiness is one
+    rounded division. Returns (day, dau, wau, mau, stickiness)."""
+    w1, w7, w28 = windows
+    wmax = max(windows)
+    day = F.floor(F.col(sec_col) / 86400).cast("long")
+    ud = (
+        events.select(F.col(entity_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    span = ud.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    contrib = ud.select(
+        "_u",
+        F.col("_d").alias("_src"),
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + F.lit(wmax - 1))
+        ).alias("_day"),
+    )
+    diff = F.col("_day") - F.col("_src")
+
+    def cd(w):
+        return F.countDistinct(F.when(diff < w, F.col("_u")))
+
+    agg = contrib.groupBy("_day").agg(
+        cd(w1).alias("dau"), cd(w7).alias("wau"), cd(w28).alias("mau")
+    )
+    return (
+        agg.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("_day") >= F.col("_d0"))
+            & (F.col("_day") <= F.col("_d1"))
+        )
+        .select(
+            F.col("_day").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.when(
+                F.col("wau") > 0,
+                F.round(
+                    F.col("dau").cast("double")
+                    / F.col("wau").cast("double"),
+                    6,
+                ),
+            ).alias("stickiness"),
+        )
+    )

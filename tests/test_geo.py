@@ -1832,3 +1832,67 @@ def test_hex_smooth_matches_neighbor_replay(spark):
         want = (sum(nb), len(nb), round(sum(nb) / len(nb), 6))
         assert got[(x, y)] == want, ((x, y), got[(x, y)], want)
     assert got[(3 * w, 0)] == (7, 1, 7.0)
+
+
+def test_track_waypoints_brackets_and_interpolates(spark):
+    """track_waypoints vs a python replay of the same mm-quantized
+    fold: per entity exactly one row per fraction (moving tracks),
+    targets are exact integers, coordinates within rounding of the
+    replay; stationary tracks emit nothing."""
+    import math
+
+    from oshdb_spark.geo.trajectory import track_waypoints
+
+    tracks = {
+        1: [(0, 0), (10_000_000, 0), (20_000_000, 0), (40_000_000, 0)],
+        2: [(0, 0), (0, 5_000_000), (3_000_000, 9_000_000),
+            (-2_000_000, 15_000_000)],
+        3: [(5, 5), (5, 5), (5, 5)],          # stationary
+        4: [(0, 800_000_000), (10_000_000, 800_000_000)],  # high lat
+    }
+    rows = [
+        (e, i, p[0], p[1])
+        for e, pts in tracks.items()
+        for i, p in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    got = {}
+    for r in track_waypoints(df).collect():
+        got[(r.entity, r.k)] = (r.target_mm, r.lon7, r.lat7)
+
+    def seg_mm(p, q):
+        lad, plad = q[1] * 1e-7, p[1] * 1e-7
+        lod, plod = q[0] * 1e-7, p[0] * 1e-7
+        dla = math.radians(lad - plad)
+        dln = math.radians(lod - plod) * math.cos(
+            math.radians((plad + lad) / 2.0))
+        return int(round(6371000.0
+                         * math.sqrt(dla * dla + dln * dln) * 1000.0))
+
+    for e, pts in tracks.items():
+        segs = [seg_mm(pts[i - 1], pts[i]) for i in range(1, len(pts))]
+        tot = sum(segs)
+        if tot == 0:
+            assert not any(k[0] == e for k in got)
+            continue
+        for k in (1, 2, 3):
+            tk = tot * k // 4
+            cum = 0
+            for i, s in enumerate(segs):
+                if cum < tk <= cum + s:
+                    frac = (tk - cum) / s
+                    p, q = tracks[e][i], tracks[e][i + 1]
+                    wl = round(p[0] + frac * (q[0] - p[0]))
+                    wb = round(p[1] + frac * (q[1] - p[1]))
+                    gm, gl, gb = got[(e, k)]
+                    assert gm == tk
+                    assert abs(gl - wl) <= 2 and abs(gb - wb) <= 2, (
+                        e, k, (gl, gb), (wl, wb))
+                    break
+                cum += s
+            else:
+                assert (e, k) not in got
+    # the straight equator track: halfway point is at lon 0.1e7*2
+    assert got[(1, 2)][1] == 20_000_000 and got[(1, 2)][2] == 0

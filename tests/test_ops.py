@@ -1750,3 +1750,125 @@ def test_trimmed_mean_and_quartiles_match_numpy(spark):
         assert (gq[g].q1, gq[g].q2, gq[g].q3) == tuple(picks), g
     # the outlier group: trimming kills the 1000
     assert gt["b"].trimmed_mean == 5.0
+
+
+def test_diversity_profile_matches_replay(spark):
+    """diversity_profile vs exact-fraction replay incl. single-
+    category (gini 0, inv-Simpson 1) and uniform groups."""
+    import math
+
+    from oshdb_spark.ops.stats import diversity_profile
+
+    rows = (
+        [(1, "a")] * 5
+        + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]          # uniform 4
+        + [(3, "a")] * 8 + [(3, "b")] * 2
+        + [(4, "x")] * 3 + [(4, "y")] * 3 + [(4, "z")] * 6
+    )
+    df = spark.createDataFrame(rows, "e long, c string")
+    got = {r.e: r for r in diversity_profile(df, "e", "c").collect()}
+    import collections
+
+    byg = collections.defaultdict(collections.Counter)
+    for e, c in rows:
+        byg[e][c] += 1
+    for e, cnt in byg.items():
+        n = sum(cnt.values())
+        s2 = sum(v * v for v in cnt.values())
+        assert got[e].n == n and got[e].n_categories == len(cnt)
+        assert math.isclose(got[e].gini,
+                            round(1.0 - s2 / (n * n), 6), abs_tol=1e-9)
+        assert math.isclose(got[e].inv_simpson,
+                            round(n * n / s2, 6), abs_tol=1e-9)
+    assert got[1].gini == 0.0 and got[1].inv_simpson == 1.0
+    assert got[2].gini == 0.75 and got[2].inv_simpson == 4.0
+
+
+def test_calibration_bins_matches_replay(spark):
+    """calibration_bins vs a python binning replay incl. the score-1.0
+    clamp into the top bin."""
+    import math
+
+    rows = [
+        (0.05, False), (0.08, True), (0.15, False), (0.95, True),
+        (1.0, True), (0.999, False), (0.55, True), (0.55, False),
+        (0.999999, True), (0.0, False),
+    ] * 3
+    from oshdb_spark.ops.stats import calibration_bins
+
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r.bin: r for r in calibration_bins(df, "score", "label", 10).collect()}
+    import collections
+
+    acc = collections.defaultdict(list)
+    for s, y in rows:
+        sc = int(round(s * 10000))
+        b = min(sc // 1000, 9)
+        acc[b].append((sc, 1 if y else 0))
+    for b, vals in acc.items():
+        n = len(vals)
+        ms = round(sum(v[0] for v in vals) / (n * 10000.0), 6)
+        pr = round(sum(v[1] for v in vals) / n, 6)
+        assert got[b].n == n
+        assert math.isclose(got[b].mean_score, ms, abs_tol=1e-9)
+        assert math.isclose(got[b].pos_rate, pr, abs_tol=1e-9)
+        assert math.isclose(
+            got[b].gap,
+            round(abs(sum(v[0] for v in vals) / (n * 10000.0)
+                      - sum(v[1] for v in vals) / n), 6),
+            abs_tol=1e-9,
+        )
+    assert set(got) == set(acc)  # 1.0 landed in bin 9, no bin 10
+
+
+def test_rank_normalize_average_ranks(spark):
+    """rank_normalize: doubled average ranks on ties; bounds in
+    (0, 1); mean pct = 1/2 exactly for any group."""
+    import math
+
+    from oshdb_spark.ops.stats import rank_normalize
+
+    rows = [("a", v) for v in [10, 20, 20, 20, 30]]
+    rows += [("b", v) for v in [1, 2, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = rank_normalize(df, "g", "v").collect()
+    a = sorted(
+        [r.pct for r in got if r.g == "a"]
+    )
+    # ranks: 10→1, 20→avg(2,3,4)=3, 30→5 over n=5 → /(n+1)=6
+    assert a == [round(1 / 6, 6)] + [0.5] * 3 + [round(5 / 6, 6)]
+    b = sorted(r.pct for r in got if r.g == "b")
+    assert b == [0.2, 0.4, 0.6, 0.8]
+    for g in ("a", "b"):
+        ps = [r.pct for r in got if r.g == g]
+        assert math.isclose(sum(ps) / len(ps), 0.5, abs_tol=1e-6)
+
+
+def test_rolling_active_users_matches_replay(spark):
+    """rolling_active_users vs a python set replay incl. gap days
+    (present in output via the fan-out) and span clipping."""
+    rows = [
+        (1, 100), (2, 100), (1, 101), (3, 103), (1, 110),
+        (2, 110), (3, 110), (4, 130), (1, 131),
+    ]
+    from oshdb_spark.ops.timeseries import rolling_active_users
+
+    df = spark.createDataFrame(
+        [(u, d * 86400 + 5) for u, d in rows], "user_id long, sec long"
+    )
+    got = {r.day: (r.dau, r.wau, r.mau, r.stickiness)
+           for r in rolling_active_users(df).collect()}
+    days = {d for _, d in rows}
+    d0, d1 = min(days), max(days)
+    for day in range(d0, d1 + 1):
+        def active(w):
+            return len({u for u, d in rows if day - w < d <= day})
+        dau, wau, mau = active(1), active(7), active(28)
+        want_st = round(dau / wau, 6) if wau else None
+        if day in got:
+            assert got[day] == (dau, wau, mau, want_st), day
+        else:
+            # days never reached by any trailing window are absent
+            assert dau == 0 and wau == 0 and mau == 0
+    assert got[101] == (1, 2, 2, 0.5)
+    assert 102 in got and got[102][0] == 0  # gap day, wau carries
