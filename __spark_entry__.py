@@ -1235,6 +1235,61 @@ _WALK_GRAPH_CTES = """
           FROM hop WHERE pcell IS NOT NULL AND pcell <> cell)"""
 
 
+def _bpe_oracle(rounds: int = 4) -> str:
+    """Unrolled BPE replay: per round, adjacent-pair counts over the
+    vocabulary representations, (count DESC, a, b) winner, and the
+    SAME four-pass '·a·b·'→'·ab·' replace chain the engine applies."""
+    ctes = ["""
+        words AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     t -> regexp_matches(t, '^[a-z]{2,}$'))) AS w
+            FROM documents) t
+          GROUP BY 1),
+        v0 AS MATERIALIZED (
+          SELECT freq,
+                 regexp_replace(w, '(.)', '·\\1', 'g') || '·' AS rep
+          FROM words)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        s{r} AS (
+          SELECT freq,
+                 list_filter(string_split(rep, '·'),
+                             s -> s != '') AS syms
+          FROM v{r - 1}),
+        e{r} AS (
+          SELECT freq, syms,
+                 unnest(generate_series(1, len(syms) - 1)) AS i
+          FROM s{r}),
+        p{r} AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM e{r} GROUP BY 1, 2),
+        w{r} AS MATERIALIZED (
+          SELECT a, b, cnt FROM (
+            SELECT a, b, cnt, row_number() OVER (
+                     ORDER BY cnt DESC, a, b) AS rn
+            FROM p{r}) WHERE rn = 1),
+        v{r} AS MATERIALIZED (
+          SELECT v.freq,
+                 replace(replace(replace(replace(v.rep,
+                   '·' || w.a || '·' || w.b || '·',
+                   '·' || w.a || w.b || '·'),
+                   '·' || w.a || '·' || w.b || '·',
+                   '·' || w.a || w.b || '·'),
+                   '·' || w.a || '·' || w.b || '·',
+                   '·' || w.a || w.b || '·'),
+                   '·' || w.a || '·' || w.b || '·',
+                   '·' || w.a || w.b || '·') AS rep
+          FROM v{r - 1} v, w{r} w)""")
+    sel = "\n            UNION ALL ".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, "
+        f"cnt AS pair_count FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + " " + sel
+
+
 def _lpa_oracle(rounds: int = 4) -> str:
     """Unrolled label-propagation replay over the clustered-walk cell
     graph: symmetric adjacency, l0 = own id, each round adopts the
@@ -5773,6 +5828,34 @@ def q_rolling_dau(spark, sf_dir):
     return rolling_active_users(ev)
 
 
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge learning (ops/lm.bpe_top_merges, 4 rounds): the
+    tokenizer-training primitive — per round the most frequent
+    adjacent symbol pair (count DESC, pair ASC) becomes a new symbol
+    via a deterministic replace chain; pair counts aggregate over the
+    bounded vocabulary, winners are one-row collects (the kmeans
+    collected-centroid pattern). The oracle unrolls all rounds with
+    the identical replace chain."""
+    from oshdb_spark.ops.lm import bpe_top_merges
+
+    return bpe_top_merges(_t(spark, sf_dir, "documents"), 4)
+
+
+def q_dispersion_events(spark, sf_dir):
+    """Index of dispersion / Fano factor of daily counts per event
+    type (ops/stats.dispersion_index): burstiness over the dense
+    calendar via the explode-free closed form — exact int64 terms,
+    two rounded divisions."""
+    from oshdb_spark.ops.stats import dispersion_index
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    return dispersion_index(ev, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5881,6 +5964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "rank_normalize": q_rank_normalize,
         "rolling_dau": q_rolling_dau,
+        "bpe_merges": q_bpe_merges,
+        "dispersion_events": q_dispersion_events,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6735,6 +6820,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "bpe_merges": _bpe_oracle(4),
+        "dispersion_events": """
+            -- Fano replay: explode-free closed form, exact int64
+            WITH pd AS (
+              SELECT event_type AS e,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            span AS (
+              SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS nd
+              FROM pd),
+            a AS (
+              SELECT e, CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c*c) AS BIGINT) AS s2
+              FROM pd GROUP BY 1)
+            SELECT e AS event_type, nd AS n_days,
+                   round(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+                     AS mean_per_day,
+                   round(CAST(nd * s2 - s * s AS DOUBLE)
+                         / CAST(nd * s AS DOUBLE), 6) AS dispersion
+            FROM a, span
         """,
         "calibration": """
             -- decile-bin reliability replay: identical integer bins

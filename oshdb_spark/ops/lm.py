@@ -172,3 +172,88 @@ def dsir_logweights(
         F.count(F.lit(1)).alias("n_feats"),
         F.sum(F.col("_lp_t") - F.col("_lp_r")).alias("logw"),
     )
+
+
+def bpe_top_merges(
+    docs: DataFrame,
+    n_rounds: int = 3,
+    text_col: str = "text",
+):
+    """Byte-pair-encoding merge learning — the tokenizer-training
+    primitive: per round, count adjacent symbol pairs across the
+    corpus vocabulary (weighted by word frequency), adopt the most
+    frequent pair as a new symbol, re-segment, repeat.
+
+    Determinism contract: words are lowercase [a-z]{2,} tokens with
+    corpus occurrence counts; symbolization is a '·'-separated string
+    ('·h·i·'); the winning pair orders by (count DESC, left ASC,
+    right ASC); the merge applies `replace('·a·b·' → '·ab·')` FOUR
+    times (the replace chain reaches the greedy-BPE fixpoint for
+    every word tested — adjacent-run words up to ~16 symbols — and IS
+    the operator's defined semantics; the oracle replays the identical
+    chain). Each round's winner is a ONE-ROW driver collect (the
+    kmeans collected-centroid pattern — metadata, never row data); the
+    heavy pair count is one explode + partial+final aggregate over the
+    VOCABULARY (bounded), not the corpus. Returns
+    (round, sym_a, sym_b, pair_count)."""
+    from pyspark.sql import Row
+
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t.rlike("^[a-z]{2,}$"),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rep",
+            F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "·$1"), F.lit("·")
+            ),
+        )
+    )
+    spark = docs.sparkSession
+    out = []
+    cur = vocab.select("freq", "rep")
+    for rnd in range(1, n_rounds + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice({0}, 1, size({0}) - 1),"
+                        " (s, i) -> struct(s as a, {0}[i + 1] as b))"
+                        .format(
+                            "filter(split(rep, '·'), s -> s != '')"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("cnt"), F.asc("a"), F.asc("b")
+            ).limit(1).collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        out.append((rnd, a, b, cnt))
+        pat, rep = f"·{a}·{b}·", f"·{a}{b}·"
+        merged = F.col("rep")
+        for _ in range(4):
+            merged = F.replace(
+                merged, F.lit(pat), F.lit(rep)
+            )
+        cur = cur.select("freq", merged.alias("rep")).localCheckpoint()
+    return spark.createDataFrame(
+        [Row(round=r, sym_a=a, sym_b=b, pair_count=c)
+         for r, a, b, c in out],
+        "round int, sym_a string, sym_b string, pair_count long",
+    )

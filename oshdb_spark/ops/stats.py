@@ -599,3 +599,46 @@ def rank_normalize(
             6,
         ).alias("pct"),
     )
+
+
+def dispersion_index(
+    df,
+    entity_col: str,
+    sec_col: str = "sec",
+):
+    """Index of dispersion (variance-to-mean ratio / Fano factor) of
+    each entity's DAILY event counts over the dense global calendar —
+    the burstiness diagnostic (Poisson ≈ 1, bursty ≫ 1, regular ≪ 1).
+    Zero days enter the variance via the closed form without any grid
+    explode: with N calendar days, S total events and Σc² over present
+    days, D = (N·Σc² − S²)/(N·S) and mean = S/N — every term exact
+    int64, two rounded divisions. Plan: one (entity, day) aggregate,
+    one entity aggregate, one broadcast 1-row span join. Returns
+    (entity, n_days, mean_per_day, dispersion)."""
+    from pyspark.sql import functions as F
+
+    day = F.floor(F.col(sec_col) / 86400).cast("long")
+    pd_ = df.select(
+        F.col(entity_col).alias("_e"), day.alias("_d")
+    ).groupBy("_e", "_d").agg(F.count(F.lit(1)).alias("_c"))
+    span = pd_.agg(
+        (F.max("_d") - F.min("_d") + 1).alias("_nd")
+    )
+    agg = pd_.groupBy("_e").agg(
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    j = agg.crossJoin(F.broadcast(span))
+    nd = F.col("_nd").cast("double")
+    s = F.col("_s").cast("double")
+    return j.select(
+        F.col("_e").alias(entity_col),
+        F.col("_nd").alias("n_days"),
+        F.round(s / nd, 6).alias("mean_per_day"),
+        F.round(
+            (F.col("_nd") * F.col("_s2")
+             - F.col("_s") * F.col("_s")).cast("double")
+            / (F.col("_nd") * F.col("_s")).cast("double"),
+            6,
+        ).alias("dispersion"),
+    )

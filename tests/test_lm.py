@@ -100,3 +100,63 @@ def test_dsir_positive_for_target_like_docs(spark):
     )
     out = {r["doc_id"]: r["logw"] for r in dsir_logweights(raw, target).collect()}
     assert out[1] > 0 > out[2]
+
+
+def test_bpe_top_merges_matches_greedy_reference(spark):
+    """bpe_top_merges vs a python classic-greedy BPE reference on a
+    hand corpus (runs resolve within the replace chain), and the
+    deterministic (count DESC, pair ASC) tie order."""
+    import collections
+
+    from oshdb_spark.ops.lm import bpe_top_merges
+
+    docs = [
+        ("the theme thesis then",),
+        ("the other theory be be be",),
+        ("banana bandana ananas",),
+        ("x y z",),          # all below min length 2? x/y/z len 1 → dropped
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in bpe_top_merges(df, 5).orderBy("round").collect()
+    ]
+
+    words = collections.Counter()
+    for (t,) in docs:
+        for w in t.lower().split():
+            if len(w) >= 2 and w.isalpha():
+                words[w] += 1
+    reps = {w: list(w) for w in words}
+
+    def pair_counts():
+        c = collections.Counter()
+        for w, syms in reps.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += words[w]
+        return c
+
+    want = []
+    for rnd in range(1, 6):
+        pc = pair_counts()
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, a, b, cnt))
+        for w, syms in reps.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reps[w] = out
+    assert got == want, (got, want)
+    # 'he' and 'th' tie at 7 here; ('h','e') wins the lexicographic
+    # tie-break the contract specifies
+    assert got[0][1:3] == ("h", "e")

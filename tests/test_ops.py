@@ -1872,3 +1872,35 @@ def test_rolling_active_users_matches_replay(spark):
             assert dau == 0 and wau == 0 and mau == 0
     assert got[101] == (1, 2, 2, 0.5)
     assert 102 in got and got[102][0] == 0  # gap day, wau carries
+
+
+def test_dispersion_index_matches_replay(spark):
+    """dispersion_index vs the dense-calendar variance/mean replay:
+    a perfectly regular entity reads < 1, a bursty one > 1."""
+    import math
+
+    from oshdb_spark.ops.stats import dispersion_index
+
+    rows = []
+    rows += [("reg", d * 86400 + 10) for d in range(100, 130)]  # 1/day
+    rows += [("burst", 100 * 86400 + i) for i in range(30)]     # one day
+    rows += [("mid", d * 86400) for d in (100, 100, 105, 110, 110, 110)]
+    df = spark.createDataFrame(rows, "e string, sec long")
+    got = {r.e: r for r in dispersion_index(df, "e").collect()}
+    days = [s // 86400 for _, s in rows]
+    nd = max(days) - min(days) + 1
+    import collections
+
+    for e in ("reg", "burst", "mid"):
+        cnt = collections.Counter(
+            s // 86400 for x, s in rows if x == e
+        )
+        s = sum(cnt.values())
+        s2 = sum(v * v for v in cnt.values())
+        assert got[e].n_days == nd
+        assert math.isclose(got[e].mean_per_day, round(s / nd, 6),
+                            abs_tol=1e-9)
+        assert math.isclose(
+            got[e].dispersion,
+            round((nd * s2 - s * s) / (nd * s), 6), abs_tol=1e-9)
+    assert got["reg"].dispersion < 1.0 < got["burst"].dispersion
