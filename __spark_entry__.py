@@ -5856,6 +5856,25 @@ def q_dispersion_events(spark, sf_dir):
     return dispersion_index(ev, "event_type")
 
 
+
+
+def q_skyline_docs(spark, sf_dir):
+    """2-D skyline / Pareto frontier (ops/topk.skyline2d): documents
+    not dominated under (maximize distinct-token count, minimize
+    n_chars) — the vocabulary-density frontier. Pure windows, exact
+    integer dominance; the oracle is an INDEPENDENT O(n²) NOT-EXISTS
+    brute force."""
+    from oshdb_spark.ops.topk import skyline2d
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        "n_chars",
+    )
+    return skyline2d(d, "n_tokens", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5966,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_dau": q_rolling_dau,
         "bpe_merges": q_bpe_merges,
         "dispersion_events": q_dispersion_events,
+        "skyline_docs": q_skyline_docs,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6820,6 +6840,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "skyline_docs": """
+            -- INDEPENDENT brute-force dominance (NOT EXISTS O(n²))
+            WITH d AS (
+              SELECT CAST(len(list_distinct(string_split(text, ' ')))
+                          AS BIGINT) AS a,
+                     n_chars AS b
+              FROM documents),
+            p AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_ties
+              FROM d GROUP BY 1, 2)
+            SELECT a AS n_tokens, b AS n_chars, n_ties
+            FROM p x
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p y
+              WHERE y.a >= x.a AND y.b <= x.b
+                AND (y.a > x.a OR y.b < x.b))
         """,
         "bpe_merges": _bpe_oracle(4),
         "dispersion_events": """

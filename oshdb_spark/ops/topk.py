@@ -44,3 +44,52 @@ def group_topk(
     if rank_out:
         return out.withColumnRenamed("_gtk_rk", rank_out).drop(pid)
     return out.drop("_gtk_rk", pid)
+
+
+def skyline2d(
+    df,
+    max_col: str,
+    min_col: str,
+):
+    """2-D skyline (Pareto frontier): the rows not dominated under
+    (maximize ``max_col``, minimize ``min_col``) — the classic
+    multi-criteria DB operator (best quality-per-cost documents,
+    cheapest-fastest suppliers). x dominates y iff x.a ≥ y.a ∧
+    x.b ≤ y.b with at least one strict; duplicate (a, b) points are
+    mutually non-dominating and survive together (reported once with
+    their multiplicity).
+
+    Pure-window formulation, exact integer compares: collapse to
+    distinct (a, b) with counts; within an a-group only the minimal b
+    survives (larger b is dominated by it); across groups a point
+    survives iff every strictly-larger a has a strictly larger b —
+    i.e. b < min(b) over rows with a' > a, ONE range-frame window over
+    the a order. Two shuffles total (the collapse + the window sort),
+    no joins, no cartesian — against the O(n²) brute force the oracle
+    runs. Returns (a, b, n_ties) renamed to the input columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pts = df.groupBy(
+        F.col(max_col).alias("_a"), F.col(min_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("n_ties"))
+    per_a = (
+        pts.withColumn(
+            "_rb",
+            F.min("_b").over(Window.partitionBy("_a")),
+        )
+        .filter(F.col("_b") == F.col("_rb"))
+        .drop("_rb")
+    )
+    w = (
+        Window.orderBy("_a")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    sky = per_a.withColumn("_mb", F.min("_b").over(w)).filter(
+        F.col("_mb").isNull() | (F.col("_b") < F.col("_mb"))
+    )
+    return sky.select(
+        F.col("_a").alias(max_col),
+        F.col("_b").alias(min_col),
+        "n_ties",
+    )

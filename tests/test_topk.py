@@ -50,3 +50,38 @@ def test_group_topk_rank_column(spark):
     ).collect()
     got = {(r["g"], r["v"]): r["rk"] for r in out}
     assert got == {("a", 3): 1, ("a", 2): 2, ("b", 9): 1}
+
+
+def test_skyline2d_matches_brute_force(spark):
+    """skyline2d vs python O(n²) dominance incl. duplicate frontier
+    points, a dominated duplicate cluster, and a strict staircase."""
+    from oshdb_spark.ops.topk import skyline2d
+
+    pts = [
+        (10, 100), (10, 100),     # duplicate frontier point
+        (10, 120),                # dominated within a-group
+        (8, 80), (8, 80), (8, 80),
+        (12, 150),
+        (5, 80),                  # dominated by (8, 80)
+        (5, 50),
+        (3, 50),                  # dominated by (5, 50)
+        (1, 10),
+    ]
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {
+        (r.a, r.b): r.n_ties for r in skyline2d(df, "a", "b").collect()
+    }
+    import collections
+
+    cnt = collections.Counter(pts)
+    want = {}
+    for (a, b), n in cnt.items():
+        dominated = any(
+            (ya >= a and yb <= b and (ya > a or yb < b))
+            for (ya, yb) in cnt
+        )
+        if not dominated:
+            want[(a, b)] = n
+    assert got == want
+    assert got[(10, 100)] == 2 and (10, 120) not in got
+    assert (5, 80) not in got and (3, 50) not in got
