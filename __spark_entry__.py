@@ -5875,6 +5875,22 @@ def q_skyline_docs(spark, sf_dir):
     return skyline2d(d, "n_tokens", "n_chars")
 
 
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test (ops/stats.ks_2sample)
+    between the click and purchase value distributions (integer
+    cents): exact-rational sup-gap with a deterministic argmax
+    location, one rounded division."""
+    from oshdb_spark.ops.stats import ks_2sample
+
+    d = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("c"),
+    )
+    return ks_2sample(d, "event_type", "c", "click", "purchase")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5986,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "dispersion_events": q_dispersion_events,
         "skyline_docs": q_skyline_docs,
+        "ks_drift": q_ks_drift,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6840,6 +6857,44 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "ks_drift": """
+            -- exact-rational KS replay: integer sup numerator,
+            -- (num DESC, value ASC) argmax, one division
+            WITH d AS (
+              SELECT event_type = 'click' AS isa,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('click', 'purchase')),
+            pv AS (
+              SELECT v,
+                     CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cb
+              FROM d GROUP BY 1),
+            c AS (
+              SELECT v,
+                     CAST(sum(ca) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                     CAST(sum(cb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+              FROM pv),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+            n AS (
+              SELECT c.v, abs(t.nb * c.cuma - t.na * c.cumb) AS num,
+                     t.na, t.nb
+              FROM c, t),
+            b AS (
+              SELECT na AS n_a, nb AS n_b, num, v,
+                     row_number() OVER (ORDER BY num DESC, v) AS rn
+              FROM n)
+            SELECT n_a, n_b,
+                   round(CAST(num AS DOUBLE)
+                         / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d,
+                   v AS at_value
+            FROM b WHERE rn = 1
         """,
         "skyline_docs": """
             -- INDEPENDENT brute-force dominance (NOT EXISTS O(n²))

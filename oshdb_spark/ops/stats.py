@@ -642,3 +642,71 @@ def dispersion_index(
             6,
         ).alias("dispersion"),
     )
+
+
+def ks_2sample(
+    df,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+):
+    """Two-sample Kolmogorov–Smirnov statistic — the log-free
+    distribution-drift test (data-quality monitoring: 'did source B's
+    length distribution shift from source A's?'): D = sup_x |F_A(x) −
+    F_B(x)| over the pooled values.
+
+    Exact-rational formulation: with cumulative counts c_A, c_B at
+    each pooled distinct value, D = max |n_B·c_A − n_A·c_B| / (n_A·n_B)
+    — the numerator is an exact integer maximized under a total
+    (|num| DESC, value ASC) order, so the reported argmax location is
+    deterministic; one final division, round(6).
+
+    Plan: one (value) collapse aggregate + running windows over ONE
+    pooled sort + broadcast 1-row totals + one argmax aggregate.
+    Returns one row (n_a, n_b, ks_d, at_value)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_isa"),
+        F.col(value_col).alias("_v"),
+    )
+    per_v = d.groupBy("_v").agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.withColumn(
+        "_cuma", F.sum("_ca").over(w)
+    ).withColumn("_cumb", F.sum("_cb").over(w))
+    tot = per_v.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "_num",
+        F.abs(
+            F.col("_nb") * F.col("_cuma")
+            - F.col("_na") * F.col("_cumb")
+        ),
+    )
+    best = j.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(F.struct(F.col("_num"), (-F.col("_v")).alias("_nv")))
+        .alias("_m"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_m._num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks_d"),
+        (-F.col("_m._nv")).alias("at_value"),
+    )

@@ -1904,3 +1904,45 @@ def test_dispersion_index_matches_replay(spark):
             got[e].dispersion,
             round((nd * s2 - s * s) / (nd * s), 6), abs_tol=1e-9)
     assert got["reg"].dispersion < 1.0 < got["burst"].dispersion
+
+
+def test_ks_2sample_matches_scipy_style_reference(spark):
+    """ks_2sample vs an exact python ECDF sup replay, incl. identical
+    distributions (D=0 at the smallest value) and disjoint supports
+    (D=1)."""
+    import math
+
+    from oshdb_spark.ops.stats import ks_2sample
+
+    a = [1, 2, 2, 3, 5, 8, 8, 9]
+    b = [2, 3, 3, 4, 4, 9, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    rows += [("zzz", 999)]  # other groups are filtered out
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_2sample(df, "g", "v", "a", "b").collect()[0]
+
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    best = None
+    for v in vals:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        num = abs(nb * ca - na * cb)
+        if best is None or num > best[0]:
+            best = (num, v)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert math.isclose(r.ks_d, round(best[0] / (na * nb), 6),
+                        abs_tol=1e-9)
+    assert r.at_value == best[1]
+    # identical distributions: D = 0, argmax at smallest pooled value
+    df2 = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "g string, v long"
+    )
+    r2 = ks_2sample(df2, "g", "v", "a", "b").collect()[0]
+    assert r2.ks_d == 0.0 and r2.at_value == min(a)
+    # disjoint supports: D = 1
+    df3 = spark.createDataFrame(
+        [("a", v) for v in (1, 2)] + [("b", v) for v in (10, 11)],
+        "g string, v long",
+    )
+    assert ks_2sample(df3, "g", "v", "a", "b").collect()[0].ks_d == 1.0
