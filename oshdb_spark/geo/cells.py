@@ -1668,46 +1668,69 @@ def geary_c(df, zoom: int, cell_col: str = "cell",
     Queen 3×3 neighborhood excluding self, binary weights, the same
     sparse/no-data semantics as focal_stats/moran_i. Integer-exact:
     the pair sum decomposes into focal aggregates
-    Σⱼ(vᵢ−vⱼ)² = (n_i−1)vᵢ² − 2vᵢ(fs_i−vᵢ) + (fss_i−vᵢ²) (two focal
-    passes: values and squared values — each one 9× explode + one
-    shuffle, raster-sized), and the denominator multiplies through by
-    N² (ΣZᵢ², Z = N·v−S). Every sum is exact int64; ONE final double
-    expression with fixed association, round(9). Returns one row:
-    (n_cells, w_pairs, geary_c)."""
+    Σⱼ(vᵢ−vⱼ)² = (n_i−1)vᵢ² − 2vᵢ(fs_i−vᵢ) + (fss_i−vᵢ²), and BOTH
+    focal sums (values and squared values) ride ONE 9× contribution
+    explode + ONE shuffle — the input raster is scanned once, not per
+    moment. The denominator multiplies through by N² (ΣZᵢ², Z =
+    N·v−S). Every sum is exact int64; ONE final double expression with
+    fixed association and a zero-variance guard, round(9). Returns one
+    row: (n_cells, w_pairs, geary_c)."""
     from pyspark.sql import functions as F
 
-    foc = focal_stats(df, zoom, cell_col, value_col)
-    foc2 = focal_stats(
-        df.select(
-            F.col(cell_col).alias("_c2"),
-            (F.col(value_col) * F.col(value_col)).alias("_vsq"),
-        ),
-        zoom, "_c2", "_vsq",
-    ).select(
-        F.col("_c2").alias("_cc"),
-        F.col("focal_sum").alias("_fss"),
-    )
+    zoom = _clamp_zoom(zoom)
+    ncols = 1 << zoom
+    y_max = int(
+        xy_id(np.array([0]), np.array([_LAT_MAX]), zoom)[0]
+    ) // ncols
     src = df.select(
         F.col(cell_col).alias("_c"), F.col(value_col).alias("_v")
     ).filter(F.col("_c") >= 0)
+    x = F.pmod(F.col("_c"), F.lit(ncols))
+    y = F.floor(F.col("_c") / F.lit(ncols))
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    contrib = (
+        src.select("_c", "_v", x.alias("_x"), y.alias("_y"),
+                   offs.alias("_o"))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") <= y_max))
+        .select(
+            (
+                F.col("_ny") * ncols
+                + F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(ncols))
+            ).alias("_t"),
+            "_v",
+        )
+    )
+    agg2 = contrib.groupBy("_t").agg(
+        F.sum("_v").alias("_fs"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_fss"),
+        F.count(F.lit(1)).alias("_fn"),
+    )
     g = src.agg(
         F.count(F.lit(1)).alias("_gn"), F.sum("_v").alias("_gs")
     )
-    j = (
-        foc.join(foc2, foc[cell_col] == foc2["_cc"])
-        .crossJoin(F.broadcast(g))
+    j = src.join(agg2, src["_c"] == agg2["_t"]).crossJoin(
+        F.broadcast(g)
     )
-    v = F.col(value_col)
+    v = F.col("_v")
     num_i = (
-        (F.col("focal_n") - 1) * v * v
-        - F.lit(2) * v * (F.col("focal_sum") - v)
+        (F.col("_fn") - 1) * v * v
+        - F.lit(2) * v * (F.col("_fs") - v)
         + (F.col("_fss") - v * v)
     )
     z = F.col("_gn") * v - F.col("_gs")
     agg = j.select(
         num_i.alias("_num"),
         (z * z).alias("_zz"),
-        (F.col("focal_n") - F.lit(1)).alias("_w"),
+        (F.col("_fn") - F.lit(1)).alias("_w"),
         "_gn",
     ).groupBy("_gn").agg(
         F.sum("_num").alias("_snum"),
