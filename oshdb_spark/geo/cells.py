@@ -1857,10 +1857,13 @@ def hex_smooth(df, width7: int = 100_000_000,
     offs = [(0, 0), (w, 0), (-w, 0),
             (w // 2, h // 2), (w // 2, -h // 2),
             (-w // 2, h // 2), (-w // 2, -h // 2)]
+    # the sparse hex raster feeds BOTH the contribution fan-out and
+    # the final present-hex join — materialize it once (raster-sized)
+    # so the caller's upstream aggregation doesn't execute twice
     src = df.select(
         F.col(hx_col).alias("_hx"), F.col(hy_col).alias("_hy"),
         F.col(value_col).alias("_v"),
-    )
+    ).localCheckpoint()
     off = F.expr(
         "explode(array("
         + ", ".join(
