@@ -724,6 +724,9 @@ def typo_pairs(
         )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        # consumed by the variant fan-out (twice) and both frequency
+        # joins — materialize the vocabulary once
+        .localCheckpoint()
     )
     # variants: the token itself + every single-deletion string
     var = vocab.select(

@@ -447,10 +447,14 @@ def token_pair_lift(
         )
     )
     w = Window.partitionBy("_doc").orderBy("tok")
+    # the capped token set feeds the doc count, both marginals and the
+    # pair join — materialize once (vocab-sized) instead of re-running
+    # the tokenize/cap pipeline per consumer
     kept = (
         toks.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_tokens_per_doc)
         .select("_doc", "tok")
+        .localCheckpoint()
     )
     d_total = kept.agg(
         F.countDistinct("_doc").alias("_d")
