@@ -5891,6 +5891,36 @@ def q_ks_drift(spark, sf_dir):
     return ks_2sample(d, "event_type", "c", "click", "purchase")
 
 
+
+
+def q_gini_spend(spark, sf_dir):
+    """Gini inequality coefficient (ops/stats.gini_inequality) of
+    lineitem price cents per return flag — exact integer Lorenz sum,
+    one division."""
+    from oshdb_spark.ops.stats import gini_inequality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return gini_inequality(li, "l_returnflag", "price_c")
+
+
+def q_mwu_drift(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (ops/stats.mannwhitney_u) between
+    click and purchase value distributions — doubled average ranks
+    keep 2U exact; tie-corrected normal z, round(6)."""
+    from oshdb_spark.ops.stats import mannwhitney_u
+
+    d = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("c"),
+    )
+    return mannwhitney_u(d, "event_type", "c", "click", "purchase")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6003,6 +6033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_events": q_dispersion_events,
         "skyline_docs": q_skyline_docs,
         "ks_drift": q_ks_drift,
+        "gini_spend": q_gini_spend,
+        "mwu_drift": q_mwu_drift,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6857,6 +6889,74 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "gini_spend": """
+            -- exact Lorenz-sum replay
+            WITH li AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                       AS v
+              FROM lineitem),
+            r AS (
+              SELECT g, v, row_number() OVER (
+                       PARTITION BY g ORDER BY v) AS i
+              FROM li),
+            a AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     sum(CAST(2 * i AS HUGEINT) * v) AS num2
+              FROM r GROUP BY 1)
+            SELECT g AS l_returnflag, n, s AS total,
+                   CASE WHEN s > 0 THEN
+                     round(CAST(num2 - CAST(n + 1 AS HUGEINT) * s
+                                AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * s AS DOUBLE),
+                           6) END AS gini
+            FROM a
+        """,
+        "mwu_drift": """
+            -- doubled-average-rank U replay with tie-corrected z
+            WITH d AS (
+              SELECT event_type = 'click' AS isa,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('click', 'purchase')),
+            r AS (
+              SELECT isa,
+                     2 * rank() OVER (ORDER BY v)
+                       + count(*) OVER (PARTITION BY v) - 1 AS r2
+              FROM d),
+            a AS (
+              SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END)
+                          AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END)
+                          AS BIGINT) AS nb,
+                     CAST(sum(CASE WHEN isa THEN r2 END) AS BIGINT)
+                       AS ra2
+              FROM r),
+            t AS (
+              SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+                          AS HUGEINT) AS t3t
+              FROM (SELECT count(*) AS c FROM d GROUP BY v)),
+            j AS (
+              SELECT a.*, t.t3t, a.na + a.nb AS n,
+                     a.ra2 - a.na * (a.na + 1) AS u2
+              FROM a, t),
+            v AS (
+              SELECT *,
+                     CAST(na * nb AS DOUBLE) / 12.0
+                       * (CAST(n + 1 AS DOUBLE)
+                          - CAST(t3t AS DOUBLE)
+                            / CAST(CAST(n AS HUGEINT) * (n - 1)
+                                   AS DOUBLE)) AS var
+              FROM j)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+                   CASE WHEN var > 0 THEN
+                     round((CAST(u2 AS DOUBLE) / 2.0
+                            - CAST(na * nb AS DOUBLE) / 2.0)
+                           / sqrt(var), 6) END AS z
+            FROM v
         """,
         "ks_drift": """
             -- exact-rational KS replay: integer sup numerator,

@@ -710,3 +710,134 @@ def ks_2sample(
         ).alias("ks_d"),
         (-F.col("_m._nv")).alias("at_value"),
     )
+
+
+def gini_inequality(
+    df,
+    group_col: str,
+    value_col: str,
+):
+    """Gini coefficient of inequality per group (Lorenz-curve area —
+    'how concentrated is spend/length/attention'; distinct from the
+    Gini-SIMPSON diversity impurity): for sorted non-negative values
+    x₍₁₎…x₍ₙ₎, G = Σ(2i − n − 1)·x₍ᵢ₎ / (n·Σx).
+
+    Exactness: integer values (quantize at the call site), one rank
+    window over the group sort, every term of numerator and
+    denominator an exact integer (ties: any order of equal values
+    yields the same sum — the coefficient of x across its tie run is
+    symmetric), one final division, round(6). Zero-total groups yield
+    null. Returns (group, n, total, gini)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("_g").orderBy("_v")
+    d = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .withColumn("_i", F.row_number().over(w))
+    )
+    dec = "decimal(38,0)"
+    agg = d.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(
+            ((2 * F.col("_i")).cast(dec) * F.col("_v"))
+        ).alias("_num2"),
+    )
+    num = (
+        F.col("_num2")
+        - (F.col("_n") + 1).cast(dec) * F.col("_s")
+    ).cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.col("_s").alias("total"),
+        F.when(
+            F.col("_s") > 0,
+            F.round(
+                num
+                / (F.col("_n").cast(dec) * F.col("_s"))
+                .cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def mannwhitney_u(
+    df,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+):
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — KS's
+    rank-based companion (sensitive to location shift where KS is
+    sup-sensitive): U_A = R_A − n_A(n_A+1)/2 with average ranks over
+    the pooled sample.
+
+    Exactness: doubled average ranks (2·rank + ties − 1) keep every
+    rank term an exact integer (the spearman recipe), so 2·U_A is an
+    exact integer; the normal-approximation z uses the tie-corrected
+    variance with one fixed association and round(6). Plan: one
+    pooled rank window + tie-count window + one aggregate + broadcast
+    tie totals. Returns one row (n_a, n_b, u_a, z) — u_a reported as
+    the exact double U_A (an integer or .5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_isa"),
+        F.col(value_col).alias("_v"),
+    )
+    wr = Window.orderBy("_v")
+    wt = Window.partitionBy("_v")
+    r = d.withColumn(
+        "_r2", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+    )
+    dec = "decimal(38,0)"
+    agg = r.agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(F.col("_isa"), F.col("_r2"))).alias("_ra2"),
+    )
+    ties = (
+        d.groupBy("_v").agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.sum(
+                (F.col("_t").cast(dec) * F.col("_t") * F.col("_t")
+                 - F.col("_t"))
+            ).alias("_t3t")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    # 2·U_A = ΣR_A·2 − n_A(n_A+1) = _ra2 − 2·n_A·... careful: _ra2 is
+    # Σ(2·avg_rank) = 2·R_A, so 2·U_A = _ra2 − n_A·(n_A+1)
+    u2 = F.col("_ra2") - F.col("_na") * (F.col("_na") + 1)
+    n = F.col("_na") + F.col("_nb")
+    mean2 = (F.col("_na") * F.col("_nb")).cast("double")  # 2·mean(U)
+    var = (
+        (F.col("_na") * F.col("_nb")).cast("double") / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("_t3t").cast("double")
+            / (n.cast(dec) * (n - 1)).cast("double")
+        )
+    )
+    return j.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.when(
+            var > 0,
+            F.round(
+                (u2.cast("double") / 2.0 - mean2 / 2.0)
+                / F.sqrt(var),
+                6,
+            ),
+        ).alias("z"),
+    )

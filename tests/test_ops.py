@@ -1946,3 +1946,72 @@ def test_ks_2sample_matches_scipy_style_reference(spark):
         "g string, v long",
     )
     assert ks_2sample(df3, "g", "v", "a", "b").collect()[0].ks_d == 1.0
+
+
+def test_gini_inequality_reference_values(spark):
+    """gini_inequality vs hand/analytic values: perfect equality 0,
+    maximal concentration (n-1)/n, and a numpy-computed random case
+    incl. ties."""
+    import math
+    import random as _r
+
+    from oshdb_spark.ops.stats import gini_inequality
+
+    _r.seed(19)
+    rnd = [_r.randint(0, 40) for _ in range(101)]
+    rows = [("eq", 7)] * 8
+    rows += [("conc", 0)] * 9 + [("conc", 90)]
+    rows += [("rnd", v) for v in rnd]
+    rows += [("zero", 0)] * 4
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in gini_inequality(df, "g", "v").collect()}
+    assert got["eq"].gini == 0.0
+    assert got["conc"].gini == 0.9  # (n-1)/n with one holder
+    assert got["zero"].gini is None
+    vs = sorted(rnd)
+    n, s = len(vs), sum(vs)
+    want = round(
+        sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(vs))
+        / (n * s), 6,
+    )
+    assert math.isclose(got["rnd"].gini, want, abs_tol=1e-9)
+    assert got["rnd"].n == n and got["rnd"].total == s
+
+
+def test_mannwhitney_u_matches_reference(spark):
+    """mannwhitney_u vs a python average-rank replay with heavy ties;
+    the symmetric case gives z = 0 and U = n_a*n_b/2."""
+    import math
+
+    from oshdb_spark.ops.stats import mannwhitney_u
+
+    a = [1, 2, 2, 3, 7, 9, 9]
+    b = [2, 4, 4, 5, 9, 12]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    rows += [("x", 999)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    pooled = sorted(a + b)
+    def avg_rank(v):
+        lo = pooled.index(v) + 1
+        hi = lo + pooled.count(v) - 1
+        return (lo + hi) / 2
+    ra = sum(avg_rank(v) for v in a)
+    na, nb = len(a), len(b)
+    ua = ra - na * (na + 1) / 2
+    import collections
+
+    t3t = sum(c**3 - c for c in collections.Counter(pooled).values())
+    nn = na + nb
+    var = na * nb / 12 * ((nn + 1) - t3t / (nn * (nn - 1)))
+    zz = (ua - na * nb / 2) / math.sqrt(var)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.u_a == ua
+    assert math.isclose(r.z, round(zz, 6), abs_tol=1e-9)
+    # identical samples: U = n²/2, z = 0
+    df2 = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "g string, v long"
+    )
+    r2 = mannwhitney_u(df2, "g", "v", "a", "b").collect()[0]
+    assert r2.u_a == len(a) ** 2 / 2 and r2.z == 0.0
