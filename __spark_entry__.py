@@ -5921,6 +5921,53 @@ def q_mwu_drift(spark, sf_dir):
     return mannwhitney_u(d, "event_type", "c", "click", "purchase")
 
 
+
+
+def q_ccf_lags(spark, sf_dir):
+    """Cross-correlation function click→purchase (ops/timeseries.
+    ccf_lags): daily-count CCF at lags −3..+3 on the dense shared
+    calendar — multiply-through integers, one division + sqrt per
+    lag."""
+    from oshdb_spark.ops.timeseries import ccf_lags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    return ccf_lags(ev, "click", "purchase", max_lag=3)
+
+
+def q_hex_pyramid(spark, sf_dir):
+    """Hierarchical hex rollup (the H3-style parent-child pyramid,
+    aperture-by-rebinning): event points bin at w=10 degrees, child
+    CENTERS re-bin at 2w and 4w — each child wholly assigned to one
+    parent, so counts roll up exactly; three pure-codegen lattice
+    assignments, three aggregates, one scan of the points."""
+    from oshdb_spark.geo import cells as _c
+
+    pts = _event_points(spark, sf_dir)
+    hx0, hy0 = _c.hexbin_cols("lon", "lat", 100_000_000)
+    l0 = pts.select(hx0, hy0).groupBy("hx", "hy").agg(
+        F.count(F.lit(1)).alias("n_pts")
+    ).localCheckpoint()
+    hx1, hy1 = _c.hexbin_cols("hx", "hy", 200_000_000)
+    l1 = l0.select(hx1, hy1, "n_pts").groupBy("hx", "hy").agg(
+        F.sum("n_pts").alias("n_pts")
+    ).localCheckpoint()
+    hx2, hy2 = _c.hexbin_cols("hx", "hy", 400_000_000)
+    l2 = l1.select(hx2, hy2, "n_pts").groupBy("hx", "hy").agg(
+        F.sum("n_pts").alias("n_pts")
+    )
+    return (
+        l0.select(F.lit(0).alias("level"), "hx", "hy", "n_pts")
+        .unionByName(
+            l1.select(F.lit(1).alias("level"), "hx", "hy", "n_pts")
+        )
+        .unionByName(
+            l2.select(F.lit(2).alias("level"), "hx", "hy", "n_pts")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6035,6 +6082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "gini_spend": q_gini_spend,
         "mwu_drift": q_mwu_drift,
+        "ccf_lags": q_ccf_lags,
+        "hex_pyramid": q_hex_pyramid,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6889,6 +6938,89 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "ccf_lags": """
+            -- CCF replay: dense grid, multiply-through integers,
+            -- identical lead/lag alignment and one division per lag
+            WITH pd AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1),
+            grid AS (
+              SELECT unnest(generate_series(s.d0, s.d1)) AS d
+              FROM (SELECT min(d) AS d0, max(d) AS d1 FROM pd) s),
+            dense AS (
+              SELECT grid.d, coalesce(pd.x, 0) AS x,
+                     coalesce(pd.y, 0) AS y
+              FROM grid LEFT JOIN pd ON pd.d = grid.d),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy FROM dense),
+            u AS (
+              SELECT d, t.n,
+                     CAST(t.n AS HUGEINT) * x - t.sx AS u,
+                     CAST(t.n AS HUGEINT) * y - t.sy AS v
+              FROM dense, t),
+            l AS (
+              SELECT n, u, v,
+                     lag(v, 3) OVER w AS v0, lag(v, 2) OVER w AS v1,
+                     lag(v, 1) OVER w AS v2, v AS v3,
+                     lead(v, 1) OVER w AS v4, lead(v, 2) OVER w AS v5,
+                     lead(v, 3) OVER w AS v6
+              FROM u WINDOW w AS (ORDER BY d)),
+            m AS (
+              SELECT max(n) AS n, sum(u*u) AS du, sum(v*v) AS dv,
+                     sum(u*v0) AS c0, sum(u*v1) AS c1,
+                     sum(u*v2) AS c2, sum(u*v3) AS c3,
+                     sum(u*v4) AS c4, sum(u*v5) AS c5,
+                     sum(u*v6) AS c6
+              FROM l)
+            SELECT lag, n AS n_days,
+                   CASE WHEN du > 0 AND dv > 0 THEN
+                     round(CAST(coalesce(c, 0) AS DOUBLE)
+                           / (sqrt(CAST(du AS DOUBLE))
+                              * sqrt(CAST(dv AS DOUBLE))), 6)
+                   END AS ccf
+            FROM (
+              SELECT n, du, dv, -3 AS lag, c0 AS c FROM m
+              UNION ALL SELECT n, du, dv, -2, c1 FROM m
+              UNION ALL SELECT n, du, dv, -1, c2 FROM m
+              UNION ALL SELECT n, du, dv, 0, c3 FROM m
+              UNION ALL SELECT n, du, dv, 1, c4 FROM m
+              UNION ALL SELECT n, du, dv, 2, c5 FROM m
+              UNION ALL SELECT n, du, dv, 3, c6 FROM m)
+        """,
+        "hex_pyramid": """
+            -- three chained integer lattice assignments
+            WITH pts AS (
+              SELECT (event_id * 1103515245) % 3600000000
+                       - 1800000000 AS lon7,
+                     (event_id * 1234567891) % 1700000000
+                       - 850000000 AS lat7
+              FROM events),
+            l0 AS (
+              SELECT hx, hy, CAST(count(*) AS BIGINT) AS n_pts
+              FROM (
+                SELECT (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000) ELSE (((lon7 + 1800000000) // 100000000) * 100000000 + 50000000) END) - 1800000000 AS hx, (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lat7 + 900000000) + 43301270) // 86602540) * 86602540) ELSE (((lat7 + 900000000) // 86602540) * 86602540 + 43301270) END) - 900000000 AS hy FROM pts)
+              GROUP BY 1, 2),
+            l1 AS (
+              SELECT hx, hy, CAST(sum(n_pts) AS BIGINT) AS n_pts
+              FROM (
+                SELECT (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000))*((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000)) + ((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))*((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))) <= (((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000))*((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000)) + ((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))*((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((hx + 1800000000) + 100000000) // 200000000) * 200000000) ELSE (((hx + 1800000000) // 200000000) * 200000000 + 100000000) END) - 1800000000 AS hx, (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000))*((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000)) + ((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))*((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))) <= (((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000))*((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000)) + ((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))*((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((hy + 900000000) + 86602540) // 173205080) * 173205080) ELSE (((hy + 900000000) // 173205080) * 173205080 + 86602540) END) - 900000000 AS hy, n_pts FROM l0)
+              GROUP BY 1, 2),
+            l2 AS (
+              SELECT hx, hy, CAST(sum(n_pts) AS BIGINT) AS n_pts
+              FROM (
+                SELECT (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000))*((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000)) + ((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))*((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))) <= (((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000))*((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000)) + ((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))*((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))) THEN ((((hx + 1800000000) + 200000000) // 400000000) * 400000000) ELSE (((hx + 1800000000) // 400000000) * 400000000 + 200000000) END) - 1800000000 AS hx, (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000))*((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000)) + ((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))*((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))) <= (((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000))*((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000)) + ((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))*((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))) THEN ((((hy + 900000000) + 173205080) // 346410160) * 346410160) ELSE (((hy + 900000000) // 346410160) * 346410160 + 173205080) END) - 900000000 AS hy, n_pts FROM l1)
+              GROUP BY 1, 2)
+            SELECT 0 AS level, hx, hy, n_pts FROM l0
+            UNION ALL SELECT 1, hx, hy, n_pts FROM l1
+            UNION ALL SELECT 2, hx, hy, n_pts FROM l2
         """,
         "gini_spend": """
             -- exact Lorenz-sum replay

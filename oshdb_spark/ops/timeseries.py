@@ -843,3 +843,113 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def ccf_lags(
+    events: DataFrame,
+    type_a,
+    type_b,
+    max_lag: int = 3,
+    type_col: str = "event_type",
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Cross-correlation function between two entities' DAILY count
+    series on the dense shared calendar — the lead/lag diagnostic
+    ('do purchases follow clicks by k days?'): r(l) = corr(x_t,
+    y_{t+l}) for l in [−max_lag, max_lag], zero-filled days included.
+
+    Exactness (the acf recipe): with n calendar days and S_x/S_y the
+    totals, u_t = n·x_t − S_x and v_t = n·y_t − S_y are exact
+    integers; every lagged product sums in DECIMAL(38,0) and ONE
+    division + sqrt closes each lag, round(6). Pairs only over the
+    overlap (|valid terms| = n − |l|); degenerate (constant) series
+    yield null.
+
+    Plan: one (type, day) aggregate, a dense-calendar broadcast-span
+    explode, one pivot join to (day, x, y), ONE ordered window
+    computing every lead/lag column, one final aggregate. Returns
+    (lag, n_days, ccf)."""
+    day = F.floor(F.col(sec_col) / 86400).cast("long")
+    pd_ = (
+        events.filter(F.col(type_col).isin([type_a, type_b]))
+        .select(
+            (F.col(type_col) == F.lit(type_a)).alias("_isa"),
+            day.alias("_d"),
+        )
+        .groupBy("_d")
+        .agg(
+            F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_x"),
+            F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("_y"),
+        )
+    )
+    span = pd_.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("_d")
+    )
+    dense = (
+        grid.join(pd_, "_d", "left")
+        .select(
+            "_d",
+            F.coalesce("_x", F.lit(0)).alias("_x"),
+            F.coalesce("_y", F.lit(0)).alias("_y"),
+        )
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    dec = "decimal(38,0)"
+    u = dense.crossJoin(F.broadcast(tot)).select(
+        "_d",
+        (F.col("_n").cast("decimal(19,0)") * F.col("_x")
+         - F.col("_sx")).cast("decimal(19,0)").alias("_u"),
+        (F.col("_n").cast("decimal(19,0)") * F.col("_y")
+         - F.col("_sy")).cast("decimal(19,0)").alias("_v"),
+        "_n",
+    )
+    w = Window.orderBy("_d")
+    lags = list(range(-max_lag, max_lag + 1))
+    for l in lags:
+        u = u.withColumn(
+            f"_vl{l + max_lag}",
+            F.lead("_v", l).over(w) if l >= 0
+            else F.lag("_v", -l).over(w),
+        )
+    aggs = [
+        F.max("_n").alias("_nn"),
+        F.sum(F.col("_u") * F.col("_u")).alias("_du"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_dv"),
+    ]
+    for l in lags:
+        aggs.append(
+            F.sum(F.col("_u") * F.col(f"_vl{l + max_lag}"))
+            .alias(f"_c{l + max_lag}")
+        )
+    m = u.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("lag"),
+                F.when(
+                    (F.col("_du") > 0) & (F.col("_dv") > 0),
+                    F.round(
+                        F.coalesce(
+                            F.col(f"_c{l + max_lag}"),
+                            F.lit(0).cast(dec),
+                        ).cast("double")
+                        / (
+                            F.sqrt(F.col("_du").cast("double"))
+                            * F.sqrt(F.col("_dv").cast("double"))
+                        ),
+                        6,
+                    ),
+                ).alias("ccf"),
+            )
+            for l in lags
+        ]
+    )
+    return (
+        m.select(F.col("_nn").alias("n_days"), F.explode(pairs).alias("p"))
+        .select(F.col("p.lag").alias("lag"), "n_days", "p.ccf")
+    )

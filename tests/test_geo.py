@@ -1896,3 +1896,39 @@ def test_track_waypoints_brackets_and_interpolates(spark):
                 assert (e, k) not in got
     # the straight equator track: halfway point is at lon 0.1e7*2
     assert got[(1, 2)][1] == 20_000_000 and got[(1, 2)][2] == 0
+
+
+def test_hex_pyramid_counts_roll_up_exactly(spark):
+    """hex pyramid invariants: per-level totals equal the point count;
+    every child center re-bins into exactly one parent; parent counts
+    equal the sum of their children."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+
+    out = E.queries()["hex_pyramid"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import collections
+
+    by_level = collections.defaultdict(dict)
+    for r in out:
+        by_level[r.level][(r.hx, r.hy)] = r.n_pts
+    totals = {lv: sum(m.values()) for lv, m in by_level.items()}
+    assert totals[0] == totals[1] == totals[2] == 1000
+    # parents strictly coarser
+    assert len(by_level[0]) > len(by_level[1]) > len(by_level[2])
+    # each level-0 center maps to a level-1 parent whose count covers it
+    from oshdb_spark.geo.cells import hexbin_cols
+
+    l0 = spark.createDataFrame(
+        [(hx, hy, n) for (hx, hy), n in by_level[0].items()],
+        "hx long, hy long, n long",
+    )
+    hx1, hy1 = hexbin_cols("hx", "hy", 200_000_000)
+    re1 = {
+        (r.hx, r.hy): r.s
+        for r in l0.select(hx1, hy1, "n")
+        .groupBy("hx", "hy").agg(F.sum("n").alias("s")).collect()
+    }
+    assert re1 == by_level[1]

@@ -521,3 +521,49 @@ def test_hampel_outliers_matches_replay(spark):
                 want[(ent, evs[i][0], evs[i][1])] = (c, med, mad)
     assert got == want
     assert any(k[0] == 70 for k in got)  # flat-line spike caught
+
+
+def test_ccf_lags_matches_numpy_replay(spark):
+    """ccf_lags vs a python dense-grid replay: a y-series that copies
+    x shifted by +2 days peaks at lag +2 with ccf 1."""
+    import math
+
+    from oshdb_spark.ops.timeseries import ccf_lags
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    rows = []
+    for d, c in enumerate(xs):
+        rows += [("a", (100 + d) * 86400 + i) for i in range(c)]
+        rows += [("b", (102 + d) * 86400 + 40000 + i) for i in range(c)]
+    rows.append(("zzz", 100 * 86400))  # filtered out
+    df = spark.createDataFrame(rows, "event_type string, sec long")
+    got = {r.lag: (r.n_days, r.ccf)
+           for r in ccf_lags(df, "a", "b", max_lag=3).collect()}
+
+    d0, d1 = 100, 102 + len(xs) - 1
+    n = d1 - d0 + 1
+    import collections
+
+    cx = collections.Counter(
+        s // 86400 for t, s in rows if t == "a")
+    cy = collections.Counter(
+        s // 86400 for t, s in rows if t == "b")
+    X = [cx.get(d, 0) for d in range(d0, d1 + 1)]
+    Y = [cy.get(d, 0) for d in range(d0, d1 + 1)]
+    sx, sy = sum(X), sum(Y)
+    U = [n * x - sx for x in X]
+    V = [n * y - sy for y in Y]
+    du = sum(t * t for t in U)
+    dv = sum(t * t for t in V)
+    for l in range(-3, 4):
+        num = sum(
+            U[i] * V[i + l]
+            for i in range(n) if 0 <= i + l < n
+        )
+        want = round(num / (math.sqrt(du) * math.sqrt(dv)), 6)
+        assert got[l][0] == n
+        assert math.isclose(got[l][1], want, abs_tol=1e-9), l
+    # the +2 shift dominates (edge zero-days and overlap loss keep the
+    # full-series-normalized peak below 1)
+    assert got[2][1] == max(v for _, v in got.values())
+    assert got[2][1] > 0.5
