@@ -5968,6 +5968,39 @@ def q_hex_pyramid(spark, sf_dir):
     )
 
 
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """DTW trajectory-similarity join (geo/trajectory.dtw_join):
+    entity pairs whose 4:1-downsampled clustered walks align within a
+    5,000 km total DTW path cost — the sequence-aware companion to
+    traj_hausdorff. Exact-integer DP end to end; the oracle replays
+    the full DP as an anti-diagonal wavefront recursive CTE over ALL
+    entity pairs (no blocking — an independent check of the padded-
+    bbox candidate stage)."""
+    from oshdb_spark.geo.trajectory import dtw_join
+
+    slot = (F.col("user_id") / 2).cast("long")
+    pts = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 4 == 0
+    ).select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("ord_key"),
+        (
+            (slot % 24) * 150_000_000 - 1_800_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1103515245, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lon7"),
+        (
+            ((slot / 24).cast("long") % 8) * 150_000_000
+            - 600_000_000 + 75_000_000
+            + F.pmod(F.col("event_id") * 1234567891, F.lit(60_000_001))
+            - 30_000_000
+        ).alias("lat7"),
+    )
+    return dtw_join(pts, 5_000_000.0)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6084,6 +6117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": q_mwu_drift,
         "ccf_lags": q_ccf_lags,
         "hex_pyramid": q_hex_pyramid,
+        "dtw_pairs": q_dtw_pairs,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6938,6 +6972,80 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "dtw_pairs": """
+            -- FULL-ENUMERATION DTW replay (no blocking): per pair,
+            -- the exact-integer DP as an anti-diagonal wavefront
+            -- recursive CTE — fresh rows step right/down, previous-
+            -- diagonal rows step diagonally, min per target cell
+            WITH RECURSIVE p AS (
+              SELECT user_id AS e, event_id AS o,
+                     ((user_id // 2) % 24) * 150000000
+                       - 1800000000 + 75000000
+                       + ((event_id*1103515245) % 60000001)
+                       - 30000000 AS lon7,
+                     (((user_id // 2) // 24) % 8) * 150000000
+                       - 600000000 + 75000000
+                       + ((event_id*1234567891) % 60000001)
+                       - 30000000 AS lat7
+              FROM events WHERE event_id % 4 = 0),
+            seqs AS MATERIALIZED (
+              SELECT e, row_number() OVER (
+                       PARTITION BY e ORDER BY o) - 1 AS i,
+                     lon7, lat7
+              FROM p),
+            ln AS (SELECT e, CAST(count(*) AS BIGINT) AS l
+                   FROM seqs GROUP BY 1),
+            prs AS (
+              SELECT a.e AS ea, b.e AS eb, a.l AS la, b.l AS lb
+              FROM ln a JOIN ln b ON a.e < b.e),
+            dmat AS MATERIALIZED (
+              SELECT pr.ea, pr.eb, sa.i, sb.i AS j,
+                     CAST(round(6371000.0 * sqrt(
+                       (radians(blon*1e-7 - alon*1e-7)
+                        * cos(radians((alat*1e-7 + blat*1e-7) / 2.0)))
+                       * (radians(blon*1e-7 - alon*1e-7)
+                          * cos(radians((alat*1e-7 + blat*1e-7)
+                                        / 2.0)))
+                       + radians(blat*1e-7 - alat*1e-7)
+                         * radians(blat*1e-7 - alat*1e-7)) * 1000.0,
+                       0) AS BIGINT) AS mm
+              FROM prs pr
+              JOIN (SELECT e, i, lon7 AS alon, lat7 AS alat
+                    FROM seqs) sa ON sa.e = pr.ea
+              JOIN (SELECT e, i, lon7 AS blon, lat7 AS blat
+                    FROM seqs) sb ON sb.e = pr.eb),
+            dp AS (
+                SELECT ea, eb, i, j, mm AS c, TRUE AS fresh
+                FROM dmat WHERE i = 0 AND j = 0
+              UNION ALL
+                (WITH s AS (SELECT * FROM dp)
+                 SELECT * FROM (
+                   SELECT n.ea, n.eb, n.i, n.j,
+                          n.pmin + dm.mm AS c, TRUE AS fresh
+                   FROM (
+                     SELECT ea, eb, ni AS i, nj AS j, min(c) AS pmin
+                     FROM (
+                       SELECT ea, eb, i + 1 AS ni, j AS nj, c
+                       FROM s WHERE fresh
+                       UNION ALL
+                       SELECT ea, eb, i, j + 1, c FROM s WHERE fresh
+                       UNION ALL
+                       SELECT ea, eb, i + 1, j + 1, c
+                       FROM s WHERE NOT fresh
+                     ) GROUP BY 1, 2, 3, 4) n
+                   JOIN dmat dm ON dm.ea = n.ea AND dm.eb = n.eb
+                              AND dm.i = n.i AND dm.j = n.j
+                   UNION ALL
+                   SELECT ea, eb, i, j, c, FALSE FROM s WHERE fresh))
+            )
+            SELECT dp.ea, dp.eb,
+                   CAST(min(dp.c) AS DOUBLE) / 1000.0 AS dtw_m
+            FROM dp
+            JOIN prs ON prs.ea = dp.ea AND prs.eb = dp.eb
+            WHERE dp.i = prs.la - 1 AND dp.j = prs.lb - 1
+            GROUP BY 1, 2
+            HAVING min(dp.c) <= 5000000000
         """,
         "ccf_lags": """
             -- CCF replay: dense grid, multiply-through integers,

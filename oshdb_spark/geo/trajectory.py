@@ -682,3 +682,156 @@ def track_waypoints(
             F.col("_plat") + frac * (F.col("_lat") - F.col("_plat")), 0
         ).cast("long").alias("lat7"),
     )
+
+
+def dtw_join(
+    points: DataFrame,
+    dtw_max_m: float,
+    entity_col: str = "entity",
+    order_col: str = "ord_key",
+    lon7_col: str = "lon7",
+    lat7_col: str = "lat7",
+    zoom: int = 6,
+    lat_max: float = 70.0,
+    n_salts: int = 1,
+) -> DataFrame:
+    """Dynamic-time-warping trajectory-similarity self-join: every
+    pair of entities whose ORDERED fix sequences align within a total
+    DTW path cost of ``dtw_max_m`` meters — the sequence-aware
+    companion to `hausdorff_join` (Hausdorff ignores order; DTW
+    requires the tracks to run the same route in the same direction).
+
+    Classic DTW: D[i,j] = d(aᵢ, bⱼ) + min(D[i−1,j], D[i,j−1],
+    D[i−1,j−1]); the reported cost is D[la−1, lb−1]. Every d is the
+    engine's mm-quantized equirect distance, so the whole DP is exact
+    integer arithmetic — the DuckDB oracle replays it bit-for-bit as
+    an anti-diagonal wavefront recursive CTE.
+
+    Blocking correctness: a path cost ≤ T forces every matched pair
+    within T, and DTW matches every A point to ≥1 B point, so the
+    padded-bbox PBSM candidate stage (shared `_bbox_pair_candidates`,
+    pad = T as a distance) provably covers all qualifying pairs —
+    the hausdorff_join argument verbatim. The refine is one narrow
+    Arrow stage; per-pair cost O(la·lb) — intended for DOWNSAMPLED
+    tracks (compose with simplify_radial/simplify_dp first; the
+    driver query downsamples 4:1). Points beyond |lat| > lat_max are
+    dropped (documented contract). Output: ea, eb, dtw_m (mm-exact
+    meters, ≤ dtw_max_m)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geodesy import EARTH_RADIUS
+    from .spatial_join import _bbox_pair_candidates
+
+    d_deg = dtw_max_m / (math.pi / 180.0 * EARTH_RADIUS)
+    pad_lat7 = int(math.ceil(d_deg * 1e7))
+    pad_lon7 = int(
+        math.ceil(d_deg / math.cos(math.radians(lat_max)) * 1e7)
+    )
+    lat7_cap = int(lat_max * 1e7)
+
+    per_ent = (
+        points.filter(
+            (F.col(lat7_col) >= -lat7_cap)
+            & (F.col(lat7_col) <= lat7_cap)
+        )
+        .groupBy(F.col(entity_col).alias("_e"))
+        .agg(
+            F.min(lon7_col).alias("_w"),
+            F.max(lon7_col).alias("_x"),
+            F.min(lat7_col).alias("_s"),
+            F.max(lat7_col).alias("_n"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(lon7_col).alias("lon7"),
+                        F.col(lat7_col).alias("lat7"),
+                    )
+                )
+            ).alias("_pts"),
+        )
+    )
+    a = per_ent.select(
+        F.col("_e").alias("ea"), F.col("_pts").alias("_pa"),
+        (F.col("_w") - pad_lon7).alias("_aw7"),
+        (F.col("_x") + pad_lon7).alias("_ae7"),
+        (F.col("_s") - pad_lat7).alias("_as7"),
+        (F.col("_n") + pad_lat7).alias("_an7"),
+    )
+    b = per_ent.select(
+        F.col("_e").alias("eb"), F.col("_pts").alias("_pb"),
+        F.col("_w").alias("_bw7"), F.col("_x").alias("_be7"),
+        F.col("_s").alias("_bs7"), F.col("_n").alias("_bn7"),
+    )
+    cand = _bbox_pair_candidates(
+        a, b, zoom, n_salts, F.struct(F.col("eb"))
+    ).filter(F.col("ea") < F.col("eb")).select(
+        "ea", "eb", "_pa", "_pb"
+    )
+
+    mm_cap = int(round(dtw_max_m * 1000.0))
+    out_schema = T.StructType(
+        [
+            T.StructField("ea", T.LongType()),
+            T.StructField("eb", T.LongType()),
+            T.StructField("dtw_m", T.DoubleType()),
+        ]
+    )
+
+    def refine(it):
+        for pdf in it:
+            rows = []
+            for ea, eb, pa, pb in zip(
+                pdf["ea"], pdf["eb"], pdf["_pa"], pdf["_pb"]
+            ):
+                A = np.array(
+                    [(p["lon7"], p["lat7"]) for p in pa],
+                    dtype=np.float64,
+                )
+                B = np.array(
+                    [(p["lon7"], p["lat7"]) for p in pb],
+                    dtype=np.float64,
+                )
+                la_, lb_ = A[:, 1] * 1e-7, B[:, 1] * 1e-7
+                lo_, lp_ = A[:, 0] * 1e-7, B[:, 0] * 1e-7
+                dlat = np.radians(lb_[None, :] - la_[:, None])
+                dlng = np.radians(
+                    lp_[None, :] - lo_[:, None]
+                ) * np.cos(
+                    np.radians((la_[:, None] + lb_[None, :]) / 2.0)
+                )
+                mm = np.rint(
+                    EARTH_RADIUS
+                    * np.sqrt(dlng * dlng + dlat * dlat) * 1000.0
+                ).astype(np.int64)
+                n, m = mm.shape
+                D = np.empty((n, m), dtype=np.int64)
+                D[0, 0] = mm[0, 0]
+                for j in range(1, m):
+                    D[0, j] = mm[0, j] + D[0, j - 1]
+                for i in range(1, n):
+                    D[i, 0] = mm[i, 0] + D[i - 1, 0]
+                    row, prow = D[i], D[i - 1]
+                    mrow = mm[i]
+                    for j in range(1, m):
+                        row[j] = mrow[j] + min(
+                            prow[j], prow[j - 1], row[j - 1]
+                        )
+                dtw = int(D[n - 1, m - 1])
+                if dtw <= mm_cap:
+                    rows.append((int(ea), int(eb), dtw / 1000.0))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["ea", "eb", "dtw_m"]
+                )
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype=object)
+                     for c in ["ea", "eb", "dtw_m"]}
+                )
+
+    return cand.mapInPandas(refine, schema=out_schema)

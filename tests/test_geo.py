@@ -1932,3 +1932,72 @@ def test_hex_pyramid_counts_roll_up_exactly(spark):
         .groupBy("hx", "hy").agg(F.sum("n").alias("s")).collect()
     }
     assert re1 == by_level[1]
+
+
+def test_dtw_join_matches_python_dp(spark):
+    """dtw_join vs a pure-python DTW replay; a reversed copy of a
+    track is near under Hausdorff but FAR under DTW (order
+    sensitivity), while a jittered same-direction copy is near."""
+    import math
+
+    from oshdb_spark.geo.trajectory import dtw_join
+
+    base = [(i * 2_000_000, (i % 3) * 1_000_000) for i in range(12)]
+    jit = [(x + 300_000, y - 200_000) for x, y in base]
+    rev = list(reversed(base))
+    far = [(x + 500_000_000, y) for x, y in base]
+    tracks = {1: base, 2: jit, 3: rev, 4: far}
+    rows = [
+        (e, i, p[0], p[1])
+        for e, pts in tracks.items()
+        for i, p in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+    T = 1_000_000.0  # 1,000 km budget
+    got = {
+        (r.ea, r.eb): r.dtw_m for r in dtw_join(df, T).collect()
+    }
+
+    R = 6371000.0
+
+    def mm(p, q):
+        la, lb = p[1] * 1e-7, q[1] * 1e-7
+        dla = math.radians(lb - la)
+        dln = math.radians((q[0] - p[0]) * 1e-7) * math.cos(
+            math.radians((la + lb) / 2.0))
+        import numpy as np
+
+        return int(np.rint(
+            R * math.sqrt(dln * dln + dla * dla) * 1000.0))
+
+    def dtw(A, B):
+        n, m = len(A), len(B)
+        D = [[0] * m for _ in range(n)]
+        for i in range(n):
+            for j in range(m):
+                d = mm(A[i], B[j])
+                if i == 0 and j == 0:
+                    D[i][j] = d
+                elif i == 0:
+                    D[i][j] = d + D[0][j - 1]
+                elif j == 0:
+                    D[i][j] = d + D[i - 1][0]
+                else:
+                    D[i][j] = d + min(D[i - 1][j], D[i][j - 1],
+                                      D[i - 1][j - 1])
+        return D[n - 1][m - 1]
+
+    import itertools
+
+    for ea, eb in itertools.combinations(sorted(tracks), 2):
+        want = dtw(tracks[ea], tracks[eb])
+        if want <= T * 1000:
+            assert math.isclose(
+                got[(ea, eb)], want / 1000.0, abs_tol=1e-9), (ea, eb)
+        else:
+            assert (ea, eb) not in got, (ea, eb, want)
+    assert (1, 2) in got          # jittered copy aligns
+    assert (1, 3) not in got      # reversed: order-sensitive rejection
+    assert (1, 4) not in got      # genuinely far
