@@ -774,6 +774,32 @@ def dtw_join(
     )
 
     mm_cap = int(round(dtw_max_m * 1000.0))
+
+    # exact endpoint lower bound, in codegen BEFORE the Arrow DP: a
+    # DTW path always matches a₀↔b₀ and a_last↔b_last, so the path
+    # cost is ≥ each endpoint distance — with a generous T the padded
+    # bboxes overlap near-globally and this filter does the real
+    # candidate pruning (same formula as the kernel, float compare
+    # against a mm slack of +2 so quantization can never drop a true
+    # pair; the DP re-checks exactly)
+    def _end_mm(pa, pb, idx):
+        p = F.element_at(F.col(pa), idx)
+        q = F.element_at(F.col(pb), idx)
+        la_ = p["lat7"] * 1e-7
+        lb_ = q["lat7"] * 1e-7
+        dla = F.radians(lb_ - la_)
+        dln = F.radians((q["lon7"] - p["lon7"]) * 1e-7) * F.cos(
+            F.radians((la_ + lb_) / 2.0)
+        )
+        return (
+            F.lit(float(EARTH_RADIUS))
+            * F.sqrt(dln * dln + dla * dla) * 1000.0
+        )
+
+    cand = cand.filter(
+        (_end_mm("_pa", "_pb", 1) <= mm_cap + 2)
+        & (_end_mm("_pa", "_pb", -1) <= mm_cap + 2)
+    )
     out_schema = T.StructType(
         [
             T.StructField("ea", T.LongType()),
