@@ -6001,6 +6001,24 @@ def q_dtw_pairs(spark, sf_dir):
     return dtw_join(pts, 5_000_000.0)
 
 
+
+
+def q_changepoints(spark, sf_dir):
+    """Depth-2 binary-segmentation changepoints (ops/timeseries.
+    binary_segmentation) over each user's value sequence: exact-
+    integer CUSUM statistic D(k) = |m·P_k' − j·T_s| with smallest-k
+    ties; up to 3 splits per user."""
+    from oshdb_spark.ops.timeseries import binary_segmentation
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    return binary_segmentation(ev)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6118,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_lags": q_ccf_lags,
         "hex_pyramid": q_hex_pyramid,
         "dtw_pairs": q_dtw_pairs,
+        "changepoints": q_changepoints,
         "cusum_drift": q_cusum_drift,
         "contour_lines": q_contour_lines,
         "attribution_last_touch": q_attribution_last_touch,
@@ -6972,6 +6991,63 @@ def oracle_sql() -> dict[str, str]:
             FROM cw JOIN tw ON tw.g = cw.g
             WHERE 2 * cw.cw >= 1 * tw.tw
             GROUP BY 1
+        """,
+        "changepoints": """
+            -- two unrolled binary-segmentation levels: identical
+            -- integer CUSUM argmax with smallest-k ties
+            WITH ev AS (
+              SELECT user_id AS e,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     event_id AS seq,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS c
+              FROM events),
+            b AS (
+              SELECT e, c,
+                     row_number() OVER w AS i,
+                     CAST(sum(c) OVER (PARTITION BY e ORDER BY sec,
+                       seq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+                     CAST(count(*) OVER (PARTITION BY e) AS BIGINT)
+                       AS n,
+                     CAST(sum(c) OVER (PARTITION BY e) AS BIGINT)
+                       AS t
+              FROM ev
+              WINDOW w AS (PARTITION BY e ORDER BY sec, seq)),
+            l1c AS (
+              SELECT e, i, p, n, t,
+                     abs(CAST(n AS HUGEINT) * p
+                         - CAST(i AS HUGEINT) * t) AS d
+              FROM b WHERE i < n),
+            l1 AS MATERIALIZED (
+              SELECT e, i AS k1, p AS pk1, d AS d1 FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY e ORDER BY d DESC, i) AS rn
+                FROM l1c) WHERE rn = 1),
+            l2c AS (
+              SELECT b.e,
+                     CASE WHEN b.i < l1.k1 THEN 0 ELSE 1 END AS seg,
+                     b.i,
+                     CASE WHEN b.i < l1.k1 THEN
+                       abs(CAST(l1.k1 AS HUGEINT) * b.p
+                           - CAST(b.i AS HUGEINT) * l1.pk1)
+                     ELSE
+                       abs(CAST(b.n - l1.k1 AS HUGEINT)
+                             * (b.p - l1.pk1)
+                           - CAST(b.i - l1.k1 AS HUGEINT)
+                             * (b.t - l1.pk1)) END AS d
+              FROM b JOIN l1 ON l1.e = b.e
+              WHERE (b.i < l1.k1 AND l1.k1 >= 2)
+                 OR (b.i > l1.k1 AND b.i < b.n
+                     AND b.n - l1.k1 >= 2)),
+            l2 AS (
+              SELECT e, seg, i, d FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY e, seg ORDER BY d DESC, i) AS rn
+                FROM l2c) WHERE rn = 1)
+            SELECT e AS entity, 1 AS level, 0 AS seg,
+                   k1 AS split_i, CAST(d1 AS BIGINT) AS d_stat
+            FROM l1
+            UNION ALL
+            SELECT e, 2, seg, i, CAST(d AS BIGINT) FROM l2
         """,
         "dtw_pairs": """
             -- FULL-ENUMERATION DTW replay (no blocking): per pair,

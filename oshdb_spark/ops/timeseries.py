@@ -953,3 +953,124 @@ def ccf_lags(
         m.select(F.col("_nn").alias("n_days"), F.explode(pairs).alias("p"))
         .select(F.col("p.lag").alias("lag"), "n_days", "p.ccf")
     )
+
+
+def binary_segmentation(
+    events: DataFrame,
+    entity_col: str = "uid",
+    sec_col: str = "sec",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Depth-2 binary-segmentation changepoint detection — the classic
+    offline mean-shift localizer (CUSUM statistic + recursive
+    splitting): level 1 splits each entity's value sequence at the
+    index maximizing the CUSUM gap; level 2 splits each half again
+    (up to 3 changepoints per entity).
+
+    Exact-integer contract: with prefix sums P over integer cents and
+    a segment [l, r] (m points, sum T_s), the maximized statistic is
+    D(k) = |m·(P_k − P_{l−1}) − (k−l+1)·T_s| — an exact integer equal
+    to m·j·|mean_left − mean_segment|, argmax-equivalent to the
+    standard unnormalized CUSUM (the m factor is constant per
+    segment); ties break to the SMALLEST k via max(struct(D, −k)).
+    Splits are reported with their raw D (callers threshold; D = 0
+    means the segment is flat). Segments shorter than 2 points emit
+    nothing.
+
+    Plan: one ordered window pass (index + prefix sums + per-entity
+    totals), one argmax aggregate per level, one broadcast-join of
+    level-1 winners — no Python, no recursion at runtime. Returns
+    (entity, level, seg, split_i, d_stat)."""
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("long")
+    w = Window.partitionBy("_e").orderBy("_sec", "_seq")
+    we = Window.partitionBy("_e")
+    base = (
+        events.select(
+            F.col(entity_col).alias("_e"),
+            F.col(sec_col).alias("_sec"),
+            F.col(seq_col).alias("_seq"),
+            cents.alias("_c"),
+        )
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_p",
+            F.sum("_c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(we))
+        .withColumn("_t", F.sum("_c").over(we))
+    )
+    dec = "decimal(38,0)"
+
+    def dstat(p_k, p_l1, m, j, t_s):
+        return F.abs(
+            (m.cast(dec) * (p_k - p_l1) - j.cast(dec) * t_s)
+        )
+
+    l1c = base.filter(F.col("_i") < F.col("_n")).withColumn(
+        "_d",
+        dstat(F.col("_p"), F.lit(0), F.col("_n"), F.col("_i"),
+              F.col("_t")),
+    )
+    l1 = l1c.groupBy("_e").agg(
+        F.max(
+            F.struct(
+                F.col("_d"), (-F.col("_i")).alias("_ni"),
+                F.col("_i"), F.col("_p"),
+            )
+        ).alias("_m")
+    ).select(
+        "_e",
+        F.col("_m._i").alias("_k1"),
+        F.col("_m._p").alias("_pk1"),
+        F.col("_m._d").alias("_d1"),
+    )
+    out1 = l1.select(
+        F.col("_e").alias("entity"),
+        F.lit(1).alias("level"),
+        F.lit(0).alias("seg"),
+        F.col("_k1").alias("split_i"),
+        F.col("_d1").cast("long").alias("d_stat"),
+    )
+    j2 = base.join(l1, "_e")
+    left = j2.filter(
+        (F.col("_i") < F.col("_k1")) & (F.col("_k1") >= 2)
+    ).withColumn(
+        "_d",
+        dstat(F.col("_p"), F.lit(0), F.col("_k1"), F.col("_i"),
+              F.col("_pk1")),
+    ).withColumn("_seg", F.lit(0))
+    right = j2.filter(
+        (F.col("_i") > F.col("_k1")) & (F.col("_i") < F.col("_n"))
+        & (F.col("_n") - F.col("_k1") >= 2)
+    ).withColumn(
+        "_d",
+        dstat(
+            F.col("_p"), F.col("_pk1"),
+            F.col("_n") - F.col("_k1"),
+            F.col("_i") - F.col("_k1"),
+            F.col("_t") - F.col("_pk1"),
+        ),
+    ).withColumn("_seg", F.lit(1))
+    l2 = (
+        left.unionByName(right)
+        .groupBy("_e", "_seg")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_d"), (-F.col("_i")).alias("_ni"),
+                    F.col("_i"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            F.col("_e").alias("entity"),
+            F.lit(2).alias("level"),
+            F.col("_seg").alias("seg"),
+            F.col("_m._i").alias("split_i"),
+            F.col("_m._d").cast("long").alias("d_stat"),
+        )
+    )
+    return out1.unionByName(l2)

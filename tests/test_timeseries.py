@@ -567,3 +567,60 @@ def test_ccf_lags_matches_numpy_replay(spark):
     # full-series-normalized peak below 1)
     assert got[2][1] == max(v for _, v in got.values())
     assert got[2][1] > 0.5
+
+
+def test_binary_segmentation_matches_replay(spark):
+    """binary_segmentation vs a python replay on planted mean shifts:
+    level 1 finds the dominant shift, level 2 the secondary ones;
+    flat series split with D = 0."""
+    from oshdb_spark.ops.timeseries import binary_segmentation
+
+    series = {
+        1: [10] * 8 + [50] * 8 + [10] * 4,   # dominant shift at 8
+        2: [5] * 6,                           # flat
+        3: [1, 1, 9, 9, 9, 9, 1, 1, 1],
+        4: [7, 8],                            # minimal
+    }
+    rows = [
+        (e, 100 + i, 1000 * e + i, float(v))
+        for e, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, sec long, seq long, value double"
+    )
+    got = {
+        (r.entity, r.level, r.seg): (r.split_i, r.d_stat)
+        for r in binary_segmentation(df).collect()
+    }
+
+    def best(vals, l, r):
+        # 1-based inclusive segment [l, r]; returns (k, D)
+        m = r - l + 1
+        pre = [0]
+        for v in vals:
+            pre.append(pre[-1] + v)
+        ts = pre[r] - pre[l - 1]
+        out = None
+        for k in range(l, r):
+            j = k - l + 1
+            d = abs(m * (pre[k] - pre[l - 1]) - j * ts)
+            if out is None or d > out[1]:
+                out = (k, d)
+        return out
+
+    for e, vs in series.items():
+        c = [int(v * 100) for v in vs]
+        n = len(c)
+        k1, d1 = best(c, 1, n)
+        assert got[(e, 1, 0)] == (k1, d1), e
+        if k1 >= 2:
+            assert got[(e, 2, 0)] == best(c, 1, k1), e
+        else:
+            assert (e, 2, 0) not in got
+        if n - k1 >= 2:
+            assert got[(e, 2, 1)] == best(c, k1 + 1, n), e
+        else:
+            assert (e, 2, 1) not in got
+    assert got[(1, 1, 0)][0] == 8      # the planted dominant shift
+    assert got[(2, 1, 0)][1] == 0      # flat: D = 0
