@@ -983,9 +983,10 @@ def q_stream_colocation(spark, sf_dir):
     500 km and 1 hour detected live across 3 ordered micro-batches
     (cross-batch pairs must come out of the join's buffered state), then
     rolled up per user pair exactly like the batch `colocation_pairs`
-    query. The 40-day watermark exceeds the bounded input's span, so
-    nothing is evicted early and the result replays the batch operator
-    (and its oracle) exactly."""
+    query. Runs in the operator's explicit ``oracle_replay=True``
+    verification mode (span-covering watermark — nothing evicted early),
+    so the result replays the batch operator (and its oracle) exactly;
+    the production default is the state-bounded disorder watermark."""
     import uuid
 
     from oshdb_spark.streaming.incremental import (
@@ -1013,7 +1014,7 @@ def q_stream_colocation(spark, sf_dir):
         ).alias("lat7"),
     )
     pairs = stream_colocation(
-        fixes, 500_000.0, 3600, watermark="40 days"
+        fixes, 500_000.0, 3600, oracle_replay=True
     ).filter(F.col("uid") < F.col("_r_uid"))
     out = pairs.select(
         F.col("uid").alias("uid_a"),
@@ -5970,18 +5971,12 @@ def q_hex_pyramid(spark, sf_dir):
 
 
 
-def q_dtw_pairs(spark, sf_dir):
-    """DTW trajectory-similarity join (geo/trajectory.dtw_join):
-    entity pairs whose 4:1-downsampled clustered walks align within a
-    5,000 km total DTW path cost — the sequence-aware companion to
-    traj_hausdorff. Exact-integer DP end to end; the oracle replays
-    the full DP as an anti-diagonal wavefront recursive CTE over ALL
-    entity pairs (no blocking — an independent check of the padded-
-    bbox candidate stage)."""
-    from oshdb_spark.geo.trajectory import dtw_join
-
+def _dtw_points(spark, sf_dir):
+    """The dtw_pairs input: 4:1-downsampled clustered walks on a 24×8
+    grid of 15° slots with ±3° jitter (shared with the plan audit's
+    candidate-count probe)."""
     slot = (F.col("user_id") / 2).cast("long")
-    pts = _t(spark, sf_dir, "events").filter(
+    return _t(spark, sf_dir, "events").filter(
         F.col("event_id") % 4 == 0
     ).select(
         F.col("user_id").alias("entity"),
@@ -5998,7 +5993,19 @@ def q_dtw_pairs(spark, sf_dir):
             - 30_000_000
         ).alias("lat7"),
     )
-    return dtw_join(pts, 5_000_000.0)
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """DTW trajectory-similarity join (geo/trajectory.dtw_join):
+    entity pairs whose 4:1-downsampled clustered walks align within a
+    5,000 km total DTW path cost — the sequence-aware companion to
+    traj_hausdorff. Exact-integer DP end to end; the oracle replays
+    the full DP as an anti-diagonal wavefront recursive CTE over ALL
+    entity pairs (no blocking — an independent check of the padded-
+    bbox candidate stage)."""
+    from oshdb_spark.geo.trajectory import dtw_join
+
+    return dtw_join(_dtw_points(spark, sf_dir), 5_000_000.0)
 
 
 
@@ -6351,6 +6358,38 @@ _PCA_COV_CTES = """q AS (
                        + 0.0 AS cov
               FROM ss s JOIN ms mi ON mi.i = s.i
                         JOIN ms mj ON mj.i = s.j, nn)"""
+
+
+def _hex_h(w: int) -> int:
+    from oshdb_spark.geo.cells import hex_height7
+
+    return hex_height7(w)
+
+
+_HEX_H200 = _hex_h(200_000_000)  # 346410160 — shared with the engine
+
+
+def _hex_sql(xe: str, ye: str, w: int, h: int | None = None):
+    """DuckDB replay of geo/cells.hexbin_cols: the identical doubled-
+    lattice integer nearest-center predicate, generated from the SAME
+    (w, h) the engine uses (h defaults to cells.hex_height7 = even
+    √3·w) so the oracle constants can never drift from the engine's.
+    Returns (hx_sql, hy_sql) expressions over columns ``xe``/``ye``."""
+    from oshdb_spark.geo.cells import hex_height7
+
+    w = int(w)
+    h = int(h) if h is not None else hex_height7(w)
+    X = f"({xe} + 1800000000)"
+    Y = f"({ye} + 900000000)"
+    ax = f"((({X} + {w // 2}) // {w}) * {w})"
+    ay = f"((({Y} + {h // 2}) // {h}) * {h})"
+    bx = f"(({X} // {w}) * {w} + {w // 2})"
+    by = f"(({Y} // {h}) * {h} + {h // 2})"
+    da = f"(({X}-{ax})*({X}-{ax}) + ({Y}-{ay})*({Y}-{ay}))"
+    db = f"(({X}-{bx})*({X}-{bx}) + ({Y}-{by})*({Y}-{by}))"
+    hx = f"(CASE WHEN {da} <= {db} THEN {ax} ELSE {bx} END) - 1800000000"
+    hy = f"(CASE WHEN {da} <= {db} THEN {ay} ELSE {by} END) - 900000000"
+    return hx, hy
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7179,8 +7218,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT n, du, dv, 2, c5 FROM m
               UNION ALL SELECT n, du, dv, 3, c6 FROM m)
         """,
-        "hex_pyramid": """
-            -- three chained integer lattice assignments
+        "hex_pyramid": f"""
+            -- three chained integer lattice assignments (_hex_sql,
+            -- h = √3·w per level)
             WITH pts AS (
               SELECT (event_id * 1103515245) % 3600000000
                        - 1800000000 AS lon7,
@@ -7190,17 +7230,23 @@ def oracle_sql() -> dict[str, str]:
             l0 AS (
               SELECT hx, hy, CAST(count(*) AS BIGINT) AS n_pts
               FROM (
-                SELECT (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000) ELSE (((lon7 + 1800000000) // 100000000) * 100000000 + 50000000) END) - 1800000000 AS hx, (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lat7 + 900000000) + 43301270) // 86602540) * 86602540) ELSE (((lat7 + 900000000) // 86602540) * 86602540 + 43301270) END) - 900000000 AS hy FROM pts)
+                SELECT {_hex_sql("lon7", "lat7", 100_000_000)[0]} AS hx,
+                       {_hex_sql("lon7", "lat7", 100_000_000)[1]} AS hy
+                FROM pts)
               GROUP BY 1, 2),
             l1 AS (
               SELECT hx, hy, CAST(sum(n_pts) AS BIGINT) AS n_pts
               FROM (
-                SELECT (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000))*((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000)) + ((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))*((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))) <= (((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000))*((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000)) + ((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))*((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((hx + 1800000000) + 100000000) // 200000000) * 200000000) ELSE (((hx + 1800000000) // 200000000) * 200000000 + 100000000) END) - 1800000000 AS hx, (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000))*((hx + 1800000000)-((((hx + 1800000000) + 100000000) // 200000000) * 200000000)) + ((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))*((hy + 900000000)-((((hy + 900000000) + 86602540) // 173205080) * 173205080))) <= (((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000))*((hx + 1800000000)-(((hx + 1800000000) // 200000000) * 200000000 + 100000000)) + ((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))*((hy + 900000000)-(((hy + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((hy + 900000000) + 86602540) // 173205080) * 173205080) ELSE (((hy + 900000000) // 173205080) * 173205080 + 86602540) END) - 900000000 AS hy, n_pts FROM l0)
+                SELECT {_hex_sql("hx", "hy", 200_000_000)[0]} AS hx,
+                       {_hex_sql("hx", "hy", 200_000_000)[1]} AS hy,
+                       n_pts FROM l0)
               GROUP BY 1, 2),
             l2 AS (
               SELECT hx, hy, CAST(sum(n_pts) AS BIGINT) AS n_pts
               FROM (
-                SELECT (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000))*((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000)) + ((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))*((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))) <= (((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000))*((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000)) + ((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))*((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))) THEN ((((hx + 1800000000) + 200000000) // 400000000) * 400000000) ELSE (((hx + 1800000000) // 400000000) * 400000000 + 200000000) END) - 1800000000 AS hx, (CASE WHEN (((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000))*((hx + 1800000000)-((((hx + 1800000000) + 200000000) // 400000000) * 400000000)) + ((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))*((hy + 900000000)-((((hy + 900000000) + 173205080) // 346410160) * 346410160))) <= (((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000))*((hx + 1800000000)-(((hx + 1800000000) // 400000000) * 400000000 + 200000000)) + ((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))*((hy + 900000000)-(((hy + 900000000) // 346410160) * 346410160 + 173205080))) THEN ((((hy + 900000000) + 173205080) // 346410160) * 346410160) ELSE (((hy + 900000000) // 346410160) * 346410160 + 173205080) END) - 900000000 AS hy, n_pts FROM l1)
+                SELECT {_hex_sql("hx", "hy", 400_000_000)[0]} AS hx,
+                       {_hex_sql("hx", "hy", 400_000_000)[1]} AS hy,
+                       n_pts FROM l1)
               GROUP BY 1, 2)
             SELECT 0 AS level, hx, hy, n_pts FROM l0
             UNION ALL SELECT 1, hx, hy, n_pts FROM l1
@@ -7563,8 +7609,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pts
             FROM pts GROUP BY 1
         """,
-        "hex_smooth": """
-            -- hexbin (w=200000000, h=173205080) + 7-offset focal replay
+        "hex_smooth": f"""
+            -- hexbin (w=200000000, h=√3·w via _hex_sql) + 7-offset
+            -- focal replay over the 6 equidistant Voronoi neighbors
             WITH pts AS (
               SELECT (event_id * 1103515245) % 3600000000
                        - 1800000000 AS lon7,
@@ -7575,20 +7622,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT hx, hy, CAST(count(*) AS BIGINT) AS cnt
               FROM (
                 SELECT
-                  (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))*((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))*((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000) ELSE (((lon7 + 1800000000) // 200000000) * 200000000 + 100000000) END)
-                    - 1800000000 AS hx,
-                  (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 100000000) // 200000000) * 200000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))*((lat7 + 900000000)-((((lat7 + 900000000) + 86602540) // 173205080) * 173205080))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 200000000) * 200000000 + 100000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))*((lat7 + 900000000)-(((lat7 + 900000000) // 173205080) * 173205080 + 86602540))) THEN ((((lat7 + 900000000) + 86602540) // 173205080) * 173205080) ELSE (((lat7 + 900000000) // 173205080) * 173205080 + 86602540) END)
-                    - 900000000 AS hy
+                  {_hex_sql("lon7", "lat7", 200_000_000)[0]} AS hx,
+                  {_hex_sql("lon7", "lat7", 200_000_000)[1]} AS hy
                 FROM pts)
               GROUP BY 1, 2),
             contrib AS (
               SELECT hx + dx AS tx, hy + dy AS ty, cnt
               FROM hb, (VALUES (0::BIGINT, 0::BIGINT),
                                (200000000, 0), (-200000000, 0),
-                               (100000000, 86602540),
-                               (100000000, -86602540),
-                               (-100000000, 86602540),
-                               (-100000000, -86602540)) AS o(dx, dy)),
+                               (100000000, {_HEX_H200 // 2}),
+                               (100000000, -{_HEX_H200 // 2}),
+                               (-100000000, {_HEX_H200 // 2}),
+                               (-100000000, -{_HEX_H200 // 2})) AS o(dx, dy)),
             agg AS (
               SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS focal_sum,
                      CAST(count(*) AS BIGINT) AS focal_n
@@ -8048,9 +8093,8 @@ def oracle_sql() -> dict[str, str]:
                      AS seasonal
             FROM detr GROUP BY 1, 2
         """,
-        "hex_bins": """
-            -- hexbin replay: identical doubled-lattice integer
-            -- nearest-center predicate (w=100000000, h=86602540)
+        "hex_bins": f"""
+            -- hexbin replay via _hex_sql (w=100000000, h=√3·w)
             WITH pts AS (
               SELECT event_id, value,
                      (event_id * 1103515245) % 3600000000
@@ -8060,10 +8104,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             hb AS (
               SELECT value,
-                     (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000) ELSE (((lon7 + 1800000000) // 100000000) * 100000000 + 50000000) END)
-                       - 1800000000 AS hx,
-                     (CASE WHEN (((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000))*((lon7 + 1800000000)-((((lon7 + 1800000000) + 50000000) // 100000000) * 100000000)) + ((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))*((lat7 + 900000000)-((((lat7 + 900000000) + 43301270) // 86602540) * 86602540))) <= (((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000))*((lon7 + 1800000000)-(((lon7 + 1800000000) // 100000000) * 100000000 + 50000000)) + ((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))*((lat7 + 900000000)-(((lat7 + 900000000) // 86602540) * 86602540 + 43301270))) THEN ((((lat7 + 900000000) + 43301270) // 86602540) * 86602540) ELSE (((lat7 + 900000000) // 86602540) * 86602540 + 43301270) END)
-                       - 900000000 AS hy
+                     {_hex_sql("lon7", "lat7", 100_000_000)[0]} AS hx,
+                     {_hex_sql("lon7", "lat7", 100_000_000)[1]} AS hy
               FROM pts)
             SELECT hx, hy, CAST(count(*) AS BIGINT) AS n_pts,
                    round(sum(value), 2) AS sum_value

@@ -1579,6 +1579,20 @@ def contour_segments(
 # ---------------------------------------------------------------------------
 
 
+def hex_height7(width7: int) -> int:
+    """Default hex-lattice vertical spacing: the even rounding of
+    √3·w. Two interleaved rectangular lattices (i·w, j·h) and
+    ((i+½)·w, (j+½)·h) have REGULAR pointy-top hexagonal Voronoi cells
+    exactly when h = √3·w — combined rows land h/2 = (√3/2)·w apart
+    with alternate rows offset w/2, so all 6 neighbors of a center,
+    (±w, 0) and (±w/2, ±h/2), sit at distance w. (matplotlib's hexbin
+    weights its y-term by 3 ≡ the same h = √3·w ratio.) Shared by
+    hexbin_cols / hex_smooth and the driver oracle SQL so the engine
+    and the oracle cannot disagree on the constant."""
+    w = int(width7)
+    return int(1.7320508 * w / 2.0 + 0.5) * 2
+
+
 def hexbin_cols(lon7_col, lat7_col, width7: int = 20_000_000,
                 height7: int | None = None):
     """Hexagonal-bin center of a fixed-point point, as two int64 columns
@@ -1588,20 +1602,19 @@ def hexbin_cols(lon7_col, lat7_col, width7: int = 20_000_000,
 
     A pointy-top hexagonal tessellation IS the Voronoi diagram of two
     interleaved rectangular lattices — centers (i·w, j·h) and
-    ((i+½)·w, (j+½)·h) with h = (√3/2)·w. We keep w and h as EVEN
-    integers (h defaults to the even rounding of 0.8660254·w), shift
-    coordinates non-negative, round to the nearest center of each
-    lattice with half-up integer division, and pick the closer center
-    by exact int64 squared distance (ties → lattice A; both engines
-    evaluate the identical integer predicate, so assignment is
-    bit-reproducible — matplotlib's hexbin does exactly this float-ly).
-    Integer lattice constants make the hexagons near-regular rather
-    than perfectly regular; the tessellation is exact.
+    ((i+½)·w, (j+½)·h) with h = √3·w (hex_height7; the even rounding
+    keeps both constants even). We shift coordinates non-negative,
+    round to the nearest center of each lattice with half-up integer
+    division, and pick the closer center by exact int64 squared
+    distance (ties → lattice A; both engines evaluate the identical
+    integer predicate, so assignment is bit-reproducible). Integer
+    lattice constants make the hexagons near-regular rather than
+    perfectly regular; the tessellation is exact.
     """
     import pyspark.sql.functions as F
 
     w = int(width7)
-    h = int(height7) if height7 is not None else int(0.8660254 * w)
+    h = int(height7) if height7 is not None else hex_height7(w)
     if w % 2 or h % 2:
         raise ValueError("hexbin lattice constants must be even")
     # `div` is integer division; operands are shifted non-negative so
@@ -1812,14 +1825,29 @@ def quadkey_col(lon7_col, lat7_col, zoom: int = 8):
 
     x = zoom-level column (0..2^z−1 west→east), y = ROW FROM NORTH
     (Bing convention: 0 at the top), derived from the same fixed-point
-    floor divisions as xy_id. zoom ≤ 15 keeps every shift in int64."""
+    floor divisions as xy_id: zoom ≤ 10 divides by the exact integer
+    width 360e7/2^z; deeper zooms (fractional width) use the same
+    scaled-rational floor division as _floor_div_w, so tile boundaries
+    never drift from xy_id's double-exact arithmetic. lon=+180 wraps
+    to the westernmost column (XYGrid.java:124-160 parity — the same
+    rule xy_id applies; an x of 2^z would otherwise alias digit-wise
+    to column 0 only by accident); lat=+90 clamps into the top row."""
     import pyspark.sql.functions as F
 
     zoom = _clamp_zoom(zoom)
-    w = 3_600_000_000 >> zoom
-    x = f"((CAST({lon7_col} AS BIGINT) + 1800000000) div {w})"
+    lon_s = f"(CAST({lon7_col} AS BIGINT) + 1800000000)"
+    lat_s = f"(CAST({lat7_col} AS BIGINT) + 900000000)"
+    if zoom <= 10:
+        w = _N << (10 - zoom)  # == 3_600_000_000 >> zoom, exact
+        xr = f"({lon_s} div {w})"
+        yy = f"({lat_s} div {w})"
+    else:
+        m = 1 << (zoom - 10)
+        xr = f"(({lon_s} * {m}) div {_N})"
+        yy = f"(({lat_s} * {m}) div {_N})"
+    x_wrap = 1 << zoom
+    x = f"(CASE WHEN {xr} >= {x_wrap} THEN 0 ELSE {xr} END)"
     # clamp lat=+90 into the top row, mirror to row-from-north
-    yy = f"((CAST({lat7_col} AS BIGINT) + 900000000) div {w})"
     y_max = (1 << zoom) // 2 - 1
     y = (
         f"({y_max} - (CASE WHEN {yy} > {y_max} THEN {y_max} "
@@ -1844,14 +1872,15 @@ def hex_smooth(df, width7: int = 100_000_000,
     neighbors, no corner bias). Input: one row per PRESENT hex center
     (hexbin_cols output). Each hex contributes its value to itself and
     its 6 neighbors — centers at (±w, 0) on the own lattice and
-    (±w/2, ±h/2) on the other — via a 7-element literal explode
+    (±w/2, ±h/2) on the other, all at distance w under the default
+    h = √3·w (hex_height7) — via a 7-element literal explode
     (codegen), ONE shuffle aggregates by target, and a final join
     restricts to present hexes (sparse no-data semantics). All
     arithmetic exact integers; only focal_mean divides (round 6)."""
     import pyspark.sql.functions as F
 
     w = int(width7)
-    h = int(height7) if height7 is not None else int(0.8660254 * w)
+    h = int(height7) if height7 is not None else hex_height7(w)
     if w % 2 or h % 2:
         raise ValueError("hexbin lattice constants must be even")
     offs = [(0, 0), (w, 0), (-w, 0),

@@ -694,6 +694,7 @@ def dtw_join(
     zoom: int = 6,
     lat_max: float = 70.0,
     n_salts: int = 1,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """Dynamic-time-warping trajectory-similarity self-join: every
     pair of entities whose ORDERED fix sequences align within a total
@@ -761,6 +762,9 @@ def dtw_join(
         (F.col("_x") + pad_lon7).alias("_ae7"),
         (F.col("_s") - pad_lat7).alias("_as7"),
         (F.col("_n") + pad_lat7).alias("_an7"),
+        # unpadded A bbox for the envelope lower bound below
+        F.col("_w").alias("_uaw7"), F.col("_x").alias("_uae7"),
+        F.col("_s").alias("_uas7"), F.col("_n").alias("_uan7"),
     )
     b = per_ent.select(
         F.col("_e").alias("eb"), F.col("_pts").alias("_pb"),
@@ -770,7 +774,9 @@ def dtw_join(
     cand = _bbox_pair_candidates(
         a, b, zoom, n_salts, F.struct(F.col("eb"))
     ).filter(F.col("ea") < F.col("eb")).select(
-        "ea", "eb", "_pa", "_pb"
+        "ea", "eb", "_pa", "_pb",
+        "_uaw7", "_uae7", "_uas7", "_uan7",
+        "_bw7", "_be7", "_bs7", "_bn7",
     )
 
     mm_cap = int(round(dtw_max_m * 1000.0))
@@ -800,6 +806,47 @@ def dtw_join(
         (_end_mm("_pa", "_pb", 1) <= mm_cap + 2)
         & (_end_mm("_pa", "_pb", -1) <= mm_cap + 2)
     )
+
+    # Keogh-style ENVELOPE lower bound, also codegen, also before the
+    # Arrow DP: every DTW path matches every A point to ≥1 B point, so
+    # path cost ≥ Σᵢ d(aᵢ, nearest point of B) ≥ Σᵢ boxdist(aᵢ, bbox(B))
+    # (and symmetrically for B vs bbox(A)). boxdist under-estimates the
+    # kernel's equirect metric: the lat term is exact (Δlat to the box
+    # edge), the lon term is scaled by cos(lat_max) ≤ cos(midlat) since
+    # both endpoints satisfy |lat| ≤ lat_max. Against a near-global
+    # budget the endpoint bound prunes only pairs ≥ T apart; this one
+    # prunes pairs ≥ T/len apart (the whole track must traverse the
+    # gap), collapsing the quadratic refined-pair blowup. Slack: the DP
+    # rint()s each element (−0.5 mm) plus float noise → keep if
+    # Σ ≤ cap + 2·len, mirroring the endpoint bound's +2/term; the DP
+    # re-checks survivors exactly, so pruning is loss-free.
+    _coslat = math.cos(math.radians(lat_max))
+
+    def _lb_env(pts: str, w: str, s_: str, e: str, n_: str):
+        dlat = f"greatest(0L, {s_} - p.lat7, p.lat7 - {n_})"
+        dlon = f"greatest(0L, {w} - p.lon7, p.lon7 - {e})"
+        return F.expr(
+            f"aggregate({pts}, 0.0D, (acc, p) -> acc + "
+            f"{float(EARTH_RADIUS)!r} * sqrt("
+            f"pow(radians({dlat} * 1e-7), 2) + "
+            f"pow(radians({dlon} * 1e-7) * {_coslat!r}, 2)"
+            f") * 1000.0)"
+        )
+
+    cand = cand.filter(
+        (
+            _lb_env("_pa", "_bw7", "_bs7", "_be7", "_bn7")
+            <= mm_cap + 2.0 * F.size("_pa")
+        )
+        & (
+            _lb_env("_pb", "_uaw7", "_uas7", "_uae7", "_uan7")
+            <= mm_cap + 2.0 * F.size("_pb")
+        )
+    ).select("ea", "eb", "_pa", "_pb")
+    if _return_candidates:
+        # audit hook: the refined-pair set AFTER all codegen lower
+        # bounds, BEFORE the O(la·lb) Arrow DP
+        return cand.select("ea", "eb")
     out_schema = T.StructType(
         [
             T.StructField("ea", T.LongType()),

@@ -21,6 +21,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import schemas
 
@@ -241,6 +242,7 @@ def synth_docs_sql(
     versions_per_doc: int = 4,
     hot_fraction: float = 0.4,
     partitions: int | None = None,
+    typed_columns: bool = True,
 ) -> DataFrame:
     """Generate `n_docs` node docs entirely with Catalyst expressions.
 
@@ -248,6 +250,15 @@ def synth_docs_sql(
     the rest spread worldwide — a Zipf-ish hot-tile distribution that
     exercises salting + AQE skew handling (FIXTURES.md F10). Deterministic:
     all columns derive from the doc index via integer arithmetic.
+
+    With ``typed_columns`` (default) the docs ALSO carry native
+    entity_type/id/versions/members columns built from the SAME structs
+    whose to_json produces the span text (the model.history store-v2
+    layout — they cannot diverge): typed_docs passes them through with
+    no from_json, and Catalyst prunes the JSON spans when nothing reads
+    them. ``typed_columns=False`` emits the raw 2-column input_hint
+    shape (doc_id, spans) — the cold-ingest decode path, kept for A/B
+    and decode-correctness tests.
     """
     df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     hot = (F.pmod(F.col("id") * 2654435761, F.lit(1000)) < int(hot_fraction * 1000))
@@ -259,14 +270,14 @@ def synth_docs_sql(
         hot, 494100000 + F.pmod(F.col("id") * 93719, F.lit(500000)) - 250000
     ).otherwise(F.pmod(F.col("id") * 6101, F.lit(1_700_000_000)) - 850_000_000)
     df = df.withColumn("lon7", lon7.cast("long")).withColumn("lat7", lat7.cast("long"))
-    # k versions: ts spaced yearly from 2008 + per-doc phase; every 3rd
-    # version moves the node, every 4th edits tags
-    vjson = F.expr(
+    # k versions (NATIVE structs, oldest-first — the span JSON derives
+    # from these same structs below): ts spaced yearly from 2008 + a
+    # per-doc phase; every 3rd version moves the node, every 4th edits
+    # tags
+    vnative = F.expr(
         f"""
         transform(sequence(1, {versions_per_doc}), i -> named_struct(
-          'kind', 'version',
-          'text', to_json(named_struct(
-             'version', i,
+             'version', cast(i as int),
              'visible', true,
              'ts', date_format(
                 timestamp_seconds(1199145600 + pmod(id, 31536000)
@@ -277,10 +288,18 @@ def synth_docs_sql(
                                          then 'cafe' else 'bench' end),
              'lon', lon7 + (i - 1) * case when pmod(i, 3) = 0 then 100 else 0 end,
              'lat', lat7,
-             'refs', array()
-          )),
+             'refs', cast(array()
+                          as array<struct<type:string,ref:bigint,role:string>>)
+        ))
+        """
+    )
+    vjson = F.expr(
+        f"""
+        transform(versions, (t, j) -> named_struct(
+          'kind', 'version',
+          'text', to_json(t),
           'media_ref', '',
-          'offset', {versions_per_doc} - i + 1
+          'offset', {versions_per_doc} - j
         ))
         """
     )
@@ -299,11 +318,24 @@ def synth_docs_sql(
                      'offset', {versions_per_doc} + 1)
         """
     )
-    return df.withColumn("meta_span", meta).withColumn(
-        "version_spans", vjson
-    ).withColumn("media_span", media).select(
+    out = (
+        df.withColumn("versions", vnative)
+        .withColumn("meta_span", meta)
+        .withColumn("version_spans", vjson)
+        .withColumn("media_span", media)
+    )
+    spans = F.expr(
+        "concat(array(meta_span), reverse(version_spans), array(media_span))"
+    ).alias("spans")
+    if not typed_columns:
+        return out.select(
+            F.concat(F.lit("node/"), F.col("id")).alias("doc_id"), spans
+        )
+    return out.select(
         F.concat(F.lit("node/"), F.col("id")).alias("doc_id"),
-        F.expr(
-            "concat(array(meta_span), reverse(version_spans), array(media_span))"
-        ).alias("spans"),
+        spans,
+        F.lit("node").alias("entity_type"),
+        F.col("id"),
+        F.col("versions"),
+        F.expr("array()").cast(T.ArrayType(schemas.MEMBER_JSON)).alias("members"),
     )

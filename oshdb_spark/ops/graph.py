@@ -74,18 +74,31 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """Component label per node: ``(node, component)`` where component is
     the minimum node id reachable from it. Nodes appearing in ``edges``
     only — union isolated nodes with ``component = node`` at the call
-    site. Ids must be orderable (long/int/string)."""
+    site. Ids must be orderable (long/int/string).
+
+    The convergence signature (a 4-scalar aggregate over the cached
+    round result) is collected only every ``check_every`` rounds: the
+    fixpoint is absorbing, so a signature equal to the one from
+    ``check_every`` rounds ago proves convergence — at worst
+    ``check_every − 1`` no-op rounds run before detection, and driver
+    round-trips on deep components halve (the per-round localCheckpoint
+    job must run regardless; the signature job was the extra trip)."""
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
 
+    check_every = max(1, int(check_every))
     prev = None
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
+        if (i + 1) % check_every and i + 1 < max_iter:
+            continue  # skip the signature collect this round
         h = F.xxhash64("u", "v")
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
@@ -96,9 +109,10 @@ def connected_components(
         ).collect()[0]
         key = tuple(sig)
         if key == prev:
+            converged = True
             break
         prev = key
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
     # converged: stars (child -> root); roots label themselves

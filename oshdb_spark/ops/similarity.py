@@ -134,6 +134,48 @@ def lsh_ann(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+# Above this many centroids the unrolled Catalyst argmax-cosine routing
+# expression is replaced by an Arrow-batched GEMM argmax: the expression
+# tree grows O(k·dim) literals and exceeds plan/codegen limits long
+# before data does (real IVF uses 4k-65k centroids; the codegen path is
+# comfortable only to a few hundred). Same rationale and threshold as
+# clustering._EXPR_ARGMIN_MAX_K; the codegen path is kept for small k
+# because it is pure whole-stage codegen and bit-reproduces the DuckDB
+# oracle's fold (driver queries run at n_centroids ≤ 16).
+_ROUTE_EXPR_MAX_K = 64
+
+
+def _ivf_route_arrow(df: DataFrame, cents, vec_col: str, out: str) -> DataFrame:
+    """Arrow GEMM nearest-centroid-by-cosine routing for large k.
+
+    One (batch × k) matmul against the unit-normalized centroid matrix:
+    argmax over v·ĉ equals argmax cosine because ‖v‖ > 0 scales every
+    column identically. Semantics match the codegen fold exactly:
+    np.argmax takes the FIRST maximal index (= the fold's strict `>`
+    keeping the lowest centroid on ties); zero-norm vectors get −1 (the
+    fold's NaN similarities never beat the −2 seed); zero-norm centroids
+    score as dot 0 (the fold substitutes cn=1.0). Centroids ship once per
+    task in the closure — no join, no shuffle, narrow stage."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    Cn = np.divide(C, np.where(cn == 0.0, 1.0, cn)[:, None])
+
+    @F.pandas_udf(IntegerType())
+    def _route(s):
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        sims = X @ Cn.T
+        best = np.argmax(sims, axis=1).astype(np.int32)
+        vnorm2 = (X * X).sum(axis=1)
+        best[vnorm2 == 0.0] = -1
+        return pd.Series(best)
+
+    return df.withColumn(out, _route(F.col(vec_col).cast("array<double>")))
+
+
 def ivf_ann(
     df: DataFrame,
     query_vec,
@@ -150,7 +192,12 @@ def ivf_ann(
     With train_iters=0 (default) the "training" is a STUB: centroids are
     the first n_centroids vectors by id (deterministic, not k-means).
     With train_iters>0 the centroids come from clustering.kmeans_train
-    (real Lloyd iterations, deterministic init) — the production path."""
+    (real Lloyd iterations, deterministic init) — the production path.
+
+    Routing: ≤ _ROUTE_EXPR_MAX_K centroids compile to a pure-codegen
+    argmax fold (oracle-replayable); beyond that the assignment runs the
+    Arrow GEMM path (_ivf_route_arrow) so realistic centroid counts
+    (4k-65k) never build O(k·dim) expression trees."""
     dim = len(query_vec)
     if train_iters > 0:
         from .clustering import kmeans_train
@@ -184,7 +231,10 @@ def ivf_ann(
         )
 
     v = f"cast({vec_col} as array<double>)"
-    routed = df.withColumn("_cent", F.expr(nearest_expr(v)))
+    if len(cents) > _ROUTE_EXPR_MAX_K:
+        routed = _ivf_route_arrow(df, cents, vec_col, "_cent")
+    else:
+        routed = df.withColumn("_cent", F.expr(nearest_expr(v)))
     qsims = []
     qn = sum(float(x) * float(x) for x in query_vec) ** 0.5 or 1.0
     for ci, c in enumerate(cents):

@@ -322,13 +322,18 @@ def spearman_corr(
         )
     )
     dec = "decimal(38,0)"
+    # cast ONE OPERAND to decimal BEFORE the multiply (the
+    # gini_inequality/ols_trend pattern): doubled ranks reach 2n, so an
+    # int64 product would silently wrap (ANSI off) past ~1.5e9-row
+    # groups before an after-the-fact cast could see it; likewise the
+    # plain rank sums (Σ ≤ 2n²) overflow int64 past ~2.1e9 rows
     m = r.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("_dx").alias("_sx"),
-        F.sum("_dy").alias("_sy"),
-        F.sum((F.col("_dx") * F.col("_dx")).cast(dec)).alias("_sxx"),
-        F.sum((F.col("_dy") * F.col("_dy")).cast(dec)).alias("_syy"),
-        F.sum((F.col("_dx") * F.col("_dy")).cast(dec)).alias("_sxy"),
+        F.sum(F.col("_dx").cast(dec)).alias("_sx"),
+        F.sum(F.col("_dy").cast(dec)).alias("_sy"),
+        F.sum(F.col("_dx").cast(dec) * F.col("_dx")).alias("_sxx"),
+        F.sum(F.col("_dy").cast(dec) * F.col("_dy")).alias("_syy"),
+        F.sum(F.col("_dx").cast(dec) * F.col("_dy")).alias("_sxy"),
     )
     nD = F.col("_n").cast(dec)
     sxD, syD = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
@@ -803,7 +808,9 @@ def mannwhitney_u(
     agg = r.agg(
         F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_na"),
         F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("_nb"),
-        F.sum(F.when(F.col("_isa"), F.col("_r2"))).alias("_ra2"),
+        # decimal accumulator: doubled ranks reach 2n, so the int64
+        # rank-sum would wrap past ~2.1e9 rows (same fix as spearman)
+        F.sum(F.when(F.col("_isa"), F.col("_r2").cast(dec))).alias("_ra2"),
     )
     ties = (
         d.groupBy("_v").agg(F.count(F.lit(1)).alias("_t"))

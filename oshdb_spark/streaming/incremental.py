@@ -366,6 +366,7 @@ def stream_colocation(
     sec_col: str = "sec",
     lat_max: float = 70.0,
     dist_col: str = "dist_m",
+    oracle_replay: bool = False,
 ) -> DataFrame:
     """Streaming co-location alerts — the live counterpart of
     ``geo.spatial_join.colocation_join``: emits one append-mode row per
@@ -385,10 +386,18 @@ def stream_colocation(
     the batch operator, and the equirectangular distance ≤ d) refine as
     post-join filters.
 
-    Correctness vs completeness is the caller's watermark choice: a
-    watermark shorter than the stream's disorder drops late pairs (the
-    production trade); a watermark ≥ the bounded input's span replays
-    batch-exactly (what the oracle-checked driver query does).
+    Correctness vs completeness is the caller's watermark choice: the
+    PRODUCTION default is a real disorder bound (``watermark``, default
+    1 hour) — state stays bounded by the disorder window and pairs later
+    than it are dropped (the standard streaming trade). With time-ordered
+    micro-batches whose disorder is within the bound, the result is
+    still batch-complete (asserted by
+    ``test_stream_colocation_matches_batch_join`` and the bounded-state
+    twin). ``oracle_replay=True`` switches to a span-covering watermark
+    (10 years — nothing is ever evicted), replaying the batch operator
+    exactly regardless of arrival order; that is a REPLAY/VERIFICATION
+    mode whose per-batch cost grows with total stream span — never the
+    production posture.
 
     Scale posture: state per cell key holds only the watermark window of
     fixes; the 9× build replication ships ids+coords; the join is the
@@ -399,6 +408,8 @@ def stream_colocation(
 
     if t_seconds <= 0:
         raise ValueError("t_seconds must be positive")
+    if oracle_replay:
+        watermark = "3650 days"  # span-covering: evict nothing, replay batch
     w, ncols, nrows, lat7_cap = radius_grid(d_meters, lat_max)
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

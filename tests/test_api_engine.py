@@ -147,3 +147,19 @@ def test_count_uniq_approx_matches_exact_on_small_cardinality(spark):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.05 * ex)
+
+
+def test_registry_count_pinned():
+    """The driver-contract registry is exactly 201 oracle-backed
+    queries, every one with an oracle_sql twin — the count BASELINE.md
+    and CORRECTNESS files must agree on (a round-4 doc said 202; the
+    AST count was and is 201). Update this pin ONLY together with
+    BASELINE.md when adding a query."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert len(q) == 201
+    assert set(q) == set(o)

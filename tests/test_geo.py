@@ -1516,9 +1516,11 @@ def test_hexbin_assignment_is_nearest_lattice_center(spark):
 
     import pyspark.sql.functions as F
 
-    from oshdb_spark.geo.cells import hexbin_cols
+    from oshdb_spark.geo.cells import hex_height7, hexbin_cols
 
-    w, h = 100_000_000, 86602540
+    w = 100_000_000
+    h = hex_height7(w)  # √3·w — regular pointy-top cells
+    assert h == 173205080
     _r.seed(5)
     pts = [
         (
@@ -1759,17 +1761,29 @@ def test_theil_sen_matches_sorted_replay(spark):
 
 
 def test_quadkey_matches_bit_interleave_reference(spark):
-    """quadkey_col vs a python bit-interleave reference, incl. the
-    classic prefix-hierarchy property and lat-clamp at +90."""
+    """quadkey_col vs a python bit-interleave reference over the EXACT
+    rational tile width (360e7/2^z — fractional past zoom 10), incl.
+    the classic prefix-hierarchy property, lat-clamp at +90, the
+    antimeridian wrap (lon=+180 → westernmost column, xy_id parity),
+    and the SE-corner point whose x the old truncated width would have
+    pushed out of range at zoom 15."""
     import random as _r
 
     from oshdb_spark.geo.cells import quadkey_col
 
     def ref(lon7, lat7, zoom):
-        w = 3_600_000_000 >> zoom
-        x = (lon7 + 1_800_000_000) // w
+        N = 3515625  # 360e7 == N << 10
+
+        def fd(v):
+            if zoom <= 10:
+                return v // (N << (10 - zoom))
+            return (v * (1 << (zoom - 10))) // N
+
+        x = fd(lon7 + 1_800_000_000)
+        if x >= 1 << zoom:
+            x = 0  # antimeridian wrap (XYGrid parity)
         y_max = (1 << zoom) // 2 - 1
-        yy = min((lat7 + 900_000_000) // w, y_max)
+        yy = min(fd(lat7 + 900_000_000), y_max)
         y = y_max - yy
         return "".join(
             str(2 * ((y >> k) & 1) + ((x >> k) & 1))
@@ -1784,9 +1798,10 @@ def test_quadkey_matches_bit_interleave_reference(spark):
     ]
     pts += [(900, -1_800_000_000, 900_000_000),   # NW corner, clamped
             (901, 1_799_999_999, -900_000_000),   # SE corner
-            (902, 0, 0)]
+            (902, 0, 0),
+            (903, 1_800_000_000, 0)]              # +180: wraps west
     df = spark.createDataFrame(pts, "i long, lon7 long, lat7 long")
-    for zoom in (1, 6, 8):
+    for zoom in (1, 6, 8, 11, 12, 15):
         got = {
             r.i: r.q
             for r in df.select(
@@ -1795,20 +1810,30 @@ def test_quadkey_matches_bit_interleave_reference(spark):
         }
         for i, lon, lat in pts:
             assert got[i] == ref(lon, lat, zoom), (zoom, i, lon, lat)
-    # prefix hierarchy: zoom-6 key prefixes the zoom-8 key
+        # the wrap really lands in the westernmost column's key
+        assert got[903] == ref(-1_800_000_000, 0, zoom)
+        # SE corner stays in range (the zoom-15 regression the truncated
+        # width had: x = 2^z aliasing to column 0)
+        assert got[901][0] in "0123" and got[901] != got[900]
+    # prefix hierarchy: zoom-6 key prefixes the zoom-8 and zoom-12 keys
     g6 = {r.i: r.q for r in df.select(
         "i", quadkey_col("lon7", "lat7", 6).alias("q")).collect()}
     g8 = {r.i: r.q for r in df.select(
         "i", quadkey_col("lon7", "lat7", 8).alias("q")).collect()}
+    g12 = {r.i: r.q for r in df.select(
+        "i", quadkey_col("lon7", "lat7", 12).alias("q")).collect()}
     assert all(g8[i].startswith(g6[i]) for i, _, _ in pts)
+    assert all(g12[i].startswith(g8[i]) for i, _, _ in pts)
 
 
 def test_hex_smooth_matches_neighbor_replay(spark):
     """hex_smooth vs a python 7-offset replay on a hand raster with
     missing neighbors (sparse semantics)."""
-    from oshdb_spark.geo.cells import hex_smooth
+    from oshdb_spark.geo.cells import hex_height7, hex_smooth
 
-    w, h = 200_000_000, 173205080
+    w = 200_000_000
+    h = hex_height7(w)  # √3·w — the 6 offsets are true Voronoi neighbors
+    assert h == 346410160
     raster = {
         (0, 0): 10,
         (w, 0): 2,                 # east neighbor
@@ -1832,6 +1857,32 @@ def test_hex_smooth_matches_neighbor_replay(spark):
         want = (sum(nb), len(nb), round(sum(nb) / len(nb), 6))
         assert got[(x, y)] == want, ((x, y), got[(x, y)], want)
     assert got[(3 * w, 0)] == (7, 1, 7.0)
+
+
+def test_hex_smooth_offsets_are_the_voronoi_neighbors():
+    """Under the default h = √3·w the 7-offset stencil is exactly
+    {self} ∪ the 6 EQUIDISTANT Voronoi neighbors of a hex center in
+    the doubled lattice: (±w, 0) and (±w/2, ±h/2) all sit at distance
+    ≈ w, every other lattice center is strictly farther (the (0, ±h)
+    same-lattice cells the squashed h=(√3/2)w default wrongly made
+    adjacent are at ≈ 1.73·w)."""
+    from oshdb_spark.geo.cells import hex_height7
+
+    for w in (20_000_000, 100_000_000, 200_000_000):
+        h = hex_height7(w)
+        neigh = [(w, 0), (-w, 0), (w // 2, h // 2), (w // 2, -h // 2),
+                 (-w // 2, h // 2), (-w // 2, -h // 2)]
+        dists = [((dx * dx + dy * dy) ** 0.5) / w for dx, dy in neigh]
+        assert all(abs(d - 1.0) < 1e-3 for d in dists), (w, dists)
+        # every other center of either lattice is strictly farther
+        others = []
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                for (cx, cy) in ((i * w, j * h),
+                                 (i * w + w // 2, j * h + h // 2)):
+                    if (cx, cy) != (0, 0) and (cx, cy) not in neigh:
+                        others.append((cx * cx + cy * cy) ** 0.5 / w)
+        assert min(others) > max(dists) * 1.5, (w, min(others))
 
 
 def test_track_waypoints_brackets_and_interpolates(spark):

@@ -152,6 +152,62 @@ def test_ivf_ann_returns_k(spark):
     assert rows[0].vec_id == 0  # query vector is its own nearest
 
 
+def test_ivf_routing_arrow_matches_codegen_at_k256(spark):
+    """k=256 > _ROUTE_EXPR_MAX_K routes IVF assignment through the Arrow
+    GEMM path; forcing the threshold up replays the same query on the
+    unrolled codegen argmax fold — the two must agree on the final
+    top-k (ids and rounded cosines), proving the routing swap is
+    semantics-preserving before real IVF centroid counts (4k-65k)."""
+    import numpy as np
+
+    import oshdb_spark.ops.similarity as SIM
+
+    rng = np.random.default_rng(31)
+    n, dim = 400, 8
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 1, dim).round(4)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+
+    def run():
+        return [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in SIM.ivf_ann(
+                df, q, k=10, n_centroids=256, n_probe=16
+            ).collect()
+        ]
+
+    got_arrow = run()  # default threshold (64) → Arrow GEMM routing
+    orig = SIM._ROUTE_EXPR_MAX_K
+    SIM._ROUTE_EXPR_MAX_K = 10_000
+    try:
+        got_expr = run()  # forced codegen argmax fold
+    finally:
+        SIM._ROUTE_EXPR_MAX_K = orig
+    assert got_arrow == got_expr
+    assert got_arrow[0][0] == 0  # query vector is its own nearest
+
+
+def test_ivf_arrow_routing_zero_vector_matches_codegen_sentinel(spark):
+    """A zero-norm vector gets _cent = −1 on BOTH routing paths (the
+    codegen fold's NaN cosine never beats the −2 seed; the Arrow path
+    sets the sentinel explicitly), so it never lands in a probe list."""
+    from oshdb_spark.ops.similarity import _ivf_route_arrow
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r["vec_id"]: r["_cent"]
+        for r in _ivf_route_arrow(df, cents, "embedding", "_cent").collect()
+    }
+    assert got == {0: 0, 1: -1, 2: 1}
+
+
 def test_kmeans_recovers_separated_blobs(spark):
     """3 well-separated blobs → 2 Lloyd iterations recover them exactly
     and the centroids land on the blob means."""

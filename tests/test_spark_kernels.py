@@ -135,6 +135,53 @@ class TestSynthGenerator:
         ).agg({"m": "sum"}).collect()[0][0]
         assert media == 50
 
+    def test_typed_columns_match_raw_span_decode(self, spark):
+        """The store-v2 typed layout (default) must carry spans
+        bit-identical to the raw 2-column shape (they derive from the
+        same structs), produce identical snapshots, and compile to a
+        plan with ZERO from_json (the raw path keeps the decode)."""
+        from oshdb_spark.kernels.snapshot import snapshots
+        from oshdb_spark.model.history import SNAPSHOT_TS
+
+        typed = synth.synth_docs_sql(spark, 200, versions_per_doc=4)
+        raw = synth.synth_docs_sql(
+            spark, 200, versions_per_doc=4, typed_columns=False
+        )
+        a = sorted(
+            (r.doc_id, tuple(tuple(s) for s in r.spans))
+            for r in typed.select("doc_id", "spans").collect()
+        )
+        b = sorted(
+            (r.doc_id, tuple(tuple(s) for s in r.spans))
+            for r in raw.collect()
+        )
+        assert a == b
+
+        def snap(d):
+            return sorted(
+                map(
+                    tuple,
+                    snapshots(
+                        d,
+                        SNAPSHOT_TS,
+                        filter_spec=[("type_in", ["node"]),
+                                     ("tag_eq", "amenity", "cafe")],
+                    ).groupBy("ts").count().collect(),
+                )
+            )
+
+        assert snap(typed) == snap(raw)
+        plan_typed = (
+            snapshots(typed, SNAPSHOT_TS, filter_spec=[("type_in", ["node"])])
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        plan_raw = (
+            snapshots(raw, SNAPSHOT_TS, filter_spec=[("type_in", ["node"])])
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "from_json" not in plan_typed
+        assert "from_json" in plan_raw
+
 
 def test_filter_values_with_quotes(spark):
     """SQL-compiled filters must survive quotes/backslashes in tag values

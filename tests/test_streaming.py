@@ -477,6 +477,112 @@ def test_stream_colocation_matches_batch_join(spark, tmp_path):
     assert len(want) > 20
 
 
+def test_stream_colocation_tight_watermark_bounds_state(spark, tmp_path):
+    """The production disorder-bound watermark must (a) keep the join
+    state BOUNDED — per-batch state no longer grows with total stream
+    span — and (b) still emit the complete batch-exact pair set when
+    the stream's disorder is within the bound. oracle_replay=True is
+    the span-covering verification mode: same pairs here, but state
+    grows with the whole span."""
+    import numpy as np
+
+    from oshdb_spark.geo.spatial_join import colocation_join
+    from oshdb_spark.streaming.incremental import stream_colocation
+
+    rng = np.random.default_rng(73)
+    n_days, per_day = 8, 40
+    rows = []
+    uid = 0
+    for day in range(n_days):
+        base_sec = 1_700_000_000 + day * 86_400
+        blon = rng.integers(-1_200_000_000, 1_200_000_000, per_day // 4)
+        blat = rng.integers(-600_000_000, 600_000_000, per_day // 4)
+        for j in range(per_day):
+            rows.append(
+                (
+                    uid,
+                    int(blon[j % (per_day // 4)]
+                        + rng.integers(-20_000_000, 20_000_000)),
+                    int(blat[j % (per_day // 4)]
+                        + rng.integers(-20_000_000, 20_000_000)),
+                    int(base_sec + rng.integers(-600, 600)),
+                )
+            )
+            uid += 1
+    df = spark.createDataFrame(
+        rows, "uid long, lon7 long, lat7 long, sec long"
+    ).withColumn("ts", F.col("sec").cast("timestamp"))
+
+    src = str(tmp_path / "coloc_bounded_src")
+    os.makedirs(src)
+    for day in range(n_days):
+        lo = 1_700_000_000 + day * 86_400 - 700
+        hi = lo + 1_400
+        part = df.filter(
+            (F.col("sec") >= lo) & (F.col("sec") < hi)
+        ).coalesce(1)
+        d = tmp_path / f"_cb{day}"
+        part.write.parquet(str(d))
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.rename(d / fn, f"{src}/{day:03d}.parquet")
+
+    d_m, t_s = 250_000.0, 600
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_colocation(
+            stream.drop("sec"), d_m, t_s, **kw
+        ).filter(F.col("uid") < F.col("_r_uid"))
+        q = (
+            out.select("uid", "_r_uid")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+        got = {
+            (r["uid"], r["_r_uid"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        return got, state_rows
+
+    got_tight, st_tight = run("coloc_tight", watermark="2 hours")
+    got_replay, st_replay = run("coloc_replay", oracle_replay=True)
+    want = {
+        (r["uid"], r["qid"])
+        for r in colocation_join(
+            df.select("uid", "lon7", "lat7", "sec"),
+            df.select(F.col("uid").alias("qid"), "lon7", "lat7", "sec"),
+            d_m,
+            t_s,
+        )
+        .filter(F.col("uid") < F.col("qid"))
+        .collect()
+    }
+    assert len(want) > 20
+    # complete under in-bound disorder, identical to the replay mode
+    assert got_tight == want
+    assert got_replay == want
+    # bounded state: replay's final state holds the WHOLE span (grows
+    # monotonically); the tight watermark's stays at the disorder
+    # window — far below, and not growing batch over batch
+    assert max(st_replay) > 3 * max(st_tight)
+    assert st_tight[-1] <= max(st_tight[:2])
+
+
 def test_session_window_matches_batch_islands(spark, tmp_path):
     """Native session_window state must MERGE sessions that straddle
     micro-batches, and an event exactly gap seconds after the previous
