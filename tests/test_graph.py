@@ -79,6 +79,22 @@ class TestConnectedComponents:
         want = _uf_components(edges)
         assert got == want
 
+    def test_check_every_is_result_invariant(self, spark):
+        """The batched convergence check (default check_every=2) must
+        return exactly the per-round check's labels — the fixpoint is
+        absorbing, so the signature gap only delays detection, never
+        changes the answer. A deep chain maximizes round count."""
+        edges = [(i, i + 1) for i in range(150)] + [(500, 501), (502, 501)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        by_every = {}
+        for ce in (1, 2, 3):
+            by_every[ce] = {
+                r["node"]: r["component"]
+                for r in connected_components(df, check_every=ce).collect()
+            }
+        assert by_every[1] == by_every[2] == by_every[3]
+        assert by_every[2][150] == 0 and by_every[2][502] == 500
+
     def test_layout_independent(self, spark):
         rng = random.Random(99)
         edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
