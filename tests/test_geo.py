@@ -2052,3 +2052,88 @@ def test_dtw_join_matches_python_dp(spark):
     assert (1, 2) in got          # jittered copy aligns
     assert (1, 3) not in got      # reversed: order-sensitive rejection
     assert (1, 4) not in got      # genuinely far
+
+
+def test_dtw_lower_bounds_are_loss_free_random_differential(spark):
+    """Randomized admissibility differential for the blocked join's
+    codegen prefilters (endpoint + Keogh-style bbox-envelope lower
+    bound): dtw_join over random clustered walks must emit EXACTLY the
+    pairs the full unblocked python DP emits, at budgets chosen so
+    qualifying pairs exist both inside and across clusters. A
+    non-admissible bound shows up here as a missing pair."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from oshdb_spark.geo.trajectory import dtw_join
+
+    rng = np.random.default_rng(47)
+    tracks = {}
+    ent = 0
+    # 6 cluster sites; 4 walks per site with ±4° jitter; varying lengths
+    for c in range(6):
+        cx = int(rng.integers(-1_500_000_000, 1_500_000_000))
+        cy = int(rng.integers(-500_000_000, 500_000_000))
+        for _ in range(4):
+            n = int(rng.integers(5, 12))
+            x = cx + int(rng.integers(-40_000_000, 40_000_000))
+            y = cy + int(rng.integers(-40_000_000, 40_000_000))
+            pts = []
+            for _i in range(n):
+                x += int(rng.integers(-8_000_000, 8_000_000))
+                y += int(rng.integers(-8_000_000, 8_000_000))
+                pts.append((x, y))
+            tracks[ent] = pts
+            ent += 1
+    rows = [
+        (e, i, p[0], p[1])
+        for e, pts in tracks.items()
+        for i, p in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity long, ord_key long, lon7 long, lat7 long"
+    )
+
+    R = 6371000.0
+
+    def mm(p, q):
+        la, lb = p[1] * 1e-7, q[1] * 1e-7
+        dla = math.radians(lb - la)
+        dln = math.radians((q[0] - p[0]) * 1e-7) * math.cos(
+            math.radians((la + lb) / 2.0))
+        return int(np.rint(R * math.sqrt(dln * dln + dla * dla) * 1000.0))
+
+    def dtw(A, B):
+        n, m = len(A), len(B)
+        D = [[0] * m for _ in range(n)]
+        for i in range(n):
+            for j in range(m):
+                d = mm(A[i], B[j])
+                if i == 0 and j == 0:
+                    D[i][j] = d
+                elif i == 0:
+                    D[i][j] = d + D[0][j - 1]
+                elif j == 0:
+                    D[i][j] = d + D[i - 1][0]
+                else:
+                    D[i][j] = d + min(D[i - 1][j], D[i][j - 1],
+                                      D[i - 1][j - 1])
+        return D[n - 1][m - 1]
+
+    # budgets spanning tight (in-cluster only) to generous; each must
+    # reproduce the full-enumeration pair set exactly
+    for T in (2_000_000.0, 20_000_000.0):
+        got = {
+            (r.ea, r.eb): r.dtw_m for r in dtw_join(df, T).collect()
+        }
+        want = {}
+        for ea, eb in itertools.combinations(sorted(tracks), 2):
+            c = dtw(tracks[ea], tracks[eb])
+            if c <= T * 1000:
+                want[(ea, eb)] = c / 1000.0
+        assert set(got) == set(want), (
+            T, sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+        for k, v in want.items():
+            assert math.isclose(got[k], v, abs_tol=1e-9), (T, k)
+        assert len(want) >= 3  # non-vacuous at every budget
