@@ -84,8 +84,13 @@ def main():
     _ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     _wd = way_docs_from_events(_ev)
     _reps = spark.range(way_reps).select(_F.col("id").alias("rep"))
+    # store-v2 typed layout (native versions/members next to the spans,
+    # same treatment as the flagship corpus): typed_docs passes the
+    # columns through with zero from_json; replicas share `id` exactly
+    # as the raw meta-span decode produced
     (_wd.crossJoin(_reps)
-        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"), "spans")
+        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"),
+                "spans", "entity_type", _wd["id"], "versions", "members")
         .repartition(CPUS).write.parquet(way_path))
     way_docs_n = spark.read.parquet(way_path).count()
 
@@ -109,7 +114,8 @@ def main():
     _rd = relation_docs_from_events(_ev)
     _rreps = spark.range(rel_reps).select(_F.col("id").alias("rep"))
     (_rd.crossJoin(_rreps)
-        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"), "spans")
+        .select(_F.concat("doc_id", _F.lit("#"), "rep").alias("doc_id"),
+                "spans", "entity_type", _rd["id"], "versions", "members")
         .repartition(CPUS).write.parquet(rel_path))
     rel_docs_n = spark.read.parquet(rel_path).count()
 
