@@ -15,6 +15,8 @@ Bbox convention: (minlon, minlat, maxlon, maxlat) in degrees.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from . import geom as G
@@ -301,12 +303,26 @@ def _ring_ccw(ring: np.ndarray) -> np.ndarray:
 def _stitch(
     fragments: list[list[tuple]],
     dropped: list | None = None,
+    snap_eps: float = 0.0,
 ) -> list[np.ndarray]:
     """Join fragments end-to-start into closed rings (endpoints are
     bitwise-shared intersection points, so dict lookup is exact). When
     `dropped` is a list, a marker is appended for every open chain that
     had to be discarded — callers use it to detect that classification
-    noise broke closure and retry with swapped ring roles."""
+    noise broke closure and retry with swapped ring roles.
+
+    ``snap_eps > 0`` is the LAST-RESORT mode (engaged only after BOTH
+    exact role orders left open chains): when no bitwise continuation
+    exists, the chain joins the nearest unused fragment start — or
+    closes onto its own start — within ``snap_eps``, inserting a
+    micro-chord of at most that length. The round-5 64× soak found the
+    case this exists for: two rings whose spike tips coincide within
+    ~1e-7 produce tip bridge micro-fragments that parity-classify
+    OUTSIDE on both sides (each tip genuinely pokes past the other), so
+    both exact passes drop the whole region; the ~2.5e-8 tip chord is
+    the degenerate limit's answer. Deterministic: nearest candidate,
+    ties to fragment list order; chords are bounded by snap_eps, which
+    callers set relative to the coordinate scale."""
     by_start: dict[tuple, list] = {}
     for f in fragments:
         by_start.setdefault(f[0], []).append(f)
@@ -320,10 +336,28 @@ def _stitch(
         while chain[-1] != chain[0]:
             cands = [c for c in by_start.get(chain[-1], []) if id(c) not in used]
             if not cands:
+                if snap_eps > 0.0:
+                    cx, cy = chain[-1]
+                    best, bd = None, snap_eps
+                    for c in fragments:
+                        if id(c) in used:
+                            continue
+                        d = math.hypot(c[0][0] - cx, c[0][1] - cy)
+                        if d < bd:
+                            best, bd = c, d
+                    d0 = math.hypot(chain[0][0] - cx, chain[0][1] - cy)
+                    if d0 <= bd and d0 <= snap_eps:
+                        chain.append(chain[0])  # micro-chord closure
+                        continue
+                    if best is not None:
+                        used.add(id(best))
+                        chain.extend(best)  # micro-chord + fragment
+                        continue
                 break  # open chain — degeneracy; drop
-            nxt = cands[0]
-            used.add(id(nxt))
-            chain.extend(nxt[1:])
+            else:
+                nxt = cands[0]
+                used.add(id(nxt))
+                chain.extend(nxt[1:])
         if chain[-1] == chain[0] and len(chain) >= 4:
             rings.append(np.asarray(chain, dtype=np.float64))
         elif dropped is not None:
@@ -786,7 +820,7 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
             return [b]
         return []
 
-    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy):
+    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy, snap_eps=0.0):
         frags_x = _classified_fragments(
             x, px_, Px_, y, keep_shared=True, shared_ivals=ivx
         )
@@ -794,18 +828,35 @@ def ring_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
             y, py_, Py_, x, keep_shared=False, shared_ivals=ivy
         )
         drops: list = []
-        return _stitch(frags_x + frags_y, dropped=drops), drops
+        return _stitch(frags_x + frags_y, dropped=drops,
+                       snap_eps=snap_eps), drops
 
     rings, drops = attempt(a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b)
     if drops:
         # an open chain means an ε-asymmetric on-boundary classification
         # (micro-fragment exactly on one ring's edge by rounding but not
         # the reverse) broke closure — the swapped-role pass takes the
-        # other rounding path, which closes in every observed case; keep
+        # other rounding path, which closes in most observed cases; keep
         # whichever stitch is complete
         rings2, drops2 = attempt(b, pos_b, pts_b, iv_b, a, pos_a, pts_a, iv_a)
         if not drops2:
             rings = rings2
+        else:
+            # BOTH exact orders broke closure: near-coincident boundary
+            # degeneracy (e.g. spike tips of both rings within ~1e-7 —
+            # each tip's bridge micro-fragment genuinely pokes outside
+            # the other ring, so parity drops it on both sides; round-5
+            # 64× soak counterexample). Snap-stitch with a chord bound
+            # relative to the coordinate scale — losing a ≤1e-8·scale
+            # sliver beats dropping the whole region.
+            snap = 1e-8 * max(
+                1.0, float(np.abs(a).max()), float(np.abs(b).max())
+            )
+            rings3, drops3 = attempt(
+                a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b, snap_eps=snap
+            )
+            if not drops3:
+                rings = rings3
     from ..kernels.geometry_builder import split_self_touching_ring
 
     out = []
@@ -857,7 +908,7 @@ def ring_union_pair(
             return [a]
         return None
 
-    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy):
+    def attempt(x, px_, Px_, ivx, y, py_, Py_, ivy, snap_eps=0.0):
         frags_x = _classified_fragments(
             x, px_, Px_, y, keep_shared=True, shared_ivals=ivx,
             keep_inside=False,
@@ -869,7 +920,8 @@ def ring_union_pair(
         if not frags_x and not frags_y:
             return None, []
         drops: list = []
-        return _stitch(frags_x + frags_y, dropped=drops), drops
+        return _stitch(frags_x + frags_y, dropped=drops,
+                       snap_eps=snap_eps), drops
 
     rings, drops = attempt(a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b)
     if rings is None:
@@ -880,6 +932,17 @@ def ring_union_pair(
         rings2, drops2 = attempt(b, pos_b, pts_b, iv_b, a, pos_a, pts_a, iv_a)
         if rings2 is not None and not drops2:
             rings = rings2
+        else:
+            # both exact orders broke closure — same near-coincident
+            # degeneracy + snap fallback as ring_intersection
+            snap = 1e-8 * max(
+                1.0, float(np.abs(a).max()), float(np.abs(b).max())
+            )
+            rings3, drops3 = attempt(
+                a, pos_a, pts_a, iv_a, b, pos_b, pts_b, iv_b, snap_eps=snap
+            )
+            if rings3 is not None and not drops3:
+                rings = rings3
     from ..kernels.geometry_builder import split_self_touching_ring
 
     out = []
